@@ -1,0 +1,141 @@
+"""Unit tests for the frozen extraction kernel (no Spark).
+
+Mirrors the reference's format-validation-as-test approach
+(/root/reference/evaluation/rrc_evaluation_funcs.py:95-126): every
+invariant the pipeline depends on is asserted at the kernel level.
+"""
+
+from __future__ import annotations
+
+from toyocr_spark.extractor import extract
+from toyocr_spark.extractor.layout import reading_order
+from toyocr_spark.extractor.select import select_blocks
+from toyocr_spark.extractor.tokenizer import tokenize
+from toyocr_spark.fixtures import gen_pages
+
+
+def test_empty_and_none():
+    assert extract(b"").text == ""
+    assert extract(None).text == ""
+    assert extract(b"<html><body></body></html>").text == ""
+
+
+def test_strips_script_style_comments():
+    h = b"<html><body><p>Keep this paragraph of content words here okay.</p><script>drop();</script><style>p{}</style><!-- drop --></body></html>"
+    r = extract(h)
+    assert "drop" not in r.text
+    assert r.text == "Keep this paragraph of content words here okay."
+
+
+def test_entities_and_unicode():
+    h = "<html><body><p>café &amp; bar &#8212; 中文 content of this block</p></body></html>".encode()
+    r = extract(h)
+    assert "café & bar — 中文" in r.text
+
+
+def test_whitespace_collapsed():
+    h = b"<html><body><p>a  lot \n\t of   spaced words in this one block here</p></body></html>"
+    assert "  " not in extract(h).text
+
+
+def test_link_dense_block_rejected():
+    nav = b"<ul>" + b"".join(
+        b'<li><a href="/x">menu item</a></li>' for _ in range(8)
+    ) + b"</ul>"
+    h = b"<html><body>" + nav + b"<p>Real content sentence with enough words to pass the scorer easily.</p></body></html>"
+    r = extract(h)
+    assert "menu item" not in r.text
+    assert r.text.startswith("Real content")
+
+
+def test_boilerplate_tag_paths_rejected():
+    h = (
+        b"<html><body><nav><p>short nav text</p></nav>"
+        b"<header><p>site header words</p></header>"
+        b"<article><p>The actual main body of the page with plenty of words to keep.</p></article>"
+        b"<footer><p>copyright footer line</p></footer></body></html>"
+    )
+    r = extract(h)
+    assert r.text == "The actual main body of the page with plenty of words to keep."
+
+
+def test_spans_cover_text_exactly():
+    pages = gen_pages(60, seed=3)
+    for p in pages:
+        r = extract(p.html)
+        # spans tile the text with single-\n separators (D5 prefix-sum)
+        rebuilt = "\n".join(r.text[s:e] for s, e, _ in r.spans)
+        assert rebuilt == r.text
+        for s, e, _k in r.spans:
+            assert 0 <= s < e <= len(r.text)
+
+
+def test_determinism_repeated_calls():
+    pages = gen_pages(30, seed=9)
+    for p in pages:
+        a, b = extract(p.html), extract(bytes(p.html))
+        assert a.text == b.text and a.spans == b.spans
+
+
+def test_generator_oracle_agreement():
+    """The quality gate: on non-pathological grammar pages the kernel
+    recovers exactly the generator-intended main content."""
+    for seed in (1, 42):
+        pages = gen_pages(250, seed=seed)
+        for p in pages:
+            if p.expected_main is not None:
+                assert extract(p.html).text == p.expected_main, p.url
+
+
+def test_truncation_guard():
+    from toyocr_spark.extractor.core import MAX_HTML_BYTES
+
+    big = b"<html><body><p>" + b"word " * (MAX_HTML_BYTES // 4) + b"</p></body></html>"
+    r = extract(big)
+    assert r.truncated
+    assert len(r.text) > 0
+
+
+def test_xycut_reading_order():
+    blocks = tokenize(
+        "<html><body>"
+        '<div style="position:absolute;left:400px;top:100px;width:200px;height:50px">right col top block text</div>'
+        '<div style="position:absolute;left:50px;top:120px;width:200px;height:50px">left col bottom block text</div>'
+        '<div style="position:absolute;left:50px;top:40px;width:200px;height:50px">left col top block text</div>'
+        "</body></html>"
+    )
+    ordered = reading_order(blocks)
+    texts = [b.text for b in ordered]
+    assert texts == [
+        "left col top block text",
+        "left col bottom block text",
+        "right col top block text",
+    ]
+
+
+def test_island_absorbs_short_gap():
+    h = (
+        b"<html><body><article>"
+        b"<p>First long paragraph with plenty of real words to be kept by scoring.</p>"
+        b"<p>tiny</p>"  # short reject, absorbable
+        b"<p>Second long paragraph with plenty of real words to be kept as well.</p>"
+        b"</article></body></html>"
+    )
+    r = extract(h)
+    assert "tiny" in r.text and r.n_kept == 3
+
+
+def test_hard_boundary_splits_islands():
+    ad = b'<div><a href="/ad">click this advert now</a></div>'
+    h = (
+        b"<html><body>"
+        b"<p>First long paragraph with plenty of real words to be kept by scoring.</p>" + ad +
+        b"<p>Second long paragraph with plenty of real words to be kept as well.</p>"
+        b"</body></html>"
+    )
+    r = extract(h)
+    assert "advert" not in r.text and r.n_kept == 2
+
+
+def test_select_empty():
+    assert select_blocks([]) == []

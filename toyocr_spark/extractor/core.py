@@ -1,0 +1,70 @@
+"""extract(html) — the frozen deterministic extraction kernel.
+
+This is BOTH the engine kernel (run batched inside mapInPandas) and the
+reference oracle used to populate the fixture ``text`` column — the
+same construction as the reference vendoring the official ICDAR scorer
+verbatim (/root/reference/evaluation/text_eval.py:171-172): sharing the
+kernel makes byte-identity a test of the *pipeline* (partitioning,
+batching, serialization, resume), which is what can actually break at
+cluster scale.
+
+Pipeline per page (the inference_on_images trace, SURVEY.md S3.2):
+  tokenize -> [XY-cut reading order if layout page] -> score+select
+  -> join block texts with '\\n' -> spans in final-text char offsets
+  (the inverse-transform step, /root/reference/modeling/decoders/
+  centernet_decode.py:71-91, here a 1-D prefix-sum).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from toyocr_spark.extractor.layout import reading_order
+from toyocr_spark.extractor.select import select_blocks
+from toyocr_spark.extractor.tokenizer import tokenize
+
+SEP = "\n"
+MAX_HTML_BYTES = 4 * 1024 * 1024  # pathological-page guard (SURVEY.md S4
+# spill control): truncate, never OOM an executor; truncation is itself
+# deterministic so byte-identity still holds end-to-end.
+
+
+@dataclass(frozen=True)
+class ExtractResult:
+    text: str
+    spans: tuple[tuple[int, int, str], ...]  # (start, end, kind) per block
+    n_blocks: int  # total tokenized blocks
+    n_kept: int  # blocks in the extracted text
+    truncated: bool
+
+
+_EMPTY = ExtractResult("", (), 0, 0, False)
+
+
+def extract(html: bytes | str | None) -> ExtractResult:
+    """Pure function of the page bytes. No RNG, no global state."""
+    if html is None or len(html) == 0:
+        return _EMPTY
+    truncated = False
+    if len(html) > MAX_HTML_BYTES:
+        html = html[:MAX_HTML_BYTES]
+        truncated = True
+    blocks = tokenize(html)
+    if not blocks:
+        return ExtractResult("", (), 0, 0, truncated)
+    ordered = reading_order(blocks)
+    if ordered is not blocks:
+        for i, b in enumerate(ordered):
+            b.ordinal = i
+    kept = select_blocks(ordered)
+    parts: list[str] = []
+    spans: list[tuple[int, int, str]] = []
+    pos = 0
+    for b in kept:
+        if parts:
+            pos += len(SEP)
+        start = pos
+        parts.append(b.text)
+        pos += len(b.text)
+        spans.append((start, pos, b.kind))
+    return ExtractResult(SEP.join(parts), tuple(spans), len(blocks), len(kept), truncated)

@@ -1,0 +1,186 @@
+"""Deterministic HTML tokenizer: bytes -> list[Block].
+
+Hand-rolled regex state machine (no lxml/bs4 — version-stable by
+construction, SURVEY.md S7 "What's hard"). Plays the role of the
+reference's image decode + DatasetMapper per-record map
+(/root/reference/data/dataset_mapper.py:140-303): raw bytes in, a
+normalized per-record structure out, fully deterministic.
+
+A Block is one run of text between block-level tag boundaries, with the
+signals the scorer needs: char count, anchor-text char count, inline tag
+count, the tag path at the block start, an optional absolute-position
+box (for the XY-cut layout pass), and a coarse layout class
+(``kind`` in {text,title,list,table,figure} — the reference's 5 layout
+classes, /root/reference/data/dataset/layout_analysis.py:10).
+"""
+
+from __future__ import annotations
+
+import html as _htmlmod
+import re
+from dataclasses import dataclass, field
+
+
+# --- precompiled patterns (module-level: compiled once per executor) ---
+
+# strip comments / script / style wholesale before tag walking
+_STRIP_RE = re.compile(
+    r"<!--.*?-->|<script\b[^>]*>.*?</script\s*>|<style\b[^>]*>.*?</style\s*>",
+    re.S | re.I,
+)
+# a tag or a text run
+_TOK_RE = re.compile(r"<[^>]*>|[^<]+", re.S)
+_TAG_NAME_RE = re.compile(r"</?\s*([a-zA-Z][a-zA-Z0-9]*)")
+_WS_RE = re.compile(r"\s+")
+# style="position:absolute;left:10px;top:20px;width:100px;height:30px"
+_POS_RE = re.compile(
+    r"position\s*:\s*absolute[^\"']*?left\s*:\s*(-?\d+)px\s*;\s*top\s*:\s*(-?\d+)px"
+    r"(?:\s*;\s*width\s*:\s*(\d+)px)?(?:\s*;\s*height\s*:\s*(\d+)px)?",
+    re.I,
+)
+
+# tags that end/begin a block of text
+BLOCK_TAGS = frozenset(
+    """html body main article section div p h1 h2 h3 h4 h5 h6 ul ol li dl dt dd
+       table thead tbody tfoot tr td th blockquote pre figure figcaption
+       header footer nav aside form fieldset title br hr option select
+       textarea caption""".split()
+)
+# container tags that stay on the path stack (self-closing-ish tags don't)
+_VOID_TAGS = frozenset("br hr img input meta link area base col embed source track wbr".split())
+# inline tags counted as "markup weight" inside a block
+_INLINE_TAGS = frozenset("a span b i em strong u small sup sub code abbr mark q s".split())
+
+_HEADING_TAGS = frozenset("h1 h2 h3 h4 h5 h6 title".split())
+_LIST_TAGS = frozenset("li dt dd".split())
+_TABLE_TAGS = frozenset("td th caption".split())
+_FIGURE_TAGS = frozenset("figure figcaption".split())
+# boilerplate containers (Boilerpipe-style tag-path prior)
+BOILER_TAGS = frozenset("nav header footer aside form select option".split())
+
+
+@dataclass
+class Block:
+    """One text block plus its scoring signals (the graft of the
+    reference's per-instance row: box+class+score -> path+density)."""
+
+    text: str = ""
+    tag_path: tuple[str, ...] = ()
+    n_chars: int = 0
+    link_chars: int = 0
+    n_inline: int = 0  # inline tag count inside the block
+    kind: str = "text"
+    box: tuple[int, int, int, int] | None = None  # (x, y, w, h) if positioned
+    ordinal: int = 0  # position among non-empty blocks, set by tokenize
+    _parts: list[str] = field(default_factory=list)
+
+    @property
+    def in_boiler(self) -> bool:
+        return any(t in BOILER_TAGS for t in self.tag_path)
+
+
+def _decode(html: bytes | str) -> str:
+    if isinstance(html, str):
+        return html
+    # BOM-aware UTF-8, lossy on bad bytes — the charset-normalization
+    # analogue of /root/reference/utils/img_utils.py:9-31 (format traps)
+    if html[:3] == b"\xef\xbb\xbf":
+        html = html[3:]
+    return html.decode("utf-8", "replace")
+
+
+def _classify(tag_path: tuple[str, ...]) -> str:
+    # innermost classification wins: walk the path from the leaf
+    for t in reversed(tag_path):
+        if t in _HEADING_TAGS:
+            return "title"
+        if t in _LIST_TAGS:
+            return "list"
+        if t in _TABLE_TAGS:
+            return "table"
+        if t in _FIGURE_TAGS:
+            return "figure"
+    return "text"
+
+
+def tokenize(html: bytes | str) -> list[Block]:
+    """Parse HTML into a list of non-empty text blocks, in document order.
+
+    Pure function of the bytes: stable across processes, partitions and
+    batch boundaries (the byte-identity requirement of BASELINE.json).
+    """
+    src = _decode(html)
+    if not src:
+        return []
+    src = _STRIP_RE.sub(" ", src)
+
+    blocks: list[Block] = []
+    stack: list[str] = []
+    link_depth = 0
+    cur = Block(tag_path=())
+    cur_box: tuple[int, int, int, int] | None = None
+
+    def flush() -> None:
+        nonlocal cur, cur_box
+        raw = "".join(cur._parts)
+        text = _WS_RE.sub(" ", raw).strip()
+        if text:
+            cur.text = text
+            cur.n_chars = len(text)
+            cur.kind = _classify(cur.tag_path)
+            cur.box = cur_box
+            blocks.append(cur)
+        cur = Block(tag_path=tuple(stack))
+        cur_box = None
+
+    for m in _TOK_RE.finditer(src):
+        tok = m.group(0)
+        if tok[0] != "<":
+            piece = _htmlmod.unescape(tok)
+            cur._parts.append(piece)
+            if link_depth > 0:
+                # count anchor-text chars after whitespace collapse parity:
+                # collapse here too so link_chars <= n_chars always holds
+                cur.link_chars += len(_WS_RE.sub(" ", piece).strip())
+            continue
+        nm = _TAG_NAME_RE.match(tok)
+        if nm is None:
+            continue  # malformed tag: drop (deterministic)
+        name = nm.group(1).lower()
+        closing = tok[1] == "/"
+        if name in BLOCK_TAGS:
+            flush()
+            if name in _VOID_TAGS:
+                continue
+            if closing:
+                # pop to the matching open tag if present (tolerant of
+                # broken nesting — pathological fixture pages)
+                if name in stack:
+                    while stack:
+                        top = stack.pop()
+                        if top == name:
+                            break
+            else:
+                stack.append(name)
+                pm = _POS_RE.search(tok)
+                if pm is not None:
+                    x, y = int(pm.group(1)), int(pm.group(2))
+                    w = int(pm.group(3)) if pm.group(3) else 100
+                    h = int(pm.group(4)) if pm.group(4) else 20
+                    cur_box = (x, y, w, h)
+            cur.tag_path = tuple(stack)
+        elif name == "a":
+            if closing:
+                link_depth = max(0, link_depth - 1)
+            else:
+                link_depth += 1
+                cur.n_inline += 1
+        elif name in _INLINE_TAGS:
+            if not closing:
+                cur.n_inline += 1
+        # other tags are ignored entirely
+    flush()
+
+    for i, b in enumerate(blocks):
+        b.ordinal = i
+    return blocks

@@ -1,0 +1,254 @@
+"""The flagship extraction job (SURVEY.md S3.2's Spark equivalent):
+
+    pages -> salted repartition by url-hash -> mapInPandas(extract)
+          -> (url, extracted_text, spans) -> parquet sink
+          + per-partition lineage rows + chunked commit-log resume
+
+Design notes for the 100 TB shape:
+  * ONE heavy Arrow-batched UDF does all non-relational work (parse ->
+    score -> select -> serialize) — no per-row Python, no driver loops
+    over data (input_hint requirement). Everything else is declarative
+    DataFrame code that Catalyst optimizes (column pruning: only
+    (url, html) enter the UDF; the wide ``text`` oracle column is never
+    shipped through the shuffle).
+  * Resume = driver loop over K url-hash chunks, each written
+    idempotently and committed by an atomic manifest rename — the
+    batch + commit-log semantics SURVEY.md S2.11 chose over Structured
+    Streaming (graft of DetectionCheckpointer.resume_or_load,
+    /root/reference/train_net.py:54-56). On a real cluster each chunk
+    is an Iceberg partition and the manifest is the snapshot commit;
+    chunk count scales with input size (e.g. one per crawl segment),
+    keeping each chunk a bounded, retryable unit of work.
+  * Lineage rows (run_id, chunk, partition_id, row_count, digest,
+    wall_ms) are the metrics-sink graft (apis/train.py:356-362). The
+    digest is an order-insensitive bit_xor of per-row xxhash64 — O(1)
+    state per partition, any scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from toyocr_spark.plans.partitioning import salted_repartition
+
+RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("extracted_text", T.StringType(), False),
+        T.StructField(
+            "spans",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("start", T.LongType(), False),
+                        T.StructField("end", T.LongType(), False),
+                        T.StructField("kind", T.StringType(), False),
+                    ]
+                )
+            ),
+            False,
+        ),
+        T.StructField("n_blocks", T.IntegerType(), False),
+        T.StructField("n_kept", T.IntegerType(), False),
+        T.StructField("html_len", T.LongType(), False),
+        T.StructField("truncated", T.BooleanType(), False),
+    ]
+)
+
+LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType(), False),
+        T.StructField("chunk_id", T.IntegerType(), False),
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("input_split", T.StringType(), False),
+        T.StructField("row_count", T.LongType(), False),
+        T.StructField("digest", T.StringType(), False),
+        T.StructField("wall_ms", T.LongType(), False),
+    ]
+)
+
+
+def _extract_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # import inside the worker so the kernel ships via --py-files cleanly
+    from toyocr_spark.extractor import extract
+
+    for pdf in it:
+        urls = pdf["url"]
+        results = [extract(h) for h in pdf["html"]]
+        yield pd.DataFrame(
+            {
+                "url": urls.to_numpy(),
+                "extracted_text": [r.text for r in results],
+                "spans": [
+                    [{"start": s, "end": e, "kind": k} for s, e, k in r.spans] for r in results
+                ],
+                "n_blocks": pd.array([r.n_blocks for r in results], dtype="int32"),
+                "n_kept": pd.array([r.n_kept for r in results], dtype="int32"),
+                "html_len": pd.array(
+                    [0 if h is None else len(h) for h in pdf["html"]], dtype="int64"
+                ),
+                "truncated": [r.truncated for r in results],
+            }
+        )
+
+
+def extract_pages(pages: DataFrame) -> DataFrame:
+    """(url, html, ...) -> RESULT_SCHEMA. Only (url, html) are read —
+    explicit select so the parquet scan prunes every other column."""
+    return pages.select("url", "html").mapInPandas(_extract_batches, RESULT_SCHEMA)
+
+
+def run_extraction(
+    pages: DataFrame,
+    num_partitions: int | None = None,
+    hot: list[str] | None = None,
+) -> DataFrame:
+    """repartition (salted) + extract; the core transformation shared by
+    the one-shot and resumable drivers."""
+    if num_partitions is None:
+        num_partitions = pages.sparkSession.sparkContext.defaultParallelism * 2
+    parted = salted_repartition(pages, num_partitions, hot=hot)
+    return extract_pages(parted)
+
+
+# ---------------------------------------------------------------- lineage
+
+
+def partition_lineage(result: DataFrame, run_id: str, chunk_id: int, input_split: str) -> DataFrame:
+    """Per-partition lineage aggregate over an extraction result.
+
+    digest = hex(bit_xor(xxhash64(url, extracted_text))): commutative,
+    so identical data -> identical digest regardless of row order or
+    task scheduling; O(1) per partition (no sort, no collect).
+    """
+    return (
+        result.withColumn("partition_id", F.spark_partition_id())
+        .groupBy("partition_id")
+        .agg(
+            F.count("*").alias("row_count"),
+            F.hex(F.expr("bit_xor(xxhash64(url, extracted_text))")).alias("digest"),
+        )
+        .select(
+            F.lit(run_id).alias("run_id"),
+            F.lit(chunk_id).cast("int").alias("chunk_id"),
+            F.col("partition_id"),
+            F.lit(input_split).alias("input_split"),
+            F.col("row_count"),
+            F.col("digest"),
+            F.lit(0).cast("long").alias("wall_ms"),
+        )
+    )
+
+
+# ------------------------------------------------------- resumable driver
+
+
+class CommitLog:
+    """Filesystem commit log: chunk c is committed iff
+    ``<out>/_commits/chunk-c.json`` exists. The marker is written by
+    atomic rename, so a crash mid-write never half-commits (the
+    PeriodicCheckpointer graft, /root/reference/apis/train.py:73-79).
+    On Iceberg this is the snapshot log; the protocol is identical."""
+
+    def __init__(self, out_dir: str) -> None:
+        self.dir = os.path.join(out_dir, "_commits")
+        os.makedirs(self.dir, exist_ok=True)
+
+    def committed(self) -> set[int]:
+        out = set()
+        for f in os.listdir(self.dir):
+            if f.startswith("chunk-") and f.endswith(".json"):
+                out.add(int(f[len("chunk-") : -len(".json")]))
+        return out
+
+    def commit(self, chunk_id: int, meta: dict[str, Any]) -> None:
+        tmp = os.path.join(self.dir, f".chunk-{chunk_id}.tmp")
+        dst = os.path.join(self.dir, f"chunk-{chunk_id}.json")
+        with open(tmp, "w") as f:
+            json.dump(meta, f, sort_keys=True)
+        os.rename(tmp, dst)  # atomic on POSIX
+
+
+def resumable_run(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    run_id: str | None = None,
+    n_chunks: int = 8,
+    num_partitions: int | None = None,
+    hot: list[str] | None = None,
+    fail_after_chunk: int | None = None,  # test hook: inject a crash
+) -> dict[str, Any]:
+    """Extract ``pages`` into ``out_dir`` with chunk-level resume.
+
+    Chunks are ``pmod(xxhash64(url), n_chunks)`` — a pure function of
+    the row, so a restarted run selects byte-identical chunk memberships
+    (no dependence on input file order or previous partitioning).
+    Each chunk: filter -> extract -> overwrite parquet (idempotent) ->
+    overwrite lineage -> atomic commit marker. Restart skips committed
+    chunks; the final table is the union of chunk directories.
+    """
+    run_id = run_id or uuid.uuid4().hex[:12]
+    log = CommitLog(out_dir)
+    done = log.committed()
+    chunk_col = F.pmod(F.xxhash64(F.col("url")), F.lit(n_chunks))
+    executed: list[int] = []
+    for c in range(n_chunks):
+        if c in done:
+            continue
+        t0 = time.perf_counter()
+        chunk = pages.filter(chunk_col == c)
+        result = run_extraction(chunk, num_partitions=num_partitions, hot=hot)
+        chunk_path = os.path.join(out_dir, f"chunk={c}")
+        result.write.mode("overwrite").parquet(chunk_path)
+        wall_ms = int((time.perf_counter() - t0) * 1000)
+        lineage = partition_lineage(
+            spark.read.schema(RESULT_SCHEMA).parquet(chunk_path), run_id, c, chunk_path
+        ).withColumn("wall_ms", F.lit(wall_ms).cast("long"))
+        lineage.write.mode("overwrite").parquet(os.path.join(out_dir, "_lineage", f"chunk={c}"))
+        log.commit(c, {"run_id": run_id, "chunk": c, "wall_ms": wall_ms})
+        executed.append(c)
+        if fail_after_chunk is not None and len(executed) > fail_after_chunk:
+            raise RuntimeError(f"injected failure after chunk {c}")
+    return {"run_id": run_id, "executed": executed, "skipped": sorted(done), "n_chunks": n_chunks}
+
+
+def read_result(spark: SparkSession, out_dir: str) -> DataFrame:
+    paths = [
+        os.path.join(out_dir, d)
+        for d in sorted(os.listdir(out_dir))
+        if d.startswith("chunk=")
+    ]
+    return spark.read.schema(RESULT_SCHEMA).parquet(*paths)
+
+
+def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
+    base = os.path.join(out_dir, "_lineage")
+    paths = [os.path.join(base, d) for d in sorted(os.listdir(base))]
+    return spark.read.schema(LINEAGE_SCHEMA).parquet(*paths)
+
+
+# ----------------------------------------------------------- verification
+
+
+def identity_report(result: DataFrame, pages: DataFrame) -> DataFrame:
+    """The eval query (SURVEY.md S3.3): per-url byte-equality against the
+    reference ``text`` column, aggregated to a pass rate — the two-level
+    partial+final aggregation of A4 (evaluation/scripts.py:284-335)."""
+    joined = result.join(pages.select("url", "text"), "url")
+    return joined.agg(
+        F.count("*").alias("n_urls"),
+        F.sum((F.col("extracted_text") == F.col("text")).cast("long")).alias("n_identical"),
+        F.avg((F.col("extracted_text") == F.col("text")).cast("double")).alias("pass_rate"),
+    )

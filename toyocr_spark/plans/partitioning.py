@@ -1,0 +1,68 @@
+"""Explicit partitioning & skew handling (north_rule requirement).
+
+The graft of the reference's sampler layer: ``InferenceSampler``
+range-splits the corpus across workers and
+``RepeatFactorTrainingSampler`` re-weights skewed classes
+(/root/reference/data/build.py:277-332). In a web crawl the skew axis
+is the host: a handful of hosts own a large fraction of all urls
+(Zipf), so any host-keyed shuffle (per-host aggs, host-bucketed
+storage) hot-spots a few reducers. The fix is classic salting: detect
+hot keys with a cheap pre-agg, then split each hot key across
+``salt_buckets`` sub-keys.
+
+For the extraction map itself the partition key is ``hash(url)`` —
+already uniform — so salting matters for the host-keyed paths; both are
+provided here and both are exercised by tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_HOT_THRESHOLD_FRACTION = 0.01  # a host with >1% of rows is "hot"
+
+
+def with_host(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Derive the host from the url JVM-side (no UDF)."""
+    return df.withColumn("host", F.parse_url(F.col(url_col), F.lit("HOST")))
+
+
+def hot_hosts(df: DataFrame, threshold_fraction: float = DEFAULT_HOT_THRESHOLD_FRACTION) -> list[str]:
+    """Cheap pre-agg over the host column -> list of hot hosts.
+
+    At 100 TB this is a single partial+final count per host — a few MB
+    of driver state for any real crawl (host cardinality ~ 10^8 but the
+    hot set above 1% is tiny by construction: at most 100 entries).
+    """
+    hosts = with_host(df).groupBy("host").count()
+    total = df.count()
+    cutoff = max(1, int(total * threshold_fraction))
+    rows = hosts.filter(F.col("count") >= cutoff).select("host").collect()
+    return sorted(r["host"] for r in rows if r["host"] is not None)
+
+
+def salted_repartition(
+    df: DataFrame,
+    num_partitions: int,
+    hot: list[str] | None = None,
+    salt_buckets: int = 16,
+    url_col: str = "url",
+) -> DataFrame:
+    """Repartition for the extraction map: hash(url) for cold hosts,
+    hash(url) spread over ``salt_buckets`` sub-keys for hot hosts.
+
+    The salt column is derived, used as the shuffle key, and dropped —
+    downstream operators never see it. xxhash64 is a JVM-side 64-bit
+    hash (stable across Spark versions, unlike ``hash``'s murmur3-32
+    seed behavior across platforms).
+    """
+    out = with_host(df, url_col)
+    hot = hot if hot is not None else []
+    salt = F.when(
+        F.col("host").isin(hot),
+        F.pmod(F.xxhash64(F.col(url_col)), F.lit(salt_buckets)),
+    ).otherwise(F.lit(0))
+    out = out.withColumn("_salt", salt)
+    out = out.repartition(num_partitions, F.col("host"), F.col("_salt"), F.xxhash64(F.col(url_col)))
+    return out.drop("_salt", "host")
