@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()      — flagship extraction over pages synthesized from the
+               sf0.001 documents table (read → salted repartition →
+               mapInPandas(extract) → results).
+queries()    — one named query per implemented operator from
+               SURVEY.md §2 + the training-data-pipeline suite
+               (dedup/similarity/text-analysis); see
+               toyocr_spark/queries.py for the specs.
+oracle_sql() — DuckDB-equivalent ANSI SQL per query (portable hashes
+               and string ops only; identical aliases and rounding).
 """
 
 from __future__ import annotations
@@ -13,26 +17,43 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from toyocr_spark import queries as _q
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synthesize a pages table from sf0.001 documents, run
+    the full extraction pipeline (salted repartition + mapInPandas
+    kernel), return (url, extracted_text, spans, ...)."""
+    from pyspark.sql import functions as F
+
+    from toyocr_spark.pipeline import run_extraction
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    nav = (
+        '<nav><ul><li><a href="/a">one link</a></li>'
+        '<li><a href="/b">two link</a></li></ul></nav>'
+    )
+    pages = d.select(
+        F.concat(
+            F.lit("https://doc-"), F.col("doc_id").cast("string"), F.lit(".example/p")
+        ).alias("url"),
+        F.encode(
+            F.concat(
+                F.lit(f"<html><body>{nav}<article><h2>Document Title Here</h2><p>"),
+                F.col("text"),
+                F.lit("</p></article></body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+    )
+    return run_extraction(pages, num_partitions=8)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _q.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _q.oracle_sql()

@@ -22,4 +22,6 @@ def pages_dir(tmp_path_factory) -> str:
 
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
-    return "/root/testdata/sf0.001"
+    import os
+
+    return os.environ.get("TOYOCR_TEST_SF_DIR", "/root/testdata/sf0.001")

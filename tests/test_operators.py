@@ -1,0 +1,182 @@
+"""Direct unit tests for the operator library (DataFrame-in/out, small
+hand-computed fixtures — the SURVEY.md §5 strategy)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from toyocr_spark.operators.dedup import exact_dedup, minhash_lsh_dedup, simhash16, survivors
+from toyocr_spark.operators.islands import gap_islands
+from toyocr_spark.operators.occupancy import occupancy_projection
+from toyocr_spark.operators.rangejoin import (
+    bucketed_overlap_join,
+    greedy_iou_match,
+    interval_overlap_join,
+    mutual_first_match,
+    overlap_anti_join,
+)
+from toyocr_spark.operators.selection import local_max_filter, threshold_filter, topk_per_group
+from toyocr_spark.operators.evalagg import global_pr_hmean, pr_hmean
+from toyocr_spark.operators.similarity import (
+    brute_force_cosine_topk,
+    bucketed_cosine_topk,
+    recall_at_k,
+)
+
+
+def test_threshold_filter_pushdown(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = threshold_filter(li.select("l_orderkey", "l_quantity"), "l_quantity", 45.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "l_quantity" in plan, "filter must reach the scan"
+    assert out.filter(F.col("l_quantity") <= 45.0).count() == 0
+
+
+def test_topk_per_group_strict_k(spark):
+    df = spark.createDataFrame(
+        [("a", i, float(i % 3)) for i in range(10)] + [("b", 99, 5.0)],
+        "g string, id int, v double",
+    )
+    out = topk_per_group(df, ["g"], [F.col("v").desc(), F.col("id").asc()], 2)
+    rows = {(r["g"], r["id"]) for r in out.collect()}
+    assert rows == {("a", 2), ("a", 5), ("b", 99)}
+
+
+def test_local_max(spark):
+    # values 1,3,2,5,4 -> local maxima at 3 and 5
+    df = spark.createDataFrame(
+        [("u", i, v) for i, v in enumerate([1.0, 3.0, 2.0, 5.0, 4.0])],
+        "g string, pos int, v double",
+    )
+    out = local_max_filter(df, ["g"], "pos", "v")
+    assert sorted(r["pos"] for r in out.collect()) == [1, 3]
+
+
+def test_gap_islands_hand_case(spark):
+    # gaps: 0-10-20 | 100-110 | 500  with gap threshold 50
+    df = spark.createDataFrame(
+        [("u", t) for t in [0, 10, 20, 100, 110, 500]], "k string, t long"
+    )
+    out = gap_islands(df, ["k"], "t", gap=50, agg={"n": F.count("*"), "lo": F.min("t")})
+    got = sorted((r["island_id"], r["n"], r["lo"]) for r in out.collect())
+    assert got == [(0, 3, 0), (1, 2, 100), (2, 1, 500)]
+
+
+def test_interval_overlap_join_iou(spark):
+    a = spark.createDataFrame([("k", 0, 10)], "k string, start long, end long")
+    b = spark.createDataFrame(
+        [("k", 5, 15), ("k", 20, 30)], "k string, start long, end long"
+    )
+    out = interval_overlap_join(a, b, ["k"]).collect()
+    assert len(out) == 1
+    assert out[0]["overlap"] == 5 and abs(out[0]["iou"] - 5 / 15) < 1e-12
+
+
+def test_overlap_anti_join(spark):
+    det = spark.createDataFrame(
+        [("k", 1, 0, 10), ("k", 2, 100, 110)], "k string, id int, start long, end long"
+    )
+    dc = spark.createDataFrame([("k", 0, 9)], "k string, start long, end long")
+    # det1 overlaps dc with fraction 0.9 > 0.5 -> dropped; det2 survives
+    out = overlap_anti_join(det, dc, ["k"], 0.5)
+    assert [r["id"] for r in out.collect()] == [2]
+
+
+def test_greedy_iou_match_one_to_one(spark):
+    gt = spark.createDataFrame(
+        [("k", 0, 0, 10), ("k", 1, 0, 10)], "k string, gt_idx int, start long, end long"
+    )
+    det = spark.createDataFrame(
+        [("k", 0, 0, 10), ("k", 1, 1, 11)], "k string, det_idx int, start long, end long"
+    )
+    out = greedy_iou_match(gt, det, ["k"], 0.5).collect()
+    pairs = sorted((r["gt_idx"], r["det_idx"]) for r in out)
+    # exact greedy in index order: gt0-det0, gt1-det1 (det0 already used)
+    assert pairs == [(0, 0), (1, 1)]
+    # the declarative mutual-first variant under-matches here by design:
+    # det1's first choice gt0 discards it in pass 2
+    mf = sorted(
+        (r["gt_idx"], r["det_idx"]) for r in mutual_first_match(gt, det, ["k"], 0.5).collect()
+    )
+    assert mf == [(0, 0)]
+
+
+def test_bucketed_overlap_join_no_dup_pairs(spark):
+    a = spark.createDataFrame([(1, 0, 250)], "id int, start long, end long")
+    b = spark.createDataFrame([(2, 100, 400)], "id2 int, start long, end long")
+    out = bucketed_overlap_join(a, b, bucket_width=100)
+    assert out.count() == 1  # spans 3 shared buckets but dedups to one pair
+
+
+def test_occupancy_projection(spark):
+    df = spark.createDataFrame([(0, 10), (5, 12), (30, 31)], "s long, e long")
+    out = {r["bucket"]: r["weight"] for r in occupancy_projection(df, "s", "e", 10).collect()}
+    # [0,10) -> bucket 0; [5,12) -> buckets 0,1; [30,31) -> bucket 3
+    assert out == {0: 2, 1: 1, 3: 1}
+
+
+def test_pr_hmean_zero_guards(spark):
+    df = spark.createDataFrame(
+        [("g1", 1, 1, 1), ("g2", 0, 0, 0)], "g string, m int, gt int, det int"
+    )
+    out = pr_hmean(df, ["g"], F.col("m"), F.col("gt"), F.col("det"))
+    got = {r["g"]: (r["precision"], r["recall"], r["hmean"]) for r in out.collect()}
+    assert got["g1"] == (1.0, 1.0, 1.0)
+    assert got["g2"] == (0.0, 1.0, 0.0)  # the reference's empty-GT convention
+    g = global_pr_hmean(out).collect()[0]
+    assert g["precision"] == 1.0 and g["recall"] == 1.0
+
+
+def test_exact_dedup_and_survivors(spark):
+    df = spark.createDataFrame(
+        [(1, "xx"), (2, "xx"), (3, "yy")], "doc_id long, text string"
+    )
+    groups = exact_dedup(df, "doc_id", "text")
+    got = {r["keep_id"]: r["n_dups"] for r in groups.collect()}
+    assert got == {1: 2, 3: 1}
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    kept = survivors(df, "doc_id", pairs)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
+
+
+def test_minhash_lsh_finds_near_identical(spark):
+    base = "the quick brown fox jumps over the lazy dog and keeps running onward"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " x"), (3, "completely different content entirely here")],
+        "doc_id long, text string",
+    )
+    pairs = minhash_lsh_dedup(df, "doc_id", "text", k=8, bands=8, min_jaccard=0.5)
+    got = sorted((r["id_a"], r["id_b"]) for r in pairs.collect())
+    assert got == [(1, 2)]
+
+
+def test_simhash_close_for_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog and keeps running onward"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " x"), (3, "zzz qqq completely unrelated words vvv www yyy")],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r["simhash"] for r in simhash16(df, "doc_id", "text").collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(out[1], out[2]) < ham(out[1], out[3])
+
+
+def test_ann_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 4)
+    exact = brute_force_cosine_topk(emb, q, 5)
+    approx = bucketed_cosine_topk(emb, q, 5, bits=2)
+    rec = recall_at_k(approx, exact)
+    rows = rec.collect()
+    assert len(rows) == 4
+    assert all(0.0 <= r["recall"] <= 1.0 for r in rows)
+
+
+def test_broadcast_join_in_plan(spark, sf_dir):
+    from toyocr_spark.queries import QUERIES
+
+    df = QUERIES["q11_region_revenue"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, "dim joins must broadcast"

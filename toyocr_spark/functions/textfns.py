@@ -1,0 +1,100 @@
+"""Text-analysis scalar functions: language-ID, quality scoring, token
+counting, document fingerprinting — all as JVM-side column expressions
+(no UDFs), portable 1:1 to ANSI SQL for oracle verification.
+
+``occurrences`` is the replace-count trick — the only string-counting
+primitive both Spark and external SQL engines evaluate identically
+(regexp dialects differ; length/replace don't).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# marker-word tables for the n-gram language heuristic; markers are
+# space-delimited so they only match whole words after padding
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": (" der ", " und ", " die ", " ist "),
+    "en": (" the ", " and ", " of ", " is "),
+    "es": (" el ", " los ", " que ", " es "),
+    "fr": (" le ", " les ", " et ", " est "),
+    "it": (" il ", " che ", " di ", " con "),
+    "pt": (" o ", " os ", " que ", " um "),
+}
+
+
+def occurrences(text: Column, sub: str) -> Column:
+    """Non-overlapping occurrence count of a literal substring."""
+    return (F.length(text) - F.length(F.replace(text, F.lit(sub), F.lit("")))) / len(sub)
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace tokens = single-space count + 1 on non-empty text
+    (fixture text is already whitespace-collapsed; raw text callers
+    normalize first)."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        (occurrences(t, " ") + 1).cast("long")
+    )
+
+
+def quality_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + a 0/1
+    keep flag — the classic pretraining-corpus filter. Integer-ish
+    arithmetic only; thresholds follow C4-style heuristics."""
+    t = F.col(text_col)
+    padded = F.concat(F.lit(" "), F.lower(t), F.lit(" "))
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    n_stop = sum(occurrences(padded, m) for m in LANG_MARKERS["en"])
+    n_punct = occurrences(t, ".") + occurrences(t, ",") + occurrences(t, "!") + occurrences(t, "?")
+    mean_tok = F.when(n_tokens > 0, (n_chars - (n_tokens - 1)) / n_tokens).otherwise(F.lit(0.0))
+    keep = (
+        (n_chars >= 80)
+        & (n_tokens >= 16)
+        & (mean_tok >= 2.0)
+        & (mean_tok <= 12.0)
+        & (n_punct >= 1)
+    )
+    return df.select(
+        "*",
+        n_chars.cast("long").alias("q_chars"),
+        n_tokens.alias("q_tokens"),
+        F.round(mean_tok, 4).alias("q_mean_tok_len"),
+        n_punct.cast("long").alias("q_punct"),
+        n_stop.cast("long").alias("q_stopwords"),
+        keep.cast("int").alias("q_keep"),
+    )
+
+
+def lang_id_scores(df: DataFrame, text_col: str) -> DataFrame:
+    """Marker-word language ID: per-language marker occurrence counts,
+    argmax with deterministic alphabetical tie-break. Adds
+    ``lang_pred`` plus one score column per language."""
+    padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    scores = {
+        lang: sum(occurrences(padded, m) for m in markers).cast("long")
+        for lang, markers in LANG_MARKERS.items()
+    }
+    out = df.select("*", *[c.alias(f"score_{lang}") for lang, c in scores.items()])
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_MARKERS])
+    pred = F.lit(None).cast("string")
+    # alphabetical scan: first language reaching the max wins (stable)
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        pred = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(pred)
+    return out.withColumn("lang_pred", F.when(best > 0, pred).otherwise(F.lit("und")))
+
+
+def bottomk_fingerprint(df: DataFrame, id_col: str, text_col: str, k_shingle: int = 8, k_keep: int = 4) -> DataFrame:
+    """Document fingerprint: bottom-k of the md5 char-shingle set,
+    concatenated in order — a winnowing-style sketch; equal fingerprints
+    => near-identical prefix content. Portable (md5 + string min)."""
+    from toyocr_spark.operators.dedup import char_shingles
+
+    sh = char_shingles(df, id_col, text_col, k_shingle).withColumn("h", F.md5(F.col("shingle")))
+    w = Window.partitionBy("id").orderBy("h")
+    ranked = sh.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k_keep)
+    return ranked.groupBy("id").agg(
+        F.concat_ws("", F.array_sort(F.collect_list("h"))).alias("fingerprint")
+    )

@@ -1,0 +1,163 @@
+"""Deduplication operators for large-scale training-data pipelines:
+exact hash dedup, char-shingle Jaccard, MinHash+LSH, SimHash.
+
+Portability contract: every hash used here is md5-hex (not Spark's
+murmur3 ``hash``), so an external ANSI-SQL engine reproduces the exact
+values — the same determinism discipline as the extraction kernel.
+
+Scale notes:
+  * exact_dedup: one shuffle on the digest; min-id survivor via
+    partial+final min.
+  * shingle pipeline: explode is linear in total shingles; the
+    candidate self-join keys on shingle (or LSH band signature), so
+    the shuffle is on the shingle/band space, never a cross join. Hot
+    shingles (stopword runs) are the skew axis — min-doc-frequency and
+    LSH banding bound them.
+  * minhash_lsh: bands*1 signature rows per doc; the band equi-join
+    only materializes candidate pairs — the standard sub-quadratic
+    near-dup shape at corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups by md5(text): (digest, keep_id, n_dups).
+    Survivor = min id (deterministic). Downstream: semi-join survivors
+    back to rows."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col).alias("id"))
+        .groupBy("digest")
+        .agg(F.min("id").alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def char_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 8) -> DataFrame:
+    """Distinct char k-shingles per doc, all JVM-side: positions from
+    sequence(), substring() per position. (id, shingle) rows."""
+    n = F.length(F.col(text_col))
+    pos = F.explode(F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))))
+    return (
+        df.filter(n >= k)
+        .select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"), pos.alias("p"))
+        .select("id", F.substring(F.col("_t"), F.col("p"), k).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame,
+    min_jaccard: float = 0.0,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Pairwise Jaccard over (id, shingle) rows: self-join on shingle
+    (id_a < id_b) -> intersection counts; per-doc sizes joined back;
+    jaccard = inter / (na + nb - inter).
+
+    max_doc_freq drops ubiquitous shingles before the join (the skew
+    guard: a shingle shared by every doc would emit O(n^2) pairs).
+    """
+    if max_doc_freq is not None:
+        freq = shingles.groupBy("shingle").count().filter(F.col("count") <= max_doc_freq)
+        shingles = shingles.join(freq.select("shingle"), "shingle", "left_semi")
+    sizes = shingles.groupBy("id").agg(F.count("*").alias("size"))
+    a = shingles.select(F.col("id").alias("id_a"), "shingle")
+    b = shingles.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("size").alias("size_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("size").alias("size_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= min_jaccard)
+
+
+def minhash_band_signatures(shingles: DataFrame, bands: int = 8) -> DataFrame:
+    """Portable MinHash: signature(doc, band) = min(md5(band || '|' ||
+    shingle)). min over uniformly-hashed strings == classic minhash;
+    md5 keeps it engine-portable. One row per (id, band)."""
+    band = F.explode(F.sequence(F.lit(0), F.lit(bands - 1)))
+    return (
+        shingles.select("id", "shingle", band.alias("band"))
+        .groupBy("id", "band")
+        .agg(F.min(F.md5(F.concat_ws("|", F.col("band"), F.col("shingle")))).alias("sig"))
+    )
+
+
+def minhash_lsh_candidates(signatures: DataFrame) -> DataFrame:
+    """Docs sharing any band signature -> distinct candidate pairs.
+    The band equi-join is the LSH bucket join."""
+    a = signatures.select(F.col("id").alias("id_a"), "band", "sig")
+    b = signatures.select(F.col("id").alias("id_b"), "band", "sig")
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    bands: int = 8,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Full near-dup pipeline: shingle -> band signatures -> LSH
+    candidates -> exact-Jaccard verification (the canonical
+    candidate-then-verify shape)."""
+    sh = char_shingles(df, id_col, text_col, k)
+    cands = minhash_lsh_candidates(minhash_band_signatures(sh, bands))
+    verified = jaccard_pairs(sh, min_jaccard=min_jaccard)
+    return verified.join(cands, ["id_a", "id_b"], "left_semi")
+
+
+def simhash16(df: DataFrame, id_col: str, text_col: str, k: int = 8) -> DataFrame:
+    """Portable 16-bit SimHash: per shingle take the first 4 md5 hex
+    nibbles (16 bits); per bit sum +-1 over shingles; sign -> bit.
+    Near-dups then cluster by hamming distance (bit_count(xor)).
+
+    16 bits keeps the per-bit conditional-aggregate expansion readable
+    and portable; the production variant is the same expression shape
+    at 64 bits.
+    """
+    sh = char_shingles(df, id_col, text_col, k).withColumn(
+        "h", F.conv(F.substring(F.md5(F.col("shingle")), 1, 4), 16, 10).cast("long")
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(16)
+    ]
+    agg = sh.groupBy("id").agg(*bit_sums)
+    sim = None
+    for i in range(16):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select("id", sim.cast("long").alias("simhash"))
+
+
+def survivors(df: DataFrame, id_col: str, dup_pairs: DataFrame) -> DataFrame:
+    """Resolve pairs to a kept set: drop every id that appears as id_b
+    of a pair whose id_a survives transitively. Single-pass
+    approximation (min-id wins within each pair chain) — exact for
+    clusters where all pairs share the min doc (the common near-dup
+    case); full transitive closure is an iterative connected-components
+    job, provided separately at cluster scale."""
+    doomed = dup_pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(doomed, id_col, "left_anti")

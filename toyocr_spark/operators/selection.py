@@ -1,0 +1,80 @@
+"""Selection operators: threshold, per-group top-K, local-max
+suppression, hardest-K mean — the decode-stage primitives.
+
+Scale notes: all three window operators shuffle once on the partition
+key and stream within partitions (rank/row_number are O(1) state);
+threshold_filter is a pure predicate that Catalyst pushes into the
+parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def threshold_filter(df: DataFrame, score_col: str, threshold: float, strict: bool = True) -> DataFrame:
+    """F5 (score > t, /root/reference/evaluation/text_eval.py:78 and
+    toydet_decode.py:160). Declarative so it reaches PushedFilters."""
+    c = F.col(score_col)
+    return df.filter(c > F.lit(threshold) if strict else c >= F.lit(threshold))
+
+
+def _order_by(order_col: str | list[Column], ascending: bool) -> list[Column]:
+    if isinstance(order_col, str):
+        c = F.col(order_col)
+        return [c.asc() if ascending else c.desc()]
+    return list(order_col)
+
+
+def topk_per_group(df: DataFrame, group_cols: list[str], order_col: str | list[Column], k: int,
+                   ascending: bool = False, rank_name: str = "rk") -> DataFrame:
+    """D2 two-level top-K (centernet_decode.py:106-128): per-group rank
+    by score, keep K. row_number (not rank) for the reference's strict-K
+    contract; pass a list of sort Columns for a total (deterministic)
+    order when the score alone can tie."""
+    w = Window.partitionBy(*group_cols).orderBy(*_order_by(order_col, ascending))
+    return (
+        df.withColumn(rank_name, F.row_number().over(w))
+        .filter(F.col(rank_name) <= k)
+    )
+
+
+def local_max_filter(df: DataFrame, group_cols: list[str], order_col: str | list[Column], score_col: str,
+                     window: int = 1) -> DataFrame:
+    """D1 pseudo-NMS (centernet_decode.py:93-104): 3x3 max-pool == keep
+    rows whose score equals the max over a +-window row frame in
+    sequence order — adjacent-peak dedup as a window aggregate."""
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(*_order_by(order_col, True))
+        .rowsBetween(-window, window)
+    )
+    return (
+        df.withColumn("_wmax", F.max(score_col).over(w))
+        .filter(F.col(score_col) == F.col("_wmax"))
+        .drop("_wmax")
+    )
+
+
+def topk_mean(df: DataFrame, order_col: str | list[Column], k: int, value_col: str | None = None,
+              partition_cols: list[str] | None = None) -> DataFrame:
+    """A3 hardest-negative mean (mse_loss.py:44-66): mean of the top-K
+    rows by order_col. Global windows ordered without a partition key
+    funnel through one task — fine for the reference's per-batch use;
+    callers at scale pass partition_cols."""
+    if value_col is None:
+        assert isinstance(order_col, str)
+        value_col = order_col
+    w = Window.partitionBy(*(partition_cols or [])).orderBy(*_order_by(order_col, False))
+    ranked = df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
+    keys = [F.col(c) for c in (partition_cols or [])]
+    return ranked.groupBy(*keys).agg(
+        F.avg(value_col).alias("topk_mean"), F.count("*").alias("topk_n")
+    )
+
+
+def score_compose_greatest(df: DataFrame, cols: list[str], out: str = "score") -> Column:
+    """K3 max-composition of score signals (center_head.py:186-192
+    ``np.maximum`` splat): greatest(), not sum."""
+    return F.greatest(*[F.col(c) for c in cols]).alias(out)

@@ -1,0 +1,879 @@
+"""Named query contract: every operator from SURVEY.md §2 exposed as a
+(spark_callable, oracle_sql) pair over the driver-provided tables.
+
+This module is the `__spark_entry__.py` backing store AND the local
+cross-check harness input (tests/test_oracle_parity.py runs both sides
+through DuckDB exactly like the driver does).
+
+Determinism rules for oracle parity (SURVEY.md §7):
+  * every computed column aliased identically on both sides;
+  * doubles rounded at a fixed scale on both sides;
+  * all rank/row_number windows carry a total order (explicit
+    tie-break columns);
+  * only engine-portable hashes (md5) and string ops
+    (length/replace/substr) — no murmur3, no regex.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from toyocr_spark.functions.textfns import LANG_MARKERS, lang_id_scores, quality_features, token_count
+from toyocr_spark.operators.dedup import (
+    char_shingles,
+    exact_dedup,
+    jaccard_pairs,
+    minhash_band_signatures,
+    minhash_lsh_candidates,
+    simhash16,
+)
+from toyocr_spark.operators.evalagg import average_precision, pr_hmean
+from toyocr_spark.operators.islands import gap_islands
+from toyocr_spark.operators.occupancy import occupancy_projection
+from toyocr_spark.operators.rangejoin import interval_overlap_join, mutual_first_match, overlap_anti_join
+from toyocr_spark.operators.selection import local_max_filter, topk_mean, topk_per_group
+from toyocr_spark.operators.similarity import (
+    brute_force_cosine_topk,
+    bucketed_cosine_topk,
+    embedding_near_dup,
+)
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    spark: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # None => not SQL-expressible (driver does rows-only check)
+    note: str = ""
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def _q(name: str, sql: str | None, note: str = ""):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(fn, sql, note)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# scan + filter + aggregate (S1, F5, A1/A2 — pushdown-able TPC-H Q1 shape)
+
+
+@_q(
+    "q01_scan_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                              AS sum_base,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc,
+           round(avg(l_quantity), 4)                                   AS avg_qty,
+           count(*)                                                    AS n
+    FROM lineitem
+    WHERE l_shipdate <= timestamp '1997-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "pushdown filter + grouped aggregates (graft of A1/A2 masked sums)",
+)
+def q01_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1997-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@_q(
+    "q02_topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rk
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders
+    ) WHERE rk <= 3
+    """,
+    "D2 per-key top-K via rank window (centernet_decode.py:106-128)",
+)
+def q02_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    top = topk_per_group(
+        o, ["o_custkey"], [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()], 3
+    )
+    return top.select(
+        "o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), "rk"
+    )
+
+
+@_q(
+    "q03_local_max",
+    """
+    SELECT user_id, event_id, round(value, 4) AS value
+    FROM (
+      SELECT user_id, event_id, value,
+             max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS wmax
+      FROM events
+    ) WHERE value = wmax
+    """,
+    "D1 pseudo-NMS: keep local maxima over a +-1 row window",
+)
+def q03_local_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    out = local_max_filter(e, ["user_id"], [F.col("ts").asc(), F.col("event_id").asc()], "value")
+    return out.select("user_id", "event_id", F.round("value", 4).alias("value"))
+
+
+@_q(
+    "q04_sessions",
+    """
+    WITH t AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ets, value,
+             CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                       - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                         OVER (PARTITION BY user_id ORDER BY ts) > 1800
+                  THEN 1 ELSE 0 END AS new_island
+      FROM events
+    ), g AS (
+      SELECT user_id, ets, value,
+             CAST(sum(new_island) OVER (PARTITION BY user_id ORDER BY ets
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island_id
+      FROM t
+    )
+    SELECT user_id, island_id,
+           count(*)                AS n_events,
+           min(ets)                AS first_ts,
+           max(ets)                AS last_ts,
+           round(sum(value), 4)    AS sum_value
+    FROM g GROUP BY user_id, island_id
+    """,
+    "D7 gap-and-island sessionization (toydet_decode.py:113-179 in 1-D)",
+)
+def q04_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").withColumn("ets", F.unix_timestamp("ts"))
+    return gap_islands(
+        e,
+        ["user_id"],
+        "ets",
+        gap=1800,
+        agg={
+            "n_events": F.count("*"),
+            "first_ts": F.min("ets"),
+            "last_ts": F.max("ets"),
+            "sum_value": F.round(F.sum("value"), 4),
+        },
+    )
+
+
+# interval fixture shared by q05-q07: [epoch(ts), +60*(event_id%7+1))
+_IVAL_SQL = """
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS start,
+             CAST(floor(epoch(ts)) AS BIGINT) + 60 * (event_id % 7 + 1) AS "end"
+      FROM events
+"""
+
+
+def _intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").withColumn("start", F.unix_timestamp("ts"))
+    return e.select(
+        "user_id",
+        "event_id",
+        "start",
+        (F.col("start") + 60 * (F.col("event_id") % 7 + 1)).alias("end"),
+    )
+
+
+@_q(
+    "q05_overlap_join",
+    f"""
+    WITH iv AS ({_IVAL_SQL})
+    SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+           least(a."end", b."end") - greatest(a.start, b.start) AS overlap
+    FROM iv a JOIN iv b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+     AND a.start < b."end" AND b.start < a."end"
+    """,
+    "D14 interval theta-join keyed per user (iou_loss.py:27-81 in 1-D)",
+)
+def q05_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    iv = _intervals(spark, sf_dir)
+    a = iv.select("user_id", F.col("event_id").alias("id_a"), "start", "end")
+    b = iv.select("user_id", F.col("event_id").alias("id_b"), "start", "end")
+    j = interval_overlap_join(a, b, ["user_id"])
+    return j.filter(F.col("id_a") < F.col("id_b")).select("user_id", "id_a", "id_b", "overlap")
+
+
+@_q(
+    "q06_dontcare_anti",
+    f"""
+    WITH iv AS ({_IVAL_SQL}),
+    det AS (SELECT * FROM iv WHERE event_id % 2 = 0 AND event_id % 5 <> 0),
+    dc  AS (SELECT * FROM iv WHERE event_id % 5 = 0)
+    SELECT d.user_id, d.event_id FROM det d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM dc
+      WHERE dc.user_id = d.user_id
+        AND d.start < dc."end" AND dc.start < d."end"
+        AND (least(d."end", dc."end") - greatest(d.start, dc.start))
+            * 1.0 / (d."end" - d.start) > 0.5
+    )
+    """,
+    "J4 don't-care suppression as left_anti overlap join (scripts.py:232-241)",
+)
+def q06_dontcare_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    iv = _intervals(spark, sf_dir)
+    det = iv.filter((F.col("event_id") % 2 == 0) & (F.col("event_id") % 5 != 0))
+    dc = iv.filter(F.col("event_id") % 5 == 0).select("user_id", "start", "end")
+    out = overlap_anti_join(det, dc, ["user_id"], min_fraction=0.5)
+    return out.select("user_id", "event_id")
+
+
+@_q(
+    "q07_greedy_match",
+    f"""
+    WITH iv AS ({_IVAL_SQL}),
+    gt  AS (SELECT user_id, event_id AS gt_idx,  start, "end" FROM iv WHERE event_id % 2 = 0),
+    det AS (SELECT user_id, event_id AS det_idx, start, "end" FROM iv WHERE event_id % 2 = 1),
+    pairs AS (
+      SELECT g.user_id, g.gt_idx, d.det_idx,
+             (least(g."end", d."end") - greatest(g.start, d.start)) * 1.0
+             / (greatest(g."end", d."end") - least(g.start, d.start)) AS iou
+      FROM gt g JOIN det d
+        ON g.user_id = d.user_id AND g.start < d."end" AND d.start < g."end"
+    ), f AS (SELECT * FROM pairs WHERE iou > 0.3),
+    p1 AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id, det_idx ORDER BY gt_idx) AS r1 FROM f
+    ), p2 AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id, gt_idx ORDER BY det_idx) AS r2
+      FROM p1 WHERE r1 = 1
+    )
+    SELECT user_id, gt_idx, det_idx, round(iou, 6) AS iou FROM p2 WHERE r2 = 1
+    """,
+    "J3-style 1:1 matching, declarative mutual-first variant "
+    "(exact greedy with used-flags = greedy_iou_match, unit-tested)",
+)
+def q07_greedy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    iv = _intervals(spark, sf_dir)
+    gt = iv.filter(F.col("event_id") % 2 == 0).select(
+        "user_id", F.col("event_id").alias("gt_idx"), "start", "end"
+    )
+    det = iv.filter(F.col("event_id") % 2 == 1).select(
+        "user_id", F.col("event_id").alias("det_idx"), "start", "end"
+    )
+    m = mutual_first_match(gt, det, ["user_id"], iou_threshold=0.3)
+    return m.select("user_id", "gt_idx", "det_idx", F.round("iou", 6).alias("iou"))
+
+
+@_q(
+    "q08_pr_hmean",
+    """
+    WITH flags AS (
+      SELECT source,
+             CASE WHEN n_chars % 2 = 0 THEN 1 ELSE 0 END AS det,
+             CASE WHEN n_chars % 3 = 0 THEN 1 ELSE 0 END AS gt
+      FROM documents
+    ), g AS (
+      SELECT source,
+             CAST(sum(det * gt) AS BIGINT) AS matched_sum,
+             CAST(sum(gt)  AS BIGINT)      AS num_gt_care,
+             CAST(sum(det) AS BIGINT)      AS num_det_care
+      FROM flags GROUP BY source
+    )
+    SELECT source, matched_sum, num_gt_care, num_det_care,
+           round(CASE WHEN num_det_care = 0 THEN 0.0
+                      ELSE matched_sum * 1.0 / num_det_care END, 6) AS precision,
+           round(CASE WHEN num_gt_care = 0 THEN 1.0
+                      ELSE matched_sum * 1.0 / num_gt_care END, 6)  AS recall,
+           round(CASE WHEN (CASE WHEN num_det_care = 0 THEN 0.0 ELSE matched_sum * 1.0 / num_det_care END)
+                         + (CASE WHEN num_gt_care = 0 THEN 1.0 ELSE matched_sum * 1.0 / num_gt_care END) = 0
+                 THEN 0.0
+                 ELSE 2 * (CASE WHEN num_det_care = 0 THEN 0.0 ELSE matched_sum * 1.0 / num_det_care END)
+                        * (CASE WHEN num_gt_care = 0 THEN 1.0 ELSE matched_sum * 1.0 / num_gt_care END)
+                      / ((CASE WHEN num_det_care = 0 THEN 0.0 ELSE matched_sum * 1.0 / num_det_care END)
+                         + (CASE WHEN num_gt_care = 0 THEN 1.0 ELSE matched_sum * 1.0 / num_gt_care END)) END, 6) AS hmean
+    FROM g
+    """,
+    "A4 two-level P/R/hmean (scripts.py:284-335)",
+)
+def q08_pr_hmean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    det = (F.col("n_chars") % 2 == 0).cast("int")
+    gt = (F.col("n_chars") % 3 == 0).cast("int")
+    out = pr_hmean(d, ["source"], matched=(det * gt), gt_care=gt, det_care=det)
+    return out.select(
+        "source",
+        "matched_sum",
+        "num_gt_care",
+        "num_det_care",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("hmean", 6).alias("hmean"),
+    )
+
+
+@_q(
+    "q09_ap",
+    """
+    WITH r AS (
+      SELECT CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS correct,
+             sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+               OVER (ORDER BY n_chars DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum,
+             count(*) OVER (ORDER BY n_chars DESC, doc_id ROWS UNBOUNDED PRECEDING) AS rnk
+      FROM documents
+    )
+    SELECT round(sum(CASE WHEN correct = 1 THEN cum * 1.0 / rnk ELSE 0.0 END)
+                 / (SELECT count(*) FROM documents WHERE doc_id % 3 = 0), 6) AS ap
+    FROM r
+    """,
+    "A5 rank-based average precision (scripts.py:129-147)",
+)
+def q09_ap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    n_gt = d.filter(F.col("doc_id") % 3 == 0).count()
+    ap = average_precision(
+        d, "n_chars", correct=(F.col("doc_id") % 3 == 0), num_gt=n_gt, tiebreak_col="doc_id"
+    )
+    return ap.select(F.round("ap", 6).alias("ap"))
+
+
+@_q(
+    "q10_occupancy",
+    """
+    WITH iv AS (
+      SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS s,
+             CAST(l_quantity AS BIGINT) + l_linenumber AS e
+      FROM lineitem
+    )
+    SELECT l_returnflag, bucket, 1 AS occupied, count(*) AS weight
+    FROM (
+      SELECT l_returnflag, unnest(generate_series(s // 5, (e - 1) // 5)) AS bucket
+      FROM iv WHERE e > s
+    ) GROUP BY l_returnflag, bucket
+    """,
+    "A8 occupancy projection via explode(sequence) (transform_cropresize.py:143-160)",
+)
+def q10_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("s"),
+        (F.col("l_quantity").cast("long") + F.col("l_linenumber")).alias("e"),
+    )
+    return occupancy_projection(li, "s", "e", 5, ["l_returnflag"])
+
+
+@_q(
+    "q11_region_revenue",
+    """
+    SELECT r.r_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    "J1 broadcast enrichment chain + grouped revenue (build.py:99-146)",
+)
+def q11_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@_q(
+    "q12_topk_mean",
+    """
+    SELECT round(avg(l_extendedprice), 4) AS topk_mean, count(*) AS topk_n
+    FROM (
+      SELECT l_extendedprice FROM lineitem WHERE l_returnflag = 'R'
+      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100
+    )
+    """,
+    "A3 hardest-K mean (mse_loss.py:44-66)",
+)
+def q12_topk_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    out = topk_mean(
+        li,
+        [F.col("l_extendedprice").desc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()],
+        100,
+        value_col="l_extendedprice",
+    )
+    return out.select(F.round("topk_mean", 4).alias("topk_mean"), "topk_n")
+
+
+# ---------------------------------------------------------------------------
+# dedup family (training-data pipeline operators)
+
+
+@_q(
+    "q13_dedup_exact",
+    """
+    SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_dups
+    FROM documents GROUP BY md5(text)
+    """,
+    "exact dedup: hash-groupBy survivor selection",
+)
+def q13_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_SHINGLE_SQL = """
+      SELECT DISTINCT doc_id AS id, substr(t, p, 8) AS shingle
+      FROM (SELECT doc_id, substr(text, 1, 128) AS t FROM documents WHERE lang = 'de'),
+           unnest(generate_series(1, greatest(length(t) - 7, 1))) AS u(p)
+      WHERE length(t) >= 8
+"""
+
+
+def _de_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("lang") == "de")
+        .select("doc_id", F.substring("text", 1, 128).alias("t"))
+    )
+
+
+@_q(
+    "q14_jaccard",
+    f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b, inter, x.n AS size_a, y.n AS size_b,
+           round(inter * 1.0 / (x.n + y.n - inter), 6) AS jaccard
+    FROM inter JOIN sz x ON id_a = x.id JOIN sz y ON id_b = y.id
+    WHERE inter * 1.0 / (x.n + y.n - inter) >= 0.1
+    """,
+    "char-shingle n-gram Jaccard near-dup pairs",
+)
+def q14_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = char_shingles(_de_docs(spark, sf_dir), "doc_id", "t", 8)
+    out = jaccard_pairs(sh, min_jaccard=0.1)
+    return out.select(
+        "id_a", "id_b", "inter", "size_a", "size_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+@_q(
+    "q15_minhash_lsh",
+    f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sig AS (
+      SELECT id, b AS band, min(md5(CAST(b AS VARCHAR) || '|' || shingle)) AS sig
+      FROM sh, unnest(generate_series(0, 7)) AS t(b)
+      GROUP BY id, b
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+    ),
+    sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    ),
+    ver AS (
+      SELECT id_a, id_b, round(inter * 1.0 / (x.n + y.n - inter), 6) AS jaccard
+      FROM inter JOIN sz x ON id_a = x.id JOIN sz y ON id_b = y.id
+      WHERE inter * 1.0 / (x.n + y.n - inter) >= 0.1
+    )
+    SELECT v.id_a, v.id_b, v.jaccard
+    FROM ver v JOIN cand c ON v.id_a = c.id_a AND v.id_b = c.id_b
+    """,
+    "MinHash band signatures + LSH bucket join + exact verify",
+)
+def q15_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = char_shingles(_de_docs(spark, sf_dir), "doc_id", "t", 8)
+    cands = minhash_lsh_candidates(minhash_band_signatures(sh, 8))
+    ver = jaccard_pairs(sh, min_jaccard=0.1).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+    return ver.join(cands, ["id_a", "id_b"], "left_semi")
+
+
+_NIBBLE = "(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+_HEX4 = " + ".join(f"{_NIBBLE.format(i=i + 1)} * {16 ** (3 - i)}" for i in range(4))
+
+_SIMHASH_BITS_SQL = ",\n".join(
+    f"CAST(sum(CASE WHEN (v // {1 << i}) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS b{i}"
+    for i in range(16)
+)
+_SIMHASH_SUM_SQL = " + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16))
+
+
+@_q(
+    "q16_simhash",
+    f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id AS id, substr(t, p, 8) AS shingle
+      FROM (SELECT doc_id, substr(text, 1, 128) AS t FROM documents),
+           unnest(generate_series(1, greatest(length(t) - 7, 1))) AS u(p)
+      WHERE length(t) >= 8
+    ),
+    hx AS (SELECT id, ({_HEX4}) AS v
+           FROM (SELECT id, substr(md5(shingle), 1, 4) AS h FROM sh)),
+    bits AS (SELECT id, {_SIMHASH_BITS_SQL} FROM hx GROUP BY id)
+    SELECT id, CAST({_SIMHASH_SUM_SQL} AS BIGINT) AS simhash FROM bits
+    """,
+    "portable 16-bit SimHash over md5 nibbles",
+)
+def q16_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 128).alias("t")
+    )
+    return simhash16(d, "doc_id", "t", 8)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+
+
+_COS_SQL = """
+    WITH e AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS item_id, sum(q.v * c.v) AS dp
+      FROM e q JOIN e c ON q.i = c.i
+      WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id
+      GROUP BY q.vec_id, c.vec_id
+    ),
+    scored AS (
+      SELECT query_id, item_id, dp / (a.nrm * b.nrm) AS cos
+      FROM dots JOIN nrm a ON query_id = a.vec_id JOIN nrm b ON item_id = b.vec_id
+    )
+"""
+
+
+@_q(
+    "q17_ann_brute",
+    f"""
+    {_COS_SQL}
+    SELECT query_id, item_id, round(cos, 6) AS cos, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, item_id) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """,
+    "brute-force cosine top-k (exact ANN baseline)",
+)
+def q17_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    out = brute_force_cosine_topk(emb, q, 5)
+    return out.select("query_id", "item_id", F.round("cos", 6).alias("cos"), "rk")
+
+
+_BKT_SQL = (
+    "(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END"
+    " + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END"
+    " + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END"
+    " + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)"
+)
+
+
+@_q(
+    "q18_ann_bucketed",
+    f"""
+    WITH b AS (SELECT vec_id, {_BKT_SQL} AS bkt FROM embeddings),
+    e AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS item_id, sum(q.v * c.v) AS dp
+      FROM e q JOIN e c ON q.i = c.i
+      JOIN b qb ON q.vec_id = qb.vec_id JOIN b cb ON c.vec_id = cb.vec_id
+      WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id AND qb.bkt = cb.bkt
+      GROUP BY q.vec_id, c.vec_id
+    ),
+    scored AS (
+      SELECT query_id, item_id, dp / (a.nrm * b2.nrm) AS cos
+      FROM dots JOIN nrm a ON query_id = a.vec_id JOIN nrm b2 ON item_id = b2.vec_id
+    )
+    SELECT query_id, item_id, round(cos, 6) AS cos, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, item_id) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """,
+    "sign-bucketed (IVF/LSH-style) approximate cosine top-k",
+)
+def q18_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    out = bucketed_cosine_topk(emb, q, 5, bits=4)
+    return out.select("query_id", "item_id", F.round("cos", 6).alias("cos"), "rk")
+
+
+@_q(
+    "q19_embedding_near_dup",
+    f"""
+    WITH b AS (SELECT vec_id, {_BKT_SQL} AS bkt FROM embeddings),
+    e AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+    dots AS (
+      SELECT a.vec_id AS id_a, c.vec_id AS id_b, sum(a.v * c.v) AS dp
+      FROM e a JOIN e c ON a.i = c.i
+      JOIN b ab ON a.vec_id = ab.vec_id JOIN b cb ON c.vec_id = cb.vec_id
+      WHERE a.vec_id < c.vec_id AND ab.bkt = cb.bkt
+      GROUP BY a.vec_id, c.vec_id
+    )
+    SELECT id_a, id_b, round(dp / (x.nrm * y.nrm), 6) AS cos
+    FROM dots JOIN nrm x ON id_a = x.vec_id JOIN nrm y ON id_b = y.vec_id
+    WHERE dp / (x.nrm * y.nrm) >= 0.25
+    """,
+    "embedding-cosine near-dup pairs via sign-bucket join",
+)
+def q19_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = embedding_near_dup(_t(spark, sf_dir, "embeddings"), min_cos=0.25, bits=4)
+    return out.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+
+
+def _occ_sql(expr: str, sub: str) -> str:
+    esc = sub.replace("'", "''")
+    return f"(length({expr}) - length(replace({expr}, '{esc}', ''))) / {len(sub)}"
+
+
+def _lang_score_sql(lang: str) -> str:
+    return "CAST(" + " + ".join(_occ_sql("p", m) for m in LANG_MARKERS[lang]) + " AS BIGINT)"
+
+
+_LANG_CASE_SQL = (
+    "CASE WHEN "
+    + " + ".join(f"score_{lg}" for lg in sorted(LANG_MARKERS))
+    + " = 0 THEN 'und' "
+    + " ".join(
+        f"WHEN score_{lg} = greatest({', '.join('score_' + x for x in sorted(LANG_MARKERS))}) THEN '{lg}'"
+        for lg in sorted(LANG_MARKERS)
+    )
+    + " END"
+)
+
+
+@_q(
+    "q20_lang_id",
+    f"""
+    WITH p AS (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS p FROM documents),
+    s AS (SELECT doc_id, lang,
+                 {", ".join(f"{_lang_score_sql(lg)} AS score_{lg}" for lg in sorted(LANG_MARKERS))}
+          FROM p)
+    SELECT doc_id, lang, {_LANG_CASE_SQL} AS lang_pred,
+           {", ".join(f"score_{lg}" for lg in sorted(LANG_MARKERS))}
+    FROM s
+    """,
+    "marker-word language ID (portable n-gram heuristic)",
+)
+def q20_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    out = lang_id_scores(d, "text")
+    return out.select(
+        "doc_id", "lang", "lang_pred", *[f"score_{lg}" for lg in sorted(LANG_MARKERS)]
+    )
+
+
+_Q21_STOP = " + ".join(_occ_sql("' ' || lower(text) || ' '", m) for m in LANG_MARKERS["en"])
+_Q21_PUNCT = " + ".join(_occ_sql("text", c) for c in (".", ",", "!", "?"))
+
+
+@_q(
+    "q21_quality",
+    f"""
+    WITH f AS (
+      SELECT doc_id,
+             length(text) AS q_chars,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE CAST({_occ_sql("trim(text)", " ")} + 1 AS BIGINT) END AS q_tokens,
+             CAST({_Q21_PUNCT} AS BIGINT) AS q_punct,
+             CAST({_Q21_STOP} AS BIGINT) AS q_stopwords
+      FROM documents
+    )
+    SELECT doc_id, CAST(q_chars AS BIGINT) AS q_chars, q_tokens,
+           round(CASE WHEN q_tokens > 0
+                      THEN (q_chars - (q_tokens - 1)) * 1.0 / q_tokens
+                      ELSE 0.0 END, 4) AS q_mean_tok_len,
+           q_punct, q_stopwords,
+           CAST(CASE WHEN q_chars >= 80 AND q_tokens >= 16
+                      AND (q_chars - (q_tokens - 1)) * 1.0 / q_tokens >= 2.0
+                      AND (q_chars - (q_tokens - 1)) * 1.0 / q_tokens <= 12.0
+                      AND q_punct >= 1
+                THEN 1 ELSE 0 END AS INTEGER) AS q_keep
+    FROM f
+    """,
+    "quality features + keep flag (C4-style corpus filter)",
+)
+def q21_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = quality_features(d, "text")
+    return out.select(
+        "doc_id", "q_chars", "q_tokens", "q_mean_tok_len", "q_punct", "q_stopwords", "q_keep"
+    )
+
+
+@_q(
+    "q22_token_fingerprint",
+    """
+    WITH sh AS (
+      SELECT DISTINCT doc_id AS id, md5(substr(t, p, 8)) AS h
+      FROM (SELECT doc_id, substr(text, 1, 128) AS t FROM documents),
+           unnest(generate_series(1, greatest(length(t) - 7, 1))) AS u(p)
+      WHERE length(t) >= 8
+    ),
+    bk AS (
+      SELECT id, h, row_number() OVER (PARTITION BY id ORDER BY h) AS rk FROM sh
+    ),
+    fp AS (SELECT id, string_agg(h, '' ORDER BY h) AS fingerprint FROM bk WHERE rk <= 4 GROUP BY id)
+    SELECT d.doc_id AS id,
+           CASE WHEN length(trim(d.text)) = 0 THEN 0
+                ELSE CAST((length(trim(d.text)) - length(replace(trim(d.text), ' ', ''))) / 1 + 1 AS BIGINT)
+           END AS n_tokens,
+           fp.fingerprint
+    FROM documents d JOIN fp ON d.doc_id = fp.id
+    """,
+    "token counting + bottom-k md5 fingerprint (winnowing-style sketch)",
+)
+def q22_token_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toyocr_spark.functions.textfns import bottomk_fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    fp = bottomk_fingerprint(
+        d.select("doc_id", F.substring("text", 1, 128).alias("t")), "doc_id", "t", 8, 4
+    )
+    toks = d.select(F.col("doc_id").alias("id"), token_count(F.col("text")).alias("n_tokens"))
+    return toks.join(fp, "id").select("id", "n_tokens", "fingerprint")
+
+
+@_q(
+    "q23_json_props",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    "JSON scalar extraction + aggregate (from_json family)",
+)
+def q23_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        F.count("*").alias("n"),
+    )
+
+
+@_q(
+    "q24_levenshtein",
+    """
+    SELECT doc_id,
+           CAST(levenshtein(substr(text, 1, 24),
+                            replace(substr(text, 1, 24), 'a', 'e')) AS BIGINT) AS lev
+    FROM documents
+    """,
+    "J5 edit-distance transcript matching (text_eval_script.py:405-418)",
+)
+def q24_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    a = F.substring("text", 1, 24)
+    return d.select(
+        "doc_id",
+        F.levenshtein(a, F.replace(a, F.lit("a"), F.lit("e"))).cast("long").alias("lev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# the flagship: extraction itself, oracle-checked
+
+
+@_q(
+    "q25_extract",
+    """
+    SELECT 'https://doc-' || CAST(doc_id AS VARCHAR) || '.example/p' AS url,
+           text AS extracted_text,
+           1 AS n_kept
+    FROM documents
+    """,
+    "flagship extraction over synthesized pages; oracle = identity on the "
+    "known template (nav stripped, article kept verbatim)",
+)
+def q25_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toyocr_spark.pipeline import extract_pages
+
+    d = _t(spark, sf_dir, "documents")
+    nav = (
+        '<nav><ul><li><a href="/a">one link</a></li>'
+        '<li><a href="/b">two link</a></li></ul></nav>'
+    )
+    pages = d.select(
+        F.concat(F.lit("https://doc-"), F.col("doc_id").cast("string"), F.lit(".example/p")).alias("url"),
+        F.encode(
+            F.concat(
+                F.lit(f"<html><body>{nav}<article><p>"),
+                F.col("text"),
+                F.lit("</p></article></body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+    )
+    out = extract_pages(pages)
+    return out.select("url", "extracted_text", F.col("n_kept").cast("int").alias("n_kept"))
+
+
+# ---------------------------------------------------------------------------
+# public accessors (the __spark_entry__ contract)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.spark for name, spec in QUERIES.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.sql for name, spec in QUERIES.items() if spec.sql is not None}
