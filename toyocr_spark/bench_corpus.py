@@ -1,0 +1,112 @@
+"""Distributed bench-corpus synthesizer.
+
+Builds a pages table (BASELINE.json ``input_hint`` schema) at benchmark
+scale from the driver-provided ``documents`` parquet, entirely JVM-side
+(concat/regexp/encode — no Python UDF, no driver loop), so corpus
+construction itself scales and never pollutes the extraction timing.
+The HTML wraps each document in the same boilerplate grammar the golden
+fixtures use (nav + link-dense sidebar + article + footer + script +
+comment — FIXTURES.md §1), so the kernel does representative work:
+boilerplate stripping, block scoring, island merging.
+
+Replication (`replicas` copies per document, distinct urls) scales the
+corpus without external data; hosts are Zipf-skewed (host-0 owns ~20 %
+of urls) so the salted-repartition path is exercised at bench time, the
+graft of the reference's skew-aware sampler
+(/root/reference/data/build.py:283-287).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_NAV = (
+    '<nav><ul><li><a href="/home">home page</a></li>'
+    '<li><a href="/crawl">crawl index</a></li>'
+    '<li><a href="/about">about this host</a></li>'
+    '<li><a href="/contact">contact and legal</a></li></ul></nav>'
+)
+_SIDEBAR = (
+    '<div class="sidebar"><ul>'
+    + "".join(
+        f'<li><a href="/rel/{i}">related link number {i} with words</a></li>'
+        for i in range(8)
+    )
+    + "</ul></div>"
+)
+_FOOTER = (
+    "<footer><p>corpus host footer © 2024 "
+    "<a href='/tos'>terms</a> <a href='/privacy'>privacy</a></p></footer>"
+)
+
+
+def synth_pages(
+    spark: SparkSession, sf_dir: str, replicas: int = 4, sections: int = 12
+) -> DataFrame:
+    """documents(doc_id, text, lang) × replicas → pages(url, warc_ts,
+    html, text, lang). Each page carries ``sections`` article sections
+    (each the doc text paragraph-split, plus an interleaved ad insert),
+    sizing pages at a realistic ~8 KB instead of the raw ~300-char doc.
+    ``text`` is left NULL (the oracle column is only meaningful for the
+    golden fixtures; bench measures throughput)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text", "lang")
+    d = d.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))))
+    # Zipf-ish skew: ~20% of urls land on host-0, rest uniform over 39 hosts
+    h = F.pmod(F.xxhash64("doc_id", "rep"), F.lit(50))
+    host = F.when(h < 10, F.lit(0)).otherwise(F.pmod(h, F.lit(39)) + 1)
+    # split the doc into <p> paragraphs at sentence boundaries (JVM-side)
+    para = F.concat(
+        F.lit("<p>"),
+        F.regexp_replace(F.col("text"), r"\. ", ".</p><p>"),
+        F.lit("</p>"),
+    )
+    section = F.concat(
+        F.lit("<h2>Synthesized Bench Section Title</h2>"),
+        para,
+        F.lit('<div class="ad"><a href="http://ads.example/1">ad words here</a></div>'),
+        para,
+    )
+    body = F.concat_ws(
+        "", F.transform(F.sequence(F.lit(1), F.lit(sections)), lambda _i: section)
+    )
+    html = F.concat(
+        F.lit("<html><head><style>p{margin:0}</style></head><body><header><h1>bench host</h1>"),
+        F.lit(_NAV),
+        F.lit("</header>"),
+        F.lit(_SIDEBAR),
+        F.lit("<article>"),
+        body,
+        F.lit("</article>"),
+        F.lit(_FOOTER),
+        F.lit("<script>var x = 1;</script><!-- synth -->"),
+        F.lit("</body></html>"),
+    )
+    return d.select(
+        F.concat(
+            F.lit("https://host-"),
+            host.cast("string"),
+            F.lit(".example/doc/"),
+            F.col("doc_id").cast("string"),
+            F.lit("/"),
+            F.col("rep").cast("string"),
+        ).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.encode(html, "UTF-8").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+    )
+
+
+def materialize_corpus(
+    spark: SparkSession, sf_dir: str, out_path: str, replicas: int = 4, sections: int = 12
+) -> None:
+    """Write the synthesized corpus once (deterministic content) so the
+    two scaling runs read byte-identical input and synthesis cost never
+    enters the timed window."""
+    # many files, not one: a single-file corpus makes the scan stage a
+    # single task (serial parquet decode ahead of the shuffle), which
+    # caps scaling exactly like an unsplittable input would on a cluster
+    synth_pages(spark, sf_dir, replicas, sections).repartition(128).write.mode(
+        "overwrite"
+    ).parquet(out_path)

@@ -76,7 +76,22 @@ class Block:
 
     @property
     def in_boiler(self) -> bool:
-        return any(t in BOILER_TAGS for t in self.tag_path)
+        p = self.tag_path
+        v = _BOILER_CACHE.get(p)
+        if v is None:
+            v = any(t in BOILER_TAGS for t in p)
+            if len(_BOILER_CACHE) < _PATH_CACHE_CAP:
+                _BOILER_CACHE[p] = v
+        return v
+
+
+# tag paths repeat heavily within and across pages of a crawl; memoizing
+# the pure path->label maps removes the per-block path walk from the hot
+# loop. Capped so adversarial pages with unbounded distinct paths cannot
+# grow worker memory (same spill-control stance as MAX_HTML_BYTES).
+_PATH_CACHE_CAP = 1 << 14
+_BOILER_CACHE: dict[tuple[str, ...], bool] = {}
+_CLASSIFY_CACHE: dict[tuple[str, ...], str] = {}
 
 
 def _decode(html: bytes | str) -> str:
@@ -90,6 +105,15 @@ def _decode(html: bytes | str) -> str:
 
 
 def _classify(tag_path: tuple[str, ...]) -> str:
+    k = _CLASSIFY_CACHE.get(tag_path)
+    if k is None:
+        k = _classify_walk(tag_path)
+        if len(_CLASSIFY_CACHE) < _PATH_CACHE_CAP:
+            _CLASSIFY_CACHE[tag_path] = k
+    return k
+
+
+def _classify_walk(tag_path: tuple[str, ...]) -> str:
     # innermost classification wins: walk the path from the leaf
     for t in reversed(tag_path):
         if t in _HEADING_TAGS:
@@ -116,32 +140,46 @@ def tokenize(html: bytes | str) -> list[Block]:
 
     blocks: list[Block] = []
     stack: list[str] = []
+    path: tuple[str, ...] = ()  # always == tuple(stack); cached to avoid
+    #                             re-tupling on every flush (hot loop)
     link_depth = 0
     cur = Block(tag_path=())
     cur_box: tuple[int, int, int, int] | None = None
 
     def flush() -> None:
         nonlocal cur, cur_box
-        raw = "".join(cur._parts)
-        text = _WS_RE.sub(" ", raw).strip()
-        if text:
-            cur.text = text
-            cur.n_chars = len(text)
-            cur.kind = _classify(cur.tag_path)
-            cur.box = cur_box
-            blocks.append(cur)
-        cur = Block(tag_path=tuple(stack))
+        if cur._parts:
+            # " ".join(s.split()) == _WS_RE.sub(" ", s).strip() for every
+            # codepoint (verified exhaustively); the split form is ~3x
+            # faster (pure C, no regex engine)
+            text = " ".join("".join(cur._parts).split())
+            if text:
+                cur.text = text
+                cur.n_chars = len(text)
+                cur.kind = _classify(cur.tag_path)
+                cur.box = cur_box
+                blocks.append(cur)
+                cur = Block(tag_path=path)
+                cur_box = None
+                return
+            cur._parts.clear()
+        # nothing emitted: reuse cur, resetting exactly what a fresh
+        # Block(tag_path=path) would reset (allocation fast path)
+        if cur.link_chars:
+            cur.link_chars = 0
+        if cur.n_inline:
+            cur.n_inline = 0
+        cur.tag_path = path
         cur_box = None
 
-    for m in _TOK_RE.finditer(src):
-        tok = m.group(0)
+    for tok in _TOK_RE.findall(src):
         if tok[0] != "<":
             piece = _htmlmod.unescape(tok)
             cur._parts.append(piece)
             if link_depth > 0:
                 # count anchor-text chars after whitespace collapse parity:
                 # collapse here too so link_chars <= n_chars always holds
-                cur.link_chars += len(_WS_RE.sub(" ", piece).strip())
+                cur.link_chars += len(" ".join(piece.split()))
             continue
         nm = _TAG_NAME_RE.match(tok)
         if nm is None:
@@ -160,15 +198,17 @@ def tokenize(html: bytes | str) -> list[Block]:
                         top = stack.pop()
                         if top == name:
                             break
+                    path = tuple(stack)
             else:
                 stack.append(name)
+                path = tuple(stack)
                 pm = _POS_RE.search(tok)
                 if pm is not None:
                     x, y = int(pm.group(1)), int(pm.group(2))
                     w = int(pm.group(3)) if pm.group(3) else 100
                     h = int(pm.group(4)) if pm.group(4) else 20
                     cur_box = (x, y, w, h)
-            cur.tag_path = tuple(stack)
+            cur.tag_path = path
         elif name == "a":
             if closing:
                 link_depth = max(0, link_depth - 1)

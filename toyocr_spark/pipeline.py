@@ -34,8 +34,6 @@ import uuid
 from collections.abc import Iterator
 from typing import Any
 
-import pandas as pd
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -79,34 +77,64 @@ LINEAGE_SCHEMA = T.StructType(
 )
 
 
-def _extract_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    # import inside the worker so the kernel ships via --py-files cleanly
+def _extract_batches(it: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+    """Arrow-native kernel wrapper: RecordBatch in, RecordBatch out.
+
+    mapInArrow (not mapInPandas) so no pandas object columns are ever
+    materialized: the spans list<struct> column is assembled from flat
+    offset/child arrays entirely in Arrow C code — measurably lower
+    per-doc serialization overhead and memory churn than dict-per-span
+    (the batch_padding-free analogue of /root/reference/inference/
+    utils.py:6-49: ragged batches, zero copy-padding)."""
+    import pyarrow as pa
+
     from toyocr_spark.extractor import extract
 
-    for pdf in it:
-        urls = pdf["url"]
-        results = [extract(h) for h in pdf["html"]]
-        yield pd.DataFrame(
-            {
-                "url": urls.to_numpy(),
-                "extracted_text": [r.text for r in results],
-                "spans": [
-                    [{"start": s, "end": e, "kind": k} for s, e, k in r.spans] for r in results
-                ],
-                "n_blocks": pd.array([r.n_blocks for r in results], dtype="int32"),
-                "n_kept": pd.array([r.n_kept for r in results], dtype="int32"),
-                "html_len": pd.array(
-                    [0 if h is None else len(h) for h in pdf["html"]], dtype="int64"
-                ),
-                "truncated": [r.truncated for r in results],
-            }
+    span_struct = pa.struct(
+        [pa.field("start", pa.int64(), False), pa.field("end", pa.int64(), False),
+         pa.field("kind", pa.string(), False)]
+    )
+    for batch in it:
+        urls = batch.column(0)
+        htmls = batch.column(1).to_pylist()
+        results = [extract(h) for h in htmls]
+        # flat span arrays + offsets -> list<struct> with no per-row dicts
+        starts: list[int] = []
+        ends: list[int] = []
+        kinds: list[str] = []
+        offsets: list[int] = [0]
+        for r in results:
+            for s, e, k in r.spans:
+                starts.append(s)
+                ends.append(e)
+                kinds.append(k)
+            offsets.append(len(starts))
+        spans = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()),
+            pa.StructArray.from_arrays(
+                [pa.array(starts, pa.int64()), pa.array(ends, pa.int64()),
+                 pa.array(kinds, pa.string())],
+                fields=list(span_struct),
+            ),
+        )
+        yield pa.RecordBatch.from_arrays(
+            [
+                urls,
+                pa.array([r.text for r in results], pa.string()),
+                spans,
+                pa.array([r.n_blocks for r in results], pa.int32()),
+                pa.array([r.n_kept for r in results], pa.int32()),
+                pa.array([0 if h is None else len(h) for h in htmls], pa.int64()),
+                pa.array([r.truncated for r in results], pa.bool_()),
+            ],
+            names=[f.name for f in RESULT_SCHEMA.fields],
         )
 
 
 def extract_pages(pages: DataFrame) -> DataFrame:
     """(url, html, ...) -> RESULT_SCHEMA. Only (url, html) are read —
     explicit select so the parquet scan prunes every other column."""
-    return pages.select("url", "html").mapInPandas(_extract_batches, RESULT_SCHEMA)
+    return pages.select("url", "html").mapInArrow(_extract_batches, RESULT_SCHEMA)
 
 
 def run_extraction(
