@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""The production extraction driver — the spark-submit entry point.
+
+Cluster deploy (north_rule contract):
+
+    python tools/make_pyfiles.py                       # -> dist/toyocr_spark.zip
+    spark-submit --master <cluster> \\
+        --py-files dist/toyocr_spark.zip \\
+        jobs/extract_job.py \\
+        --input  <pages parquet/Iceberg path> \\
+        --output <result dir> \\
+        --n-chunks 256 --salt-threshold 0.01
+
+Local smoke:
+
+    spark-submit --master 'local[8]' --py-files dist/toyocr_spark.zip \\
+        jobs/extract_job.py --input /tmp/pages --output /tmp/out --n-chunks 4
+
+The job is restart-safe: rerunning with the same --output resumes from
+the commit log, skipping finished chunks (pipeline.resumable_run). Hot
+hosts above --salt-threshold of all rows are detected by a pre-agg and
+salted across reducers.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="toyocr_spark extraction job")
+    ap.add_argument("--input", required=True, help="pages table path (url, warc_ts, html, text, lang)")
+    ap.add_argument("--output", required=True, help="result directory (resume-safe)")
+    ap.add_argument("--n-chunks", type=int, default=64, help="commit-log granularity")
+    ap.add_argument("--num-partitions", type=int, default=None, help="shuffle width per chunk (default 2x parallelism)")
+    ap.add_argument("--salt-threshold", type=float, default=0.01, help="host frequency above which urls are salted; <=0 disables the pre-agg")
+    ap.add_argument("--run-id", default=None)
+    args = ap.parse_args(argv)
+
+    # imports deferred: under spark-submit --py-files the zip only joins
+    # sys.path once the SparkContext bootstraps the driver env
+    from pyspark.sql import SparkSession
+
+    from toyocr_spark.plans.partitioning import hot_hosts
+    from toyocr_spark.pipeline import read_lineage, resumable_run
+    from toyocr_spark.sources.pages import read_pages
+
+    spark = SparkSession.builder.appName("toyocr-extract").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    pages = read_pages(spark, args.input)
+    hot = (
+        hot_hosts(pages, threshold_fraction=args.salt_threshold)
+        if args.salt_threshold > 0
+        else []
+    )
+    summary = resumable_run(
+        spark,
+        pages,
+        args.output,
+        run_id=args.run_id,
+        n_chunks=args.n_chunks,
+        num_partitions=args.num_partitions,
+        hot=hot,
+    )
+    lineage = read_lineage(spark, args.output)
+    summary["hot_hosts"] = hot
+    summary["lineage_rows"] = lineage.count()
+    summary["rows_extracted"] = int(
+        lineage.groupBy().sum("row_count").collect()[0][0] or 0
+    )
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

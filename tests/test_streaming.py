@@ -1,0 +1,110 @@
+"""Structured Streaming ingestion: byte-identity vs the batch path,
+checkpoint-based no-replay on restart, and watermarked windowed aggs."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql import functions as F
+
+from toyocr_spark.fixtures.genpages import gen_pages
+from toyocr_spark.pipeline import extract_pages
+from toyocr_spark.sources.pages import PAGES_SCHEMA
+from toyocr_spark.streaming import stream_extract, windowed_page_counts
+
+
+@pytest.fixture(scope="module")
+def stream_input(tmp_path_factory) -> str:
+    """Pages corpus split into 3 files, as crawl segments land."""
+    d = str(tmp_path_factory.mktemp("stream_in"))
+    pages = gen_pages(90, seed=99)
+    for i in range(3):
+        chunk = pages[i * 30 : (i + 1) * 30]
+        tbl = pa.table(
+            {
+                "url": pa.array([p.url for p in chunk], pa.string()),
+                "warc_ts": pa.array(
+                    [p.warc_ts for p in chunk], pa.timestamp("us", tz="UTC")
+                ),
+                "html": pa.array([p.html for p in chunk], pa.binary()),
+                "text": pa.array([p.text for p in chunk], pa.string()),
+                "lang": pa.array([p.lang for p in chunk], pa.string()),
+            }
+        )
+        pq.write_table(tbl, os.path.join(d, f"segment-{i}.parquet"))
+    return d
+
+
+def _read_stream_result(spark, out_dir):
+    paths = [
+        os.path.join(out_dir, b)
+        for b in sorted(os.listdir(out_dir))
+        if b.startswith("batch=")
+    ]
+    return spark.read.parquet(*paths)
+
+
+def test_stream_matches_batch_byte_identical(spark, stream_input, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream_extract(spark, stream_input, out, ckpt, max_files_per_trigger=1)
+
+    got = {
+        r["url"]: r["extracted_text"]
+        for r in _read_stream_result(spark, out).collect()
+    }
+    batch_pages = spark.read.schema(PAGES_SCHEMA).parquet(stream_input)
+    want = {
+        r["url"]: r["extracted_text"] for r in extract_pages(batch_pages).collect()
+    }
+    assert got == want  # streaming path is byte-identical to batch path
+
+    # one lineage dir per micro-batch; with maxFilesPerTrigger=1 -> 3
+    lineage_batches = sorted(os.listdir(os.path.join(out, "_lineage")))
+    assert len(lineage_batches) == 3
+
+
+def test_stream_restart_does_not_replay(spark, stream_input, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream_extract(spark, stream_input, out, ckpt)
+    batches_before = sorted(os.listdir(out))
+    # restart with same checkpoint, no new files: nothing new committed
+    stream_extract(spark, stream_input, out, ckpt)
+    assert sorted(os.listdir(out)) == batches_before
+    n = _read_stream_result(spark, out).count()
+    assert n == 90  # no duplicates
+
+
+def test_windowed_counts_with_watermark(spark, stream_input, tmp_path):
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_input)
+    )
+    agg = windowed_page_counts(stream, window="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["window_start"], r["lang"]): r["n_pages"]
+        for r in spark.sql("select * from win_counts").collect()
+    }
+    batch = (
+        spark.read.schema(PAGES_SCHEMA)
+        .parquet(stream_input)
+        .groupBy(F.window("warc_ts", "1 hour").alias("w"), "lang")
+        .agg(F.count("*").alias("n_pages"))
+        .select(F.col("w.start").alias("ws"), "lang", "n_pages")
+    )
+    want = {(r["ws"], r["lang"]): r["n_pages"] for r in batch.collect()}
+    assert got == want

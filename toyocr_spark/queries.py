@@ -830,6 +830,53 @@ def q24_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# multimodal: binary payload columns, decode + frame-sample plumbing
+# (synthetic FMED container; real codecs are a documented stub seam —
+# toyocr_spark/multimodal.py)
+
+
+@_q(
+    "q26_media_decode",
+    """
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           CAST(64 + doc_id % 512 AS INT) AS width,
+           CAST(32 + doc_id % 256 AS INT) AS height,
+           CAST(1 + doc_id % 4 AS INT) AS channels,
+           CAST(octet_length(encode(text)) AS BIGINT) AS body_len
+    FROM documents
+    """,
+    "binary media decode via mapInArrow (header parse; the byte->array "
+    "decode seam of dataset_mapper.py:151-155); oracle = closed form of "
+    "the deterministic synth",
+)
+def q26_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toyocr_spark.multimodal import decode_media, synth_media
+
+    return decode_media(synth_media(_t(spark, sf_dir, "documents")))
+
+
+@_q(
+    "q27_media_frames",
+    """
+    SELECT doc_id AS media_id,
+           CAST(4 AS INT) AS n_frames,
+           CAST(octet_length(encode(text)) // 4 AS BIGINT) AS frame_len,
+           CAST(octet_length(encode(text))
+                - 3 * (octet_length(encode(text)) // 4) AS BIGINT) AS last_frame_len
+    FROM documents
+    """,
+    "video frame-sampling plumbing (equal byte-slices; keyframe extract "
+    "seam), oracle = closed-form slice arithmetic",
+)
+def q27_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toyocr_spark.multimodal import sample_frames, synth_media
+
+    return sample_frames(synth_media(_t(spark, sf_dir, "documents")), n_frames=4)
+
+
+# ---------------------------------------------------------------------------
 # the flagship: extraction itself, oracle-checked
 
 

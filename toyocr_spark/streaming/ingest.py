@@ -1,0 +1,114 @@
+"""Structured Streaming ingestion — the incremental twin of the batch
+commit-log pipeline.
+
+The reference has no streaming operators (SURVEY.md §2.11); its closest
+shape is the infinite data iterator with periodic hook actions
+(/root/reference/apis/train.py:235-246). The engine's primary resume
+story is batch + commit-log (pipeline.resumable_run), but a crawl is
+naturally a stream of WARC segments landing in object storage, so the
+same kernel is exposed through readStream as well:
+
+    files land in <in>/ -> readStream(parquet, pages schema)
+        -> mapInArrow(extract)        (the identical kernel: streaming
+                                       output is byte-identical to batch)
+        -> foreachBatch: parquet append + lineage rows per micro-batch
+           (batch_id plays chunk_id; the checkpoint dir is the WAL, so
+           a restarted query never re-commits a finished micro-batch —
+           exactly the CommitLog semantics, delegated to Spark)
+
+Event-time analytics over the stream (late data handled by watermark)
+are provided by windowed_page_counts — the windowed-agg shape of
+`trigger(processingTime=...)` micro-batch periodic actions.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from toyocr_spark.pipeline import extract_pages, partition_lineage
+from toyocr_spark.sources.pages import PAGES_SCHEMA
+
+
+def stream_extract(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    run_id: str = "stream",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Start (and with available_now=True, run to completion) a streaming
+    extraction over parquet files arriving in ``input_dir``.
+
+    Returns the StreamingQuery. Exactly-once per micro-batch: the
+    foreachBatch writer appends with ``txnAppId/txnVersion``-style
+    idempotence delegated to the checkpoint WAL — Spark replays an
+    interrupted batch id, and the parquet append for a replayed batch
+    overwrites its own batch subdirectory (idempotent), mirroring
+    pipeline.CommitLog's atomic chunk commit.
+    """
+    # fixture dirs hold sidecars (expected_spans.parquet) next to the
+    # pages table — narrow to the pages file, like sources.read_pages,
+    # so the stream never ingests a sidecar under the wrong schema
+    if os.path.isdir(input_dir) and os.path.exists(
+        os.path.join(input_dir, "pages.parquet")
+    ):
+        # a glob, not the bare file path: the file-stream source requires
+        # its basePath to be a directory
+        input_dir = os.path.join(input_dir, "pages*.parquet")
+    reader = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger or 8)
+        .parquet(input_dir)
+    )
+    result = extract_pages(reader)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        path = os.path.join(out_dir, f"batch={batch_id}")
+        batch_df.write.mode("overwrite").parquet(path)  # replay-safe
+        lineage = partition_lineage(
+            batch_df.sparkSession.read.parquet(path),
+            run_id=run_id,
+            chunk_id=int(batch_id),
+            input_split=path,
+        )
+        lineage.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "_lineage", f"batch={batch_id}")
+        )
+
+    writer = (
+        result.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
+
+
+def windowed_page_counts(
+    pages_stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time windowed counts per language with late-data handling:
+    pages arriving more than ``watermark`` behind the max observed
+    ``warc_ts`` are dropped from their (closed) window — the standard
+    watermark + windowed-agg pattern for crawl-rate dashboards."""
+    return (
+        pages_stream.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "lang")
+        .agg(F.count("*").alias("n_pages"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "lang",
+            "n_pages",
+        )
+    )
