@@ -134,10 +134,11 @@ def run_bench(sf_dir: str, cpus: int, extract_only: bool) -> dict:
         queries: dict[str, float] = {}
         if not extract_only:
             queries = bench_queries(spark, sf_dir)
+        n_queries = len(queries)
         queries["extract"] = ext["extract_sec"]
         total = round(sum(queries.values()), 3)
         return {
-            "metric": "headline suite wall clock (25 queries + extraction pipeline)",
+            "metric": f"headline suite wall clock ({n_queries} queries + extraction pipeline)",
             "value": total,
             "unit": "sec",
             "queries": queries,

@@ -1,0 +1,124 @@
+"""Physical-plan contracts — the 100 TB design assertions.
+
+These lock in the properties that make the engine viable at scale:
+filters reach the parquet scan, column pruning keeps wide columns out
+of shuffles, small dimensions broadcast, and the extraction map adds no
+shuffle beyond the one explicit repartition (SURVEY.md §4)."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from toyocr_spark import queries as q
+from toyocr_spark.pipeline import extract_pages, run_extraction
+from toyocr_spark.sources.pages import read_pages
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _scan_columns(plan: str) -> list[set[str]]:
+    """Column sets actually read by each FileScan (robust to the plan
+    string truncating long lines before ReadSchema)."""
+    out = []
+    for m in re.finditer(r"FileScan parquet \[([^\]]*)\]", plan):
+        out.append({c.split("#")[0] for c in m.group(1).split(",") if c})
+    return out
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = q.queries()["q01_scan_agg"](spark, sf_dir)
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", _plan(df))
+    assert any("l_shipdate" in p for p in pushed), "date filter not pushed to parquet"
+
+
+def test_scan_prunes_to_projected_columns(spark, sf_dir):
+    df = q.queries()["q01_scan_agg"](spark, sf_dir)
+    scans = _scan_columns(_plan(df))
+    assert scans, _plan(df)
+    cols = scans[0]
+    assert "l_comment" not in cols, "unprojected wide column read from parquet"
+    assert cols <= {
+        "l_shipdate", "l_returnflag", "l_linestatus",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    }
+
+
+def test_extraction_reads_only_url_and_html(spark, pages_dir):
+    pages = read_pages(spark, pages_dir)
+    df = extract_pages(pages)
+    scans = _scan_columns(_plan(df))
+    assert scans
+    cols = scans[0]
+    assert cols == {"url", "html"}, (
+        f"extraction scan reads {cols}; the wide oracle `text` column "
+        "must never be shipped through the pipeline"
+    )
+
+
+def test_extraction_shuffles_exactly_once(spark, pages_dir):
+    pages = read_pages(spark, pages_dir)
+    plan = _plan(run_extraction(pages, num_partitions=8))
+    assert plan.count("Exchange") == 1, plan  # only the explicit repartition
+
+
+def test_small_dim_joins_broadcast(spark, sf_dir):
+    plan = _plan(q.queries()["q11_region_revenue"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan, (
+        "region/nation/supplier chain should broadcast, not sort-merge"
+    )
+
+
+def test_dedup_is_single_shuffle(spark, sf_dir):
+    plan = _plan(q.queries()["q13_dedup_exact"](spark, sf_dir))
+    assert plan.count("Exchange") == 1, "exact dedup must be one hash shuffle"
+
+
+def test_partial_aggregation_before_shuffle(spark, sf_dir):
+    """Map-side combine: the aggregate must run partial (before the
+    exchange) and final (after) — the A4 partial+final shape."""
+    df = q.queries()["q01_scan_agg"](spark, sf_dir)
+    plan = _plan(df)
+    assert len(re.findall(r"HashAggregate", plan)) >= 2, plan
+
+
+def test_identity_join_prunes_pages_columns(spark, pages_dir):
+    from toyocr_spark.pipeline import identity_report
+
+    pages = read_pages(spark, pages_dir)
+    result = extract_pages(pages)
+    rep = identity_report(result, pages)
+    # the pages side of the identity join must scan only (url, text):
+    # html (the widest column) stays out of the join entirely
+    sides = [s for s in _scan_columns(_plan(rep)) if "text" in s]
+    assert sides and all("html" not in s for s in sides)
+
+
+def test_salted_repartition_splits_hot_host(spark, pages_dir):
+    """Skew handling: with salting on, a hot host's rows spread over
+    many partitions; without, they collapse onto one reducer."""
+    from toyocr_spark.plans.partitioning import hot_hosts, salted_repartition
+
+    pages = read_pages(spark, pages_dir)
+    hot = hot_hosts(pages, threshold_fraction=0.05)
+    assert hot, "fixture corpus is Zipf-skewed; expected at least one hot host"
+    host = hot[0]
+    subset = pages.filter(F.col("url").startswith(f"https://{host}/"))
+    salted = (
+        salted_repartition(subset, 16, hot=hot)
+        .select(F.spark_partition_id().alias("p"))
+        .distinct()
+        .count()
+    )
+    unsalted = (
+        subset.repartition(16, F.parse_url(F.col("url"), F.lit("HOST")))
+        .select(F.spark_partition_id().alias("p"))
+        .distinct()
+        .count()
+    )
+    assert unsalted == 1
+    assert salted > 4, f"hot host only reached {salted} partitions"

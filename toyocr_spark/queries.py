@@ -877,6 +877,65 @@ def q27_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# sampler layer (SURVEY.md §2.9 W6, §2.7 A6)
+
+
+@_q(
+    "q28_class_histogram",
+    """
+    SELECT lang, source, count(*) AS n,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM documents GROUP BY lang, source
+    """,
+    "A6 class histogram (print_instances_class_histogram, build.py:189)",
+)
+def q28_class_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n"), F.sum("n_chars").cast("long").alias("chars")
+    )
+
+
+@_q(
+    "q29_repeat_factor",
+    """
+    WITH f AS (
+      SELECT lang, count(*) AS cnt,
+             (SELECT count(*) FROM documents) AS total
+      FROM documents GROUP BY lang
+    ),
+    r AS (
+      SELECT lang,
+             least(4, greatest(1, CAST((total // 5 + cnt - 1) // cnt AS INT))) AS rep
+      FROM f
+    )
+    SELECT d.doc_id, CAST(u.i AS INT) AS rep_idx
+    FROM documents d JOIN r ON d.lang = r.lang,
+         unnest(generate_series(1, r.rep)) AS u(i)
+    """,
+    "W6 RepeatFactor weighted sampling (build.py:283-287): rare classes "
+    "duplicated by an integer repeat factor (pure integer ceil-division — "
+    "no float threshold can straddle)",
+)
+def q29_repeat_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    total = d.count()  # driver-side scalar, like iters_per_epoch (A7)
+    freq = d.groupBy("lang").agg(F.count("*").alias("cnt"))
+    # pure integer ceil-division `(total//5 + cnt - 1) div cnt`, matching
+    # the oracle's `//` exactly — no float can straddle a boundary
+    rep = freq.select(
+        "lang",
+        F.expr(f"least(4, greatest(1, ({total // 5} + cnt - 1) div cnt))")
+        .cast("int")
+        .alias("rep"),
+    )
+    return d.join(F.broadcast(rep), "lang").select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.col("rep"))).alias("rep_idx"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # the flagship: extraction itself, oracle-checked
 
 
