@@ -170,19 +170,25 @@ def run_scaling(sf_dir: str) -> dict:
     32 cores run — a host ceiling no partitioning strategy can beat.
     4 -> 16 keeps peak load at half the host so the shared-bandwidth
     distortion stays bounded while still spanning the required 4x."""
-    results = {}
-    for cpus in (SCALE_N, SCALE_N * 4):
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
-        log(f"=== scaling run: {cpus} pinned cores ===")
-        out = subprocess.run(
-            ["taskset", "-c", f"0-{cpus - 1}", sys.executable,
-             os.path.abspath(__file__), "--extract-only"],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-        )
-        results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+    # two alternating passes per level, best-of across passes: host load
+    # varies on minute scales (hypervisor neighbors), and alternation
+    # keeps a slow period from biasing one level of the ratio
+    results: dict[int, dict] = {}
+    for _pass in range(2):
+        for cpus in (SCALE_N, SCALE_N * 4):
+            env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
+            log(f"=== scaling pass {_pass}: {cpus} pinned cores ===")
+            out = subprocess.run(
+                ["taskset", "-c", f"0-{cpus - 1}", sys.executable,
+                 os.path.abspath(__file__), "--extract-only"],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+            )
+            r = json.loads(out.stdout.strip().splitlines()[-1])
+            if cpus not in results or r["docs_per_sec"] > results[cpus]["docs_per_sec"]:
+                results[cpus] = r
     tn = results[SCALE_N]["docs_per_sec"]
     t4n = results[SCALE_N * 4]["docs_per_sec"]
     eff = round(t4n / (4 * tn), 3)

@@ -59,7 +59,7 @@ _FIGURE_TAGS = frozenset("figure figcaption".split())
 BOILER_TAGS = frozenset("nav header footer aside form select option".split())
 
 
-@dataclass
+@dataclass(slots=True)
 class Block:
     """One text block plus its scoring signals (the graft of the
     reference's per-instance row: box+class+score -> path+density)."""
@@ -174,7 +174,8 @@ def tokenize(html: bytes | str) -> list[Block]:
 
     for tok in _TOK_RE.findall(src):
         if tok[0] != "<":
-            piece = _htmlmod.unescape(tok)
+            # unescape allocates; most text runs carry no entities
+            piece = _htmlmod.unescape(tok) if "&" in tok else tok
             cur._parts.append(piece)
             if link_depth > 0:
                 # count anchor-text chars after whitespace collapse parity:
@@ -184,10 +185,15 @@ def tokenize(html: bytes | str) -> list[Block]:
         nm = _TAG_NAME_RE.match(tok)
         if nm is None:
             continue  # malformed tag: drop (deterministic)
-        name = nm.group(1).lower()
+        name = nm.group(1)
+        if not name.islower():
+            name = name.lower()
         closing = tok[1] == "/"
         if name in BLOCK_TAGS:
-            flush()
+            if cur._parts or cur.link_chars or cur.n_inline:
+                flush()
+            else:
+                cur_box = None  # what an empty flush would observably do
             if name in _VOID_TAGS:
                 continue
             if closing:
@@ -202,12 +208,14 @@ def tokenize(html: bytes | str) -> list[Block]:
             else:
                 stack.append(name)
                 path = tuple(stack)
-                pm = _POS_RE.search(tok)
-                if pm is not None:
-                    x, y = int(pm.group(1)), int(pm.group(2))
-                    w = int(pm.group(3)) if pm.group(3) else 100
-                    h = int(pm.group(4)) if pm.group(4) else 20
-                    cur_box = (x, y, w, h)
+                # _POS_RE can only match when the attribute text is there
+                if "position" in tok:
+                    pm = _POS_RE.search(tok)
+                    if pm is not None:
+                        x, y = int(pm.group(1)), int(pm.group(2))
+                        w = int(pm.group(3)) if pm.group(3) else 100
+                        h = int(pm.group(4)) if pm.group(4) else 20
+                        cur_box = (x, y, w, h)
             cur.tag_path = path
         elif name == "a":
             if closing:
