@@ -37,6 +37,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--num-partitions", type=int, default=None, help="shuffle width per chunk (default 2x parallelism)")
     ap.add_argument("--salt-threshold", type=float, default=0.01, help="host frequency above which urls are salted; <=0 disables the pre-agg")
     ap.add_argument("--run-id", default=None)
+    ap.add_argument("--strategy", default="density", help="registered extractor strategy (extractor/registry.py)")
     args = ap.parse_args(argv)
 
     # imports deferred: under spark-submit --py-files the zip only joins
@@ -64,6 +65,7 @@ def main(argv: list[str] | None = None) -> int:
         n_chunks=args.n_chunks,
         num_partitions=args.num_partitions,
         hot=hot,
+        strategy=args.strategy,
     )
     lineage = read_lineage(spark, args.output)
     summary["hot_hosts"] = hot

@@ -122,3 +122,35 @@ def test_salted_repartition_splits_hot_host(spark, pages_dir):
     )
     assert unsalted == 1
     assert salted > 4, f"hot host only reached {salted} partitions"
+
+
+def test_size_bucketed_repartition_homogenizes_batches(spark, pages_dir):
+    """W7: within a partition, page sizes should cluster into few
+    log2 classes; the shuffle still uses every partition."""
+    from toyocr_spark.plans.partitioning import size_bucketed_repartition
+
+    pages = read_pages(spark, pages_dir)
+    parted = size_bucketed_repartition(pages, 8)
+    per = (
+        parted.select(
+            F.spark_partition_id().alias("p"),
+            F.floor(F.log2(F.greatest(F.octet_length("html"), F.lit(1)))).alias("c"),
+        )
+        .groupBy("p")
+        .agg(F.countDistinct("c").alias("classes"), F.count("*").alias("n"))
+        .collect()
+    )
+    total_classes = pages.select(
+        F.countDistinct(
+            F.floor(F.log2(F.greatest(F.octet_length("html"), F.lit(1))))
+        )
+    ).collect()[0][0]
+    assert total_classes >= 3  # the fixture mixes tiny/normal/huge pages
+    # range partitioning: the typical partition is size-homogeneous
+    # (1-2 classes); only the boundary partition that absorbs the rare
+    # tiny classes may hold more
+    counts = sorted(r["classes"] for r in per if r["n"] > 0)
+    assert counts[len(counts) // 2] <= 2, counts
+    # and rows stay balanced: no partition more than 2x the mean
+    ns = [r["n"] for r in per if r["n"] > 0]
+    assert max(ns) <= 2 * (sum(ns) / len(ns)), ns

@@ -13,11 +13,14 @@ S2.3-2.6) into web-text land:
     layout.py     XY-cut reading order for box-positioned pages
                   (/root/reference/data/transforms/transform_cropresize.py:17-193)
     core.py       extract(html) -> (text, spans) — THE frozen oracle
+    registry.py   named strategy registry (META_ARCH_REGISTRY graft);
+                  extract_with(html, strategy) dispatches by name
 
 Everything here must stay byte-deterministic: no RNG, no dict-order
 dependence, integer-math thresholds only (SURVEY.md S7 hazards).
 """
 
-from toyocr_spark.extractor.core import ExtractResult, extract
+from toyocr_spark.extractor.core import ExtractResult, extract, extract_with
+from toyocr_spark.extractor.registry import EXTRACTOR_REGISTRY
 
-__all__ = ["ExtractResult", "extract"]
+__all__ = ["ExtractResult", "extract", "extract_with", "EXTRACTOR_REGISTRY"]

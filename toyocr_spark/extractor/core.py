@@ -41,8 +41,7 @@ class ExtractResult:
 _EMPTY = ExtractResult("", (), 0, 0, False)
 
 
-def extract(html: bytes | str | None) -> ExtractResult:
-    """Pure function of the page bytes. No RNG, no global state."""
+def _run(html: bytes | str | None, selector) -> ExtractResult:
     if html is None or len(html) == 0:
         return _EMPTY
     truncated = False
@@ -56,7 +55,7 @@ def extract(html: bytes | str | None) -> ExtractResult:
     if ordered is not blocks:
         for i, b in enumerate(ordered):
             b.ordinal = i
-    kept = select_blocks(ordered)
+    kept = selector(ordered)
     parts: list[str] = []
     spans: list[tuple[int, int, str]] = []
     pos = 0
@@ -68,3 +67,18 @@ def extract(html: bytes | str | None) -> ExtractResult:
         pos += len(b.text)
         spans.append((start, pos, b.kind))
     return ExtractResult(SEP.join(parts), tuple(spans), len(blocks), len(kept), truncated)
+
+
+def extract(html: bytes | str | None) -> ExtractResult:
+    """Pure function of the page bytes. No RNG, no global state.
+    THE frozen kernel: selector is the density rule set, always."""
+    return _run(html, select_blocks)
+
+
+def extract_with(html: bytes | str | None, strategy: str) -> ExtractResult:
+    """Registry-dispatched variant (the META_ARCH_REGISTRY graft —
+    see extractor/registry.py). strategy='density' is byte-identical
+    to extract()."""
+    from toyocr_spark.extractor.registry import get_extractor
+
+    return _run(html, get_extractor(strategy))

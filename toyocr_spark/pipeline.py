@@ -77,7 +77,9 @@ LINEAGE_SCHEMA = T.StructType(
 )
 
 
-def _extract_batches(it: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+def _extract_batches(
+    it: Iterator["pa.RecordBatch"], strategy: str = "density"
+) -> Iterator["pa.RecordBatch"]:
     """Arrow-native kernel wrapper: RecordBatch in, RecordBatch out.
 
     mapInArrow (not mapInPandas) so no pandas object columns are ever
@@ -88,7 +90,13 @@ def _extract_batches(it: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch
     utils.py:6-49: ragged batches, zero copy-padding)."""
     import pyarrow as pa
 
-    from toyocr_spark.extractor import extract
+    if strategy == "density":
+        from toyocr_spark.extractor import extract
+    else:
+        from toyocr_spark.extractor import extract_with
+
+        def extract(h):  # noqa: ANN001 — registry-dispatched variant
+            return extract_with(h, strategy)
 
     span_struct = pa.struct(
         [pa.field("start", pa.int64(), False), pa.field("end", pa.int64(), False),
@@ -131,23 +139,33 @@ def _extract_batches(it: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch
         )
 
 
-def extract_pages(pages: DataFrame) -> DataFrame:
+def extract_pages(pages: DataFrame, strategy: str = "density") -> DataFrame:
     """(url, html, ...) -> RESULT_SCHEMA. Only (url, html) are read —
-    explicit select so the parquet scan prunes every other column."""
-    return pages.select("url", "html").mapInArrow(_extract_batches, RESULT_SCHEMA)
+    explicit select so the parquet scan prunes every other column.
+    ``strategy`` selects a registered kernel variant by name
+    (extractor/registry.py); the default is the frozen oracle kernel."""
+    import functools
+
+    fn = (
+        _extract_batches
+        if strategy == "density"
+        else functools.partial(_extract_batches, strategy=strategy)
+    )
+    return pages.select("url", "html").mapInArrow(fn, RESULT_SCHEMA)
 
 
 def run_extraction(
     pages: DataFrame,
     num_partitions: int | None = None,
     hot: list[str] | None = None,
+    strategy: str = "density",
 ) -> DataFrame:
     """repartition (salted) + extract; the core transformation shared by
     the one-shot and resumable drivers."""
     if num_partitions is None:
         num_partitions = pages.sparkSession.sparkContext.defaultParallelism * 2
     parted = salted_repartition(pages, num_partitions, hot=hot)
-    return extract_pages(parted)
+    return extract_pages(parted, strategy=strategy)
 
 
 # ---------------------------------------------------------------- lineage
@@ -216,6 +234,7 @@ def resumable_run(
     n_chunks: int = 8,
     num_partitions: int | None = None,
     hot: list[str] | None = None,
+    strategy: str = "density",
     fail_after_chunk: int | None = None,  # test hook: inject a crash
 ) -> dict[str, Any]:
     """Extract ``pages`` into ``out_dir`` with chunk-level resume.
@@ -237,7 +256,9 @@ def resumable_run(
             continue
         t0 = time.perf_counter()
         chunk = pages.filter(chunk_col == c)
-        result = run_extraction(chunk, num_partitions=num_partitions, hot=hot)
+        result = run_extraction(
+            chunk, num_partitions=num_partitions, hot=hot, strategy=strategy
+        )
         chunk_path = os.path.join(out_dir, f"chunk={c}")
         result.write.mode("overwrite").parquet(chunk_path)
         wall_ms = int((time.perf_counter() - t0) * 1000)

@@ -42,6 +42,31 @@ def hot_hosts(df: DataFrame, threshold_fraction: float = DEFAULT_HOT_THRESHOLD_F
     return sorted(r["host"] for r in rows if r["host"] is not None)
 
 
+def size_bucketed_repartition(
+    df: DataFrame,
+    num_partitions: int,
+    size_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """W7 aspect-ratio-grouping graft (/root/reference/data/build.py:
+    222-231): co-locate similarly-sized pages so Arrow batches inside
+    the UDF are balanced — a batch of uniformly-huge pages and a batch
+    of tiny ones each stay within memory/latency envelopes instead of
+    mixing (the padding-waste argument, here a batch-skew argument).
+
+    size_class = floor(log2(byte length)); RANGE-partitioned on
+    (size_class, hash(url)): classes are contiguous across the partition
+    sequence (each task sees one or two classes), while hash(url)
+    spreads rows evenly within a class.
+    """
+    size_class = F.floor(F.log2(F.greatest(F.octet_length(F.col(size_col)), F.lit(1))))
+    out = df.withColumn("_size_class", size_class)
+    out = out.repartitionByRange(
+        num_partitions, F.col("_size_class"), F.xxhash64(F.col(url_col))
+    )
+    return out.drop("_size_class")
+
+
 def salted_repartition(
     df: DataFrame,
     num_partitions: int,

@@ -935,6 +935,57 @@ def q29_repeat_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q30_gather_sorted",
+    """
+    SELECT vec_id,
+           round(CAST(embedding[CAST(vec_id % 8 AS INT) + 1] AS DOUBLE), 4) AS gathered,
+           list_transform(list_reverse_sort(embedding[1:4]),
+                          y -> round(CAST(y AS DOUBLE), 4)) AS top_desc
+    FROM embeddings WHERE vec_id < 100
+    """,
+    "D3 gather-by-ordinal via element_at (centernet_decode.py:9-23) + W3 "
+    "desc confidence sort (sort_array, build.py:141-142)",
+)
+def q30_gather_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    idx = (F.pmod(F.col("vec_id"), F.lit(8)).cast("int") + 1).cast("int")
+    return e.select(
+        "vec_id",
+        F.round(F.element_at("embedding", idx).cast("double"), 4).alias("gathered"),
+        F.transform(
+            F.sort_array(F.slice("embedding", 1, 4), asc=False),
+            lambda y: F.round(y.cast("double"), 4),
+        ).alias("top_desc"),
+    )
+
+
+@_q(
+    "q31_array_hof_filters",
+    """
+    SELECT vec_id,
+           len(list_filter(embedding, y -> y > 0)) AS n_pos,
+           CAST(len(list_filter(embedding, y -> y > 0.5)) > 0 AS BOOLEAN) AS any_big
+    FROM embeddings
+    WHERE len(list_filter(embedding, y -> y > 0)) >= 2
+    """,
+    "F1/F3 array filter()/exists() HOFs: keep records with >=2 positive "
+    "elements (filter_images_with_only_crowd_annotations shape, "
+    "build.py:38-64, in-array form)",
+)
+def q31_array_hof_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    n_pos = F.size(F.filter("embedding", lambda y: y > 0))
+    return (
+        e.select(
+            "vec_id",
+            n_pos.alias("n_pos"),
+            F.exists("embedding", lambda y: y > 0.5).alias("any_big"),
+        )
+        .filter(F.col("n_pos") >= 2)
+    )
+
+
 # ---------------------------------------------------------------------------
 # the flagship: extraction itself, oracle-checked
 
