@@ -28,8 +28,6 @@ _STRIP_RE = re.compile(
     r"<!--.*?-->|<script\b[^>]*>.*?</script\s*>|<style\b[^>]*>.*?</style\s*>",
     re.S | re.I,
 )
-# a tag or a text run
-_TOK_RE = re.compile(r"<[^>]*>|[^<]+", re.S)
 _TAG_NAME_RE = re.compile(r"</?\s*([a-zA-Z][a-zA-Z0-9]*)")
 _WS_RE = re.compile(r"\s+")
 # style="position:absolute;left:10px;top:20px;width:100px;height:30px"
@@ -172,8 +170,21 @@ def tokenize(html: bytes | str) -> list[Block]:
         cur.tag_path = path
         cur_box = None
 
-    for tok in _TOK_RE.findall(src):
-        if tok[0] != "<":
+    # scanner equivalent of re.findall(r"<[^>]*>|[^<]+"): a tag runs from
+    # '<' to the FIRST '>' (embedded '<' included); a '<' with no later
+    # '>' is skipped and the remainder scans as text — byte-equivalent
+    # semantics verified against the regex on all edge shapes, but
+    # memchr-speed (str.find) with no token-list materialization
+    src_find = src.find
+    i = 0
+    n = len(src)
+    while i < n:
+        if src[i] != "<":
+            j = src_find("<", i)
+            if j == -1:
+                j = n
+            tok = src[i:j]
+            i = j
             # unescape allocates; most text runs carry no entities
             piece = _htmlmod.unescape(tok) if "&" in tok else tok
             cur._parts.append(piece)
@@ -182,6 +193,12 @@ def tokenize(html: bytes | str) -> list[Block]:
                 # collapse here too so link_chars <= n_chars always holds
                 cur.link_chars += len(" ".join(piece.split()))
             continue
+        j = src_find(">", i + 1)
+        if j == -1:
+            i += 1  # unclosed '<': the regex skips it and rescans as text
+            continue
+        tok = src[i : j + 1]
+        i = j + 1
         nm = _TAG_NAME_RE.match(tok)
         if nm is None:
             continue  # malformed tag: drop (deterministic)
