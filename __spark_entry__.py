@@ -5,8 +5,9 @@ entry()      — flagship extraction over pages synthesized from the
                mapInPandas(extract) → results).
 queries()    — one named query per implemented operator from
                SURVEY.md §2 + the training-data-pipeline suite
-               (dedup/similarity/text-analysis); see
-               toyocr_spark/queries.py for the specs.
+               (dedup/similarity/text-analysis/multimodal/samplers);
+               see toyocr_spark/queries.py for the specs and
+               SURVEY.md §8 for the operator -> query coverage map.
 oracle_sql() — DuckDB-equivalent ANSI SQL per query (portable hashes
                and string ops only; identical aliases and rounding).
 """

@@ -1,6 +1,6 @@
 """Deterministic HTML tokenizer: bytes -> list[Block].
 
-Hand-rolled regex state machine (no lxml/bs4 — version-stable by
+Hand-rolled scanner state machine (no lxml/bs4 — version-stable by
 construction, SURVEY.md S7 "What's hard"). Plays the role of the
 reference's image decode + DatasetMapper per-record map
 (/root/reference/data/dataset_mapper.py:140-303): raw bytes in, a
