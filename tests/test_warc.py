@@ -1,0 +1,78 @@
+"""WARC source: round-trip, gzip handling, non-html filtering, and the
+full WARC -> extraction pipeline."""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+import pytest
+
+from toyocr_spark.fixtures.genpages import gen_pages
+from toyocr_spark.pipeline import extract_pages
+from toyocr_spark.sources.warc import parse_warc, read_warc, write_warc
+
+
+@pytest.fixture(scope="module")
+def warc_dir(tmp_path_factory) -> str:
+    d = str(tmp_path_factory.mktemp("warc"))
+    pages = gen_pages(60, seed=77)
+    recs = [
+        (p.url, p.warc_ts.strftime("%Y-%m-%dT%H:%M:%SZ"), p.html) for p in pages
+    ]
+    write_warc(os.path.join(d, "seg-0.warc"), recs[:30])
+    write_warc(os.path.join(d, "seg-1.warc.gz"), recs[30:], compress=True)
+    return d
+
+
+def test_parse_round_trip():
+    recs = [
+        ("https://a.example/x", "2024-01-01T00:00:00Z", b"<p>hello</p>"),
+        ("https://b.example/y", "2024-01-02T00:00:00Z", "<p>caf\xe9</p>".encode()),
+    ]
+    import io, tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".warc", delete=False) as f:
+        path = f.name
+    write_warc(path, recs)
+    with open(path, "rb") as f:
+        parsed = parse_warc(f.read())
+    assert [(r["url"], r["html"]) for r in parsed] == [
+        (u, h) for u, _t, h in recs
+    ]
+
+
+def test_non_html_records_skipped():
+    raw = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://x.example/img\r\n"
+        b"WARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: 59\r\n\r\n"
+        b"HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n\r\n\x89PNG fake bytes"
+        b"\r\n\r\n"
+        b"WARC/1.0\r\nWARC-Type: request\r\n"
+        b"WARC-Target-URI: https://x.example/page\r\n"
+        b"WARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: 4\r\n\r\nGET "
+        b"\r\n\r\n"
+    )
+    assert parse_warc(raw) == []
+    assert parse_warc(gzip.compress(raw)) == []
+
+
+def test_read_warc_both_compressions(spark, warc_dir):
+    df = read_warc(spark, warc_dir)
+    rows = df.collect()
+    assert len(rows) == 60
+    assert all(r["warc_ts"] is not None for r in rows)
+    assert df.columns == ["url", "warc_ts", "html", "text", "lang"]
+
+
+def test_warc_to_extraction_byte_identity(spark, warc_dir):
+    """The full crawl-native path: WARC -> pages -> kernel. Output must
+    equal the frozen oracle run on the same fixture pages."""
+    pages = gen_pages(60, seed=77)
+    want = {p.url: p.text for p in pages}
+    got = {
+        r["url"]: r["extracted_text"]
+        for r in extract_pages(read_warc(spark, warc_dir)).collect()
+    }
+    assert got == want

@@ -161,3 +161,57 @@ def survivors(df: DataFrame, id_col: str, dup_pairs: DataFrame) -> DataFrame:
     job, provided separately at cluster scale."""
     doomed = dup_pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(doomed, id_col, "left_anti")
+
+
+def connected_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    max_iters: int = 25,
+) -> DataFrame:
+    """Near-dup PAIRS -> dedup CLUSTERS: (id, cluster_id) where
+    cluster_id = the minimum id reachable through the pair graph.
+
+    Min-label propagation: every node starts labeled with itself; each
+    round a node takes the min of its own label and its neighbors'
+    labels; converged when a round changes nothing. Rounds needed =
+    graph diameter — near-dup clusters are shallow (dups of dups of a
+    common source), so single digits in practice; max_iters is the
+    runaway bound. Each round is one shuffle (join on the edge key) —
+    the standard large-graph CC shape without GraphX, works at any
+    corpus size. ``nodes`` supplies singleton docs (no edges) so every
+    input row gets a cluster.
+
+    Deterministic: min() is order-free; localCheckpoint truncates the
+    lineage each round (iterative-plan hygiene at scale).
+    """
+    edges = (
+        pairs.selectExpr("id_a AS a", "id_b AS b")
+        .union(pairs.selectExpr("id_b AS a", "id_a AS b"))
+        .distinct()
+    )
+    labels = nodes.select(F.col(nodes.columns[0]).alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels, edges.a == labels.id)
+            .groupBy(F.col("b").alias("id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new = (
+            labels.join(neigh, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+            )
+        ).localCheckpoint()
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))

@@ -986,6 +986,55 @@ def q31_array_hof_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q32_dedup_clusters",
+    f"""
+    WITH RECURSIVE sh AS ({_SHINGLE_SQL}),
+    sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    ),
+    pairs AS (
+      SELECT i.id_a, i.id_b
+      FROM inter i JOIN sz x ON i.id_a = x.id JOIN sz y ON i.id_b = y.id
+      WHERE i.inter * 1.0 / (x.n + y.n - i.inter) >= 0.1
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT id, id FROM sz
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    )
+    SELECT src AS doc_id, min(dst) AS cluster_id,
+           CAST(src = min(dst) AS BOOLEAN) AS canonical
+    FROM reach GROUP BY src
+    """,
+    "near-dup pairs -> dedup clusters via min-label propagation "
+    "(connected components, the keep-one-per-cluster step of corpus "
+    "dedup); oracle = recursive-CTE transitive closure",
+)
+def q32_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toyocr_spark.operators.dedup import (
+        char_shingles,
+        connected_components,
+        jaccard_pairs,
+    )
+
+    sh = char_shingles(_de_docs(spark, sf_dir), "doc_id", "t", 8)
+    pairs = jaccard_pairs(sh, min_jaccard=0.1).select("id_a", "id_b")
+    cc = connected_components(pairs, sh.select("id"))
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        (F.col("id") == F.col("cluster_id")).alias("canonical"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # the flagship: extraction itself, oracle-checked
 
