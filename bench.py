@@ -145,6 +145,7 @@ def run_bench(sf_dir: str, cpus: int, extract_only: bool) -> dict:
             "sf": sf_of(sf_dir),
             "cpus": cpus,
             **ext,
+            **last_scaling(),
         }
     finally:
         spark.stop()
@@ -207,7 +208,24 @@ def run_scaling(sf_dir: str) -> dict:
         "pass": eff >= 0.8,
     }
     write_scaling_report(report)
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump(report, f)
     return report
+
+
+def last_scaling() -> dict:
+    """Most recent --scaling measurement, folded into the default bench
+    line so a single BENCH_r{N}.json carries every BASELINE.md metric."""
+    try:
+        with open(os.path.join(REPO, "BENCH", "scaling.json")) as f:
+            r = json.load(f)
+        return {
+            "scaling_efficiency": r["value"],
+            "scaling_pass": r["pass"],
+            "scaling_protocol": r["metric"],
+        }
+    except (OSError, ValueError, KeyError):
+        return {}
 
 
 def write_scaling_report(r: dict) -> None:
