@@ -18,6 +18,7 @@ from toyocr_spark.operators.dedup import (
     char_shingles,
     exact_dedup,
     jaccard_pairs,
+    jaccard_for_pairs,
     minhash_lsh_dedup,
     simhash16,
     survivors,
@@ -47,6 +48,7 @@ __all__ = [
     "char_shingles",
     "exact_dedup",
     "jaccard_pairs",
+    "jaccard_for_pairs",
     "minhash_lsh_dedup",
     "simhash16",
     "survivors",

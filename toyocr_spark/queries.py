@@ -519,12 +519,14 @@ def q14_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "MinHash band signatures + LSH bucket join + exact verify",
 )
 def q15_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toyocr_spark.operators.dedup import jaccard_for_pairs
+
     sh = char_shingles(_de_docs(spark, sf_dir), "doc_id", "t", 8)
     cands = minhash_lsh_candidates(minhash_band_signatures(sh, 8))
-    ver = jaccard_pairs(sh, min_jaccard=0.1).select(
-        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
-    )
-    return ver.join(cands, ["id_a", "id_b"], "left_semi")
+    # verify ONLY candidates (sub-quadratic; the full self-join verify
+    # would defeat LSH at corpus scale)
+    ver = jaccard_for_pairs(sh, cands, min_jaccard=0.1)
+    return ver.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 _NIBBLE = "(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
