@@ -1,0 +1,124 @@
+#!/usr/bin/env python3
+"""Training-data prep driver — the full corpus pipeline in one job.
+
+Chains the engine's corpus operators the way a pretraining-data run
+would: extract (or take a documents table) -> language ID -> quality
+filter -> exact dedup -> MinHash-LSH near-dup clustering -> keep one
+canonical doc per cluster -> token accounting -> parquet.
+
+    spark-submit --py-files dist/toyocr_spark.zip jobs/prep_job.py \\
+        --documents <parquet with (doc_id, text[, lang])> --output <dir>
+    # or start from raw pages:
+    ... --pages <pages dir> --output <dir>
+
+Every stage is built-ins + the registered operators (no ad-hoc logic):
+quality/lang are JVM column expressions, dedup is the sub-quadratic
+candidate-then-verify pipeline, clustering is min-label propagation.
+Prints one JSON line with per-stage row counts (the corpus funnel).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="toyocr_spark corpus prep job")
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--documents", help="parquet with (doc_id, text)")
+    src.add_argument("--pages", help="pages dir; extraction runs first")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--min-jaccard", type=float, default=0.5)
+    ap.add_argument("--shingle", type=int, default=8)
+    ap.add_argument("--bands", type=int, default=8)
+    ap.add_argument("--min-chars", type=int, default=80)
+    ap.add_argument("--min-tokens", type=int, default=16)
+    ap.add_argument("--min-punct", type=int, default=1, help="0 for corpora without sentence punctuation")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from toyocr_spark.functions.textfns import lang_id_scores, quality_features, token_count
+    from toyocr_spark.operators.dedup import (
+        char_shingles,
+        connected_components,
+        exact_dedup,
+        jaccard_for_pairs,
+        minhash_band_signatures,
+        minhash_lsh_candidates,
+    )
+
+    spark = SparkSession.builder.appName("toyocr-prep").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    funnel: dict = {"metric": "corpus prep funnel (rows surviving each stage)"}
+
+    if args.pages:
+        from toyocr_spark.pipeline import extract_pages
+        from toyocr_spark.sources.pages import read_pages
+
+        docs = extract_pages(read_pages(spark, args.pages)).select(
+            F.xxhash64("url").alias("doc_id"),
+            F.col("url"),
+            F.col("extracted_text").alias("text"),
+        )
+    else:
+        docs = spark.read.parquet(args.documents).select(
+            "doc_id", "text", *(["url"] if "url" in spark.read.parquet(args.documents).columns else [])
+        )
+    funnel["input"] = docs.count()
+
+    # 1. quality filter (C4-style heuristics, JVM-side)
+    q = quality_features(
+        docs, "text",
+        min_chars=args.min_chars, min_tokens=args.min_tokens, min_punct=args.min_punct,
+    ).filter(F.col("q_keep") == 1)
+    q = q.localCheckpoint()  # funnel stages reuse it; truncate lineage
+    funnel["after_quality"] = q.count()
+
+    # 2. language ID (n-gram marker heuristic)
+    lang = lang_id_scores(q.select("doc_id", "text"), "text").select(
+        "doc_id", "lang_pred"
+    )
+
+    # 3. exact dedup (hash-groupBy survivor)
+    exact = exact_dedup(q, "doc_id", "text")
+    survivors_exact = q.join(
+        exact.select(F.col("keep_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    funnel["after_exact_dedup"] = survivors_exact.count()
+
+    # 4. near-dup clustering: LSH candidates -> verified pairs -> CC ->
+    #    keep the minimum doc_id of each cluster
+    sh = char_shingles(
+        survivors_exact.select("doc_id", F.substring("text", 1, 512).alias("t")),
+        "doc_id", "t", args.shingle,
+    )
+    cands = minhash_lsh_candidates(minhash_band_signatures(sh, args.bands))
+    pairs = jaccard_for_pairs(sh, cands, min_jaccard=args.min_jaccard).select("id_a", "id_b")
+    clusters = connected_components(pairs, survivors_exact.select("doc_id"))
+    canonical = clusters.filter(F.col("id") == F.col("cluster_id")).select(
+        F.col("id").alias("doc_id")
+    )
+    final = survivors_exact.join(canonical, "doc_id", "left_semi")
+    funnel["after_near_dedup"] = final.count()
+
+    # 5. token accounting + write
+    out = (
+        final.join(lang, "doc_id")
+        .withColumn("n_tokens", token_count(F.col("text")))
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    funnel["tokens_total"] = int(
+        out.agg(F.sum("n_tokens")).collect()[0][0] or 0
+    )
+
+    print(json.dumps(funnel))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

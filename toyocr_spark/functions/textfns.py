@@ -39,10 +39,17 @@ def token_count(text: Column) -> Column:
     )
 
 
-def quality_features(df: DataFrame, text_col: str) -> DataFrame:
+def quality_features(
+    df: DataFrame,
+    text_col: str,
+    min_chars: int = 80,
+    min_tokens: int = 16,
+    min_punct: int = 1,
+) -> DataFrame:
     """Length / punctuation / stopword-ratio quality features + a 0/1
     keep flag — the classic pretraining-corpus filter. Integer-ish
-    arithmetic only; thresholds follow C4-style heuristics."""
+    arithmetic only; default thresholds follow C4-style heuristics
+    (min_punct=0 for corpora without sentence punctuation)."""
     t = F.col(text_col)
     padded = F.concat(F.lit(" "), F.lower(t), F.lit(" "))
     n_chars = F.length(t)
@@ -51,11 +58,11 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
     n_punct = occurrences(t, ".") + occurrences(t, ",") + occurrences(t, "!") + occurrences(t, "?")
     mean_tok = F.when(n_tokens > 0, (n_chars - (n_tokens - 1)) / n_tokens).otherwise(F.lit(0.0))
     keep = (
-        (n_chars >= 80)
-        & (n_tokens >= 16)
+        (n_chars >= min_chars)
+        & (n_tokens >= min_tokens)
         & (mean_tok >= 2.0)
         & (mean_tok <= 12.0)
-        & (n_punct >= 1)
+        & (n_punct >= min_punct)
     )
     return df.select(
         "*",
