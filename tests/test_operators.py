@@ -180,3 +180,26 @@ def test_broadcast_join_in_plan(spark, sf_dir):
     df = QUERIES["q11_region_revenue"].spark(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, "dim joins must broadcast"
+
+
+def test_skew_safe_topk_matches_naive(spark):
+    """Two-phase salted top-K must be row-identical to the naive
+    single-window form, on data with one pathologically hot key."""
+    import random
+
+    from toyocr_spark.operators.selection import skew_safe_topk, topk_per_group
+
+    rng = random.Random(3)
+    rows = [("hot", i, rng.randint(0, 10_000)) for i in range(5000)]
+    rows += [(f"cold{j}", j * 100 + i, rng.randint(0, 10_000)) for j in range(20) for i in range(10)]
+    df = spark.createDataFrame(rows, "key: string, rid: long, score: long")
+
+    from pyspark.sql import functions as F
+
+    naive = topk_per_group(
+        df, ["key"], [F.col("score").desc(), F.col("rid").asc()], 7
+    ).select("key", "rid", "score", "rk")
+    safe = skew_safe_topk(df, ["key"], "score", 7, tiebreak_col="rid").select(
+        "key", "rid", "score", "rk"
+    )
+    assert sorted(map(tuple, naive.collect())) == sorted(map(tuple, safe.collect()))

@@ -74,6 +74,53 @@ def topk_mean(df: DataFrame, order_col: str | list[Column], k: int, value_col: s
     )
 
 
+def skew_safe_topk(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    k: int,
+    salt_buckets: int = 16,
+    ascending: bool = False,
+    rank_name: str = "rk",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-key top-K that survives a hot key (the skew case windows
+    cannot partial-aggregate away: a naive ``row_number() over
+    (partition by host)`` funnels a hot host's every row through ONE
+    reducer). Two phases, the RepeatFactor-sampler inverse of the
+    salting trick (/root/reference/data/build.py:283-287, SURVEY.md §4):
+
+      1. rank within (key, salt=pmod(xxhash64(order-row), B)) and keep
+         K per bucket — the hot key's rows spread over B reducers, and
+         at most K·B survivors per key remain;
+      2. rank the survivors within the key alone — now bounded at K·B
+         rows per key, so the single-reducer window is O(K·B), not
+         O(rows-of-hottest-key).
+
+    Result is row-identical to the naive single-window top-K when the
+    total order is unambiguous — pass tiebreak_col (default: order_col
+    ties broken by it ascending) to guarantee that.
+    """
+    tb = tiebreak_col or group_cols[0]
+    order = [
+        (F.col(order_col).asc() if ascending else F.col(order_col).desc()),
+        F.col(tb).asc(),
+    ]
+    salt = F.pmod(F.xxhash64(F.col(tb)), F.lit(salt_buckets))
+    w1 = Window.partitionBy(*group_cols, "_salt").orderBy(*order)
+    phase1 = (
+        df.withColumn("_salt", salt)
+        .withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= k)
+        .drop("_rn1", "_salt")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        phase1.withColumn(rank_name, F.row_number().over(w2))
+        .filter(F.col(rank_name) <= k)
+    )
+
+
 def score_compose_greatest(df: DataFrame, cols: list[str], out: str = "score") -> Column:
     """K3 max-composition of score signals (center_head.py:186-192
     ``np.maximum`` splat): greatest(), not sum."""

@@ -1037,6 +1037,28 @@ def q32_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q33_skew_safe_topk",
+    """
+    SELECT source, doc_id, n_chars, rk FROM (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents
+    ) WHERE rk <= 5
+    """,
+    "two-phase skew-safe per-key top-K (salted partial rank, then final "
+    "rank over <= K*B survivors); row-identical to the naive window — "
+    "the hot-host-window fix (SURVEY.md §4 skew handling)",
+)
+def q33_skew_safe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toyocr_spark.operators.selection import skew_safe_topk
+
+    d = _t(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    out = skew_safe_topk(d, ["source"], "n_chars", 5, tiebreak_col="doc_id")
+    return out.select("source", "doc_id", "n_chars", "rk")
+
+
 # ---------------------------------------------------------------------------
 # the flagship: extraction itself, oracle-checked
 
