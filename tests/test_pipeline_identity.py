@@ -101,3 +101,30 @@ def test_commit_markers_atomic(spark, pages_dir, tmp_path):
     resumable_run(spark, read_pages(spark, pages_dir), out, n_chunks=2, num_partitions=2)
     commits = sorted(os.listdir(os.path.join(out, "_commits")))
     assert commits == ["chunk-0.json", "chunk-1.json"]
+
+
+def test_snapshot_read_hides_uncommitted_chunks(spark, pages_dir, tmp_path):
+    """A crash between parquet write and commit marker must leave the
+    partial chunk INVISIBLE to readers (snapshot isolation of the
+    commit log). Simulated by deleting a marker after a full run —
+    equivalent on-disk state to the crash window."""
+    import os
+
+    from toyocr_spark.pipeline import read_lineage, read_result, resumable_run
+    from toyocr_spark.sources.pages import read_pages
+
+    out = str(tmp_path / "snap")
+    pages = read_pages(spark, pages_dir)
+    resumable_run(spark, pages, out, n_chunks=4)
+    total = read_result(spark, out).count()
+
+    os.remove(os.path.join(out, "_commits", "chunk-2.json"))
+    visible = read_result(spark, out)
+    assert visible.count() < total
+    assert read_result(spark, out, committed_only=False).count() == total
+    assert read_lineage(spark, out).select("chunk_id").distinct().count() == 3
+
+    # resume re-executes exactly the uncommitted chunk; totals restore
+    r = resumable_run(spark, pages, out, n_chunks=4)
+    assert r["executed"] == [2]
+    assert read_result(spark, out).count() == total

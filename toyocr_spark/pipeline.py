@@ -273,18 +273,41 @@ def resumable_run(
     return {"run_id": run_id, "executed": executed, "skipped": sorted(done), "n_chunks": n_chunks}
 
 
-def read_result(spark: SparkSession, out_dir: str) -> DataFrame:
+def read_result(
+    spark: SparkSession, out_dir: str, committed_only: bool = True
+) -> DataFrame:
+    """Snapshot read: only chunks with a commit marker are visible.
+
+    A crash mid-chunk leaves parquet files without a marker; the
+    rewritten chunk overwrites them on resume, but until then a reader
+    must not see the partial data — the snapshot-isolation half of the
+    Iceberg protocol the commit log stands in for."""
+    done = CommitLog(out_dir).committed() if committed_only else None
     paths = [
         os.path.join(out_dir, d)
         for d in sorted(os.listdir(out_dir))
         if d.startswith("chunk=")
+        and (done is None or int(d[len("chunk=") :]) in done)
     ]
+    if not paths:
+        return spark.createDataFrame([], RESULT_SCHEMA)
     return spark.read.schema(RESULT_SCHEMA).parquet(*paths)
 
 
-def read_lineage(spark: SparkSession, out_dir: str) -> DataFrame:
+def read_lineage(
+    spark: SparkSession, out_dir: str, committed_only: bool = True
+) -> DataFrame:
+    done = CommitLog(out_dir).committed() if committed_only else None
     base = os.path.join(out_dir, "_lineage")
-    paths = [os.path.join(base, d) for d in sorted(os.listdir(base))]
+    if not os.path.isdir(base):
+        return spark.createDataFrame([], LINEAGE_SCHEMA)
+    paths = [
+        os.path.join(base, d)
+        for d in sorted(os.listdir(base))
+        if done is None or int(d[len("chunk=") :]) in done
+    ]
+    if not paths:
+        return spark.createDataFrame([], LINEAGE_SCHEMA)
     return spark.read.schema(LINEAGE_SCHEMA).parquet(*paths)
 
 
