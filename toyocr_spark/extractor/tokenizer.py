@@ -90,6 +90,9 @@ class Block:
 _PATH_CACHE_CAP = 1 << 14
 _BOILER_CACHE: dict[tuple[str, ...], bool] = {}
 _CLASSIFY_CACHE: dict[tuple[str, ...], str] = {}
+# tag-token -> (name, closing) | None-for-malformed; 0 is the miss
+# sentinel (a valid entry is never 0)
+_TAG_CACHE: dict[str, tuple[str, bool] | None] = {}
 
 
 def _decode(html: bytes | str) -> str:
@@ -199,13 +202,25 @@ def tokenize(html: bytes | str) -> list[Block]:
             continue
         tok = src[i : j + 1]
         i = j + 1
-        nm = _TAG_NAME_RE.match(tok)
-        if nm is None:
-            continue  # malformed tag: drop (deterministic)
-        name = nm.group(1)
-        if not name.islower():
-            name = name.lower()
-        closing = tok[1] == "/"
+        # tag tokens repeat enormously in a crawl (</p>, <div>, ...);
+        # memoize the parse: (name, closing), None for malformed tags
+        hit = _TAG_CACHE.get(tok, 0)
+        if hit != 0:
+            if hit is None:
+                continue
+            name, closing = hit
+        else:
+            nm = _TAG_NAME_RE.match(tok)
+            if nm is None:
+                if len(_TAG_CACHE) < _PATH_CACHE_CAP:
+                    _TAG_CACHE[tok] = None
+                continue  # malformed tag: drop (deterministic)
+            name = nm.group(1)
+            if not name.islower():
+                name = name.lower()
+            closing = tok[1] == "/"
+            if len(_TAG_CACHE) < _PATH_CACHE_CAP:
+                _TAG_CACHE[tok] = (name, closing)
         if name in BLOCK_TAGS:
             if cur._parts or cur.link_chars or cur.n_inline:
                 flush()
