@@ -251,6 +251,8 @@ def resumable_run(
     done = log.committed()
     chunk_col = F.pmod(F.xxhash64(F.col("url")), F.lit(n_chunks))
     executed: list[int] = []
+    from pyspark.sql import Observation
+
     for c in range(n_chunks):
         if c in done:
             continue
@@ -259,14 +261,26 @@ def resumable_run(
         result = run_extraction(
             chunk, num_partitions=num_partitions, hot=hot, strategy=strategy
         )
+        # hook metrics ride the write action itself (the HookBase /
+        # JSONWriter graft, /root/reference/apis/train.py:356-362):
+        # zero extra jobs, collected by the driver at action completion
+        obs = Observation(f"chunk-{c}")
+        result = result.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows"),
+            F.sum("html_len").alias("bytes_in"),
+            F.sum(F.length("extracted_text")).alias("chars_out"),
+            F.sum(F.col("truncated").cast("long")).alias("truncated_rows"),
+        )
         chunk_path = os.path.join(out_dir, f"chunk={c}")
         result.write.mode("overwrite").parquet(chunk_path)
         wall_ms = int((time.perf_counter() - t0) * 1000)
+        metrics = {k: (0 if v is None else int(v)) for k, v in obs.get.items()}
         lineage = partition_lineage(
             spark.read.schema(RESULT_SCHEMA).parquet(chunk_path), run_id, c, chunk_path
         ).withColumn("wall_ms", F.lit(wall_ms).cast("long"))
         lineage.write.mode("overwrite").parquet(os.path.join(out_dir, "_lineage", f"chunk={c}"))
-        log.commit(c, {"run_id": run_id, "chunk": c, "wall_ms": wall_ms})
+        log.commit(c, {"run_id": run_id, "chunk": c, "wall_ms": wall_ms, **metrics})
         executed.append(c)
         if fail_after_chunk is not None and len(executed) > fail_after_chunk:
             raise RuntimeError(f"injected failure after chunk {c}")

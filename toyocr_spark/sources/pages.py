@@ -61,6 +61,34 @@ def read_pages(spark: SparkSession, path_or_table: str) -> DataFrame:
     )
 
 
+def read_pages_jsonl(spark: SparkSession, path_or_glob: str) -> DataFrame:
+    """Pages from JSON-lines interchange: one object per line with
+    ``url``, ``warc_ts`` (ISO-8601), ``html_b64`` (base64 of the raw
+    bytes — JSON cannot carry binary), optional ``text``/``lang``.
+    Explicit schema (never inferSchema at crawl scale: inference is a
+    full extra pass) + JVM-side unbase64."""
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("warc_ts", T.StringType(), True),
+            T.StructField("html_b64", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("lang", T.StringType(), True),
+        ]
+    )
+    raw = spark.read.schema(schema).json(path_or_glob)
+    return (
+        raw.filter(F.col("url").isNotNull())
+        .select(
+            "url",
+            F.to_timestamp("warc_ts").alias("warc_ts"),
+            F.coalesce(F.unbase64("html_b64"), F.lit(b"")).alias("html"),
+            "text",
+            "lang",
+        )
+    )
+
+
 def register_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None) -> None:
     """Register the driver-provided relational tables as temp views
     (the DatasetCatalog analogue, builting.py:19-21)."""
