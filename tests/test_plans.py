@@ -154,3 +154,26 @@ def test_size_bucketed_repartition_homogenizes_batches(spark, pages_dir):
     # and rows stay balanced: no partition more than 2x the mean
     ns = [r["n"] for r in per if r["n"] > 0]
     assert max(ns) <= 2 * (sum(ns) / len(ns)), ns
+
+
+def test_partition_pruning_on_date_partitioned_pages(spark, pages_dir, tmp_path):
+    """The Iceberg-partitioning stand-in: pages written hive-partitioned
+    by crawl date; a date predicate must prune partitions at planning
+    time (PartitionFilters), scanning only the matching directories."""
+    out = str(tmp_path / "pages_by_dt")
+    hour = F.date_format("warc_ts", "yyyy-MM-dd-HH")
+    pages = read_pages(spark, pages_dir).withColumn("dt", hour)
+    pages.write.partitionBy("dt").mode("overwrite").parquet(out)
+
+    import os
+
+    parts = sorted(d for d in os.listdir(out) if d.startswith("dt="))
+    assert len(parts) >= 2, "fixture spans multiple hours"
+    one = parts[0][len("dt=") :]
+
+    df = spark.read.parquet(out).filter(F.col("dt") == one)
+    plan = _plan(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "dt" in m.group(1), plan
+    # and the pruned read returns exactly that hour's rows
+    assert df.count() == pages.filter(hour == one).count()

@@ -1059,6 +1059,33 @@ def q33_skew_safe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("source", "doc_id", "n_chars", "rk")
 
 
+@_q(
+    "q34_string_funcs",
+    """
+    SELECT doc_id,
+           upper(lang) AS lang_uc,
+           translate(substr(text, 1, 24), 'aeiou', 'AEIOU') AS vowels_uc,
+           regexp_extract(text, '([a-z]+)', 1) AS first_word,
+           split_part(source, '-', 1) AS source_head,
+           length(trim(substr(text, 1, 40))) AS trimmed_len
+    FROM documents
+    """,
+    "§2.10 string family: upper/translate/regexp_extract/split/trim — "
+    "the line-format parsing kit (rrc_evaluation_funcs.py:80-93) over "
+    "portable dialect-identical forms",
+)
+def q34_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.upper("lang").alias("lang_uc"),
+        F.translate(F.substring("text", 1, 24), "aeiou", "AEIOU").alias("vowels_uc"),
+        F.regexp_extract("text", "([a-z]+)", 1).alias("first_word"),
+        F.split(F.col("source"), "-").getItem(0).alias("source_head"),
+        F.length(F.trim(F.substring("text", 1, 40))).alias("trimmed_len"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # the flagship: extraction itself, oracle-checked
 
