@@ -203,3 +203,30 @@ def test_skew_safe_topk_matches_naive(spark):
         "key", "rid", "score", "rk"
     )
     assert sorted(map(tuple, naive.collect())) == sorted(map(tuple, safe.collect()))
+
+
+def test_approx_sketches_tolerance(spark, sf_dir):
+    """q35 has no SQL oracle (sketch algorithms are engine-specific);
+    assert accuracy against exact values instead: HLL within its rsd
+    envelope, quantiles within rank tolerance."""
+    from pyspark.sql import functions as F
+
+    from toyocr_spark.queries import QUERIES
+
+    approx = {r["l_returnflag"]: r for r in QUERIES["q35_approx_sketches"].spark(spark, sf_dir).collect()}
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("orders"),
+            F.expr("percentile(l_extendedprice, array(0.5, 0.95, 0.99))").alias("qs"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k in exact:
+        e, a = exact[k], approx[k]
+        assert abs(a["approx_orders"] - e["orders"]) <= max(3, 0.06 * e["orders"])
+        for qa, qe in zip(a["price_quantiles"], e["qs"]):
+            assert abs(qa - qe) <= max(10.0, 0.02 * qe)

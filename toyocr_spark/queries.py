@@ -1086,6 +1086,26 @@ def q34_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q35_approx_sketches",
+    None,  # approx algorithms differ per engine: rows-only driver check;
+    #       accuracy is asserted locally against exact values
+    #       (tests/test_operators.py::test_approx_sketches_tolerance)
+    "approximate aggregates for corpus stats at scale: HLL distinct "
+    "counts + quantile sketches (single pass, mergeable partial state "
+    "— the only viable shapes at 10^12 rows)",
+)
+def q35_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10_000).alias(
+            "price_quantiles"
+        ),
+        F.count("*").alias("n"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # the flagship: extraction itself, oracle-checked
 
