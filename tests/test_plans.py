@@ -177,3 +177,24 @@ def test_partition_pruning_on_date_partitioned_pages(spark, pages_dir, tmp_path)
     assert m and "dt" in m.group(1), plan
     # and the pruned read returns exactly that hour's rows
     assert df.count() == pages.filter(hour == one).count()
+
+
+def test_relational_queries_have_no_python_nodes(spark, sf_dir):
+    """The 'UDFs are the slow path' contract: every relational query
+    runs entirely JVM-side. Only the extraction/multimodal kernels
+    (mapInArrow) and the greedy matcher (applyInPandas, J3's inherently
+    sequential per-key loop) may cross into Python."""
+    allowed_python = {
+        "q25_extract",           # the extraction kernel itself
+        "q26_media_decode",      # multimodal decode kernel
+        "q27_media_frames",      # multimodal frame kernel
+    }
+    markers = ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas",
+               "MapInPandas", "PythonMapInArrow", "MapInArrow")
+    for name, fn in q.queries().items():
+        plan = _plan(fn(spark, sf_dir))
+        has_python = any(m in plan for m in markers)
+        if name in allowed_python:
+            assert has_python, f"{name} expected a Python kernel node"
+        else:
+            assert not has_python, f"{name} crosses into Python:\n{plan[:1500]}"
