@@ -198,3 +198,23 @@ def test_relational_queries_have_no_python_nodes(spark, sf_dir):
             assert has_python, f"{name} expected a Python kernel node"
         else:
             assert not has_python, f"{name} crosses into Python:\n{plan[:1500]}"
+
+
+def test_lineage_shows_balanced_partitions_under_skew(spark, pages_dir, tmp_path):
+    """End-to-end skew check using the engine's own lineage: on the
+    Zipf-skewed fixture, url-hash partitioning (+ salting) must keep
+    per-partition row counts near-uniform — no partition more than 3x
+    the median."""
+    from toyocr_spark.pipeline import read_lineage, resumable_run
+    from toyocr_spark.plans.partitioning import hot_hosts
+
+    pages = read_pages(spark, pages_dir)
+    out = str(tmp_path / "balance")
+    hot = hot_hosts(pages, threshold_fraction=0.05)
+    resumable_run(spark, pages, out, n_chunks=1, num_partitions=8, hot=hot)
+    counts = sorted(
+        r["row_count"] for r in read_lineage(spark, out).collect() if r["row_count"] > 0
+    )
+    assert len(counts) >= 4
+    median = counts[len(counts) // 2]
+    assert counts[-1] <= 3 * median, counts
