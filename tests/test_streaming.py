@@ -108,3 +108,42 @@ def test_windowed_counts_with_watermark(spark, stream_input, tmp_path):
     )
     want = {(r["ws"], r["lang"]): r["n_pages"] for r in batch.collect()}
     assert got == want
+
+
+def test_stateful_host_progress(spark, stream_input, tmp_path):
+    """applyInPandasWithState: running per-host totals accumulate
+    ACROSS micro-batches (state survives), matching the batch-side
+    ground truth at stream end."""
+    from toyocr_spark.streaming import stateful_host_progress
+
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_input)
+    )
+    q = (
+        stateful_host_progress(stream)
+        .writeStream.format("memory")
+        .queryName("host_prog")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("select * from host_prog").collect()
+    # last emission per host = max batches_seen
+    last = {}
+    for r in rows:
+        if r["host"] not in last or r["batches_seen"] > last[r["host"]]["batches_seen"]:
+            last[r["host"]] = r
+    want = {
+        r["host"]: (r["n"], r["b"])
+        for r in spark.read.schema(PAGES_SCHEMA).parquet(stream_input)
+        .groupBy(F.parse_url("url", F.lit("HOST")).alias("host"))
+        .agg(F.count("*").alias("n"), F.sum(F.octet_length("html")).alias("b"))
+        .collect()
+    }
+    got = {h: (r["pages_total"], r["bytes_total"]) for h, r in last.items()}
+    assert got == want
+    # state really crossed batches: some host appears in >1 micro-batch
+    assert any(r["batches_seen"] > 1 for r in last.values())

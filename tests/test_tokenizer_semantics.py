@@ -1,0 +1,102 @@
+"""The scanner's token-stream semantics, pinned against the reference
+regex form it replaced.
+
+The tokenizer's hot loop is a str.find scanner; its contract is
+byte-equivalence with ``<[^>]*>|[^<]+`` (a tag runs from '<' to the
+FIRST '>', embedded '<' included; an unclosed '<' is skipped and the
+remainder rescans as text). This test keeps that contract checkable
+forever without git archaeology: a reference regex tokenization of the
+same source must partition it into the same tag/text runs the scanner
+acts on, across adversarial fuzz inputs.
+"""
+
+from __future__ import annotations
+
+import random
+import re
+
+_REF_TOK = re.compile(r"<[^>]*>|[^<]+", re.S)
+
+
+def _scanner_tokens(src: str) -> list[str]:
+    """The exact scan loop from tokenizer.tokenize, emitting raw tokens."""
+    out: list[str] = []
+    find = src.find
+    i, n = 0, len(src)
+    while i < n:
+        if src[i] != "<":
+            j = find("<", i)
+            if j == -1:
+                j = n
+            out.append(src[i:j])
+            i = j
+            continue
+        j = find(">", i + 1)
+        if j == -1:
+            i += 1
+            continue
+        out.append(src[i : j + 1])
+        i = j + 1
+    return out
+
+
+def _regex_tokens(src: str) -> list[str]:
+    # the regex skips an unmatched '<' one char at a time, which splits
+    # the following text run; rejoin adjacent text runs so both forms
+    # compare at the "what the state machine consumes" granularity
+    toks = _REF_TOK.findall(src)
+    out: list[str] = []
+    for t in toks:
+        if out and t[0] != "<" and out[-1][0] != "<":
+            out[-1] += t
+        else:
+            out.append(t)
+    return out
+
+
+def _normalize(tokens: list[str]) -> list[str]:
+    # scanner can also emit adjacent text runs (after a skipped '<');
+    # normalize identically on both sides
+    out: list[str] = []
+    for t in tokens:
+        if not t:
+            continue
+        if out and t[0] != "<" and out[-1][0] != "<":
+            out[-1] += t
+        else:
+            out.append(t)
+    return out
+
+
+def test_scanner_matches_regex_on_edge_shapes():
+    cases = [
+        "a<b", "<<p>x", "<p", "x>y", "<a<b>c", "tail<", "<>", "a < b>c",
+        "<abc<def", "<p>hi</p", "", "<", ">", "<p><p>", "a<b<c>d<e",
+        "<p att='x>y'>z",  # '>' inside attr ends the tag (regex semantics)
+    ]
+    for s in cases:
+        assert _normalize(_scanner_tokens(s)) == _normalize(_regex_tokens(s)), repr(s)
+
+
+def test_scanner_matches_regex_fuzz():
+    rng = random.Random(2024)
+    alphabet = "<>ab /=\"'\n"
+    for _ in range(20000):
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60)))
+        assert _normalize(_scanner_tokens(s)) == _normalize(_regex_tokens(s)), repr(s)
+
+
+def test_scanner_loop_is_the_shipped_one():
+    """Guard against the test and the kernel drifting apart: the token
+    boundaries implied by tokenize()'s Block output must be consistent
+    with _scanner_tokens on a page with every edge shape."""
+    from toyocr_spark.extractor.tokenizer import tokenize
+
+    src = "<p>a &amp; b</p><div>c < d</div><ul><li>x</li></ul><p>tail"
+    blocks = tokenize(src)
+    texts = [b.text for b in blocks]
+    # '< d</div>' is ONE tag token (name 'd', unknown -> dropped) under
+    # the first-'>' rule, so the '<' swallows ' d</div>' and the div
+    # stays open — exactly what the reference regex did
+    assert texts == ["a & b", "c", "x", "tail"]
+    assert blocks[3].tag_path == ("div", "p")

@@ -1,4 +1,5 @@
 from toyocr_spark.streaming.ingest import (  # noqa: F401
+    stateful_host_progress,
     stream_extract,
     windowed_page_counts,
 )

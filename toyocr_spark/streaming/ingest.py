@@ -27,6 +27,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from toyocr_spark.pipeline import extract_pages, partition_lineage
 from toyocr_spark.sources.pages import PAGES_SCHEMA
@@ -90,6 +91,79 @@ def stream_extract(
         q.awaitTermination()
         return q
     return writer.start()
+
+
+def stateful_host_progress(
+    pages_stream: DataFrame,
+    idle_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-host
+    cumulative crawl progress that survives across micro-batches.
+
+    State per host = (pages_total, bytes_total, batches_seen); each
+    micro-batch emits the updated running totals for hosts present in
+    the batch — the arbitrary-state shape windowed aggs cannot express
+    (running totals never close).
+
+    ``idle_timeout_ms`` arms a processing-time timeout that emits a
+    final tombstone row (closed=true) and releases the state when a
+    host goes idle — for long-running continuous queries ONLY. Leave it
+    None for availableNow/backfill runs: a pending timeout keeps the
+    query alive ("no new data but cleaning up state") until it fires,
+    so a 1-hour timeout would spin an availableNow query for an hour.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("host", T.StringType(), False),
+            T.StructField("pages_total", T.LongType(), False),
+            T.StructField("bytes_total", T.LongType(), False),
+            T.StructField("batches_seen", T.IntegerType(), False),
+            T.StructField("closed", T.BooleanType(), False),
+        ]
+    )
+    state_schema = "pages_total long, bytes_total long, batches_seen int"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (host,) = key
+        if state.hasTimedOut:
+            pages_total, bytes_total, batches = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"host": [host], "pages_total": [pages_total],
+                 "bytes_total": [bytes_total], "batches_seen": [batches],
+                 "closed": [True]}
+            )
+            return
+        pages_total, bytes_total, batches = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            pages_total += len(pdf)
+            bytes_total += int(pdf["nbytes"].sum())
+        batches += 1
+        state.update((pages_total, bytes_total, batches))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            {"host": [host], "pages_total": [pages_total],
+             "bytes_total": [bytes_total], "batches_seen": [batches],
+             "closed": [False]}
+        )
+
+    keyed = pages_stream.select(
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.octet_length("html").alias("nbytes"),
+    ).groupBy("host")
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return keyed.applyInPandasWithState(
+        update, out_schema, state_schema, "update", timeout_conf
+    )
 
 
 def windowed_page_counts(
