@@ -1106,6 +1106,71 @@ def q35_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SIMHASH_CTE = f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id AS id, substr(t, p, 8) AS shingle
+      FROM (SELECT doc_id, substr(text, 1, 128) AS t FROM documents),
+           unnest(generate_series(1, greatest(length(t) - 7, 1))) AS u(p)
+      WHERE length(t) >= 8
+    ),
+    hx AS (SELECT id, ({_HEX4}) AS v
+           FROM (SELECT id, substr(md5(shingle), 1, 4) AS h FROM sh)),
+    bits AS (SELECT id, {_SIMHASH_BITS_SQL} FROM hx GROUP BY id),
+    sim AS (SELECT id, CAST({_SIMHASH_SUM_SQL} AS BIGINT) AS simhash FROM bits)
+"""
+
+
+@_q(
+    "q36_simhash_pairs",
+    f"""
+    {_SIMHASH_CTE},
+    banded AS (
+      SELECT id, simhash, b AS band,
+             (simhash // CAST(pow(2, b * 4) AS BIGINT)) % 16 AS bucket
+      FROM sim, unnest(generate_series(0, 3)) AS t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             a.simhash AS sh_a, b.simhash AS sh_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+    """,
+    "SimHash near-dup pairing: 4-bit band join proposes candidates "
+    "(any pair within hamming<=3 of 16 bits shares >=1 exact band — "
+    "pigeonhole), verified by bit_count(xor)",
+)
+def q36_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 128).alias("t")
+    )
+    sim = simhash16(d, "doc_id", "t", 8)
+    band = F.explode(F.sequence(F.lit(0), F.lit(3)))
+    banded = sim.select("id", "simhash", band.alias("band")).withColumn(
+        "bucket",
+        F.expr("pmod(simhash div cast(pow(2, band * 4) as bigint), 16)"),
+    )
+    a = banded.select(
+        F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "band", "bucket"
+    )
+    b = banded.select(
+        F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "band", "bucket"
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
+    return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= 3
+    )
+
+
 # ---------------------------------------------------------------------------
 # the flagship: extraction itself, oracle-checked
 
