@@ -38,6 +38,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--salt-threshold", type=float, default=0.01, help="host frequency above which urls are salted; <=0 disables the pre-agg")
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--strategy", default="density", help="registered extractor strategy (extractor/registry.py)")
+    ap.add_argument("--delta-from", default=None, help="previous run's output dir: re-extract only pages whose (url, html bytes) changed")
     args = ap.parse_args(argv)
 
     # imports deferred: under spark-submit --py-files the zip only joins
@@ -45,13 +46,15 @@ def main(argv: list[str] | None = None) -> int:
     from pyspark.sql import SparkSession
 
     from toyocr_spark.plans.partitioning import hot_hosts
-    from toyocr_spark.pipeline import read_lineage, resumable_run
+    from toyocr_spark.pipeline import delta_pages, read_lineage, read_result, resumable_run
     from toyocr_spark.sources.pages import read_pages
 
     spark = SparkSession.builder.appName("toyocr-extract").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     pages = read_pages(spark, args.input)
+    if args.delta_from:
+        pages = delta_pages(pages, read_result(spark, args.delta_from))
     hot = (
         hot_hosts(pages, threshold_fraction=args.salt_threshold)
         if args.salt_threshold > 0

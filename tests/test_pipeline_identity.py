@@ -33,7 +33,8 @@ def test_byte_identity_full_sweep(spark, pages_dir):
 def test_result_schema_stable(spark, pages_dir):
     result = run_extraction(read_pages(spark, pages_dir), num_partitions=4)
     assert [f.name for f in result.schema.fields] == [
-        "url", "extracted_text", "spans", "n_blocks", "n_kept", "html_len", "truncated",
+        "url", "extracted_text", "spans", "n_blocks", "n_kept", "html_len",
+        "truncated", "html_digest",
     ]
     one = result.filter(F.col("n_kept") > 0).limit(1).collect()[0]
     sp = one["spans"][0]

@@ -61,6 +61,10 @@ RESULT_SCHEMA = T.StructType(
         T.StructField("n_kept", T.IntegerType(), False),
         T.StructField("html_len", T.LongType(), False),
         T.StructField("truncated", T.BooleanType(), False),
+        # xxhash64 of the raw html (computed JVM-side, passed through the
+        # kernel untouched): the key for cross-run delta extraction —
+        # a page re-extracts only when url or bytes changed
+        T.StructField("html_digest", T.LongType(), False),
     ]
 )
 
@@ -105,6 +109,7 @@ def _extract_batches(
     for batch in it:
         urls = batch.column(0)
         htmls = batch.column(1).to_pylist()
+        digests = batch.column(2)  # JVM-computed xxhash64, passed through
         results = [extract(h) for h in htmls]
         # flat span arrays + offsets -> list<struct> with no per-row dicts
         starts: list[int] = []
@@ -134,6 +139,7 @@ def _extract_batches(
                 pa.array([r.n_kept for r in results], pa.int32()),
                 pa.array([0 if h is None else len(h) for h in htmls], pa.int64()),
                 pa.array([r.truncated for r in results], pa.bool_()),
+                digests,
             ],
             names=[f.name for f in RESULT_SCHEMA.fields],
         )
@@ -151,7 +157,21 @@ def extract_pages(pages: DataFrame, strategy: str = "density") -> DataFrame:
         if strategy == "density"
         else functools.partial(_extract_batches, strategy=strategy)
     )
-    return pages.select("url", "html").mapInArrow(fn, RESULT_SCHEMA)
+    prepared = pages.select(
+        "url", "html", F.xxhash64("html").alias("html_digest")
+    )
+    return prepared.mapInArrow(fn, RESULT_SCHEMA)
+
+
+def delta_pages(pages: DataFrame, prev_result: DataFrame) -> DataFrame:
+    """Incremental re-extraction input: pages whose (url, html bytes)
+    pair is NOT already in a previous run's output — unchanged pages
+    are skipped entirely (the monthly-recrawl case: most of a crawl is
+    byte-identical to last month). Left-anti join on (url, xxhash64),
+    so the wide html column never shuffles for the unchanged majority."""
+    seen = prev_result.select("url", "html_digest")
+    keyed = pages.withColumn("html_digest", F.xxhash64("html"))
+    return keyed.join(seen, ["url", "html_digest"], "left_anti").drop("html_digest")
 
 
 def run_extraction(
