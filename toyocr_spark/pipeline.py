@@ -192,14 +192,25 @@ def run_extraction(
 
 
 def partition_lineage(result: DataFrame, run_id: str, chunk_id: int, input_split: str) -> DataFrame:
-    """Per-partition lineage aggregate over an extraction result.
+    """Per-partition lineage aggregate over an extraction result read
+    back from its committed files.
+
+    Partition identity comes from the WRITTEN file (part-NNNNN index via
+    input_file_name), not spark_partition_id of the re-read scan — a
+    re-read groups small files by maxPartitionBytes, which would blur
+    which write task produced which rows. Falls back to the scan
+    partition id when rows carry no file provenance (non-file inputs).
 
     digest = hex(bit_xor(xxhash64(url, extracted_text))): commutative,
     so identical data -> identical digest regardless of row order or
     task scheduling; O(1) per partition (no sort, no collect).
     """
+    fname = F.input_file_name()
+    part = F.when(
+        fname == "", F.spark_partition_id()
+    ).otherwise(F.regexp_extract(fname, r"part-(\d+)", 1).cast("int"))
     return (
-        result.withColumn("partition_id", F.spark_partition_id())
+        result.withColumn("partition_id", part)
         .groupBy("partition_id")
         .agg(
             F.count("*").alias("row_count"),
