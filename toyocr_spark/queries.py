@@ -73,27 +73,36 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "q01_scan_agg",
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                   AS sum_qty,
-           round(sum(l_extendedprice), 2)                              AS sum_base,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc,
-           round(avg(l_quantity), 4)                                   AS avg_qty,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)      AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 4)                                        AS avg_qty,
            count(*)                                                    AS n
     FROM lineitem
     WHERE l_shipdate <= timestamp '1997-09-01 00:00:00'
     GROUP BY l_returnflag, l_linestatus
     """,
-    "pushdown filter + grouped aggregates (graft of A1/A2 masked sums)",
+    "pushdown filter + grouped aggregates (graft of A1/A2 masked sums); "
+    "sums go through exact DECIMAL so the result is independent of "
+    "floating-point summation ORDER — a double sum over 10^5 rows "
+    "carries ~1e-4 order noise, enough to straddle a cents rounding "
+    "boundary between engines",
 )
 def q01_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    base = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,6)")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1997-09-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(base).cast("double").alias("sum_base"),
+            F.round(F.sum(base * disc), 2).cast("double").alias("sum_disc"),
+            F.round(F.sum(qty).cast("double") / F.count("*"), 4).alias("avg_qty"),
             F.count("*").alias("n"),
         )
     )
@@ -383,7 +392,8 @@ def q10_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q11_region_revenue",
     """
     SELECT r.r_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
            count(*) AS n_items
     FROM lineitem l
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -404,7 +414,15 @@ def q11_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,6)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
