@@ -55,3 +55,17 @@ def test_dontcare_suppression_changes_denominator(spark, pages_dir):
         result, pages, exp.withColumn("ignore", F.lit(0))
     )
     assert with_dc["span_precision"] >= without_dc["span_precision"]
+
+
+def test_identity_diff_localizes_mismatches(spark, pages_dir):
+    from toyocr_spark.pipeline import identity_diff
+
+    pages, _ = _load(spark, pages_dir)
+    # frozen kernel: no mismatches
+    assert identity_diff(extract_pages(pages), pages).count() == 0
+    # degraded strategy: mismatches appear with usable excerpts
+    rows = identity_diff(extract_pages(pages, strategy="title-only"), pages).collect()
+    assert rows
+    r = rows[0]
+    assert r["ours_len"] != r["ref_len"] or r["ours_head"] != r["ref_head"]
+    assert len(r["ref_head"]) <= 80

@@ -359,6 +359,27 @@ def read_lineage(
 # ----------------------------------------------------------- verification
 
 
+def identity_diff(result: DataFrame, pages: DataFrame, max_rows: int = 50) -> DataFrame:
+    """Debug companion to identity_report (the gt/pred visual join J6,
+    /root/reference/tools/visual_results.py:15-55): the mismatching
+    urls with lengths and head/tail excerpts of both sides — enough to
+    localize a divergence without shipping whole documents to the
+    driver. All JVM-side; LIMIT bounds driver exposure."""
+    j = result.join(pages.select("url", "text"), "url").filter(
+        F.col("extracted_text") != F.col("text")
+    )
+    ex = F.substring
+    return j.select(
+        "url",
+        F.length("extracted_text").alias("ours_len"),
+        F.length("text").alias("ref_len"),
+        ex("extracted_text", 1, 80).alias("ours_head"),
+        ex("text", 1, 80).alias("ref_head"),
+        F.substring(F.reverse("extracted_text"), 1, 40).alias("ours_tail_rev"),
+        F.substring(F.reverse("text"), 1, 40).alias("ref_tail_rev"),
+    ).limit(max_rows)
+
+
 def identity_report(result: DataFrame, pages: DataFrame) -> DataFrame:
     """The eval query (SURVEY.md S3.3): per-url byte-equality against the
     reference ``text`` column, aggregated to a pass rate — the two-level
