@@ -75,3 +75,20 @@ def test_rows_only_queries_run(spark, sf_dir):
         if spec.sql is None:
             df = spec.spark(spark, sf_dir)
             assert df.count() >= 0, name
+
+
+def test_no_complex_result_columns(spark, sf_dir):
+    """The driver canonicalizes EVERY query result (rows-only included)
+    via pandas sort_values over all columns, which raises 'unhashable
+    type' on array/map/struct columns (round-1 q30/q35 regression).
+    Scalar output columns only — explode or serialize anything nested."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    for name, spec in QUERIES.items():
+        df = spec.spark(spark, sf_dir)
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        assert not bad, f"{name}: non-scalar result columns {bad}"

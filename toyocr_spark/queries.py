@@ -960,23 +960,32 @@ def q29_repeat_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT vec_id,
            round(CAST(embedding[CAST(vec_id % 8 AS INT) + 1] AS DOUBLE), 4) AS gathered,
-           list_transform(list_reverse_sort(embedding[1:4]),
-                          y -> round(CAST(y AS DOUBLE), 4)) AS top_desc
-    FROM embeddings WHERE vec_id < 100
+           CAST(u.p AS INT) AS pos,
+           round(CAST(list_reverse_sort(embedding[1:4])[u.p] AS DOUBLE), 4) AS top_desc
+    FROM embeddings, unnest(generate_series(1, 4)) AS u(p)
+    WHERE vec_id < 100
     """,
     "D3 gather-by-ordinal via element_at (centernet_decode.py:9-23) + W3 "
-    "desc confidence sort (sort_array, build.py:141-142)",
+    "desc confidence sort (sort_array, build.py:141-142). The sorted "
+    "array is EXPLODED to (pos, value) rows: the driver canonicalizes "
+    "results via pandas sort_values, which cannot sort list-typed "
+    "columns — scalar columns only in the query contract.",
 )
 def q30_gather_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
     idx = (F.pmod(F.col("vec_id"), F.lit(8)).cast("int") + 1).cast("int")
-    return e.select(
+    exploded = e.select(
         "vec_id",
         F.round(F.element_at("embedding", idx).cast("double"), 4).alias("gathered"),
-        F.transform(
-            F.sort_array(F.slice("embedding", 1, 4), asc=False),
-            lambda y: F.round(y.cast("double"), 4),
-        ).alias("top_desc"),
+        F.posexplode(F.sort_array(F.slice("embedding", 1, 4), asc=False)).alias(
+            "pos0", "v"
+        ),
+    )
+    return exploded.select(
+        "vec_id",
+        "gathered",
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.round(F.col("v").cast("double"), 4).alias("top_desc"),
     )
 
 
@@ -1111,16 +1120,32 @@ def q34_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     #       (tests/test_operators.py::test_approx_sketches_tolerance)
     "approximate aggregates for corpus stats at scale: HLL distinct "
     "counts + quantile sketches (single pass, mergeable partial state "
-    "— the only viable shapes at 10^12 rows)",
+    "— the only viable shapes at 10^12 rows). Quantiles are EXPLODED "
+    "to (p, quantile_value) rows: even the rows-only driver check "
+    "canonicalizes via pandas sort_values, which cannot sort "
+    "list-typed columns.",
 )
 def q35_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    ps = [0.5, 0.95, 0.99]
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10_000).alias(
-            "price_quantiles"
-        ),
+        F.percentile_approx("l_extendedprice", ps, 10_000).alias("_pq"),
         F.count("*").alias("n"),
+    )
+    exploded = agg.select(
+        "l_returnflag",
+        "approx_orders",
+        "n",
+        F.posexplode("_pq").alias("_qi", "_qv"),
+    )
+    p_labels = F.array(*[F.lit(p) for p in ps])
+    return exploded.select(
+        "l_returnflag",
+        "approx_orders",
+        "n",
+        F.element_at(p_labels, F.col("_qi") + 1).alias("p"),
+        F.round(F.col("_qv").cast("double"), 4).alias("quantile_value"),
     )
 
 
