@@ -100,3 +100,30 @@ def test_scanner_loop_is_the_shipped_one():
     # stays open — exactly what the reference regex did
     assert texts == ["a & b", "c", "x", "tail"]
     assert blocks[3].tag_path == ("div", "p")
+
+
+def test_position_box_case_insensitive():
+    """_POS_RE is re.I, so the fast-path guard must be too: uppercase /
+    mixed-case style attributes are legal HTML and must yield the same
+    box as lowercase (round-2 ADVICE: a case-sensitive 'position' in tok
+    guard silently dropped boxes, changing XY-cut reading order)."""
+    from toyocr_spark.extractor.tokenizer import tokenize
+
+    variants = [
+        '<div style="position:absolute;left:10px;top:20px;width:280px;height:60px">t</div>',
+        '<DIV STYLE="POSITION:ABSOLUTE;LEFT:10px;TOP:20px;WIDTH:280px;HEIGHT:60px">t</DIV>',
+        '<div style="PoSiTiOn:AbSoLuTe;LeFt:10px;ToP:20px;WiDtH:280px;HeIgHt:60px">t</div>',
+    ]
+    boxes = [tokenize(h)[0].box for h in variants]
+    assert boxes == [(10, 20, 280, 60)] * 3
+
+
+def test_position_box_defaults_and_closing_tags():
+    from toyocr_spark.extractor.tokenizer import tokenize
+
+    # width/height default when absent
+    b = tokenize('<div style="position:absolute;left:-3px;top:7px">x</div>')
+    assert b[0].box == (-3, 7, 100, 20)
+    # a closing tag never carries a box even if its token matches _POS_RE
+    b = tokenize('<div>x</div style="position:absolute;left:1px;top:2px">y')
+    assert all(blk.box is None for blk in b)

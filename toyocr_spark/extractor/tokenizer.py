@@ -90,9 +90,32 @@ class Block:
 _PATH_CACHE_CAP = 1 << 14
 _BOILER_CACHE: dict[tuple[str, ...], bool] = {}
 _CLASSIFY_CACHE: dict[tuple[str, ...], str] = {}
-# tag-token -> (name, closing) | None-for-malformed; 0 is the miss
-# sentinel (a valid entry is never 0)
-_TAG_CACHE: dict[str, tuple[str, bool] | None] = {}
+# tag-token -> (name, closing, box|None) | None-for-malformed; 0 is the
+# miss sentinel (a valid entry is never 0). The box is parsed here, at
+# token-cache-fill time, so the "position" pre-check can afford a
+# case-fold: _POS_RE is re.I, and a case-sensitive fast-path guard would
+# silently drop boxes on <DIV STYLE="POSITION:ABSOLUTE;..."> (legal
+# HTML) — lost boxes change XY-cut reading order, a byte-identity break.
+_TAG_CACHE: dict[str, tuple[str, bool, tuple[int, int, int, int] | None] | None] = {}
+
+
+def _parse_tag(tok: str) -> tuple[str, bool, tuple[int, int, int, int] | None] | None:
+    nm = _TAG_NAME_RE.match(tok)
+    if nm is None:
+        return None  # malformed tag: drop (deterministic)
+    name = nm.group(1)
+    if not name.islower():
+        name = name.lower()
+    closing = tok[1] == "/"
+    box = None
+    if not closing and ("position" in tok or "position" in tok.lower()):
+        pm = _POS_RE.search(tok)
+        if pm is not None:
+            x, y = int(pm.group(1)), int(pm.group(2))
+            w = int(pm.group(3)) if pm.group(3) else 100
+            h = int(pm.group(4)) if pm.group(4) else 20
+            box = (x, y, w, h)
+    return (name, closing, box)
 
 
 def _decode(html: bytes | str) -> str:
@@ -208,19 +231,14 @@ def tokenize(html: bytes | str) -> list[Block]:
         if hit != 0:
             if hit is None:
                 continue
-            name, closing = hit
+            name, closing, box = hit
         else:
-            nm = _TAG_NAME_RE.match(tok)
-            if nm is None:
-                if len(_TAG_CACHE) < _PATH_CACHE_CAP:
-                    _TAG_CACHE[tok] = None
-                continue  # malformed tag: drop (deterministic)
-            name = nm.group(1)
-            if not name.islower():
-                name = name.lower()
-            closing = tok[1] == "/"
+            hit = _parse_tag(tok)
             if len(_TAG_CACHE) < _PATH_CACHE_CAP:
-                _TAG_CACHE[tok] = (name, closing)
+                _TAG_CACHE[tok] = hit
+            if hit is None:
+                continue
+            name, closing, box = hit
         if name in BLOCK_TAGS:
             if cur._parts or cur.link_chars or cur.n_inline:
                 flush()
@@ -240,14 +258,8 @@ def tokenize(html: bytes | str) -> list[Block]:
             else:
                 stack.append(name)
                 path = tuple(stack)
-                # _POS_RE can only match when the attribute text is there
-                if "position" in tok:
-                    pm = _POS_RE.search(tok)
-                    if pm is not None:
-                        x, y = int(pm.group(1)), int(pm.group(2))
-                        w = int(pm.group(3)) if pm.group(3) else 100
-                        h = int(pm.group(4)) if pm.group(4) else 20
-                        cur_box = (x, y, w, h)
+                if box is not None:
+                    cur_box = box
             cur.tag_path = path
         elif name == "a":
             if closing:
