@@ -230,3 +230,54 @@ def test_approx_sketches_tolerance(spark, sf_dir):
         assert abs(a["approx_orders"] - e["orders"]) <= max(3, 0.06 * e["orders"])
         for qa, qe in zip(a["price_quantiles"], e["qs"]):
             assert abs(qa - qe) <= max(10.0, 0.02 * qe)
+
+
+def test_hot_shingle_cap_bounds_pairs_and_is_noop_when_cold(spark):
+    """The df cap must (a) drop a boilerplate shingle shared by every
+    doc BEFORE the pair join (the O(n^2) scale-killer: cookie-banner
+    text), and (b) change nothing when no shingle is hot — the sf-small
+    guarantee the oracle parity relies on."""
+    from toyocr_spark.operators.dedup import char_shingles, jaccard_pairs
+
+    # 40 docs sharing one 8-char boilerplate prefix, otherwise disjoint
+    # (md5-hex bodies share no 8-gram)
+    import hashlib
+
+    rows = [
+        (i, "COOKIES!" + hashlib.md5(str(i).encode()).hexdigest())
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, t string")
+    sh = char_shingles(df, "doc_id", "t", 8)
+    capped = jaccard_pairs(sh, min_jaccard=0.0, max_doc_freq=8)
+    uncapped = jaccard_pairs(sh, min_jaccard=0.0)
+    # uncapped: the shared prefix alone links every pair -> 40*39/2
+    assert uncapped.count() == 780
+    # pure-Python oracle of the capped semantics: drop shingles with
+    # df > 8, pair docs with any remaining shared shingle
+    shingle_sets = {
+        i: {t[p : p + 8] for p in range(len(t) - 7)} for i, t in rows
+    }
+    df_count: dict[str, int] = {}
+    for s in shingle_sets.values():
+        for g in s:
+            df_count[g] = df_count.get(g, 0) + 1
+    kept = {i: {g for g in s if df_count[g] <= 8} for i, s in shingle_sets.items()}
+    expected = {
+        (a, b)
+        for a in kept
+        for b in kept
+        if a < b and kept[a] & kept[b]
+    }
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert got == expected
+    # the hot-shingle all-pairs explosion is gone
+    assert len(got) < 100
+
+    # cold corpus (every shingle df=1..2): cap is a provable no-op
+    rows2 = [(1, "abcdefghij"), (2, "abcdefghij"), (3, "zzzzzzzzzz")]
+    df2 = spark.createDataFrame(rows2, "doc_id long, t string")
+    sh2 = char_shingles(df2, "doc_id", "t", 8)
+    a = sorted(tuple(r) for r in jaccard_pairs(sh2, 0.0, max_doc_freq=8).collect())
+    b = sorted(tuple(r) for r in jaccard_pairs(sh2, 0.0).collect())
+    assert a == b and len(a) == 1

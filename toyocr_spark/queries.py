@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from toyocr_spark.functions.textfns import LANG_MARKERS, lang_id_scores, quality_features, token_count
 from toyocr_spark.operators.dedup import (
+    HOT_SHINGLE_DF_CAP,
     char_shingles,
     exact_dedup,
     jaccard_pairs,
@@ -482,10 +483,22 @@ def _de_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# shingles with the hot-shingle (boilerplate) doc-frequency cap applied
+# — the oracle twin of jaccard_pairs(max_doc_freq=HOT_SHINGLE_DF_CAP).
+# sh0 stays available for the node universe (a doc whose every shingle
+# is boilerplate still exists; it just proposes no pairs).
+_CAPPED_SHINGLE_SQL = f"""
+    sh0 AS ({_SHINGLE_SQL}),
+    ok AS (SELECT shingle FROM sh0 GROUP BY shingle
+           HAVING count(*) <= {HOT_SHINGLE_DF_CAP}),
+    sh AS (SELECT sh0.id, sh0.shingle FROM sh0 JOIN ok USING (shingle))
+"""
+
+
 @_q(
     "q14_jaccard",
     f"""
-    WITH sh AS ({_SHINGLE_SQL}),
+    WITH {_CAPPED_SHINGLE_SQL},
     sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
     inter AS (
       SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
@@ -497,11 +510,12 @@ def _de_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM inter JOIN sz x ON id_a = x.id JOIN sz y ON id_b = y.id
     WHERE inter * 1.0 / (x.n + y.n - inter) >= 0.1
     """,
-    "char-shingle n-gram Jaccard near-dup pairs",
+    "char-shingle n-gram Jaccard near-dup pairs (hot-shingle df cap on: "
+    "boilerplate shingles never reach the pair join)",
 )
 def q14_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = char_shingles(_de_docs(spark, sf_dir), "doc_id", "t", 8)
-    out = jaccard_pairs(sh, min_jaccard=0.1)
+    out = jaccard_pairs(sh, min_jaccard=0.1, max_doc_freq=HOT_SHINGLE_DF_CAP)
     return out.select(
         "id_a", "id_b", "inter", "size_a", "size_b", F.round("jaccard", 6).alias("jaccard")
     )
@@ -1018,7 +1032,7 @@ def q31_array_hof_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "q32_dedup_clusters",
     f"""
-    WITH RECURSIVE sh AS ({_SHINGLE_SQL}),
+    WITH RECURSIVE {_CAPPED_SHINGLE_SQL},
     sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
     inter AS (
       SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
@@ -1035,7 +1049,7 @@ def q31_array_hof_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION SELECT id_b, id_a FROM pairs
     ),
     reach(src, dst) AS (
-      SELECT id, id FROM sz
+      SELECT DISTINCT id, id FROM sh0
       UNION
       SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
     )
@@ -1045,7 +1059,9 @@ def q31_array_hof_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "near-dup pairs -> dedup clusters via min-label propagation "
     "(connected components, the keep-one-per-cluster step of corpus "
-    "dedup); oracle = recursive-CTE transitive closure",
+    "dedup); oracle = recursive-CTE transitive closure. Pair generation "
+    "runs with the hot-shingle df cap; the node universe stays uncapped "
+    "(all-boilerplate docs keep a singleton cluster)",
 )
 def q32_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from toyocr_spark.operators.dedup import (
@@ -1055,7 +1071,9 @@ def q32_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     sh = char_shingles(_de_docs(spark, sf_dir), "doc_id", "t", 8)
-    pairs = jaccard_pairs(sh, min_jaccard=0.1).select("id_a", "id_b")
+    pairs = jaccard_pairs(
+        sh, min_jaccard=0.1, max_doc_freq=HOT_SHINGLE_DF_CAP
+    ).select("id_a", "id_b")
     cc = connected_components(pairs, sh.select("id"))
     return cc.select(
         F.col("id").alias("doc_id"),
