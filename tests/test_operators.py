@@ -213,7 +213,11 @@ def test_approx_sketches_tolerance(spark, sf_dir):
 
     from toyocr_spark.queries import QUERIES
 
-    approx = {r["l_returnflag"]: r for r in QUERIES["q35_approx_sketches"].spark(spark, sf_dir).collect()}
+    # q35 emits one (flag, p, quantile_value) row per quantile (the
+    # driver canonicalizer cannot sort array columns)
+    rows = QUERIES["q35_approx_sketches"].spark(spark, sf_dir).collect()
+    approx_orders = {r["l_returnflag"]: r["approx_orders"] for r in rows}
+    approx_q = {(r["l_returnflag"], r["p"]): r["quantile_value"] for r in rows}
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     exact = {
         r["l_returnflag"]: r
@@ -224,12 +228,11 @@ def test_approx_sketches_tolerance(spark, sf_dir):
         )
         .collect()
     }
-    assert set(approx) == set(exact)
-    for k in exact:
-        e, a = exact[k], approx[k]
-        assert abs(a["approx_orders"] - e["orders"]) <= max(3, 0.06 * e["orders"])
-        for qa, qe in zip(a["price_quantiles"], e["qs"]):
-            assert abs(qa - qe) <= max(10.0, 0.02 * qe)
+    assert set(approx_orders) == set(exact)
+    for k, e in exact.items():
+        assert abs(approx_orders[k] - e["orders"]) <= max(3, 0.06 * e["orders"])
+        for p, qe in zip([0.5, 0.95, 0.99], e["qs"]):
+            assert abs(approx_q[(k, p)] - qe) <= max(10.0, 0.02 * qe)
 
 
 def test_hot_shingle_cap_bounds_pairs_and_is_noop_when_cold(spark):
@@ -281,3 +284,15 @@ def test_hot_shingle_cap_bounds_pairs_and_is_noop_when_cold(spark):
     a = sorted(tuple(r) for r in jaccard_pairs(sh2, 0.0, max_doc_freq=8).collect())
     b = sorted(tuple(r) for r in jaccard_pairs(sh2, 0.0).collect())
     assert a == b and len(a) == 1
+
+
+def test_skew_safe_topk_rejects_degenerate_salt(spark):
+    """tiebreak_col seeds the salt; a group key (constant within each
+    group) would collapse every hot-key row into one salt bucket."""
+    from toyocr_spark.operators.selection import skew_safe_topk
+
+    df = spark.createDataFrame([("a", 1, 1.0)], "key string, rid int, score double")
+    with pytest.raises(ValueError, match="group key"):
+        skew_safe_topk(df, ["key"], "score", 3, tiebreak_col="key")
+    with pytest.raises(TypeError):
+        skew_safe_topk(df, ["key"], "score", 3)  # tiebreak_col required

@@ -129,3 +129,32 @@ def test_snapshot_read_hides_uncommitted_chunks(spark, pages_dir, tmp_path):
     r = resumable_run(spark, pages, out, n_chunks=4)
     assert r["executed"] == [2]
     assert read_result(spark, out).count() == total
+
+
+def test_sub_batch_slicing_is_invisible(monkeypatch):
+    """_extract_batches slices oversized Arrow batches on a byte budget
+    (int32-offset guard). Driven directly in-process (executor workers
+    re-import the module, so a Spark-side monkeypatch would be
+    vacuous): a tiny budget must yield MORE batches but byte-identical
+    concatenated output."""
+    import pyarrow as pa
+
+    from toyocr_spark import pipeline
+
+    htmls = [f"<p>doc {i} body text</p>".encode() * 20 for i in range(64)]
+    batch = pa.RecordBatch.from_arrays(
+        [
+            pa.array([f"u{i}" for i in range(64)], pa.string()),
+            pa.array(htmls, pa.binary()),
+            pa.array(list(range(64)), pa.int64()),
+        ],
+        names=["url", "html", "html_digest"],
+    )
+    one = list(pipeline._extract_batches(iter([batch])))
+    monkeypatch.setattr(pipeline, "_OUT_BATCH_BYTES", 1024)
+    many = list(pipeline._extract_batches(iter([batch])))
+    assert len(one) == 1 and len(many) > 4
+    t_one = pa.Table.from_batches(one)
+    t_many = pa.Table.from_batches(many)
+    assert t_one.equals(t_many.combine_chunks())
+    assert t_one.num_rows == 64

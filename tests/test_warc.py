@@ -76,3 +76,30 @@ def test_warc_to_extraction_byte_identity(spark, warc_dir):
         for r in extract_pages(read_warc(spark, warc_dir)).collect()
     }
     assert got == want
+
+
+def test_malformed_http_block_is_skipped():
+    """A response record whose body starts with HTTP/ but has no
+    CRLFCRLF header terminator must be skipped, not emitted as an
+    empty-html page."""
+    from toyocr_spark.sources.warc import parse_warc
+
+    body = b"HTTP/1.1 200 OK\r\nContent-Type: text/html"  # no terminator
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://x.example/\r\n"
+        b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        + f"Content-Length: {len(body)}\r\n".encode()
+        + b"\r\n" + body + b"\r\n\r\n"
+    )
+    good_body = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>ok</p>"
+    good = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://y.example/\r\n"
+        b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        + f"Content-Length: {len(good_body)}\r\n".encode()
+        + b"\r\n" + good_body + b"\r\n\r\n"
+    )
+    out = parse_warc(rec + good)
+    assert [r["url"] for r in out] == ["https://y.example/"]
+    assert out[0]["html"] == b"<p>ok</p>"

@@ -82,7 +82,8 @@ def skew_safe_topk(
     salt_buckets: int = 16,
     ascending: bool = False,
     rank_name: str = "rk",
-    tiebreak_col: str | None = None,
+    *,
+    tiebreak_col: str,
 ) -> DataFrame:
     """Per-key top-K that survives a hot key (the skew case windows
     cannot partial-aggregate away: a naive ``row_number() over
@@ -98,10 +99,27 @@ def skew_safe_topk(
          O(rows-of-hottest-key).
 
     Result is row-identical to the naive single-window top-K when the
-    total order is unambiguous — pass tiebreak_col (default: order_col
-    ties broken by it ascending) to guarantee that.
+    total order is unambiguous — tiebreak_col provides that total order
+    AND seeds the salt, so it is REQUIRED and must be a row-level
+    column (e.g. a record id). A column that is constant within a group
+    (any group key) would put every row of a hot key into one salt
+    bucket, silently degenerating phase 1 back into the single-reducer
+    window this function exists to avoid.
     """
-    tb = tiebreak_col or group_cols[0]
+    if tiebreak_col is None:
+        raise ValueError(
+            "skew_safe_topk requires tiebreak_col: a row-level column "
+            "(e.g. a record id) that both breaks ordering ties and "
+            "seeds the salt; without it the salt would be constant "
+            "per group and phase 1 degenerates to a single reducer"
+        )
+    if tiebreak_col in group_cols:
+        raise ValueError(
+            f"tiebreak_col {tiebreak_col!r} is a group key: the salt "
+            "xxhash64(tiebreak_col) would be constant within each "
+            "group, so a hot key's rows all land in one salt bucket"
+        )
+    tb = tiebreak_col
     order = [
         (F.col(order_col).asc() if ascending else F.col(order_col).desc()),
         F.col(tb).asc(),

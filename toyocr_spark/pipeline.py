@@ -81,6 +81,17 @@ LINEAGE_SCHEMA = T.StructType(
 )
 
 
+# Output sub-batch byte budget: pa.string()/pa.binary() carry int32
+# offsets, so any single output array must stay far under 2 GiB. The
+# session helper caps maxRecordsPerBatch at 512 rows, but a FOREIGN
+# session (default 10k rows/batch) x MAX_HTML_BYTES-sized documents
+# could overflow at runtime — so the kernel wrapper slices incoming
+# batches on cumulative html bytes itself rather than trusting session
+# config (extracted text is always <= html bytes, so bounding the
+# input bounds every output array).
+_OUT_BATCH_BYTES = 256 << 20
+
+
 def _extract_batches(
     it: Iterator["pa.RecordBatch"], strategy: str = "density"
 ) -> Iterator["pa.RecordBatch"]:
@@ -93,6 +104,7 @@ def _extract_batches(
     (the batch_padding-free analogue of /root/reference/inference/
     utils.py:6-49: ragged batches, zero copy-padding)."""
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     if strategy == "density":
         from toyocr_spark.extractor import extract
@@ -106,7 +118,25 @@ def _extract_batches(
         [pa.field("start", pa.int64(), False), pa.field("end", pa.int64(), False),
          pa.field("kind", pa.string(), False)]
     )
-    for batch in it:
+
+    def _sub_batches(batch: "pa.RecordBatch") -> Iterator["pa.RecordBatch"]:
+        if batch.num_rows == 0:
+            return
+        lens = pc.binary_length(batch.column(1)).to_pylist()
+        start = 0
+        while start < batch.num_rows:
+            total, end = 0, start
+            while end < batch.num_rows and (
+                end == start or total + (lens[end] or 0) <= _OUT_BATCH_BYTES
+            ):
+                total += lens[end] or 0
+                end += 1
+            yield batch.slice(start, end - start)
+            start = end
+
+    import itertools
+
+    for batch in itertools.chain.from_iterable(map(_sub_batches, it)):
         urls = batch.column(0)
         htmls = batch.column(1).to_pylist()
         digests = batch.column(2)  # JVM-computed xxhash64, passed through
@@ -168,8 +198,16 @@ def delta_pages(pages: DataFrame, prev_result: DataFrame) -> DataFrame:
     pair is NOT already in a previous run's output — unchanged pages
     are skipped entirely (the monthly-recrawl case: most of a crawl is
     byte-identical to last month). Left-anti join on (url, xxhash64),
-    so the wide html column never shuffles for the unchanged majority."""
-    seen = prev_result.select("url", "html_digest")
+    so the wide html column never shuffles for the unchanged majority.
+
+    Outputs written before html_digest existed read back as null (the
+    pinned read schema tolerates a missing parquet column); those rows
+    are dropped from the seen-set so they safely RE-extract rather than
+    poisoning the anti-join key — graceful degradation, never a wrong
+    skip."""
+    seen = prev_result.select("url", "html_digest").filter(
+        F.col("html_digest").isNotNull()
+    )
     keyed = pages.withColumn("html_digest", F.xxhash64("html"))
     return keyed.join(seen, ["url", "html_digest"], "left_anti").drop("html_digest")
 

@@ -76,8 +76,12 @@ def parse_warc(raw: bytes) -> list[dict]:
             html = body
             if body[:5] == b"HTTP/":
                 he = body.find(_CRLF + _CRLF)
-                http_hdr = body[:he].lower() if he != -1 else b""
-                html = body[he + 4 :] if he != -1 else b""
+                if he == -1:
+                    # malformed http block (no header terminator): skip
+                    # the record rather than emit a bogus empty page
+                    continue
+                http_hdr = body[:he].lower()
+                html = body[he + 4 :]
                 if b"content-type" in http_hdr and b"text/html" not in http_hdr:
                     continue  # non-html response record
             out.append(
