@@ -118,13 +118,65 @@ def _parse_tag(tok: str) -> tuple[str, bool, tuple[int, int, int, int] | None] |
     return (name, closing, box)
 
 
+# <meta charset=...> / <meta http-equiv content="...charset=..."> and
+# XML-prologue encoding sniffers, run over the first KiB of raw bytes
+# (the WHATWG prescan region). ASCII-superset encodings only: a meta
+# tag readable as ASCII cannot be declaring UTF-16/32.
+_META_CHARSET_RE = re.compile(
+    rb"<meta[^>]{0,256}?charset\s*=\s*[\"']?\s*([A-Za-z0-9][A-Za-z0-9._\-]{0,30})",
+    re.I,
+)
+_XML_ENC_RE = re.compile(
+    rb"^\s*<\?xml[^>]{0,128}?encoding\s*=\s*[\"']([A-Za-z0-9._\-]{1,31})[\"']", re.I
+)
+_SNIFF_BYTES = 1024
+
+
+def _sniffed_codec(head: bytes) -> str | None:
+    m = _META_CHARSET_RE.search(head) or _XML_ENC_RE.match(head)
+    if m is None:
+        return None
+    import codecs
+
+    try:
+        name = codecs.lookup(m.group(1).decode("ascii")).name
+    except (LookupError, UnicodeDecodeError):
+        return None  # unknown label: fall through to utf-8
+    if name == "utf-8" or name.startswith(("utf-16", "utf-32")):
+        # utf-8 is the default anyway; a utf-16/32 label inside
+        # ASCII-readable markup is self-contradictory (WHATWG says
+        # treat it as utf-8)
+        return None
+    return name
+
+
 def _decode(html: bytes | str) -> str:
+    """Charset-sniffing byte decode, deterministic and lossy-safe — the
+    format-trap normalization analogue of
+    /root/reference/utils/img_utils.py:9-31 (EXIF/PNG surprises).
+
+    Priority (WHATWG encoding-sniffing order): BOM > <meta charset> /
+    XML prologue (first KiB, ASCII-superset encodings only) > lossy
+    UTF-8. A real crawl is several percent non-UTF-8; without this every
+    such page extracts mojibake."""
     if isinstance(html, str):
         return html
-    # BOM-aware UTF-8, lossy on bad bytes — the charset-normalization
-    # analogue of /root/reference/utils/img_utils.py:9-31 (format traps)
     if html[:3] == b"\xef\xbb\xbf":
-        html = html[3:]
+        return html[3:].decode("utf-8", "replace")
+    if html[:4] == b"\xff\xfe\x00\x00":
+        return html[4:].decode("utf-32-le", "replace")
+    if html[:4] == b"\x00\x00\xfe\xff":
+        return html[4:].decode("utf-32-be", "replace")
+    if html[:2] == b"\xff\xfe":
+        return html[2:].decode("utf-16-le", "replace")
+    if html[:2] == b"\xfe\xff":
+        return html[2:].decode("utf-16-be", "replace")
+    codec = _sniffed_codec(html[:_SNIFF_BYTES])
+    if codec is not None:
+        try:
+            return html.decode(codec, "replace")
+        except Exception:  # non-text codec smuggled through a label
+            pass
     return html.decode("utf-8", "replace")
 
 
