@@ -296,3 +296,39 @@ def test_skew_safe_topk_rejects_degenerate_salt(spark):
         skew_safe_topk(df, ["key"], "score", 3, tiebreak_col="key")
     with pytest.raises(TypeError):
         skew_safe_topk(df, ["key"], "score", 3)  # tiebreak_col required
+
+
+def test_simhash64_width_and_banding(spark):
+    """64-bit SimHash: chunks reconstruct the hex string, near-dups are
+    closer than unrelated docs, and banded pairing finds exactly the
+    pairs within the hamming budget (pigeonhole completeness)."""
+    from toyocr_spark.operators.dedup import simhash64, simhash64_pairs
+
+    base = "the quick brown fox jumps over the lazy dog and keeps running onward"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " x"), (3, "zzz qqq completely unrelated words vvv www yyy")],
+        "doc_id long, text string",
+    )
+    sim = simhash64(df, "doc_id", "text")
+    rows = {r["id"]: r for r in sim.collect()}
+    for r in rows.values():
+        assert r["simhash"] == "".join(f"{r[f'c{j}']:04x}" for j in range(4))
+        assert all(0 <= r[f"c{j}"] < 1 << 16 for j in range(4))
+
+    def ham(a, b):
+        return sum(bin(a[f"c{j}"] ^ b[f"c{j}"]).count("1") for j in range(4))
+
+    assert ham(rows[1], rows[2]) < ham(rows[1], rows[3])
+    # banded pairing == brute force at any threshold the bands guarantee
+    budget = max(3, ham(rows[1], rows[2]))  # ensure at least one pair
+    if budget > 3:
+        # widen bands' guarantee? no — verify only the <=3 contract
+        budget = 3
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash64_pairs(sim, budget).collect()}
+    brute = {
+        (a, b): ham(rows[a], rows[b])
+        for a in rows
+        for b in rows
+        if a < b and ham(rows[a], rows[b]) <= budget
+    }
+    assert got == brute

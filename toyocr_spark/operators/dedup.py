@@ -194,6 +194,91 @@ def simhash16(df: DataFrame, id_col: str, text_col: str, k: int = 8) -> DataFram
     return agg.select("id", sim.cast("long").alias("simhash"))
 
 
+def simhash64(df: DataFrame, id_col: str, text_col: str, k: int = 8) -> DataFrame:
+    """Production-width 64-bit SimHash, engine-portable.
+
+    Same expression shape as simhash16 scaled to the first 16 md5 hex
+    nibbles, materialized as FOUR 16-bit chunk columns c0..c3 (c0 = most
+    significant nibbles) plus a 16-hex-char ``simhash`` string. Chunked
+    representation is deliberate:
+      * every chunk is a non-negative int < 2^16 — no signed-overflow
+        trap at bit 63, identical semantics in any SQL engine;
+      * the chunks ARE the LSH bands for banded pairing (4 bands x 16
+        bits: any pair within hamming<=3 of 64 shares >=1 exact band —
+        pigeonhole), so candidate joins need no bit-shifting at all;
+      * hamming(a, b) = sum of bit_count(xor(ci_a, ci_b)).
+    At 64 bits the band-bucket space is 2^16 per band (vs 2^4 for the
+    16-bit demo), so candidate sets stay sparse at corpus scale.
+    One groupBy with 64 conditional sums — a single shuffle, all
+    whole-stage-codegen arithmetic.
+    """
+    hhex = F.substring(F.md5(F.col("shingle")), 1, 16)
+    sh = char_shingles(df, id_col, text_col, k).withColumn("hhex", hhex)
+    chunk_vals = [
+        F.conv(F.substring("hhex", 1 + 4 * j, 4), 16, 10).cast("long").alias(f"v{j}")
+        for j in range(4)
+    ]
+    hx = sh.select("id", *chunk_vals)
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col(f"v{j}"), i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"b{j}_{i}")
+        for j in range(4)
+        for i in range(16)
+    ]
+    agg = hx.groupBy("id").agg(*bit_sums)
+    chunks = []
+    for j in range(4):
+        c = None
+        for i in range(16):
+            term = F.when(F.col(f"b{j}_{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            c = term if c is None else c + term
+        chunks.append(c.cast("long").alias(f"c{j}"))
+    out = agg.select("id", *chunks)
+    hex_str = F.concat(
+        *[F.lower(F.lpad(F.hex(F.col(f"c{j}")), 4, "0")) for j in range(4)]
+    )
+    return out.withColumn("simhash", hex_str)
+
+
+def simhash64_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Banded near-dup pairing over simhash64 output: equi-join on any
+    shared 16-bit chunk (band) proposes candidates — pigeonhole-complete
+    for hamming <= 3 of 64 — then exact hamming verifies. Sub-quadratic:
+    the shuffle keys on (band, 16-bit bucket), never on pairs."""
+    band_val = F.expr("stack(4, 0, c0, 1, c1, 2, c2, 3, c3) AS (band, bucket)")
+    banded = sim.select("id", "c0", "c1", "c2", "c3", band_val)
+    a = banded.select(
+        F.col("id").alias("id_a"),
+        *[F.col(f"c{j}").alias(f"a{j}") for j in range(4)],
+        "band",
+        "bucket",
+    )
+    b = banded.select(
+        F.col("id").alias("id_b"),
+        *[F.col(f"c{j}").alias(f"b{j}") for j in range(4)],
+        "band",
+        "bucket",
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", *[f"a{j}" for j in range(4)], *[f"b{j}" for j in range(4)])
+        .distinct()
+    )
+    ham = None
+    for j in range(4):
+        t = F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"b{j}")))
+        ham = t if ham is None else ham + t
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def survivors(df: DataFrame, id_col: str, dup_pairs: DataFrame) -> DataFrame:
     """Resolve pairs to a kept set: drop every id that appears as id_b
     of a pair whose id_a survives transitively. Single-pass

@@ -1233,6 +1233,165 @@ def q36_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 64-bit SimHash (production width) + exact greedy matching
+
+
+def _hex4_at(o: int) -> str:
+    """DuckDB value of the 4 hex chars of column h at 1-based offset o."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {o + i}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+
+
+_SIM64_BITS_SQL = ",\n".join(
+    f"CAST(sum(CASE WHEN (v{j} // {1 << i}) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS b{j}_{i}"
+    for j in range(4)
+    for i in range(16)
+)
+_SIM64_CHUNKS_SQL = ",\n".join(
+    "CAST("
+    + " + ".join(f"(CASE WHEN b{j}_{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16))
+    + f" AS BIGINT) AS c{j}"
+    for j in range(4)
+)
+
+_SIM64_CTE = f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id AS id, substr(t, p, 8) AS shingle
+      FROM (SELECT doc_id, substr(text, 1, 128) AS t FROM documents),
+           unnest(generate_series(1, greatest(length(t) - 7, 1))) AS u(p)
+      WHERE length(t) >= 8
+    ),
+    hx AS (SELECT id, ({_hex4_at(1)}) AS v0, ({_hex4_at(5)}) AS v1,
+                  ({_hex4_at(9)}) AS v2, ({_hex4_at(13)}) AS v3
+           FROM (SELECT id, substr(md5(shingle), 1, 16) AS h FROM sh)),
+    bits AS (SELECT id, {_SIM64_BITS_SQL} FROM hx GROUP BY id),
+    sim AS (SELECT id, {_SIM64_CHUNKS_SQL} FROM bits)
+"""
+
+
+@_q(
+    "q38_simhash64",
+    f"""
+    {_SIM64_CTE}
+    SELECT id, c0, c1, c2, c3,
+           lower(lpad(to_hex(c0), 4, '0') || lpad(to_hex(c1), 4, '0')
+                 || lpad(to_hex(c2), 4, '0') || lpad(to_hex(c3), 4, '0')) AS simhash
+    FROM sim
+    """,
+    "production-width 64-bit SimHash over md5 nibbles, materialized as "
+    "four portable 16-bit chunks + hex string (the 16-bit q16 is the "
+    "readable demo; this is the corpus-scale width — 2^16-sized band "
+    "buckets keep candidate sets sparse)",
+)
+def q38_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toyocr_spark.operators.dedup import simhash64
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 128).alias("t")
+    )
+    return simhash64(d, "doc_id", "t", 8)
+
+
+@_q(
+    "q39_simhash64_pairs",
+    f"""
+    {_SIM64_CTE},
+    banded AS (
+      SELECT id, c0, c1, c2, c3, b AS band,
+             CASE b WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2 ELSE c3 END AS bucket
+      FROM sim, unnest(generate_series(0, 3)) AS t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             a.c0 AS a0, a.c1 AS a1, a.c2 AS a2, a.c3 AS a3,
+             b.c0 AS b0, b.c1 AS b1, b.c2 AS b2, b.c3 AS b3
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(a0, b0)) + bit_count(xor(a1, b1))
+              + bit_count(xor(a2, b2)) + bit_count(xor(a3, b3)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(a0, b0)) + bit_count(xor(a1, b1))
+        + bit_count(xor(a2, b2)) + bit_count(xor(a3, b3)) <= 3
+    """,
+    "64-bit SimHash banded near-dup pairing: 4x16-bit band equi-join "
+    "proposes (pigeonhole-complete for hamming<=3), chunkwise "
+    "bit_count(xor) verifies — the corpus-scale twin of q36",
+)
+def q39_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toyocr_spark.operators.dedup import simhash64, simhash64_pairs
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 128).alias("t")
+    )
+    return simhash64_pairs(simhash64(d, "doc_id", "t", 8), max_hamming=3)
+
+
+@_q(
+    "q37_greedy_exact",
+    f"""
+    WITH RECURSIVE iv AS ({_IVAL_SQL}),
+    gt  AS (SELECT user_id, event_id AS gt_idx,  start, "end" FROM iv WHERE event_id % 2 = 0),
+    det AS (SELECT user_id, event_id AS det_idx, start, "end" FROM iv WHERE event_id % 2 = 1),
+    f AS (
+      SELECT * FROM (
+        SELECT g.user_id, g.gt_idx, d.det_idx,
+               (least(g."end", d."end") - greatest(g.start, d.start)) * 1.0
+               / (greatest(g."end", d."end") - least(g.start, d.start)) AS iou
+        FROM gt g JOIN det d
+          ON g.user_id = d.user_id AND g.start < d."end" AND d.start < g."end"
+      ) WHERE iou > 0.3
+    ),
+    gts AS (
+      SELECT user_id, gt_idx,
+             row_number() OVER (PARTITION BY user_id ORDER BY gt_idx) AS rnk
+      FROM (SELECT DISTINCT user_id, gt_idx FROM f)
+    ),
+    step(user_id, rnk, used, gt_idx, det_pick) AS (
+      SELECT user_id, 0, CAST([] AS BIGINT[]), NULL, NULL
+      FROM (SELECT DISTINCT user_id FROM f)
+      UNION ALL
+      SELECT g.user_id, g.rnk,
+             CASE WHEN p.d IS NULL THEN s.used ELSE list_append(s.used, p.d) END,
+             g.gt_idx, p.d
+      FROM step s
+      JOIN gts g ON g.user_id = s.user_id AND g.rnk = s.rnk + 1
+      LEFT JOIN LATERAL (
+        SELECT min(f.det_idx) AS d FROM f
+        WHERE f.user_id = g.user_id AND f.gt_idx = g.gt_idx
+          AND NOT list_contains(s.used, f.det_idx)
+      ) p ON TRUE
+    )
+    SELECT s.user_id, s.gt_idx, s.det_pick AS det_idx, round(f.iou, 6) AS iou
+    FROM step s JOIN f ON f.user_id = s.user_id AND f.gt_idx = s.gt_idx
+                      AND f.det_idx = s.det_pick
+    WHERE s.det_pick IS NOT NULL
+    """,
+    "J3 exact greedy 1:1 matching with used-flags "
+    "(evaluation/scripts.py:246-270) via applyInPandas per equi-key — "
+    "the driver-visible twin of q07's declarative variant. Oracle = "
+    "recursive CTE that replays the greedy loop: gts in index order, "
+    "each taking the min unused det with IoU over threshold, the used "
+    "set carried as a list through the recursion",
+)
+def q37_greedy_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toyocr_spark.operators.rangejoin import greedy_iou_match
+
+    iv = _intervals(spark, sf_dir)
+    gt = iv.filter(F.col("event_id") % 2 == 0).select(
+        "user_id", F.col("event_id").alias("gt_idx"), "start", "end"
+    )
+    det = iv.filter(F.col("event_id") % 2 == 1).select(
+        "user_id", F.col("event_id").alias("det_idx"), "start", "end"
+    )
+    m = greedy_iou_match(gt, det, ["user_id"], iou_threshold=0.3)
+    return m.select("user_id", "gt_idx", "det_idx", F.round("iou", 6).alias("iou"))
+
+
+# ---------------------------------------------------------------------------
 # the flagship: extraction itself, oracle-checked
 
 
