@@ -178,8 +178,11 @@ def run_scaling(sf_dir: str) -> dict:
     # the machine's true capability: if the ratio lands under target
     # after two passes, take a third before reporting.
     results: dict[int, dict] = {}
+    samples: list[dict] = []  # every run, not just the best-of winners
+    pass_ratios: list[float] = []
 
     def one_pass(tag: str) -> None:
+        per_level: dict[int, float] = {}
         for cpus in (SCALE_N, SCALE_N * 4):
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
             log(f"=== scaling pass {tag}: {cpus} pinned cores ===")
@@ -192,8 +195,20 @@ def run_scaling(sf_dir: str) -> dict:
                 check=True,
             )
             r = json.loads(out.stdout.strip().splitlines()[-1])
+            samples.append(
+                {
+                    "pass": tag,
+                    "cpus": cpus,
+                    "docs_per_sec": r["docs_per_sec"],
+                    "extract_sec": r["extract_sec"],
+                }
+            )
+            per_level[cpus] = r["docs_per_sec"]
             if cpus not in results or r["docs_per_sec"] > results[cpus]["docs_per_sec"]:
                 results[cpus] = r
+        pass_ratios.append(
+            round(per_level[SCALE_N * 4] / (4 * per_level[SCALE_N]), 3)
+        )
 
     def eff_now() -> float:
         return round(
@@ -220,6 +235,11 @@ def run_scaling(sf_dir: str) -> dict:
         "extract_sec_4n": results[SCALE_N * 4]["extract_sec"],
         "target": 0.8,
         "pass": eff >= 0.8,
+        # full run distribution: the headline is best-of per level
+        # (noise only slows runs), but every sample and each pass's own
+        # within-pass ratio are recorded so the claim stays audit-proof
+        "runs": samples,
+        "pass_ratios": pass_ratios,
     }
     write_scaling_report(report)
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
@@ -264,6 +284,7 @@ executor, where scan/shuffle/Arrow (JVM) and the extraction kernel
 | throughput @ {r['n_cores']} pinned cores (N) | {r['docs_per_sec_n']} docs/sec ({r['extract_sec_n']} s) |
 | throughput @ {r['n_cores'] * 4} pinned cores (4N) | {r['docs_per_sec_4n']} docs/sec ({r['extract_sec_4n']} s) |
 | scaling efficiency T4N/(4*TN) | **{r['value']}** (target >= 0.8: {"PASS" if r['pass'] else "FAIL"}) |
+| per-pass within-pass ratios | {r['pass_ratios']} (all samples in BENCH/scaling.json `runs`) |
 
 Why N=4 (4 -> 16 cores) and not 8 -> 32: on a real cluster, 4N
 executors bring 4x the memory bandwidth; on this single host all 32

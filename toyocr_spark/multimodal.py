@@ -29,6 +29,7 @@ start of the per-record map, here over Arrow record batches.
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 from pyspark.sql import Column, DataFrame
@@ -93,16 +94,53 @@ def synth_media(documents: DataFrame, kind_code: Column | None = None) -> DataFr
 # -------------------------------------------------------- decode (Python)
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# PNG color type -> sample channels (spec §11.2.2); palette images carry
+# 1 index channel per pixel in the raw scanline stream
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _parse_png(payload: bytes) -> tuple[str, int, int, int, bytes]:
+    """Real-codec leg of the decode seam: pure-stdlib PNG parse
+    (struct + zlib, no PIL). IHDR gives dimensions/channels; the body
+    is the zlib-inflated concatenation of IDAT chunks — the filtered
+    scanline stream, i.e. genuinely decoded bytes, deterministic for a
+    given file. CRCs are not validated (decode, don't verify)."""
+    if len(payload) < 33 or payload[12:16] != b"IHDR":
+        raise ValueError("PNG without leading IHDR chunk")
+    width, height = struct.unpack(">II", payload[16:24])
+    color_type = payload[25]
+    chans = _PNG_CHANNELS.get(color_type)
+    if chans is None:
+        raise ValueError(f"PNG with invalid color type {color_type}")
+    pos, idat = 8, []
+    n = len(payload)
+    while pos + 8 <= n:
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        if typ == b"IDAT":
+            idat.append(payload[pos + 8 : pos + 8 + ln])
+        if typ == b"IEND":
+            break
+        pos += 12 + ln  # length + type + data + crc
+    body = zlib.decompress(b"".join(idat))
+    return "image", width, height, chans, body
+
+
 def parse_header(payload: bytes) -> tuple[str, int, int, int, bytes]:
-    """FMED header parse. Raises NotImplementedError for real codecs —
-    the documented seam where PIL/ffmpeg would slot in."""
+    """Magic-dispatched decode: FMED (synthetic container) and PNG
+    (pure-stdlib real codec) are live; JPEG/WAV/MP4 raise
+    NotImplementedError — the documented seam where PIL/ffmpeg would
+    slot in."""
+    if payload[:8] == _PNG_MAGIC:
+        return _parse_png(payload)
     if payload[:4] != MAGIC:
-        # real image/audio/video bytes would land here
+        # remaining real formats (JPEG/WAV/MP4) land here
         raise NotImplementedError(
-            "real codec decode (PNG/JPEG/WAV/MP4) requires PIL/ffmpeg, "
-            "not present in this environment; implement decode(payload) "
+            "codec decode for JPEG/WAV/MP4 requires PIL/ffmpeg, not "
+            "present in this environment; implement decode(payload) "
             "-> (kind, width, height, channels, body) and the rest of "
-            "the pipeline is unchanged"
+            "the pipeline is unchanged (PNG and FMED are live above)"
         )
     kind_code, width, height, chans = struct.unpack(">BIIB", payload[4:14])
     return _KINDS[kind_code], width, height, chans, payload[14:]
