@@ -47,11 +47,12 @@ def test_fingerprint_shape_and_determinism(spark):
     assert len(sig) == 8 and abs(sum(sig) - 1.0) < 1e-3
 
 
-def test_real_codec_is_documented_stub():
-    # PNG is now a live codec; the remaining formats stay a documented
-    # seam, and a truncated PNG fails loudly rather than decoding junk
-    with pytest.raises(NotImplementedError, match="PIL/ffmpeg"):
-        parse_header(b"RIFF....WAVE")
+def test_unknown_container_is_documented_stub():
+    # PNG/JPEG/WAV/MP4 are live codecs; an unknown magic stays a
+    # documented seam, and a truncated PNG fails loudly rather than
+    # decoding junk
+    with pytest.raises(NotImplementedError, match="implement decode"):
+        parse_header(b"GIF89a" + b"\x00" * 16)
     with pytest.raises(ValueError, match="IHDR"):
         parse_header(b"\x89PNG\r\n\x1a\n....")
 
@@ -117,8 +118,77 @@ def test_png_decode_real_codec(spark):
     assert got[3]["body_len"] == 3 * (1 + 8 * 1)
 
 
-def test_non_png_non_fmed_still_raises():
-    from toyocr_spark.multimodal import parse_header
+def _make_jpeg(width: int, height: int, chans: int = 3) -> bytes:
+    """Hand-assemble a structurally valid JPEG: SOI, APP0/JFIF, SOF0,
+    SOS header, deterministic scan bytes, EOI."""
+    import struct
 
-    with pytest.raises(NotImplementedError):
-        parse_header(b"\xff\xd8\xff\xe0" + b"\x00" * 32)  # JPEG SOI
+    def seg(marker: int, data: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    comps = b"".join(bytes([i + 1, 0x11, 0]) for i in range(chans))
+    sof0 = seg(0xC0, struct.pack(">BHHB", 8, height, width, chans) + comps)
+    sos = seg(0xDA, bytes([chans]) + b"".join(bytes([i + 1, 0]) for i in range(chans)) + b"\x00\x3f\x00")
+    scan = bytes((i * 7) % 255 for i in range(64))  # no 0xFF bytes
+    return b"\xff\xd8" + app0 + sof0 + sos + scan + b"\xff\xd9"
+
+
+def _make_wav(rate: int, chans: int, n_samples: int) -> bytes:
+    import struct
+
+    pcm = struct.pack(f"<{n_samples * chans}h", *((i % 32767) for i in range(n_samples * chans)))
+    fmt = struct.pack("<HHIIHH", 1, chans, rate, rate * chans * 2, chans * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _make_mp4(width: int, height: int, payload: bytes) -> bytes:
+    import struct
+
+    def box(typ: bytes, data: bytes) -> bytes:
+        return struct.pack(">I", len(data) + 8) + typ + data
+
+    tkhd = (
+        b"\x00\x00\x00\x07"  # version 0, flags enabled
+        + b"\x00" * 16  # ctime/mtime/track_id/reserved
+        + b"\x00" * 4  # duration
+        + b"\x00" * 8  # reserved
+        + b"\x00" * 8  # layer/altgroup/volume/reserved
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)  # matrix
+        + struct.pack(">II", width << 16, height << 16)
+    )
+    moov = box(b"moov", box(b"trak", box(b"tkhd", tkhd)))
+    return box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov + box(b"mdat", payload)
+
+
+def test_jpeg_wav_mp4_live_codecs(spark):
+    """All three remaining formats parse from their real byte layout."""
+    kind, w, h, c, body = parse_header(_make_jpeg(31, 19, 3))
+    assert (kind, w, h, c) == ("image", 31, 19, 3) and len(body) == 64
+
+    kind, rate, zero, c, body = parse_header(_make_wav(16000, 2, 100))
+    assert (kind, rate, zero, c) == ("audio", 16000, 0, 2) and len(body) == 400
+
+    kind, w, h, c, body = parse_header(_make_mp4(640, 360, b"framedata" * 8))
+    assert (kind, w, h, c) == ("video", 640, 360, 3) and len(body) == 72
+
+    # and through the Spark decode stage, mixed formats in one batch
+    rows = [
+        (1, _make_jpeg(31, 19)),
+        (2, _make_wav(8000, 1, 10)),
+        (3, _make_mp4(320, 240, b"x" * 11)),
+        (4, _make_png(4, 6, 6)),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in decode_media(media).collect()}
+    assert got[1]["kind"] == "image" and got[1]["width"] == 31
+    assert got[2]["kind"] == "audio" and got[2]["width"] == 8000
+    assert got[3]["kind"] == "video" and (got[3]["width"], got[3]["height"]) == (320, 240)
+    assert got[4]["kind"] == "image"
+    # frame sampling over a real MP4's mdat payload
+    frames = sample_frames(
+        spark.createDataFrame([(9, _make_mp4(64, 48, b"v" * 41))], "media_id long, payload binary"), 4
+    ).collect()[0]
+    assert frames["n_frames"] == 4 and frames["frame_len"] == 10 and frames["last_frame_len"] == 11

@@ -3,10 +3,13 @@ metadata, with decode / feature-extract / resize / frame-sample as
 Arrow-batched UDFs.
 
 The real codec libraries (PIL/opencv/ffmpeg) are not in this container,
-so the *codec* step is stubbed two ways (clearly marked):
-  * real formats (PNG/JPEG/...) -> NotImplementedError with the exact
-    UDF signature documented, so dropping a real decoder in is a
-    one-function change;
+so the decode stage is layered (clearly marked):
+  * live pure-stdlib codecs for PNG (IHDR + inflated IDAT scanlines),
+    JPEG (SOFn dimensions + entropy-coded scan body), WAV (fmt/data
+    chunks + PCM body) and MP4 (tkhd dimensions + mdat body) — every
+    metadata field the pipeline consumes comes from the real byte
+    layout; only JPEG pixel / MP4 sample decode still needs a codec
+    lib, and the seam for that is one function (parse_header);
   * a deterministic synthetic container format ("FMED") generated
     JVM-side from the documents table, so the Spark-side plumbing —
     binary schema, batch shape, header parsing, struct output,
@@ -127,20 +130,131 @@ def _parse_png(payload: bytes) -> tuple[str, int, int, int, bytes]:
     return "image", width, height, chans, body
 
 
+# JPEG frame-header (SOFn) markers that carry dimensions; C4/C8/CC are
+# DHT/JPG/DAC, which share the C-range but are not frame headers
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def _parse_jpeg(payload: bytes) -> tuple[str, int, int, int, bytes]:
+    """Pure-stdlib JPEG header parse: marker walk to the first SOFn for
+    (height, width, components); body = the entropy-coded scan data
+    after SOS. Huffman decode itself would need a real codec lib, but
+    dimensions/channels — what the metadata stage consumes — are exact."""
+    n = len(payload)
+    pos = 2
+    dims = None
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = payload[pos + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # SOI / RSTn: bare
+            pos += 2
+            continue
+        (seg_len,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        if marker in _JPEG_SOF:
+            height, width = struct.unpack(">HH", payload[pos + 5 : pos + 9])
+            chans = payload[pos + 9]
+            dims = (width, height, chans)
+        elif marker == 0xDA:  # SOS: scan data runs to EOI
+            if dims is None:
+                raise ValueError("JPEG scan before frame header")
+            body_start = pos + 2 + seg_len
+            end = payload.rfind(b"\xff\xd9")
+            body = payload[body_start : end if end > body_start else n]
+            return ("image", *dims, body)
+        pos += 2 + seg_len
+    raise ValueError("JPEG without SOS marker")
+
+
+def _parse_wav(payload: bytes) -> tuple[str, int, int, int, bytes]:
+    """RIFF/WAVE chunk walk: fmt -> (channels, sample rate), data ->
+    body (the raw PCM samples). Follows the FMED audio convention:
+    width = sample rate, height = 0."""
+    if payload[8:12] != b"WAVE":
+        raise ValueError("RIFF container that is not WAVE")
+    pos, n = 12, len(payload)
+    rate, chans, body = None, None, None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if cid == b"fmt ":
+            chans, rate = struct.unpack("<HI", payload[pos + 10 : pos + 16])
+        elif cid == b"data":
+            body = payload[pos + 8 : pos + 8 + clen]
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if rate is None or body is None:
+        raise ValueError("WAVE missing fmt or data chunk")
+    return "audio", rate, 0, chans, body
+
+
+def _walk_mp4(payload: bytes, lo: int, hi: int, want: frozenset[bytes]):
+    """Yield (type, body_lo, body_hi) for top-level boxes in [lo, hi),
+    recursing into container boxes."""
+    _CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+    pos = lo
+    while pos + 8 <= hi:
+        (size,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        body_lo = pos + 8
+        if size == 1:  # 64-bit largesize
+            (size,) = struct.unpack(">Q", payload[pos + 8 : pos + 16])
+            body_lo = pos + 16
+        elif size == 0:  # box runs to end of file
+            size = hi - pos
+        if size < 8:
+            raise ValueError("MP4 box with impossible size")
+        body_hi = min(pos + size, hi)
+        if typ in want:
+            yield typ, body_lo, body_hi
+        if typ in _CONTAINERS:
+            yield from _walk_mp4(payload, body_lo, body_hi, want)
+        pos += size
+
+
+def _parse_mp4(payload: bytes) -> tuple[str, int, int, int, bytes]:
+    """ISO-BMFF box walk: tkhd -> (width, height) (16.16 fixed point),
+    mdat -> body (the interleaved sample data). Channels defaults to 3
+    (a decoded video frame is RGB unless the sample entry says else)."""
+    width = height = 0
+    body = b""
+    want = frozenset({b"tkhd", b"mdat"})
+    for typ, lo, hi in _walk_mp4(payload, 0, len(payload), want):
+        if typ == b"tkhd" and width == 0:
+            version = payload[lo]
+            # full-box data: ver/flags + ctime/mtime/track_id/rsvd/
+            # duration (v0: 4B times+duration, v1: 8B) + layout/matrix
+            off = lo + (4 + 4 * 2 + 4 + 4 + 4 if version == 0 else 4 + 8 * 2 + 4 + 4 + 8)
+            off += 8 + 2 + 2 + 2 + 2 + 36  # reserved, layer, group, volume, matrix
+            w_fx, h_fx = struct.unpack(">II", payload[off : off + 8])
+            width, height = w_fx >> 16, h_fx >> 16
+        elif typ == b"mdat" and not body:
+            body = payload[lo:hi]
+    if width == 0 and not body:
+        raise ValueError("MP4 without tkhd or mdat")
+    return "video", width, height, 3, body
+
+
 def parse_header(payload: bytes) -> tuple[str, int, int, int, bytes]:
-    """Magic-dispatched decode: FMED (synthetic container) and PNG
-    (pure-stdlib real codec) are live; JPEG/WAV/MP4 raise
-    NotImplementedError — the documented seam where PIL/ffmpeg would
-    slot in."""
+    """Magic-dispatched decode. Live pure-stdlib codecs: FMED (synthetic
+    container), PNG (IHDR + inflated IDAT), JPEG (SOFn dimensions + scan
+    body), WAV (fmt/data chunks), MP4 (tkhd/mdat boxes). Full pixel/PCM
+    sample decode for JPEG/MP4 would need PIL/ffmpeg — the remaining
+    (clearly-marked) seam — but every header/metadata field the pipeline
+    consumes is parsed from the real byte layout."""
     if payload[:8] == _PNG_MAGIC:
         return _parse_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return _parse_jpeg(payload)
+    if payload[:4] == b"RIFF":
+        return _parse_wav(payload)
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return _parse_mp4(payload)
     if payload[:4] != MAGIC:
-        # remaining real formats (JPEG/WAV/MP4) land here
         raise NotImplementedError(
-            "codec decode for JPEG/WAV/MP4 requires PIL/ffmpeg, not "
-            "present in this environment; implement decode(payload) "
-            "-> (kind, width, height, channels, body) and the rest of "
-            "the pipeline is unchanged (PNG and FMED are live above)"
+            "unknown media container; live codecs are PNG/JPEG/WAV/MP4/"
+            "FMED — implement decode(payload) -> (kind, width, height, "
+            "channels, body) for new formats and the rest of the "
+            "pipeline is unchanged"
         )
     kind_code, width, height, chans = struct.unpack(">BIIB", payload[4:14])
     return _KINDS[kind_code], width, height, chans, payload[14:]
