@@ -1,0 +1,120 @@
+"""Real-PDF leg of the extraction kernel: content-stream text machine,
+XY-cut layout ordering, fixture round-trip, and pipeline identity."""
+
+from __future__ import annotations
+
+import random
+
+from toyocr_spark.extractor import extract
+from toyocr_spark.extractor.pdf import is_pdf, tokenize_pdf
+from toyocr_spark.fixtures.genpages import _pdf_page, gen_pages
+from toyocr_spark.fixtures.genpdf import build_pdf, paragraph_ops, text_stream
+
+
+def _one(ops: str, compress: bool = True) -> bytes:
+    return build_pdf([text_stream([ops])], compress=compress)
+
+
+def test_magic_dispatch():
+    assert is_pdf(b"%PDF-1.4 ...")
+    assert not is_pdf(b"<html>") and not is_pdf("%PDF-1.4") and not is_pdf(None)
+    # an HTML page containing the literal text "%PDF-" is NOT a pdf
+    assert extract(b"<html><body><p>see %PDF-1.4 spec for details</p></body></html>").text
+
+
+def test_literal_string_escapes():
+    ops = r"BT /F1 12 Tf 50 700 Td (paren \( pair \) back\\slash octal \101\102 end) Tj ET"
+    t = extract(_one(ops)).text
+    assert t == "paren ( pair ) back\\slash octal AB end"
+
+
+def test_hex_and_utf16_strings():
+    # hex: 'Hi' = 4869; odd-length pads a trailing 0
+    ops = "BT /F1 12 Tf 50 700 Td <48692068657820737472696e6773206465636f6465> Tj ET"
+    assert extract(_one(ops)).text == "Hi hex strings decode"
+    # UTF-16BE BOM inside a hex string: 'caf\xe9' = feff 0063 0061 0066 00e9
+    ops2 = "BT /F1 12 Tf 50 700 Td <feff00630061006600e9002000e90074006100690074002000690063006900200065007400200063002700e90074006100690074> Tj ET"
+    assert extract(_one(ops2)).text == "café était ici et c'était"
+
+
+def test_tj_kerning_word_breaks():
+    # adjustments <= -180/1000 em imply a word break; smaller ones do not
+    ops = "BT /F1 12 Tf 50 700 Td [(kerned) -250 (words) -40 (glued) -1000 (far)] TJ ET"
+    assert extract(_one(ops)).text == "kerned wordsglued far"
+
+
+def test_multiline_td_tstar_quote():
+    ops = (
+        "BT /F1 12 Tf 14 TL 50 700 Td (first line of the paragraph) Tj "
+        "T* (second line follows here) Tj (third via quote op) ' ET"
+    )
+    assert (
+        extract(_one(ops)).text
+        == "first line of the paragraph second line follows here third via quote op"
+    )
+
+
+def test_uncompressed_stream_and_tm():
+    ops = "BT /F1 6 Tf 2 0 0 2 50 700 Tm (scaled by text matrix rules) Tj ET"
+    blocks = tokenize_pdf(_one(ops, compress=False))
+    assert len(blocks) == 1
+    assert blocks[0].text == "scaled by text matrix rules"
+    # effective size = Tf 6 * Tm d 2 = 12 -> "text", not "title"
+    assert blocks[0].kind == "text"
+
+
+def test_title_classification_by_size():
+    big = "BT /F1 18 Tf 50 740 Td (A Heading Of Standing) Tj ET"
+    small = "BT /F1 11 Tf 50 700 Td (body paragraph text runs longer here) Tj ET"
+    blocks = tokenize_pdf(_one(big + "\n" + small))
+    assert [b.kind for b in blocks] == ["title", "text"]
+
+
+def test_multipage_keeps_page_order():
+    p1 = text_stream(["BT /F1 12 Tf 50 700 Td (page one body paragraph with enough text) Tj ET"])
+    p2 = text_stream(["BT /F1 12 Tf 50 700 Td (page two body paragraph with enough text) Tj ET"])
+    t = extract(build_pdf([p1, p2])).text
+    assert t.index("page one") < t.index("page two")
+
+
+def test_malformed_pdfs_are_deterministic_and_quiet():
+    assert extract(b"%PDF-1.4\ngarbage with no streams").text == ""
+    # truncated flate stream: skipped, not raised
+    whole = _one("BT /F1 12 Tf 50 700 Td (will be truncated away) Tj ET")
+    assert extract(whole[: len(whole) // 2]).text == extract(whole[: len(whole) // 2]).text
+    # stream with /Length lying beyond EOF
+    assert extract(b"%PDF-1.4\n1 0 obj << /Length 99999 >> stream\nBT Tj ET").text == ""
+
+
+def test_generator_xycut_round_trip():
+    for seed in range(25):
+        pdf, intended = _pdf_page(random.Random(seed))
+        r = extract(pdf)
+        assert r.text == intended, f"seed {seed}"
+        assert r.spans[0][2] == "title"
+
+
+def test_gen_pages_pdf_mix_is_deterministic():
+    a = gen_pages(60, seed=11, pdf_frac=0.3)
+    b = gen_pages(60, seed=11, pdf_frac=0.3)
+    assert [p.html for p in a] == [p.html for p in b]
+    kinds = {p.kind for p in a}
+    assert "pdf" in kinds
+    for p in a:
+        if p.kind == "pdf":
+            assert p.html[:5] == b"%PDF-" and p.text == p.expected_main
+
+
+def test_pipeline_identity_with_pdf_pages(spark, tmp_path):
+    """PDFs ride the full batch pipeline: byte-identity 1.0 end-to-end."""
+    from toyocr_spark.fixtures import write_pages_parquet
+    from toyocr_spark.pipeline import identity_report, read_result, resumable_run
+    from toyocr_spark.sources import read_pages
+
+    d = str(tmp_path / "pdfpages")
+    write_pages_parquet(d, n=80, seed=303, pdf_frac=0.4)
+    pages = read_pages(spark, d)
+    out = str(tmp_path / "pdfout")
+    resumable_run(spark, pages, out, n_chunks=3)
+    rep = identity_report(read_result(spark, out), pages).collect()[0]
+    assert rep["pass_rate"] == 1.0 and rep["n_urls"] == 80

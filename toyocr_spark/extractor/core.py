@@ -20,6 +20,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from toyocr_spark.extractor.layout import reading_order
+from toyocr_spark.extractor.pdf import is_pdf, tokenize_pdf
 from toyocr_spark.extractor.select import select_blocks
 from toyocr_spark.extractor.tokenizer import tokenize
 
@@ -48,7 +49,12 @@ def _run(html: bytes | str | None, selector) -> ExtractResult:
     if len(html) > MAX_HTML_BYTES:
         html = html[:MAX_HTML_BYTES]
         truncated = True
-    blocks = tokenize(html)
+    # magic-byte format dispatch (the north rule's "HTML boilerplate
+    # strip, PDF/layout parse"): PDFs tokenize via the content-stream
+    # machine, everything downstream — XY-cut, scoring, islands — is
+    # shared. Existing HTML behavior is untouched (no HTML page starts
+    # with %PDF-), so the frozen kernel's byte-identity contract holds.
+    blocks = tokenize_pdf(html) if is_pdf(html) else tokenize(html)
     if not blocks:
         return ExtractResult("", (), 0, 0, truncated)
     ordered = reading_order(blocks)

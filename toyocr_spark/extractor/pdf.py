@@ -1,0 +1,376 @@
+"""Real-PDF tokenizer: ``%PDF-`` bytes -> list[Block].
+
+The PDF leg of the extraction kernel (the north rule's "PDF/layout
+parse"): pure-stdlib (struct-free scanner + zlib FlateDecode), fully
+deterministic, emitting the same Block structure as the HTML tokenizer
+so the downstream stages — XY-cut reading order (layout.py), density
+scoring and island selection (select.py) — are shared verbatim. This
+mirrors the reference routing PDFs and photos through the same
+detection/decoding stack once the per-format decode normalizes them
+(/root/reference/data/dataset_mapper.py:140-163).
+
+Scope (documented, deterministic):
+  * content streams are located by ``obj .. stream .. endstream``
+    scanning with ``/Length`` taken literally when present (indirect
+    ``R`` lengths fall back to the endstream scan); ``/FlateDecode``
+    bodies are inflated with zlib, anything that fails to inflate is
+    skipped rather than guessed at;
+  * the text machine models the operators real generators emit:
+    BT/ET, Tf, Td, TD, TL, Tm, T*, Tj, TJ (with kerning-derived word
+    breaks), ' and "; graphics and image XObjects are ignored;
+  * one BT..ET text object = one Block, with an absolute-position box
+    derived from the text-space coordinates (page height from the
+    first /MediaBox, PDF's bottom-up y flipped to top-down) — exactly
+    what the XY-cut pass consumes;
+  * strings decode as UTF-16BE when BOM-prefixed, else Latin-1
+    (PDFDocEncoding's printable range); per-glyph font programs /
+    CMaps are out of scope and would slot in at _decode_string;
+  * each content stream is offset to its own vertical band so
+    multi-page documents keep page order through the XY-cut (a
+    /Contents array splitting ONE page across streams would band
+    them too — acceptable: intra-stream order is preserved).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+from toyocr_spark.extractor.tokenizer import Block
+
+PDF_MAGIC = b"%PDF-"
+
+TITLE_MIN_SIZE = 14.0  # effective font size at/above which a text
+#                        object classifies as "title" (heading analogue)
+_DEFAULT_PAGE_H = 792.0  # US Letter, when no /MediaBox is present
+_PAGE_BAND_GAP = 64  # vertical gap between per-stream bands (> MIN_GAP)
+_TJ_SPACE_THRESHOLD = -180.0  # TJ kerning (1/1000 em) at/below which a
+#                               word break is implied (common heuristic)
+_CHAR_WIDTH_EM = 0.5  # width estimate: monospace-ish advance per glyph
+
+_MEDIABOX_RE = re.compile(
+    rb"/MediaBox\s*\[\s*(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)\s+(-?[\d.]+)"
+)
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+_NUM_RE = re.compile(rb"[-+]?(?:\d+\.?\d*|\.\d+)")
+_OP_RE = re.compile(rb"[A-Za-z'\"][A-Za-z0-9*'\"]*")
+
+_ESCAPES = {
+    ord("n"): 0x0A,
+    ord("r"): 0x0D,
+    ord("t"): 0x09,
+    ord("b"): 0x08,
+    ord("f"): 0x0C,
+    ord("("): 0x28,
+    ord(")"): 0x29,
+    ord("\\"): 0x5C,
+}
+
+
+def is_pdf(data: bytes | str | None) -> bool:
+    return isinstance(data, (bytes, bytearray)) and data[:5] == PDF_MAGIC
+
+
+# ------------------------------------------------------- stream location
+
+
+def _content_streams(data: bytes) -> list[bytes]:
+    """All decodable stream bodies that look like text content, in file
+    order. Image XObjects are skipped by their dict; non-inflating
+    Flate bodies are skipped (truncated files stay deterministic)."""
+    out: list[bytes] = []
+    pos = 0
+    n = len(data)
+    while True:
+        sk = data.find(b"stream", pos)
+        if sk == -1:
+            break
+        obj_start = data.rfind(b"obj", 0, sk)
+        sdict = data[obj_start if obj_start != -1 else max(0, sk - 512) : sk]
+        body_start = sk + 6
+        if data[body_start : body_start + 2] == b"\r\n":
+            body_start += 2
+        elif data[body_start : body_start + 1] == b"\n":
+            body_start += 1
+        m = _LENGTH_RE.search(sdict)
+        if m is not None:
+            body_end = body_start + int(m.group(1))
+            pos = data.find(b"endstream", body_end)
+            pos = body_end if pos == -1 else pos + 9
+        else:
+            body_end = data.find(b"endstream", body_start)
+            if body_end == -1:
+                break
+            pos = body_end + 9
+            while body_end > body_start and data[body_end - 1 : body_end] in (b"\n", b"\r"):
+                body_end -= 1
+        if body_end > n:
+            break
+        if b"/Image" in sdict:
+            continue
+        body = data[body_start:body_end]
+        if b"/FlateDecode" in sdict:
+            try:
+                body = zlib.decompress(body)
+            except zlib.error:
+                continue
+        if b"BT" in body and (b"Tj" in body or b"TJ" in body or b"'" in body):
+            out.append(body)
+    return out
+
+
+# -------------------------------------------------------- string decode
+
+
+def _decode_string(bs: bytes) -> str:
+    if bs[:2] == b"\xfe\xff":
+        return bs[2:].decode("utf-16-be", "replace")
+    return bs.decode("latin-1")
+
+
+def _lit_string(b: bytes, i: int) -> tuple[bytes, int]:
+    """Parse a literal string starting at the '(' byte; returns
+    (raw bytes, index past the closing paren)."""
+    out = bytearray()
+    depth = 1
+    i += 1
+    n = len(b)
+    while i < n:
+        c = b[i]
+        if c == 0x5C:  # backslash
+            i += 1
+            if i >= n:
+                break
+            c2 = b[i]
+            if c2 in _ESCAPES:
+                out.append(_ESCAPES[c2])
+                i += 1
+            elif 0x30 <= c2 <= 0x37:  # up to 3 octal digits
+                val, k = 0, 0
+                while k < 3 and i < n and 0x30 <= b[i] <= 0x37:
+                    val = val * 8 + (b[i] - 0x30)
+                    i += 1
+                    k += 1
+                out.append(val & 0xFF)
+            elif c2 in (0x0A, 0x0D):  # line continuation
+                i += 1
+                if c2 == 0x0D and i < n and b[i] == 0x0A:
+                    i += 1
+            else:  # unknown escape: the char stands for itself
+                out.append(c2)
+                i += 1
+        elif c == 0x28:
+            depth += 1
+            out.append(c)
+            i += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth == 0:
+                return bytes(out), i + 1
+            out.append(c)
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    return bytes(out), i
+
+
+def _hex_string(b: bytes, i: int) -> tuple[bytes, int]:
+    """Parse a hex string starting at the '<' byte."""
+    j = b.find(b">", i + 1)
+    if j == -1:
+        j = len(b)
+    digits = bytes(c for c in b[i + 1 : j] if c not in b" \t\r\n\f\0")
+    if len(digits) % 2:
+        digits += b"0"
+    try:
+        raw = bytes.fromhex(digits.decode("ascii"))
+    except ValueError:
+        raw = b""
+    return raw, j + 1
+
+
+# ----------------------------------------------------- text-object machine
+
+
+class _Line:
+    __slots__ = ("x", "y", "size", "parts")
+
+    def __init__(self, x: float, y: float, size: float):
+        self.x, self.y, self.size = x, y, size
+        self.parts: list[str] = []
+
+
+def _runs(content: bytes) -> list[list[_Line]]:
+    """Execute the content stream's text operators; one list of lines
+    per BT..ET object."""
+    objs: list[list[_Line]] = []
+    lines: list[_Line] | None = None
+    cur: _Line | None = None
+    st: list = []  # operand stack (floats / bytes / list)
+    arr: list | None = None  # open [ ... ] accumulator
+    size = tf = 12.0
+    scale = 1.0
+    leading = 0.0
+    lx = ly = 0.0
+
+    def show(raw: bytes) -> None:
+        nonlocal cur
+        if lines is None:
+            return
+        if cur is None or cur.x != lx or cur.y != ly:
+            cur = _Line(lx, ly, size)
+            lines.append(cur)
+        cur.parts.append(_decode_string(raw))
+
+    i = 0
+    n = len(content)
+    while i < n:
+        c = content[i]
+        if c in b" \t\r\n\f\0":
+            i += 1
+        elif c == 0x28:  # (
+            raw, i = _lit_string(content, i)
+            (arr if arr is not None else st).append(raw)
+        elif c == 0x3C:  # < : hex string or dict
+            if content[i + 1 : i + 2] == b"<":
+                j = content.find(b">>", i + 2)
+                i = n if j == -1 else j + 2  # inline dicts are skipped
+            else:
+                raw, i = _hex_string(content, i)
+                (arr if arr is not None else st).append(raw)
+        elif c == 0x5B:  # [
+            arr = []
+            i += 1
+        elif c == 0x5D:  # ]
+            st.append(arr if arr is not None else [])
+            arr = None
+            i += 1
+        elif c == 0x2F:  # /name
+            j = i + 1
+            while j < n and content[j] not in b" \t\r\n\f\0()<>[]{}/%":
+                j += 1
+            i = j
+        elif c == 0x25:  # % comment to EOL
+            j = content.find(b"\n", i)
+            i = n if j == -1 else j + 1
+        else:
+            m = _NUM_RE.match(content, i)
+            if m is not None and not _OP_RE.match(content, i):
+                (arr if arr is not None else st).append(float(m.group(0)))
+                i = m.end()
+                continue
+            m = _OP_RE.match(content, i)
+            if m is None:
+                i += 1
+                continue
+            op = m.group(0)
+            i = m.end()
+            if op == b"BT":
+                lines = []
+                cur = None
+                lx = ly = 0.0
+                scale = 1.0
+                size = tf
+            elif op == b"ET":
+                if lines:
+                    objs.append(lines)
+                lines = None
+                cur = None
+            elif op == b"Tf" and st:
+                tf = float(st[-1])
+                size = tf * scale
+            elif op == b"TL" and st:
+                leading = float(st[-1])
+            elif op in (b"Td", b"TD") and len(st) >= 2:
+                tx, ty = float(st[-2]), float(st[-1])
+                lx += tx
+                ly += ty
+                cur = None
+                if op == b"TD":
+                    leading = -ty
+            elif op == b"Tm" and len(st) >= 6:
+                scale = float(st[-3]) or 1.0
+                lx, ly = float(st[-2]), float(st[-1])
+                size = tf * scale
+                cur = None
+            elif op == b"T*":
+                ly -= leading
+                cur = None
+            elif op == b"Tj" and st and isinstance(st[-1], bytes):
+                show(st[-1])
+            elif op == b"'" and st and isinstance(st[-1], bytes):
+                ly -= leading
+                cur = None
+                show(st[-1])
+            elif op == b'"' and st and isinstance(st[-1], bytes):
+                ly -= leading
+                cur = None
+                show(st[-1])
+            elif op == b"TJ" and st and isinstance(st[-1], list):
+                pieces: list[str] = []
+                for item in st[-1]:
+                    if isinstance(item, bytes):
+                        pieces.append(_decode_string(item))
+                    elif isinstance(item, float) and item <= _TJ_SPACE_THRESHOLD:
+                        pieces.append(" ")
+                show_text = "".join(pieces)
+                if show_text:
+                    if lines is None:
+                        pass
+                    else:
+                        if cur is None or cur.x != lx or cur.y != ly:
+                            cur = _Line(lx, ly, size)
+                            lines.append(cur)
+                        cur.parts.append(show_text)
+            st.clear()
+    return objs
+
+
+# -------------------------------------------------------------- assembly
+
+
+def tokenize_pdf(data: bytes) -> list[Block]:
+    """Parse a PDF into Blocks in content order; reading_order()'s
+    XY-cut then restores layout order exactly as it does for
+    absolutely-positioned HTML (the shared layout pass)."""
+    m = _MEDIABOX_RE.search(data)
+    page_h = float(m.group(4)) - float(m.group(2)) if m else _DEFAULT_PAGE_H
+    if page_h <= 0:
+        page_h = _DEFAULT_PAGE_H
+    band = page_h + _PAGE_BAND_GAP
+    blocks: list[Block] = []
+    for si, content in enumerate(_content_streams(data)):
+        y_off = si * band
+        for lines in _runs(content):
+            texts = []
+            for ln in lines:
+                t = " ".join("".join(ln.parts).split())
+                if t:
+                    texts.append((ln, t))
+            if not texts:
+                continue
+            text = " ".join(t for _ln, t in texts)
+            size_max = max(ln.size for ln, _t in texts)
+            x0 = min(ln.x for ln, _t in texts)
+            y_min = min(ln.y for ln, _t in texts)
+            y_max = max(ln.y for ln, _t in texts)
+            width = max(len(t) * ln.size * _CHAR_WIDTH_EM for ln, t in texts)
+            b = Block(
+                text=text,
+                tag_path=("pdf",),
+                n_chars=len(text),
+                link_chars=0,
+                n_inline=0,
+                kind="title" if size_max >= TITLE_MIN_SIZE else "text",
+                box=(
+                    int(x0),
+                    int(y_off + page_h - (y_max + size_max)),
+                    max(1, int(width)),
+                    max(1, int(y_max - y_min + size_max)),
+                ),
+            )
+            blocks.append(b)
+    for i, b in enumerate(blocks):
+        b.ordinal = i
+    return blocks

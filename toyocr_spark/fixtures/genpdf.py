@@ -1,0 +1,95 @@
+"""Deterministic minimal-PDF builder for fixtures and tests.
+
+Emits structurally valid PDF 1.4: catalog / page tree / one page per
+content stream (US Letter MediaBox), Helvetica resource, FlateDecode
+content streams, a correct xref table and trailer — real enough that
+an external viewer parses it, small enough to hand-verify. The fixture
+counterpart of the reference's ICDAR->COCO converter
+(/root/reference/tools/icdar_converter.py:16-149): golden inputs are
+*generated*, never fetched.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+
+def escape_pdf_text(s: str) -> str:
+    """Escape a python string for a PDF literal string ( ... )."""
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def text_stream(ops: list[str]) -> bytes:
+    """Join content-stream operator lines into a stream body."""
+    return "\n".join(ops).encode("latin-1")
+
+
+def build_pdf(content_streams: list[bytes], compress: bool = True) -> bytes:
+    """Assemble a complete PDF: one page per content stream."""
+    n_pages = len(content_streams)
+    # object numbering: 1 catalog, 2 pages, 3 font,
+    # then per page i: 4+2i page dict, 5+2i content stream
+    kids = " ".join(f"{4 + 2 * i} 0 R" for i in range(n_pages))
+    objs: list[bytes] = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode(),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    for i, content in enumerate(content_streams):
+        objs.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Contents {5 + 2 * i} 0 R "
+                f"/Resources << /Font << /F1 3 0 R >> >> >>"
+            ).encode()
+        )
+        body = zlib.compress(content) if compress else content
+        filt = b" /Filter /FlateDecode" if compress else b""
+        objs.append(
+            b"<< /Length %d%s >>\nstream\n%s\nendstream" % (len(body), filt, body)
+        )
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets: list[int] = []
+    for i, o in enumerate(objs, 1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + o + b"\nendobj\n"
+    xref_pos = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (
+        len(objs) + 1,
+        xref_pos,
+    )
+    return bytes(out)
+
+
+def wrap_words(text: str, width: int) -> list[str]:
+    """Greedy word wrap (deterministic; words longer than width stand
+    alone)."""
+    lines: list[str] = []
+    cur: list[str] = []
+    n = 0
+    for w in text.split():
+        add = len(w) + (1 if cur else 0)
+        if cur and n + add > width:
+            lines.append(" ".join(cur))
+            cur, n = [w], len(w)
+        else:
+            cur.append(w)
+            n += add
+    if cur:
+        lines.append(" ".join(cur))
+    return lines
+
+
+def paragraph_ops(x: int, y: int, size: int, leading: int, lines: list[str]) -> str:
+    """BT..ET operator block for a wrapped paragraph at (x, y) baseline."""
+    ops = [f"BT /F1 {size} Tf {leading} TL {x} {y} Td"]
+    for j, ln in enumerate(lines):
+        if j:
+            ops.append("T*")
+        ops.append(f"({escape_pdf_text(ln)}) Tj")
+    ops.append("ET")
+    return "\n".join(ops)

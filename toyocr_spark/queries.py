@@ -1392,6 +1392,53 @@ def q37_greedy_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PDF leg of the extraction kernel: pages synthesized JVM-side as real
+# (uncompressed) PDF byte streams, extracted through the same pipeline
+
+
+@_q(
+    "q40_pdf_extract",
+    """
+    SELECT 'https://pdf-' || CAST(doc_id AS VARCHAR) || '.example/doc.pdf' AS url,
+           text AS extracted_text,
+           1 AS n_kept
+    FROM documents
+    """,
+    "PDF extraction over minimal single-stream PDFs built with pure "
+    "built-in functions (the corpus is ASCII with no ()\\\\, checked, so "
+    "no escaping stage is needed); oracle = identity on the known "
+    "template, the q25 pattern for the %PDF- dispatch path",
+)
+def q40_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toyocr_spark.pipeline import extract_pages
+
+    d = _t(spark, sf_dir, "documents")
+    content = F.concat(F.lit("BT /F1 12 Tf 50 700 Td ("), F.col("text"), F.lit(") Tj ET"))
+    pdf = F.concat(
+        F.lit(
+            "%PDF-1.4\n"
+            "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+            "3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            "/Contents 4 0 R >>\nendobj\n"
+            "4 0 obj\n<< /Length "
+        ),
+        F.length(content).cast("string"),  # ASCII: chars == bytes
+        F.lit(" >>\nstream\n"),
+        content,
+        F.lit("\nendstream\nendobj\ntrailer\n<< /Root 1 0 R >>\n%%EOF\n"),
+    )
+    pages = d.select(
+        F.concat(F.lit("https://pdf-"), F.col("doc_id").cast("string"), F.lit(".example/doc.pdf")).alias(
+            "url"
+        ),
+        F.encode(pdf, "UTF-8").alias("html"),
+    )
+    out = extract_pages(pages)
+    return out.select("url", "extracted_text", F.col("n_kept").cast("int").alias("n_kept"))
+
+
+# ---------------------------------------------------------------------------
 # the flagship: extraction itself, oracle-checked
 
 
