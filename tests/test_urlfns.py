@@ -1,0 +1,88 @@
+"""URL canonicalization / outlink resolution: edge semantics + plan
+shape (map-only; the dedup groupBy is the only shuffle)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from toyocr_spark.functions.urlfns import canonicalize_url, resolve_link
+
+
+def _canon(spark, urls: list[str]) -> list[str]:
+    df = spark.createDataFrame([(u,) for u in urls], "url: string")
+    return [r["c"] for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect()]
+
+
+def test_canonicalize_edges(spark):
+    got = _canon(
+        spark,
+        [
+            "HTTPS://WWW.EXAMPLE.COM:443/Path/Sub?utm_source=x&b=2&a=1#frag",
+            "http://example.com:80/",
+            "http://example.com:8080/x",
+            "https://example.com",  # no path at all
+            "https://example.com/x?utm_a=1&utm_b=2",  # tracking-only query
+            "https://example.com/x?fbclid=abc&z=9&gclid=q",
+            "https://example.com/Case/MATTERS/",
+            "https://www.example.com/#",
+        ],
+    )
+    assert got == [
+        "https://example.com/Path/Sub?a=1&b=2",
+        "http://example.com/",
+        "http://example.com:8080/x",
+        "https://example.com/",
+        "https://example.com/x",
+        "https://example.com/x?z=9",
+        "https://example.com/Case/MATTERS/",
+        "https://example.com/",
+    ]
+
+
+def test_canonical_collision_is_dedup_key(spark):
+    a, b = _canon(
+        spark,
+        [
+            "HTTPS://WWW.Example.com:443/a?y=2&x=1#top",
+            "https://example.com/a?x=1&y=2",
+        ],
+    )
+    assert a == b
+
+
+def test_resolve_link_semantics(spark):
+    df = spark.createDataFrame(
+        [("https://h.example", "https://h.example/dir/", link)
+         for link in ["https://other.example/z", "/root/p", "rel.html", "#frag"]],
+        "base_root: string, base_dir: string, link: string",
+    )
+    out = [
+        r["t"]
+        for r in df.select(
+            resolve_link(F.col("base_root"), F.col("base_dir"), F.col("link")).alias("t")
+        ).collect()
+    ]
+    assert out == [
+        "https://other.example/z",
+        "https://h.example/root/p",
+        "https://h.example/dir/rel.html",
+        None,
+    ]
+
+
+def test_outlinks_plan_is_map_only(spark, sf_dir):
+    """q42 must reach the sink without any Exchange: pure projection +
+    generate — the shape that scales linearly with input splits."""
+    from toyocr_spark.queries import QUERIES
+
+    plan = QUERIES["q42_outlinks"].spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_canonical_dedup_plan_single_shuffle(spark, sf_dir):
+    """q41 is one hash aggregate on the canonical key: exactly one
+    Exchange (partial agg map-side, final after the shuffle)."""
+    from toyocr_spark.queries import QUERIES
+
+    plan = QUERIES["q41_url_canonical"].spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1

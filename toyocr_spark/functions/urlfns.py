@@ -1,0 +1,77 @@
+"""URL canonicalization and outlink resolution — JVM-side Column
+expressions only (no UDFs), so Catalyst folds them into the scan
+projection and they cost one codegen stage at any scale.
+
+Crawl-side operators the reference has no analogue for (it consumes
+pre-keyed image ids); in a web corpus they are the first dedup lever:
+the same page is crawled under scheme/host case variants, default
+ports, tracking parameters and fragments, and canonical-URL dedup
+removes that class of duplicates for the price of a projection —
+before any content hashing runs.
+
+Portability note (oracle parity): built from substring_index / split /
+array_sort / filter — string ops with identical semantics in DuckDB
+(split_part / string_split / list_sort / list_filter), no regex.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# query parameters that never identify content (tracking noise)
+TRACKING_PARAMS = ("fbclid", "gclid", "msclkid", "ref_src")
+TRACKING_PREFIX = "utm_"
+
+def _BIG() -> Column:  # "to end of string" length for substring; lazy
+    return F.lit(1 << 30)  # (F.lit needs an active session at call time)
+
+
+def _drop_tracking(params: Column) -> Column:
+    """Filter an array of 'k=v' strings: drop empties, utm_* and known
+    click ids; sort for order-independence."""
+    name = lambda p: F.substring_index(p, "=", 1)  # noqa: E731
+    return F.array_sort(
+        F.filter(
+            params,
+            lambda p: (p != "")
+            & (F.substring(name(p), 1, len(TRACKING_PREFIX)) != TRACKING_PREFIX)
+            & ~name(p).isin(*TRACKING_PARAMS),
+        )
+    )
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form: lowercase scheme+host, strip default port and
+    'www.' prefix, strip fragment, drop tracking params, sort the rest.
+    Path case and trailing slashes are preserved (content-significant)."""
+    u = F.substring_index(url, "#", 1)  # fragment never reaches the server
+    scheme = F.lower(F.substring_index(u, "://", 1))
+    rest = F.substring(u, F.length(scheme) + 4, _BIG())
+    hostport = F.substring_index(rest, "/", 1)
+    path_q = F.substring(rest, F.length(hostport) + 1, _BIG())
+    host = F.lower(F.substring_index(hostport, ":", 1))
+    host = F.when(F.substring(host, 1, 4) == "www.", F.substring(host, 5, _BIG())).otherwise(host)
+    port = F.when(F.instr(hostport, ":") > 0, F.substring_index(hostport, ":", -1)).otherwise(F.lit(""))
+    default_port = ((scheme == "https") & (port == "443")) | ((scheme == "http") & (port == "80"))
+    port_part = F.when((port == "") | default_port, F.lit("")).otherwise(F.concat(F.lit(":"), port))
+    path = F.substring_index(path_q, "?", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    qs = F.when(F.instr(path_q, "?") > 0, F.substring(path_q, F.instr(path_q, "?") + 1, _BIG())).otherwise(
+        F.lit("")
+    )
+    kept = _drop_tracking(F.split(qs, "&"))
+    q_part = F.when(F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, port_part, path, q_part)
+
+
+def resolve_link(base_root: Column, base_dir: Column, link: Column) -> Column:
+    """Resolve an href against its page: absolute stays, '/path' joins
+    the site root, relative joins the page directory; fragment-only
+    links resolve to NULL (caller filters)."""
+    return (
+        F.when(F.substring(link, 1, 1) == "#", F.lit(None).cast("string"))
+        .when(F.instr(link, "://") > 0, link)
+        .when(F.substring(link, 1, 1) == "/", F.concat(base_root, link))
+        .otherwise(F.concat(base_dir, link))
+    )

@@ -1439,6 +1439,172 @@ def q40_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# crawl-side URL operators: canonicalization dedup + outlink extraction
+
+_URL_SYNTH_SQL = """
+      CASE CAST(doc_id % 4 AS INTEGER)
+        WHEN 0 THEN 'HTTPS://WWW.Host-' || CAST(doc_id % 7 AS VARCHAR) || '.Example:443/Article/'
+                    || CAST(doc_id % 50 AS VARCHAR) || '?utm_source=feed&ref='
+                    || CAST(doc_id % 3 AS VARCHAR) || '&a=1#section-2'
+        WHEN 1 THEN 'https://host-' || CAST(doc_id % 7 AS VARCHAR) || '.example/Article/'
+                    || CAST(doc_id % 50 AS VARCHAR) || '?a=1&ref=' || CAST(doc_id % 3 AS VARCHAR)
+        WHEN 2 THEN 'http://Host-' || CAST(doc_id % 7 AS VARCHAR) || '.example:80/News/'
+                    || CAST(doc_id % 50 AS VARCHAR) || '/?gclid=xyz&b=2'
+        ELSE 'https://www.host-' || CAST(doc_id % 7 AS VARCHAR) || '.EXAMPLE:8080/Article/'
+             || CAST(doc_id % 50 AS VARCHAR) || '#frag'
+      END
+"""
+
+
+def _url_synth_col() -> "F.Column":
+    d7 = (F.col("doc_id") % 7).cast("string")
+    d50 = (F.col("doc_id") % 50).cast("string")
+    d3 = (F.col("doc_id") % 3).cast("string")
+    v = (F.col("doc_id") % 4).cast("int")
+    return (
+        F.when(
+            v == 0,
+            F.concat(
+                F.lit("HTTPS://WWW.Host-"), d7, F.lit(".Example:443/Article/"), d50,
+                F.lit("?utm_source=feed&ref="), d3, F.lit("&a=1#section-2"),
+            ),
+        )
+        .when(
+            v == 1,
+            F.concat(F.lit("https://host-"), d7, F.lit(".example/Article/"), d50, F.lit("?a=1&ref="), d3),
+        )
+        .when(
+            v == 2,
+            F.concat(F.lit("http://Host-"), d7, F.lit(".example:80/News/"), d50, F.lit("/?gclid=xyz&b=2")),
+        )
+        .otherwise(
+            F.concat(F.lit("https://www.host-"), d7, F.lit(".EXAMPLE:8080/Article/"), d50, F.lit("#frag"))
+        )
+    )
+
+
+@_q(
+    "q41_url_canonical",
+    f"""
+    WITH raw AS (
+      SELECT doc_id, {_URL_SYNTH_SQL} AS url FROM documents
+    ),
+    s1 AS (SELECT doc_id, split_part(url, '#', 1) AS u FROM raw),
+    s2 AS (SELECT doc_id, u, lower(split_part(u, '://', 1)) AS scheme,
+                  substr(u, length(split_part(u, '://', 1)) + 4) AS rest FROM s1),
+    s3 AS (SELECT *, split_part(rest, '/', 1) AS hostport,
+                  substr(rest, length(split_part(rest, '/', 1)) + 1) AS path_q FROM s2),
+    s4 AS (SELECT *,
+                  CASE WHEN starts_with(lower(split_part(hostport, ':', 1)), 'www.')
+                       THEN substr(lower(split_part(hostport, ':', 1)), 5)
+                       ELSE lower(split_part(hostport, ':', 1)) END AS host,
+                  CASE WHEN contains(hostport, ':') THEN split_part(hostport, ':', 2)
+                       ELSE '' END AS port
+           FROM s3),
+    s5 AS (SELECT *,
+                  CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
+                            OR (scheme = 'http' AND port = '80')
+                       THEN '' ELSE ':' || port END AS port_part,
+                  CASE WHEN split_part(path_q, '?', 1) = '' THEN '/'
+                       ELSE split_part(path_q, '?', 1) END AS path,
+                  CASE WHEN contains(path_q, '?')
+                       THEN substr(path_q, position('?' IN path_q) + 1)
+                       ELSE '' END AS qs
+           FROM s4),
+    s6 AS (SELECT *,
+                  list_sort(list_filter(string_split(qs, '&'),
+                      p -> p != '' AND NOT starts_with(split_part(p, '=', 1), 'utm_')
+                           AND split_part(p, '=', 1) NOT IN ('fbclid','gclid','msclkid','ref_src')
+                  )) AS kept
+           FROM s5),
+    canon AS (SELECT doc_id,
+                     scheme || '://' || host || port_part || path ||
+                     CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
+                          ELSE '' END AS canonical_url
+              FROM s6)
+    SELECT canonical_url, min(doc_id) AS survivor_id, count(*) AS n_dups
+    FROM canon GROUP BY canonical_url
+    """,
+    "canonical-URL dedup: lowercase scheme/host, strip www./default "
+    "port/fragment/tracking params, sort the query string — the "
+    "zero-shuffle-projection dedup lever that runs before any content "
+    "hashing; one groupBy on the canonical key",
+)
+def q41_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toyocr_spark.functions.urlfns import canonicalize_url
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", _url_synth_col().alias("url"))
+    return (
+        d.select("doc_id", canonicalize_url(F.col("url")).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.min("doc_id").alias("survivor_id"), F.count("*").alias("n_dups"))
+    )
+
+
+@_q(
+    "q42_outlinks",
+    """
+    WITH pages AS (
+      SELECT doc_id,
+             'https://host-' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS base_root,
+             '<html><body><a href="https://ext-' || CAST(doc_id % 5 AS VARCHAR)
+             || '.example/x">ext</a><a href="/local/' || CAST(doc_id % 11 AS VARCHAR)
+             || '">loc</a><a href="#top">skip</a><a href="page-'
+             || CAST(doc_id % 3 AS VARCHAR) || '.html">rel</a></body></html>' AS html
+      FROM documents
+    ),
+    links AS (
+      SELECT doc_id, base_root,
+             unnest(regexp_extract_all(html, 'href="([^"]+)"', 1)) AS link
+      FROM pages
+    )
+    SELECT doc_id,
+           CASE WHEN contains(link, '://') THEN link
+                WHEN starts_with(link, '/') THEN base_root || link
+                ELSE base_root || '/dir/' || link END AS target,
+           CASE WHEN contains(link, '://') THEN 'absolute'
+                WHEN starts_with(link, '/') THEN 'root'
+                ELSE 'relative' END AS link_type
+    FROM links
+    WHERE NOT starts_with(link, '#')
+    """,
+    "outlink extraction + resolution: regexp_extract_all over the html "
+    "column, explode to the web-graph edge list (src doc -> resolved "
+    "target), fragment links dropped — map-only, no shuffle at all",
+)
+def q42_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toyocr_spark.functions.urlfns import resolve_link
+
+    d = _t(spark, sf_dir, "documents")
+    d5 = (F.col("doc_id") % 5).cast("string")
+    d7 = (F.col("doc_id") % 7).cast("string")
+    d11 = (F.col("doc_id") % 11).cast("string")
+    d3 = (F.col("doc_id") % 3).cast("string")
+    pages = d.select(
+        "doc_id",
+        F.concat(F.lit("https://host-"), d7, F.lit(".example")).alias("base_root"),
+        F.concat(
+            F.lit('<html><body><a href="https://ext-'), d5,
+            F.lit('.example/x">ext</a><a href="/local/'), d11,
+            F.lit('">loc</a><a href="#top">skip</a><a href="page-'), d3,
+            F.lit('.html">rel</a></body></html>'),
+        ).alias("html"),
+    )
+    links = pages.select(
+        "doc_id",
+        "base_root",
+        F.explode(F.regexp_extract_all("html", F.lit(r'href="([^"]+)"'), 1)).alias("link"),
+    ).filter(F.substring("link", 1, 1) != "#")
+    target = resolve_link(F.col("base_root"), F.concat(F.col("base_root"), F.lit("/dir/")), F.col("link"))
+    link_type = (
+        F.when(F.instr("link", "://") > 0, F.lit("absolute"))
+        .when(F.substring("link", 1, 1) == "/", F.lit("root"))
+        .otherwise(F.lit("relative"))
+    )
+    return links.select("doc_id", target.alias("target"), link_type.alias("link_type"))
+
+
+# ---------------------------------------------------------------------------
 # the flagship: extraction itself, oracle-checked
 
 
