@@ -21,7 +21,9 @@ from toyocr_spark.streaming import stream_extract, windowed_page_counts
 def stream_input(tmp_path_factory) -> str:
     """Pages corpus split into 3 files, as crawl segments land."""
     d = str(tmp_path_factory.mktemp("stream_in"))
-    pages = gen_pages(90, seed=99)
+    # pdf_frac: the %PDF- dispatch path must be byte-identical through
+    # the streaming twin too, not just the batch pipeline
+    pages = gen_pages(90, seed=99, pdf_frac=0.2)
     for i in range(3):
         chunk = pages[i * 30 : (i + 1) * 30]
         tbl = pa.table(

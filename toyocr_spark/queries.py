@@ -1604,6 +1604,186 @@ def q42_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return links.select("doc_id", target.alias("target"), link_type.alias("link_type"))
 
 
+@_q(
+    "q43_page_metadata",
+    """
+    WITH pages AS (
+      SELECT doc_id,
+             '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+             || ' Title</title><link rel="canonical" href="https://canon-'
+             || CAST(doc_id % 9 AS VARCHAR) || '.example/c/' || CAST(doc_id % 40 AS VARCHAR)
+             || '">'
+             || CASE WHEN doc_id % 5 = 0
+                     THEN '<meta name="robots" content="noindex, nofollow">'
+                     WHEN doc_id % 5 = 1
+                     THEN '<meta name="robots" content="index, follow">'
+                     ELSE '' END
+             || '</head><body><p>body</p></body></html>' AS html
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(html, '<title[^>]*>([^<]*)</title>', 1) AS title,
+           regexp_extract(html, '<link[^>]*rel="canonical"[^>]*href="([^"]+)"', 1)
+             AS canonical,
+           CASE WHEN contains(
+                  regexp_extract(html, '<meta[^>]*name="robots"[^>]*content="([^"]*)"', 1),
+                  'noindex') THEN 1 ELSE 0 END AS noindex
+    FROM pages
+    """,
+    "page-metadata projection: title / rel=canonical / robots-noindex "
+    "pulled JVM-side with anchored single-group regexes — the cheap "
+    "crawl-side pre-filter that runs before the extraction kernel ever "
+    "sees the page (noindex pages are dropped at scan cost)",
+)
+def q43_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    robots = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit('<meta name="robots" content="noindex, nofollow">'))
+        .when(F.col("doc_id") % 5 == 1, F.lit('<meta name="robots" content="index, follow">'))
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(' Title</title><link rel="canonical" href="https://canon-'),
+        (F.col("doc_id") % 9).cast("string"),
+        F.lit(".example/c/"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.lit('">'),
+        robots,
+        F.lit("</head><body><p>body</p></body></html>"),
+    )
+    pages = d.select("doc_id", html.alias("html"))
+    return pages.select(
+        "doc_id",
+        F.regexp_extract("html", r"<title[^>]*>([^<]*)</title>", 1).alias("title"),
+        F.regexp_extract("html", r'<link[^>]*rel="canonical"[^>]*href="([^"]+)"', 1).alias("canonical"),
+        F.when(
+            F.regexp_extract("html", r'<meta[^>]*name="robots"[^>]*content="([^"]*)"', 1).contains(
+                "noindex"
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("noindex"),
+    )
+
+
+# deterministic integer PageRank: ranks carried as BIGINTs scaled by
+# 10^12 with floor division everywhere, so double summation order can
+# never straddle a rounding boundary between engines (the cross-engine
+# determinism discipline of q01, applied to an iterative op)
+_PR_SCALE = 10**12
+_PR_ITERS = 3
+
+
+def _pr_round_sql(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+      SELECT n.id,
+             ({_PR_SCALE} * 15) // (100 * (SELECT count(*) FROM nodes))
+             + (85 * coalesce(sum({prev}.rank // deg.outdeg), 0)) // 100 AS rank
+      FROM nodes n
+      LEFT JOIN edges e ON e.dst = n.id
+      LEFT JOIN {prev} ON {prev}.id = e.src
+      LEFT JOIN deg ON deg.src = e.src
+      GROUP BY n.id
+    )"""
+
+
+@_q(
+    "q44_pagerank",
+    f"""
+    WITH edges AS (
+      SELECT DISTINCT doc_id % 100 AS src, (doc_id * 7 + 3) % 100 AS dst
+      FROM documents WHERE doc_id % 100 <> (doc_id * 7 + 3) % 100
+    ),
+    nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    r0 AS (SELECT id, {_PR_SCALE} // (SELECT count(*) FROM nodes) AS rank FROM nodes),
+    {_pr_round_sql("r0", "r1")},
+    {_pr_round_sql("r1", "r2")},
+    {_pr_round_sql("r2", "r3")}
+    SELECT id, rank AS rank_scaled FROM r3
+    """,
+    "host-graph PageRank, 3 fixed rounds, damping 0.85 — every round is "
+    "one join + one groupBy (the iterative min-label CC shape); integer-"
+    "scaled arithmetic makes it bit-exact across engines",
+)
+def q44_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    src = F.col("doc_id") % 100
+    dst = (F.col("doc_id") * 7 + 3) % 100
+    edges = d.select(src.alias("src"), dst.alias("dst")).filter(F.col("src") != F.col("dst")).distinct()
+    edges = edges.localCheckpoint()  # reused every round: cut lineage once
+    nodes = edges.select(F.col("src").alias("id")).union(edges.select("dst")).distinct()
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    n_nodes = nodes.count()  # COUNT-driven planning (the A7 pattern)
+    ranks = nodes.withColumn("rank", F.lit(_PR_SCALE // n_nodes))
+    teleport = (_PR_SCALE * 15) // (100 * n_nodes)
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("id", "src"), "src")
+            .join(deg, "src")
+            .select(F.col("dst").alias("id"), F.expr("rank div outdeg").alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib, "id", "left")
+            .groupBy("id")
+            .agg(
+                (F.lit(teleport) + F.expr("85 * coalesce(sum(c), 0) div 100")).alias("rank")
+            )
+        )
+    return ranks.select("id", F.col("rank").alias("rank_scaled"))
+
+
+_HEX4_DOC = " + ".join(
+    f"(strpos('0123456789abcdef', substr(hh, {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+    for i in range(4)
+)
+
+
+@_q(
+    "q45_hash_sample",
+    f"""
+    WITH keyed AS (
+      SELECT lang,
+             ({_HEX4_DOC}) % 100 AS bucket
+      FROM (SELECT lang, substr(md5('s1|' || CAST(doc_id AS VARCHAR)), 1, 4) AS hh
+            FROM documents)
+    ),
+    rates AS (SELECT lang, CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 30 ELSE 10 END AS rate
+              FROM (SELECT DISTINCT lang FROM documents))
+    SELECT k.lang,
+           count(*) AS n_total,
+           sum(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS n_kept
+    FROM keyed k JOIN rates USING (lang)
+    GROUP BY k.lang
+    """,
+    "deterministic stratified sampling: md5(salt|id) buckets 0..99, "
+    "per-language keep rate — reproducible corpus downsampling with no "
+    "RNG state, any worker anywhere keeps exactly the same rows",
+)
+def q45_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("s1|"), F.col("doc_id").cast("string"))), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    rate = (
+        F.when(F.col("lang") == "en", F.lit(50)).when(F.col("lang") == "de", F.lit(30)).otherwise(F.lit(10))
+    )
+    return (
+        d.select("lang", bucket.alias("bucket"), rate.alias("rate"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.when(F.col("bucket") < F.col("rate"), 1).otherwise(0)).alias("n_kept"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # the flagship: extraction itself, oracle-checked
 
