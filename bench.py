@@ -41,6 +41,7 @@ if REPO not in sys.path:
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"
 CORPUS_CACHE = "/tmp/toyocr_bench_corpus"
 REPLICAS = 40  # bench corpus = replicas × documents rows (sf0.1 → 200k pages)
+PDF_REPLICAS = 8  # pdf corpus: replicas × documents rows (sf0.1 → 40k PDFs)
 SECTIONS = 12  # article sections per page → ~8 KB realistic pages
 
 
@@ -127,6 +128,35 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     return times
 
 
+def bench_pdf_extraction(spark, sf_dir: str, cpus: int) -> dict:
+    """Secondary metric: the PDF leg of the kernel over a synthesized
+    all-PDF corpus (smaller than the HTML corpus; the headline and the
+    scaling protocol stay HTML-only for round-over-round comparability)."""
+    from toyocr_spark.bench_corpus import materialize_pdf_corpus
+    from toyocr_spark.pipeline import run_extraction
+    from toyocr_spark.sources.pages import PAGES_SCHEMA
+
+    path = f"{CORPUS_CACHE}_pdf_{sf_of(sf_dir)}_r{PDF_REPLICAS}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        tmp = path + ".build"
+        materialize_pdf_corpus(spark, sf_dir, tmp, replicas=PDF_REPLICAS)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            os.rename(tmp, path)
+    pages = spark.read.schema(PAGES_SCHEMA).parquet(path)
+    n_docs = pages.count()
+    force(run_extraction(pages.limit(32 * cpus), num_partitions=cpus))  # warm-up
+    wall = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        force(run_extraction(pages, num_partitions=cpus * 2))
+        wall = min(wall, time.perf_counter() - t0)
+    return {
+        "pdf_docs": n_docs,
+        "extract_pdf_sec": round(wall, 3),
+        "pdf_docs_per_sec": round(n_docs / wall, 2),
+    }
+
+
 def run_bench(sf_dir: str, cpus: int, extract_only: bool) -> dict:
     spark = build_spark(cpus)
     try:
@@ -135,6 +165,10 @@ def run_bench(sf_dir: str, cpus: int, extract_only: bool) -> dict:
         if not extract_only:
             queries = bench_queries(spark, sf_dir)
         n_queries = len(queries)
+        if not extract_only:
+            pdf = bench_pdf_extraction(spark, sf_dir, cpus)
+            ext.update(pdf)
+            queries["extract_pdf"] = pdf["extract_pdf_sec"]
         queries["extract"] = ext["extract_sec"]
         total = round(sum(queries.values()), 3)
         return {

@@ -70,6 +70,17 @@ def main(argv: list[str] | None = None) -> int:
         )
     funnel["input"] = docs.count()
 
+    # 0. canonical-URL dedup (pages mode only): the zero-content-cost
+    #    dedup lever — scheme/host case, default ports, tracking params
+    #    and fragments collapse BEFORE any hashing touches the text
+    if args.pages:
+        from toyocr_spark.functions.urlfns import canonicalize_url
+
+        docs = docs.withColumn("curl", canonicalize_url(F.col("url")))
+        url_keep = docs.groupBy("curl").agg(F.min("doc_id").alias("doc_id"))
+        docs = docs.join(url_keep.select("doc_id"), "doc_id", "left_semi").drop("curl")
+        funnel["after_url_dedup"] = docs.count()
+
     # 1. quality filter (C4-style heuristics, JVM-side)
     q = quality_features(
         docs, "text",

@@ -98,6 +98,62 @@ def synth_pages(
     )
 
 
+def synth_pdf_pages(spark: SparkSession, sf_dir: str, replicas: int = 4, sections: int = 6) -> DataFrame:
+    """PDF twin of synth_pages: every page is a structurally valid
+    single-stream PDF (uncompressed, /Length exact) with a title banner
+    and ``sections`` positioned paragraph blocks, built entirely
+    JVM-side. Sized so the PDF content-stream machine does
+    representative per-block work (text ops, line tracking, box
+    assembly, XY-cut)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text", "lang")
+    d = d.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))))
+    title = "BT /F1 18 Tf 50 760 Td (Synthesized Bench Document Title) Tj ET"
+    para = lambda i: F.concat(  # noqa: E731
+        F.lit(f"BT /F1 11 Tf 13 TL 50 {700 - 90 * i} Td ("),
+        F.col("text"),
+        F.lit(") Tj ET"),
+    )
+    content = F.concat_ws("\n", F.lit(title), *[para(i) for i in range(sections)])
+    pdf = F.concat(
+        F.lit(
+            "%PDF-1.4\n"
+            "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+            "3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            "/Contents 4 0 R >>\nendobj\n"
+            "4 0 obj\n<< /Length "
+        ),
+        F.length(content).cast("string"),  # corpus is ASCII: chars == bytes
+        F.lit(" >>\nstream\n"),
+        content,
+        F.lit("\nendstream\nendobj\ntrailer\n<< /Root 1 0 R >>\n%%EOF\n"),
+    )
+    h = F.pmod(F.xxhash64("doc_id", "rep"), F.lit(50))
+    host = F.when(h < 10, F.lit(0)).otherwise(F.pmod(h, F.lit(39)) + 1)
+    return d.select(
+        F.concat(
+            F.lit("https://host-"),
+            host.cast("string"),
+            F.lit(".example/pdf/"),
+            F.col("doc_id").cast("string"),
+            F.lit("/"),
+            F.col("rep").cast("string"),
+        ).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.encode(pdf, "UTF-8").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+    )
+
+
+def materialize_pdf_corpus(
+    spark: SparkSession, sf_dir: str, out_path: str, replicas: int = 4, sections: int = 6
+) -> None:
+    synth_pdf_pages(spark, sf_dir, replicas, sections).repartition(64).write.mode(
+        "overwrite"
+    ).parquet(out_path)
+
+
 def materialize_corpus(
     spark: SparkSession, sf_dir: str, out_path: str, replicas: int = 4, sections: int = 12
 ) -> None:
