@@ -118,3 +118,27 @@ def test_pipeline_identity_with_pdf_pages(spark, tmp_path):
     resumable_run(spark, pages, out, n_chunks=3)
     rep = identity_report(read_result(spark, out), pages).collect()[0]
     assert rep["pass_rate"] == 1.0 and rep["n_urls"] == 80
+
+
+def test_pdf_parser_never_raises_fuzz():
+    """Robustness contract: arbitrary bytes behind a %PDF- magic must
+    extract deterministically without raising (truncations, bit flips,
+    random garbage) — crawl PDFs are routinely corrupt."""
+    rng = random.Random(1234)
+    whole, _ = _pdf_page(random.Random(7))
+    corpora = []
+    for _ in range(120):
+        mode = rng.randrange(3)
+        if mode == 0:  # random garbage
+            corpora.append(b"%PDF-" + bytes(rng.randrange(256) for _ in range(rng.randrange(400))))
+        elif mode == 1:  # truncation
+            corpora.append(whole[: rng.randrange(len(whole))])
+        else:  # bit flips
+            b = bytearray(whole)
+            for _ in range(rng.randrange(1, 6)):
+                b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+            corpora.append(bytes(b))
+    for data in corpora:
+        a = extract(data)
+        b = extract(data)
+        assert a.text == b.text and a.spans == b.spans

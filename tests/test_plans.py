@@ -189,6 +189,7 @@ def test_relational_queries_have_no_python_nodes(spark, sf_dir):
         "q26_media_decode",      # multimodal decode kernel
         "q27_media_frames",      # multimodal frame kernel
         "q37_greedy_exact",      # used-flags greedy: applyInPandas per key
+        "q40_pdf_extract",       # the extraction kernel, PDF dispatch path
     }
     markers = ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas",
                "MapInPandas", "PythonMapInArrow", "MapInArrow")

@@ -16,7 +16,8 @@ from toyocr_spark.sources.warc import parse_warc, read_warc, write_warc
 @pytest.fixture(scope="module")
 def warc_dir(tmp_path_factory) -> str:
     d = str(tmp_path_factory.mktemp("warc"))
-    pages = gen_pages(60, seed=77)
+    # pdf_frac: application/pdf response records ride the same column
+    pages = gen_pages(60, seed=77, pdf_frac=0.2)
     recs = [
         (p.url, p.warc_ts.strftime("%Y-%m-%dT%H:%M:%SZ"), p.html) for p in pages
     ]
@@ -69,7 +70,8 @@ def test_read_warc_both_compressions(spark, warc_dir):
 def test_warc_to_extraction_byte_identity(spark, warc_dir):
     """The full crawl-native path: WARC -> pages -> kernel. Output must
     equal the frozen oracle run on the same fixture pages."""
-    pages = gen_pages(60, seed=77)
+    pages = gen_pages(60, seed=77, pdf_frac=0.2)
+    assert any(p.kind == "pdf" for p in pages)  # the PDF path is exercised
     want = {p.url: p.text for p in pages}
     got = {
         r["url"]: r["extracted_text"]

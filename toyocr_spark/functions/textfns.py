@@ -105,3 +105,52 @@ def bottomk_fingerprint(df: DataFrame, id_col: str, text_col: str, k_shingle: in
     return ranked.groupBy("id").agg(
         F.concat_ws("", F.array_sort(F.collect_list("h"))).alias("fingerprint")
     )
+
+
+def repetition_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition signals per document: the repetition
+    class of quality filters (Rae et al. 2021 §A1.1) that length/punct
+    heuristics (quality_features) cannot see.
+
+    Returns (id, n_words, uniq_word_frac, top_word_frac,
+    top_bigram_frac): a machine-generated or boilerplate-looped page has
+    a high top-fraction and a low unique fraction. All built-ins —
+    split + explode + two-level aggregation (word counts, then per-doc
+    max/sum), one shuffle per level, partial aggregation map-side."""
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.trim(F.col(text_col)), " ").alias("ws"),
+    ).filter(F.size("ws") >= 2)
+    # unigram counts
+    uni = (
+        words.select("id", F.explode("ws").alias("w"))
+        .groupBy("id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    uni_agg = uni.groupBy("id").agg(
+        F.sum("c").alias("n_words"),
+        F.max("c").alias("top_w"),
+        F.count("*").alias("n_uniq"),
+    )
+    # bigram counts: zip each word with its successor, JVM-side
+    bi = (
+        words.select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ws") - 2),
+                    lambda i: F.concat_ws(" ", F.col("ws")[i], F.col("ws")[i + 1]),
+                )
+            ).alias("b"),
+        )
+        .groupBy("id", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    bi_agg = bi.groupBy("id").agg(F.sum("c").alias("n_bi"), F.max("c").alias("top_b"))
+    return uni_agg.join(bi_agg, "id").select(
+        "id",
+        "n_words",
+        F.round(F.col("n_uniq") / F.col("n_words"), 6).alias("uniq_word_frac"),
+        F.round(F.col("top_w") / F.col("n_words"), 6).alias("top_word_frac"),
+        F.round(F.col("top_b") / F.col("n_bi"), 6).alias("top_bigram_frac"),
+    )

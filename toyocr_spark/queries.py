@@ -1784,6 +1784,81 @@ def q45_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q46_repetition",
+    """
+    WITH w AS (
+      SELECT doc_id AS id, string_split(trim(text), ' ') AS ws FROM documents
+    ),
+    w2 AS (SELECT id, ws FROM w WHERE len(ws) >= 2),
+    uni AS (SELECT id, u.wd AS wd, count(*) AS c
+            FROM w2, unnest(ws) AS u(wd) GROUP BY id, u.wd),
+    uni_agg AS (SELECT id, CAST(sum(c) AS BIGINT) AS n_words,
+                       max(c) AS top_w, count(*) AS n_uniq
+                FROM uni GROUP BY id),
+    bi AS (SELECT id, ws[i] || ' ' || ws[i + 1] AS b, count(*) AS c
+           FROM w2, unnest(generate_series(1, len(ws) - 1)) AS g(i)
+           GROUP BY id, b),
+    bi_agg AS (SELECT id, CAST(sum(c) AS BIGINT) AS n_bi, max(c) AS top_b
+               FROM bi GROUP BY id)
+    SELECT id, n_words,
+           round(n_uniq * 1.0 / n_words, 6) AS uniq_word_frac,
+           round(top_w * 1.0 / n_words, 6) AS top_word_frac,
+           round(top_b * 1.0 / n_bi, 6) AS top_bigram_frac
+    FROM uni_agg JOIN bi_agg USING (id)
+    """,
+    "gopher-style repetition signals (unique-word / top-word / "
+    "top-bigram fractions): the repetition class of quality filters "
+    "that length/punct heuristics can't see; two-level aggregation with "
+    "map-side partials",
+)
+def q46_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toyocr_spark.functions.textfns import repetition_features
+
+    return repetition_features(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@_q(
+    "q47_asof_join",
+    """
+    WITH c AS (SELECT user_id, ts, max(value) AS cv
+               FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+    e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error')
+    SELECT e.event_id, e.user_id, c.cv AS last_click_value
+    FROM e ASOF LEFT JOIN c ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+    "as-of (temporal) join: each error event picks up the latest click "
+    "value at-or-before its timestamp per user — implemented as a tagged "
+    "union + last(ignorenulls) running window (ONE shuffle on user_id, "
+    "no range join, no per-pair blowup); oracle = DuckDB's native ASOF "
+    "JOIN. The operator Spark lacks built-in, composed from windows",
+)
+def q47_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("cv"))
+        .select("user_id", "ts", "cv", F.lit(0).alias("is_err"), F.lit(None).cast("long").alias("event_id"))
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.lit(None).cast("double").alias("cv"), F.lit(1).alias("is_err"), "event_id"
+    )
+    tagged = clicks.unionByName(errors)
+    # clicks sort before errors at equal ts (at-or-before semantics);
+    # (ts, is_err) is a total order after the click pre-aggregation
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_err")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("last_click_value", F.last("cv", ignorenulls=True).over(w))
+        .filter(F.col("is_err") == 1)
+        .select("event_id", "user_id", "last_click_value")
+    )
+
+
 # ---------------------------------------------------------------------------
 # the flagship: extraction itself, oracle-checked
 

@@ -18,9 +18,11 @@ external container format into dataset dicts
 icdar_converter's file-format fan-out,
 /root/reference/tools/icdar_converter.py:16-149).
 
-Only ``response`` records with an http Content-Type of text/html (or a
-missing type) become pages; the http header block inside the body is
-stripped. Everything is deterministic: ordering follows (file, offset).
+Only ``response`` records with an http Content-Type of text/html or
+application/pdf (or a missing type) become pages; the http header block
+inside the body is stripped. PDF bodies ride the same binary ``html``
+column — the extraction kernel dispatches on the %PDF- magic.
+Everything is deterministic: ordering follows (file, offset).
 """
 
 from __future__ import annotations
@@ -82,8 +84,14 @@ def parse_warc(raw: bytes) -> list[dict]:
                     continue
                 http_hdr = body[:he].lower()
                 html = body[he + 4 :]
-                if b"content-type" in http_hdr and b"text/html" not in http_hdr:
-                    continue  # non-html response record
+                if (
+                    b"content-type" in http_hdr
+                    and b"text/html" not in http_hdr
+                    and b"application/pdf" not in http_hdr
+                ):
+                    continue  # neither html nor pdf: skip the record
+                # (PDF responses flow through the same `html` byte
+                # column; the kernel dispatches on the %PDF- magic)
             out.append(
                 {
                     "url": headers["warc-target-uri"],
@@ -139,7 +147,8 @@ def write_warc(path: str, records: list[tuple[str, str, bytes]], compress: bool 
     inverse serializer (S8 shape) used by tests and fixture generation."""
     buf = io.BytesIO()
     for url, ts, html in records:
-        body = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
+        ctype = b"application/pdf" if html[:5] == b"%PDF-" else b"text/html"
+        body = b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype + b"\r\n\r\n" + html
         hdr = (
             f"WARC/1.0\r\n"
             f"WARC-Type: response\r\n"
