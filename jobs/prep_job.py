@@ -36,6 +36,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--min-chars", type=int, default=80)
     ap.add_argument("--min-tokens", type=int, default=16)
     ap.add_argument("--min-punct", type=int, default=1, help="0 for corpora without sentence punctuation")
+    ap.add_argument(
+        "--para-words", type=int, default=0,
+        help="paragraph-dedup window in words (0 = stage off): repeated "
+        "paragraphs keep only their global first occurrence",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -115,6 +120,24 @@ def main(argv: list[str] | None = None) -> int:
     )
     final = survivors_exact.join(canonical, "doc_id", "left_semi")
     funnel["after_near_dedup"] = final.count()
+
+    # 4.5 paragraph-level dedup (CCNet policy): repeated paragraphs keep
+    #     only their global first occurrence; docs whose every paragraph
+    #     was boilerplate drop out entirely
+    if args.para_words > 0:
+        from toyocr_spark.operators.dedup import paragraph_dedup
+
+        pd = paragraph_dedup(final, "doc_id", "text", words_per_para=args.para_words)
+        final = (
+            final.drop("text")
+            .join(
+                pd.filter(F.col("n_kept") > 0).select(
+                    F.col("id").alias("doc_id"), F.col("text_kept").alias("text")
+                ),
+                "doc_id",
+            )
+        )
+        funnel["after_para_dedup"] = final.count()
 
     # 5. token accounting + write
     out = (

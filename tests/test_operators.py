@@ -332,3 +332,28 @@ def test_simhash64_width_and_banding(spark):
         if a < b and ham(rows[a], rows[b]) <= budget
     }
     assert got == brute
+
+
+def test_paragraph_dedup_first_occurrence_policy(spark):
+    from toyocr_spark.operators.dedup import paragraph_dedup
+
+    # 3-word "paragraphs" for the hand case. Doc 1 owns chunk A and
+    # repeats it internally; doc 2 repeats A (dropped, doc 1 is first)
+    # then has its own chunk B; doc 3 is all-boilerplate (everything
+    # dropped -> empty survivor text, still one output row).
+    A = "aa bb cc"
+    B = "dd ee ff"
+    df = spark.createDataFrame(
+        [(1, f"{A} {A}"), (2, f"{A} {B}"), (3, A)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: r
+        for r in paragraph_dedup(df, "doc_id", "text", words_per_para=3).collect()
+    }
+    assert out[1]["n_paras"] == 2 and out[1]["n_kept"] == 1
+    assert out[1]["text_kept"] == A  # internal repeat dropped too
+    assert out[2]["n_paras"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["text_kept"] == B
+    assert out[3]["n_paras"] == 1 and out[3]["n_kept"] == 0
+    assert out[3]["text_kept"] == ""

@@ -33,9 +33,10 @@ def test_prep_funnel_from_documents(tmp_path, sf_dir):
     out_dir = str(tmp_path / "prep")
     funnel = _run(
         "--documents", f"{sf_dir}/documents.parquet",
-        "--output", out_dir, "--min-punct", "0",
+        "--output", out_dir, "--min-punct", "0", "--para-words", "12",
     )
     assert funnel["input"] >= funnel["after_quality"] >= funnel["after_exact_dedup"] >= funnel["after_near_dedup"] > 0
+    assert 0 < funnel["after_para_dedup"] <= funnel["after_near_dedup"]
     assert funnel["tokens_total"] > 0
     import duckdb
 

@@ -279,6 +279,87 @@ def simhash64_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
+def paragraph_chunks(
+    df: DataFrame, id_col: str, text_col: str, words_per_para: int = 12
+) -> DataFrame:
+    """(id, pos, para) rows: the text split into fixed ``words_per_para``
+    word windows, in document order.
+
+    The synthetic corpus has no newline structure, so "paragraph" is a
+    fixed word window — the deterministic proxy for CCNet-style line /
+    paragraph units (a real crawl would split on ``\\n\\n`` instead; only
+    this splitter changes, the dedup shape below is identical). All
+    JVM-side: split / slice / array_join, no Python.
+    """
+    words = F.split(F.col(text_col), " ")
+    n_para = F.ceil(F.size(words) / F.lit(float(words_per_para)))
+    pos = F.explode(F.sequence(F.lit(0).cast("long"), n_para - 1))
+    return (
+        df.filter(F.length(text_col) > 0)
+        .select(F.col(id_col).alias("id"), words.alias("_w"), pos.alias("pos"))
+        .select(
+            "id",
+            "pos",
+            F.array_join(
+                F.slice("_w", (F.col("pos") * words_per_para + 1).cast("int"), words_per_para),
+                " ",
+            ).alias("para"),
+        )
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    words_per_para: int = 12,
+    pos_scale: int = 1_000_000,
+) -> DataFrame:
+    """Corpus-wide paragraph-level dedup (CCNet / "Deduplicating
+    Training Data" policy): every repeated paragraph keeps exactly its
+    FIRST occurrence — ordered by (doc id, position) — and is dropped
+    everywhere else, including later repeats inside the same document.
+    Returns one row per input document:
+    (doc_id, n_paras, n_kept, text_kept) with the surviving paragraphs
+    re-joined in original order ("\\n\\n" separator).
+
+    Scale shape (the reason this is not a window function): first
+    occurrence per digest is ``groupBy(digest).agg(min(inst_key))`` — a
+    partially-aggregated shuffle that stays O(1) state per digest even
+    for a boilerplate paragraph present in every document, where a
+    ``row_number() OVER (PARTITION BY digest)`` window would funnel all
+    instances of the hot digest through one reducer. The join back is
+    1:1 per instance (one keep row per digest). ``pos_scale`` packs
+    (id, pos) into one orderable int64; positions are bounded by
+    document length << pos_scale.
+    """
+    paras = paragraph_chunks(df, id_col, text_col, words_per_para)
+    keyed = paras.withColumn("digest", F.md5("para")).withColumn(
+        "inst_key", F.col("id") * pos_scale + F.col("pos")
+    )
+    keep = keyed.groupBy("digest").agg(F.min("inst_key").alias("keep_key"))
+    kept = keyed.join(keep, "digest").filter(F.col("inst_key") == F.col("keep_key"))
+    totals = keyed.groupBy("id").agg(F.count("*").alias("n_paras"))
+    kept_agg = kept.groupBy("id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))), lambda x: x["para"]
+            ),
+            "\n\n",
+        ).alias("text_kept"),
+    )
+    return (
+        totals.join(kept_agg, "id", "left")
+        .select(
+            F.col("id"),
+            F.col("n_paras"),
+            F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+            F.coalesce(F.col("text_kept"), F.lit("")).alias("text_kept"),
+        )
+    )
+
+
 def survivors(df: DataFrame, id_col: str, dup_pairs: DataFrame) -> DataFrame:
     """Resolve pairs to a kept set: drop every id that appears as id_b
     of a pair whose id_a survives transitively. Single-pass

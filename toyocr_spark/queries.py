@@ -30,6 +30,7 @@ from toyocr_spark.operators.dedup import (
     jaccard_pairs,
     minhash_band_signatures,
     minhash_lsh_candidates,
+    paragraph_dedup,
     simhash16,
 )
 from toyocr_spark.operators.evalagg import average_precision, pr_hmean
@@ -1857,6 +1858,42 @@ def q47_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("is_err") == 1)
         .select("event_id", "user_id", "last_click_value")
     )
+
+
+@_q(
+    "q48_paragraph_dedup",
+    """
+    WITH p0 AS (
+      SELECT doc_id AS id, string_split(text, ' ') AS w
+      FROM documents WHERE length(text) > 0
+    ),
+    paras AS (
+      SELECT id, u.i - 1 AS pos,
+             array_to_string(list_slice(w, (u.i - 1) * 12 + 1, (u.i - 1) * 12 + 12), ' ') AS para
+      FROM p0, unnest(generate_series(1, CAST(ceil(len(w) / 12.0) AS BIGINT))) AS u(i)
+    ),
+    keyed AS (
+      SELECT id, pos, para, md5(para) AS digest, id * 1000000 + pos AS inst_key FROM paras
+    ),
+    keep AS (SELECT digest, min(inst_key) AS keep_key FROM keyed GROUP BY digest),
+    kept AS (SELECT k.id, k.pos, k.para FROM keyed k JOIN keep USING (digest)
+             WHERE inst_key = keep_key),
+    totals AS (SELECT id, count(*) AS n_paras FROM keyed GROUP BY id),
+    ka AS (SELECT id, count(*) AS n_kept,
+                  string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text_kept
+           FROM kept GROUP BY id)
+    SELECT t.id, t.n_paras, coalesce(ka.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+           coalesce(ka.text_kept, '') AS text_kept
+    FROM totals t LEFT JOIN ka USING (id)
+    """,
+    "CCNet-style paragraph-level dedup: fixed word-window paragraphs, "
+    "repeated paragraphs keep only their global first occurrence by "
+    "(doc_id, pos), survivors re-joined per doc. First-occurrence via "
+    "groupBy(digest).min — partial-aggregated, skew-proof on boilerplate "
+    "paragraphs (no per-digest window funnel)",
+)
+def q48_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return paragraph_dedup(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 # ---------------------------------------------------------------------------
