@@ -220,3 +220,28 @@ def test_lineage_shows_balanced_partitions_under_skew(spark, pages_dir, tmp_path
     assert len(counts) >= 4
     median = counts[len(counts) // 2]
     assert counts[-1] <= 3 * median, counts
+
+
+def test_bm25_pushes_query_terms_below_aggregates(spark, sf_dir):
+    """Retrieval must shuffle only the query terms' posting lists: the
+    word IN (...) predicate lands under the explode, before any
+    HashAggregate, and the final top-k is TakeOrderedAndProject (a
+    distributed heap-merge), never a global row_number window."""
+    plan = _plan(q.queries()["q50_bm25"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan.split("TakeOrderedAndProject")[1]
+    filt = plan.find("IN (spark,shuffle)")
+    assert filt != -1, "query-term filter missing from physical plan"
+    # the filter occurs below (later in the printed tree than) every
+    # aggregate that consumes it: some IN-filter line must sit deeper
+    # than the last HashAggregate line
+    lines = plan.splitlines()
+    agg_rows = [i for i, ln in enumerate(lines) if "HashAggregate" in ln]
+    in_rows = [i for i, ln in enumerate(lines) if "IN (spark,shuffle)" in ln]
+    assert max(in_rows) > min(agg_rows)
+
+
+def test_pmi_top_n_is_distributed_topk(spark, sf_dir):
+    plan = _plan(q.queries()["q51_pmi_bigrams"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan  # zip-with-shift, no self-join

@@ -38,6 +38,7 @@ from toyocr_spark.operators.islands import gap_islands
 from toyocr_spark.operators.occupancy import occupancy_projection
 from toyocr_spark.operators.rangejoin import interval_overlap_join, mutual_first_match, overlap_anti_join
 from toyocr_spark.operators.selection import local_max_filter, topk_mean, topk_per_group
+from toyocr_spark.operators.textindex import bm25_retrieve, pmi_bigrams, tfidf_topk
 from toyocr_spark.operators.similarity import (
     brute_force_cosine_topk,
     bucketed_cosine_topk,
@@ -1894,6 +1895,96 @@ def q47_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q48_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_dedup(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_TOKENS_SQL = """
+      SELECT id, word FROM (
+        SELECT doc_id AS id, unnest(string_split(text, ' ')) AS word FROM documents
+      ) WHERE length(word) > 0
+"""
+
+
+@_q(
+    "q49_tfidf_topk",
+    f"""
+    WITH t AS ({_TOKENS_SQL}),
+    tf AS (SELECT id, word, count(*) AS tf FROM t GROUP BY id, word),
+    dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    s AS (SELECT id, word, tf, df,
+                 round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
+          FROM tf JOIN dfq USING (word) CROSS JOIN n),
+    r AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY tfidf DESC, word ASC) AS rk
+          FROM s)
+    SELECT id, rk, word, tf, df, tfidf FROM r WHERE rk <= 3
+    """,
+    "inverted-index TF-IDF: top-3 characteristic terms per doc; partial-agg "
+    "tf/df shuffles, corpus size on a broadcast one-row join, per-doc window",
+)
+def q49_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_topk(_t(spark, sf_dir, "documents"), "doc_id", "text", k=3)
+
+
+@_q(
+    "q50_bm25",
+    f"""
+    WITH t AS ({_TOKENS_SQL}),
+    dl AS (SELECT id, count(*) AS dl FROM t GROUP BY id),
+    tf AS (SELECT id, word, count(*) AS tf FROM t
+           WHERE word IN ('spark', 'shuffle') GROUP BY id, word),
+    dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    ad AS (SELECT avg(dl) AS avgdl FROM dl),
+    s AS (SELECT tf.id,
+                 ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS term_score
+          FROM tf JOIN dfq USING (word) JOIN dl ON tf.id = dl.id
+          CROSS JOIN n CROSS JOIN ad),
+    ranked AS (SELECT id, round(sum(term_score), 6) AS score FROM s GROUP BY id),
+    r AS (SELECT id, score, row_number() OVER (ORDER BY score DESC, id ASC) AS rk
+          FROM ranked)
+    SELECT rk, id, score FROM r WHERE rk <= 20
+    """,
+    "Okapi BM25 ranked retrieval for a 2-term query: Catalyst pushes the "
+    "query-term filter below the tf/df aggregates (only matching posting "
+    "lists shuffle); dl/avgdl/N ride broadcast one-row joins; final top-k "
+    "is orderBy+limit (TakeOrderedAndProject), never a global window",
+)
+def q50_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_retrieve(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", ["spark", "shuffle"], k=20
+    )
+
+
+@_q(
+    "q51_pmi_bigrams",
+    """
+    WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+    pairs AS (SELECT ws[i] AS a, ws[i + 1] AS b
+              FROM w, unnest(generate_series(1, len(ws) - 1)) AS u(i)
+              WHERE len(ws) >= 2),
+    big AS (SELECT a, b, count(*) AS n_ab FROM pairs GROUP BY a, b),
+    uni AS (SELECT word, count(*) AS n_w
+            FROM (SELECT unnest(ws) AS word FROM w) GROUP BY word),
+    tot AS (SELECT (SELECT sum(n_w) FROM uni) AS n_tokens,
+                   (SELECT sum(n_ab) FROM big) AS n_bigrams),
+    s AS (SELECT big.a, big.b, n_ab, ua.n_w AS n_a, ub.n_w AS n_b,
+                 round(ln((n_ab * 1.0 / n_bigrams)
+                          / ((ua.n_w * 1.0 / n_tokens) * (ub.n_w * 1.0 / n_tokens))), 6) AS pmi
+          FROM big
+          JOIN uni ua ON big.a = ua.word
+          JOIN uni ub ON big.b = ub.word
+          CROSS JOIN tot
+          WHERE n_ab >= 5),
+    r AS (SELECT *, row_number() OVER (ORDER BY pmi DESC, a ASC, b ASC) AS rk FROM s)
+    SELECT rk, a, b, n_ab, n_a, n_b, pmi FROM r WHERE rk <= 50
+    """,
+    "PMI bigram collocations (phrase-mining / tokenizer-vocab prep): "
+    "bigrams by zip-with-shift (linear, no self-join), partial-agg counts, "
+    "corpus totals broadcast, distributed top-N via orderBy+limit",
+)
+def q51_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pmi_bigrams(_t(spark, sf_dir, "documents"), "doc_id", "text", min_count=5, top=50)
 
 
 # ---------------------------------------------------------------------------
