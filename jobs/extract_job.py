@@ -39,6 +39,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--strategy", default="density", help="registered extractor strategy (extractor/registry.py)")
     ap.add_argument("--delta-from", default=None, help="previous run's output dir: re-extract only pages whose (url, html bytes) changed")
+    ap.add_argument(
+        "--delta-bloom-bits", type=int, default=None,
+        help="bloom pre-filter size in bits for --delta-from (size ~10 bits "
+        "per previously-seen page for ~1%% FP): bloom misses skip the exact "
+        "anti-join entirely; results are identical either way",
+    )
     args = ap.parse_args(argv)
 
     # imports deferred: under spark-submit --py-files the zip only joins
@@ -54,7 +60,9 @@ def main(argv: list[str] | None = None) -> int:
 
     pages = read_pages(spark, args.input)
     if args.delta_from:
-        pages = delta_pages(pages, read_result(spark, args.delta_from))
+        pages = delta_pages(
+            pages, read_result(spark, args.delta_from), bloom_m_bits=args.delta_bloom_bits
+        )
     hot = (
         hot_hosts(pages, threshold_fraction=args.salt_threshold)
         if args.salt_threshold > 0

@@ -40,3 +40,29 @@ def test_delta_selects_only_changed_and_new(spark, pages_dir, tmp_path):
     assert got.count() == 15
     # no-op recrawl: empty delta
     assert delta_pages(pages, prev).count() == 0
+
+
+def test_delta_bloom_prefilter_is_exact(spark, pages_dir, tmp_path):
+    """The bloom fast path must select EXACTLY the same url set as the
+    plain anti-join — at a generous m (no FPs likely) and at a
+    deliberately saturated m (every page forced through the exact
+    anti-join), since false positives only move work, never results."""
+    pages = read_pages(spark, pages_dir)
+    out1 = str(tmp_path / "run1")
+    resumable_run(spark, pages, out1, n_chunks=2)
+    prev = read_result(spark, out1)
+
+    changed = (
+        pages.orderBy("url").limit(7)
+        .withColumn("html", F.concat(F.col("html"), F.lit(b"<p>v2</p>")))
+    )
+    unchanged = pages.join(changed.select("url"), "url", "left_anti")
+    recrawl = unchanged.unionByName(changed)
+
+    want = {r["url"] for r in delta_pages(recrawl, prev).select("url").collect()}
+    for m_bits in (1 << 16, 64):  # roomy and saturated
+        got = {
+            r["url"]
+            for r in delta_pages(recrawl, prev, bloom_m_bits=m_bits).select("url").collect()
+        }
+        assert got == want, f"bloom delta diverged at m_bits={m_bits}"

@@ -357,3 +357,32 @@ def test_paragraph_dedup_first_occurrence_policy(spark):
     assert out[2]["text_kept"] == B
     assert out[3]["n_paras"] == 1 and out[3]["n_kept"] == 0
     assert out[3]["text_kept"] == ""
+
+
+def test_bloom_no_false_negatives_and_probe_agreement(spark):
+    from toyocr_spark.operators.bloom import bloom_build, bloom_maybe_seen, with_bloom_verdict
+
+    df = spark.range(500).select(
+        F.col("id"), F.concat(F.lit("k-"), F.col("id").cast("string")).alias("key")
+    )
+    members = df.filter(F.col("id") % 3 == 0)
+    for m_bits in (1 << 13, 256):  # roomy and saturated
+        bloom = bloom_build(members, F.col("key"), m_bits=m_bits, k=5)
+        joined = {
+            r["id"]: r["maybe_seen"]
+            for r in bloom_maybe_seen(df, "id", F.col("key"), bloom, m_bits=m_bits, k=5).collect()
+        }
+        mapped = {
+            r["id"]: r["maybe_seen"]
+            for r in with_bloom_verdict(df, F.col("key"), bloom, m_bits=m_bits, k=5).collect()
+        }
+        # the two probe implementations are the same filter
+        assert joined == mapped
+        # no false negatives, ever
+        assert all(joined[i] for i in range(0, 500, 3))
+    # near-saturated bloom (835 probes into 256 bits -> expected FP rate
+    # (1-e^{-835/256})^5 ~ 0.8): most non-members must flip to yes,
+    # proving the probes read real bits rather than actual membership
+    non_members = [i for i in range(500) if i % 3 != 0]
+    fp = sum(1 for i in non_members if mapped[i])
+    assert fp > len(non_members) // 2

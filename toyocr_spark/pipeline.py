@@ -193,7 +193,11 @@ def extract_pages(pages: DataFrame, strategy: str = "density") -> DataFrame:
     return prepared.mapInArrow(fn, RESULT_SCHEMA)
 
 
-def delta_pages(pages: DataFrame, prev_result: DataFrame) -> DataFrame:
+def delta_pages(
+    pages: DataFrame,
+    prev_result: DataFrame,
+    bloom_m_bits: int | None = None,
+) -> DataFrame:
     """Incremental re-extraction input: pages whose (url, html bytes)
     pair is NOT already in a previous run's output — unchanged pages
     are skipped entirely (the monthly-recrawl case: most of a crawl is
@@ -209,6 +213,27 @@ def delta_pages(pages: DataFrame, prev_result: DataFrame) -> DataFrame:
         F.col("html_digest").isNotNull()
     )
     keyed = pages.withColumn("html_digest", F.xxhash64("html"))
+    if bloom_m_bits is not None:
+        # bloom pre-filter (the runtime-filter pattern): a map-side
+        # probe against a broadcast bloom of the seen keys splits pages
+        # into definitely-new (bloom miss -> skip the anti-join
+        # entirely; no false negatives, so this is exact) and
+        # maybe-seen (bloom hit -> the exact anti-join runs on this
+        # minority only). For a mostly-new crawl the expensive
+        # anti-join shrinks to the FP + true-dup fraction.
+        from toyocr_spark.operators.bloom import bloom_build, with_bloom_verdict
+
+        key = F.concat_ws("|", F.col("url"), F.col("html_digest").cast("string"))
+        bloom = bloom_build(seen.select(key.alias("k")), F.col("k"), bloom_m_bits)
+        probed = with_bloom_verdict(keyed, key, bloom, bloom_m_bits)
+        fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen", "html_digest")
+        maybe = (
+            probed.filter(F.col("maybe_seen"))
+            .drop("maybe_seen")
+            .join(seen, ["url", "html_digest"], "left_anti")
+            .drop("html_digest")
+        )
+        return fresh.unionByName(maybe)
     return keyed.join(seen, ["url", "html_digest"], "left_anti").drop("html_digest")
 
 

@@ -38,6 +38,7 @@ from toyocr_spark.operators.islands import gap_islands
 from toyocr_spark.operators.occupancy import occupancy_projection
 from toyocr_spark.operators.rangejoin import interval_overlap_join, mutual_first_match, overlap_anti_join
 from toyocr_spark.operators.selection import local_max_filter, topk_mean, topk_per_group
+from toyocr_spark.operators.bloom import bloom_build, with_bloom_verdict
 from toyocr_spark.operators.textindex import bm25_retrieve, pmi_bigrams, tfidf_topk
 from toyocr_spark.operators.similarity import (
     brute_force_cosine_topk,
@@ -1985,6 +1986,61 @@ def q50_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q51_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_bigrams(_t(spark, sf_dir, "documents"), "doc_id", "text", min_count=5, top=50)
+
+
+# 10-nibble md5 halves as integers (h1 = nibbles 1-10, h2 = 11-20): the
+# portable double-hash base of the bloom filter (Kirsch-Mitzenmacher)
+def _md5_half_sql(start: int) -> str:
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {start + i}, 1)) - 1) * {16 ** (9 - i)}"
+        for i in range(10)
+    )
+
+
+_BLOOM_M = 2048  # deliberately tight so the FP branch is exercised too
+
+
+@_q(
+    "q52_bloom_membership",
+    f"""
+    WITH kx AS (SELECT doc_id AS id, md5(text) AS h FROM documents),
+    hv AS (SELECT id, ({_md5_half_sql(1)}) AS h1, ({_md5_half_sql(11)}) AS h2 FROM kx),
+    probes AS (
+      SELECT id, ((h1 + i * h2) % {_BLOOM_M}) AS pos
+      FROM hv, unnest(generate_series(0, 4)) AS u(i)
+    ),
+    words AS (
+      SELECT pos // 32 AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+      FROM probes WHERE (id % 10) <> 0
+      GROUP BY pos // 32
+    ),
+    verdict AS (
+      SELECT p.id,
+             bool_and((coalesce(w.bits, 0) & (CAST(1 AS BIGINT) << CAST(p.pos % 32 AS INT))) <> 0)
+               AS maybe_seen
+      FROM probes p LEFT JOIN words w ON p.pos // 32 = w.word
+      GROUP BY p.id
+    )
+    SELECT (id % 10 <> 0) AS actual_seen, maybe_seen, count(*) AS n
+    FROM verdict GROUP BY 1, 2
+    """,
+    "distributed Bloom filter, bit-for-bit oracle-checked: build = md5 "
+    "double-hash -> 32-bit words bit_or-folded (partial agg), probe = "
+    "map-side AND-chain against the broadcast words map. Confusion counts "
+    "by (actually-in-set, bloom-verdict); no-false-negative contract "
+    "means (true, false) never appears",
+)
+def q52_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    members = d.filter(F.col("doc_id") % 10 != 0)
+    bloom = bloom_build(members, F.col("text"), m_bits=_BLOOM_M, k=5)
+    probed = with_bloom_verdict(d, F.col("text"), bloom, m_bits=_BLOOM_M, k=5)
+    return (
+        probed.select((F.col("doc_id") % 10 != 0).alias("actual_seen"), "maybe_seen")
+        .groupBy("actual_seen", "maybe_seen")
+        .agg(F.count("*").alias("n"))
+    )
 
 
 # ---------------------------------------------------------------------------
