@@ -386,3 +386,28 @@ def test_bloom_no_false_negatives_and_probe_agreement(spark):
     non_members = [i for i in range(500) if i % 3 != 0]
     fp = sum(1 for i in non_members if mapped[i])
     assert fp > len(non_members) // 2
+
+
+def test_kmeans_separates_clusters_and_is_integer_exact(spark):
+    from toyocr_spark.operators.kmeans import kmeans_fit
+
+    # group A near 0, group B near 100; seeds are ids 0 and 1 (both in
+    # A — Lloyd must still pull one centroid over to B by round 3)
+    rows = [
+        (0, [0.0, 0.0]), (1, [10.0, 0.0]), (2, [1.0, 1.0]),
+        (3, [100.0, 100.0]), (4, [101.0, 99.0]), (5, [99.0, 101.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["id"]: r for r in kmeans_fit(df, "vec_id", "embedding", k=2, iters=3).collect()}
+    a = {got[i]["cid"] for i in (0, 1, 2)}
+    b = {got[i]["cid"] for i in (3, 4, 5)}
+    assert len(a) == 1 and len(b) == 1 and a != b
+    # distances are exact integers of the scaled space: member 2 sits
+    # sqrt(2) * 1e6 fixed-point units from the (0.33..,0.33..)-floor
+    # centroid -- just assert exactness-critical invariants instead of
+    # hand-deriving: nonnegative, and byte-stable across a re-run
+    again = {r["id"]: r for r in kmeans_fit(df, "vec_id", "embedding", k=2, iters=3).collect()}
+    assert {i: (r["cid"], r["dist"]) for i, r in got.items()} == {
+        i: (r["cid"], r["dist"]) for i, r in again.items()
+    }
+    assert all(r["dist"] >= 0 for r in got.values())

@@ -149,3 +149,52 @@ def test_stateful_host_progress(spark, stream_input, tmp_path):
     assert got == want
     # state really crossed batches: some host appears in >1 micro-batch
     assert any(r["batches_seen"] > 1 for r in last.values())
+
+
+def test_stream_dedup_matches_batch_survivor_set(spark, tmp_path):
+    """Streaming exact dedup keeps exactly one page per html digest,
+    the set of surviving digests equals the batch distinct set, and a
+    duplicate planted in a LATER segment never displaces the first
+    arrival (state persists across micro-batches)."""
+    from toyocr_spark.streaming import stream_dedup
+
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    pages = gen_pages(30, seed=123)
+    # 3 segments; segment 2 re-ships the html of segment 0's first 5
+    # pages under new urls (a byte-identical recrawl)
+    segs = [pages[0:10], pages[10:20], pages[20:30]]
+    dup_src = segs[0][:5]
+    for i, chunk in enumerate(segs):
+        rows = [(p.url, p.warc_ts, p.html, p.text, p.lang) for p in chunk]
+        if i == 2:
+            rows += [
+                (p.url + "?mirror=1", p.warc_ts, p.html, p.text, p.lang)
+                for p in dup_src
+            ]
+        tbl = pa.table(
+            {
+                "url": pa.array([r[0] for r in rows], pa.string()),
+                "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us", tz="UTC")),
+                "html": pa.array([r[2] for r in rows], pa.binary()),
+                "text": pa.array([r[3] for r in rows], pa.string()),
+                "lang": pa.array([r[4] for r in rows], pa.string()),
+            }
+        )
+        pq.write_table(tbl, os.path.join(d, f"segment-{i}.parquet"))
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream_dedup(spark, d, out, ckpt)
+    got = _read_stream_result(spark, out)
+    rows = got.select("url", "digest").collect()
+
+    batch = spark.read.parquet(os.path.join(d, "*.parquet")).withColumn(
+        "digest", F.md5(F.col("html"))
+    )
+    n_distinct = batch.select("digest").distinct().count()
+    assert len(rows) == n_distinct  # exactly one survivor per digest
+    assert {r["digest"] for r in rows} == {
+        r["digest"] for r in batch.select("digest").distinct().collect()
+    }
+    # the mirrors arrived after their originals: none may survive
+    assert not any(r["url"].endswith("?mirror=1") for r in rows)

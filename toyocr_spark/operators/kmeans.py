@@ -1,0 +1,103 @@
+"""Integer-exact Lloyd k-means over embedding columns — the coarse
+quantizer an IVF ANN index trains (the learned counterpart of
+similarity.bucketed_cosine_topk's sign buckets).
+
+Cross-engine determinism is the hard part of making an iterative
+float algorithm oracle-checkable, and it is solved the same way as
+the PageRank query (q44): fixed-point integers end to end.
+Components scale to BIGINT via floor(x * 1e6) (exact: inputs are
+float32 widened to double identically in any IEEE engine), distances
+are exact integer sums of squared diffs (<= 2^48 at 64 dims, no
+overflow), and centroid updates floor the per-dim mean back to
+BIGINT. Every engine that runs the same rounds produces bit-identical
+centroids and assignments.
+
+Scale shape per round:
+  * assignment: crossJoin(broadcast(k centroid rows)) + an
+    aggregate() HOF over zip_with — pure JVM projection, no explode,
+    no shuffle of the vectors; argmin folds with min(struct(dist,
+    cid)) — one partial-agg shuffle keyed on vec_id. (The classic MR
+    k-means shape: broadcast centroids, map-side combine.)
+  * update: posexplode to (cid, dim, val) + partial-agg mean per
+    (cid, dim) — k*d result rows — then array re-assembly. Linear in
+    n*d, never in n^2 or n*k*d.
+Rounds are a driver loop (k*d ints per round); centroids are tiny so
+no checkpointing is needed at any n.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000
+
+
+def _scaled(vec_col: str):
+    # cast to double BEFORE the multiply: float32 * int would stay
+    # float32 in Spark (precedence FloatType) and round differently
+    # than an engine computing in double
+    return F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * float(SCALE)).cast("long")
+    )
+
+
+def kmeans_assign(
+    vecs: DataFrame, centroids: DataFrame, id_col: str = "id", vec_col: str = "v"
+) -> DataFrame:
+    """(id, cid, dist): each vector's nearest centroid by exact integer
+    squared-L2, ties to the smaller cid. vecs: (id, v: array<long>);
+    centroids: (cid, cv: array<long>)."""
+    dist = F.aggregate(
+        F.zip_with(F.col(vec_col), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = vecs.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col), F.col("cid"), dist.alias("dist")
+    )
+    best = scored.groupBy(id_col).agg(F.min(F.struct("dist", "cid")).alias("_b"))
+    return best.select(id_col, F.col("_b.cid").alias("cid"), F.col("_b.dist").alias("dist"))
+
+
+def kmeans_update(
+    assigned: DataFrame, vecs: DataFrame, id_col: str = "id", vec_col: str = "v"
+) -> DataFrame:
+    """New centroids: floor per-dim mean of each cluster's members.
+    (cid, cv: array<long>); a centroid that lost every member drops out
+    (its bucket is empty — the IVF list is simply absent)."""
+    member_dims = (
+        assigned.select(id_col, "cid")
+        .join(vecs, id_col)
+        .select("cid", F.posexplode(vec_col).alias("dim", "val"))
+    )
+    per_dim = member_dims.groupBy("cid", "dim").agg(
+        F.floor(F.sum("val") / F.count("*")).cast("long").alias("cval")
+    )
+    return per_dim.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "cval"))), lambda s: s["cval"]
+        ).alias("cv")
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 3,
+) -> DataFrame:
+    """Fixed-round Lloyd iterations seeded from the k lowest-id vectors
+    (deterministic init — the cross-engine analogue of seeded random
+    init). Returns the final assignment (id, cid, dist)."""
+    vecs = df.select(F.col(id_col).alias("id"), _scaled(vec_col).alias("v"))
+    centroids = (
+        vecs.orderBy("id").limit(k).select(F.col("id").alias("cid"), F.col("v").alias("cv"))
+    )
+    assigned = None
+    for it in range(iters):
+        assigned = kmeans_assign(vecs, centroids)
+        if it < iters - 1:  # the last round's update would be unused
+            centroids = kmeans_update(assigned, vecs)
+    return assigned

@@ -2043,6 +2043,70 @@ def q52_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_round_sql(r: int) -> str:
+    return f"""
+    d{r} AS (
+      SELECT vd.vec_id, c.cid,
+             sum((vd.val - c.cval) * (vd.val - c.cval)) AS dist
+      FROM vd JOIN c{r - 1} c ON vd.dim = c.dim
+      GROUP BY vd.vec_id, c.cid
+    ),
+    a{r} AS (
+      SELECT vec_id, cid, dist FROM (
+        SELECT vec_id, cid, dist,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rk
+        FROM d{r})
+      WHERE rk = 1
+    ),
+    c{r} AS (
+      SELECT a.cid, vd.dim,
+             CAST(floor(sum(vd.val) * 1.0 / count(*)) AS BIGINT) AS cval
+      FROM a{r} a JOIN vd ON a.vec_id = vd.vec_id
+      GROUP BY a.cid, vd.dim
+    )"""
+
+
+@_q(
+    "q53_kmeans_ivf",
+    f"""
+    WITH vd AS (
+      SELECT vec_id, i AS dim,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS val
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+    ),
+    c0 AS (
+      SELECT vec_id AS cid, dim, val AS cval FROM vd
+      WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)
+    ),
+    {_kmeans_round_sql(1)},
+    {_kmeans_round_sql(2)},
+    d3 AS (
+      SELECT vd.vec_id, c.cid,
+             sum((vd.val - c.cval) * (vd.val - c.cval)) AS dist
+      FROM vd JOIN c2 c ON vd.dim = c.dim
+      GROUP BY vd.vec_id, c.cid
+    )
+    SELECT vec_id AS id, cid, dist FROM (
+      SELECT vec_id, cid, dist,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rk
+      FROM d3)
+    WHERE rk = 1
+    """,
+    "integer-exact Lloyd k-means (IVF coarse-quantizer training): "
+    "fixed-point BIGINT components (floor(x*1e6), the q44 PageRank "
+    "discipline), exact integer squared-L2, floor-mean centroid updates; "
+    "3 fixed rounds seeded from the k lowest ids. Assignment is a "
+    "broadcast-centroids crossJoin + aggregate/zip_with HOF (no explode "
+    "of the vectors); updates partial-aggregate on (cid, dim). "
+    "Bit-identical assignments across engines",
+)
+def q53_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toyocr_spark.operators.kmeans import kmeans_fit
+
+    return kmeans_fit(_t(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=8, iters=3)
+
+
+
 # ---------------------------------------------------------------------------
 # the flagship: extraction itself, oracle-checked
 

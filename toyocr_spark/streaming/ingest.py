@@ -93,6 +93,64 @@ def stream_extract(
     return writer.start()
 
 
+def stream_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming exact content dedup: of all pages sharing an html
+    digest, only the FIRST to arrive is ever emitted — the incremental
+    twin of operators.dedup.exact_dedup, as a crawl-ingest stage (drop
+    byte-identical recrawls before the extractor spends a cycle).
+
+    State is Spark's dropDuplicates streaming store keyed on the digest
+    alone (a 32-hex key per distinct page, nothing else): at
+    10^9-page scale that is tens of GB spread across executors, which
+    the state store handles; for unbounded crawls pass ``watermark`` to
+    use dropDuplicatesWithinWatermark — duplicates separated by more
+    than the watermark re-emit, the standard bounded-state trade.
+
+    The digest is md5 (portable-hash discipline), computed BEFORE the
+    stateful operator so only (digest)-keyed state shuffles, never
+    html bytes beyond the one exchange Spark needs to co-locate keys.
+    """
+    if os.path.isdir(input_dir) and os.path.exists(
+        os.path.join(input_dir, "pages.parquet")
+    ):
+        input_dir = os.path.join(input_dir, "pages*.parquet")
+    reader = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    keyed = reader.withColumn("digest", F.md5(F.col("html")))
+    if watermark is not None:
+        deduped = keyed.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
+            ["digest"]
+        )
+    else:
+        deduped = keyed.dropDuplicates(["digest"])
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        path = os.path.join(out_dir, f"batch={batch_id}")
+        batch_df.write.mode("overwrite").parquet(path)  # replay-safe
+
+    writer = (
+        deduped.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
+
+
 def stateful_host_progress(
     pages_stream: DataFrame,
     idle_timeout_ms: int | None = None,
