@@ -411,3 +411,17 @@ def test_kmeans_separates_clusters_and_is_integer_exact(spark):
         i: (r["cid"], r["dist"]) for i, r in again.items()
     }
     assert all(r["dist"] >= 0 for r in got.values())
+
+
+def test_ivf_recall_against_brute_force(spark, sf_dir):
+    from toyocr_spark.operators.kmeans import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 4)
+    exact = brute_force_cosine_topk(emb, q, 5)
+    approx = ivf_topk(emb, q, k=5, nprobe=2)
+    rows = recall_at_k(approx, exact).collect()
+    assert len(rows) == 4
+    assert all(0.0 <= r["recall"] <= 1.0 for r in rows)
+    # probing 2 of 8 lists on clusterable data should beat coin-flip recall
+    assert sum(r["recall"] for r in rows) / len(rows) >= 0.4

@@ -81,16 +81,20 @@ def kmeans_update(
     )
 
 
-def kmeans_fit(
+def kmeans_index(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     k: int = 8,
     iters: int = 3,
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Fixed-round Lloyd iterations seeded from the k lowest-id vectors
     (deterministic init — the cross-engine analogue of seeded random
-    init). Returns the final assignment (id, cid, dist)."""
+    init). Returns (centroids, assignment, scaled_vecs): the centroids
+    the final assignment was computed against, the assignment (id, cid,
+    dist) — together, the IVF index: centroids are the probe targets,
+    the assignment is the inverted lists — and the fixed-point vectors
+    for further probing."""
     vecs = df.select(F.col(id_col).alias("id"), _scaled(vec_col).alias("v"))
     centroids = (
         vecs.orderBy("id").limit(k).select(F.col("id").alias("cid"), F.col("v").alias("cv"))
@@ -100,4 +104,73 @@ def kmeans_fit(
         assigned = kmeans_assign(vecs, centroids)
         if it < iters - 1:  # the last round's update would be unused
             centroids = kmeans_update(assigned, vecs)
-    return assigned
+    return centroids, assigned, vecs
+
+
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 3,
+) -> DataFrame:
+    """Final Lloyd assignment (id, cid, dist) — see kmeans_index."""
+    return kmeans_index(df, id_col, vec_col, k, iters)[1]
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    n_centroids: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate nearest neighbours: train the coarse quantizer
+    (kmeans_index), probe each query's nprobe nearest centroids by the
+    same exact integer metric, then exact-cosine re-rank ONLY the
+    probed inverted lists. (query_id, item_id, cos, rk).
+
+    This is the learned-partition scale path next to the sign-bucket
+    hash path (similarity.bucketed_cosine_topk): candidates per query
+    drop from |corpus| to ~nprobe/n_centroids of it, and the only
+    corpus-wide shuffle keys on item_id for the candidate re-rank —
+    queries and centroids stay broadcast."""
+    from toyocr_spark.operators.selection import topk_per_group
+    from toyocr_spark.operators.similarity import _as_double, cosine
+
+    centroids, assigned, _ = kmeans_index(corpus, id_col, vec_col, n_centroids, iters)
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        _scaled(vec_col).alias("qs"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    )
+    qdist = F.aggregate(
+        F.zip_with(F.col("qs"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    probes = topk_per_group(
+        qv.crossJoin(F.broadcast(centroids)).select(
+            "query_id", "cid", qdist.alias("qd")
+        ),
+        ["query_id"],
+        [F.col("qd").asc(), F.col("cid").asc()],
+        nprobe,
+        rank_name="prb",
+    ).select("query_id", "cid")
+    cand = probes.join(
+        assigned.select(F.col("id").alias("item_id"), "cid"), "cid"
+    ).filter(F.col("item_id") != F.col("query_id"))
+    c = corpus.select(F.col(id_col).alias("item_id"), _as_double(F.col(vec_col)).alias("cv"))
+    scored = (
+        cand.join(F.broadcast(qv.select("query_id", "qv")), "query_id")
+        .join(c, "item_id")
+        .select("query_id", "item_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+    )
+    out = topk_per_group(
+        scored, ["query_id"], [F.col("cos").desc(), F.col("item_id").asc()], k, rank_name="rk"
+    )
+    return out.select("query_id", "item_id", F.round("cos", 6).alias("cos"), "rk")

@@ -1,5 +1,5 @@
 """Inverted-index analytics over the corpus: term statistics, TF-IDF,
-BM25 retrieval, PMI bigram collocations.
+BM25 retrieval, PMI bigram collocations, unigram-LM quality scoring.
 
 The retrieval-side complement of the dedup family: a training-data
 engine needs "what is this corpus made of" (term/collocation stats)
@@ -185,4 +185,28 @@ def pmi_bigrams(
     return (
         topn.withColumn("rk", F.row_number().over(w))
         .select("rk", "a", "b", "n_ab", "n_a", "n_b", "pmi")
+    )
+
+
+def unigram_nll(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document cross-entropy against the corpus unigram LM:
+    nll = mean over tokens of -ln(count(w) / total_tokens) — the
+    CCNet-style "LM perplexity" quality axis in its simplest honest
+    form (a doc of rare words scores high, boilerplate scores low;
+    filters usually drop BOTH tails). (id, doc_tokens, nll).
+
+    Shapes: unigram counts are one partial-agg shuffle on word; the
+    model join is 1:1 per token occurrence (one row per word in the
+    model); the corpus total rides a broadcast one-row join."""
+    terms = doc_terms(df, id_col, text_col)
+    uni = terms.groupBy("word").agg(F.count("*").alias("n_w"))
+    tot = terms.agg(F.count("*").alias("n_tokens"))
+    return (
+        terms.join(uni, "word")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("doc_tokens"),
+            F.round(F.avg(-F.log(F.col("n_w") / F.col("n_tokens"))), 6).alias("nll"),
+        )
     )

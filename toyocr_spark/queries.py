@@ -2107,6 +2107,105 @@ def q53_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@_q(
+    "q54_ann_ivf",
+    f"""
+    WITH vd AS (
+      SELECT vec_id, i AS dim,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS val
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+    ),
+    c0 AS (
+      SELECT vec_id AS cid, dim, val AS cval FROM vd
+      WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)
+    ),
+    {_kmeans_round_sql(1)},
+    {_kmeans_round_sql(2)},
+    d3 AS (
+      SELECT vd.vec_id, c.cid,
+             sum((vd.val - c.cval) * (vd.val - c.cval)) AS dist
+      FROM vd JOIN c2 c ON vd.dim = c.dim
+      GROUP BY vd.vec_id, c.cid
+    ),
+    a3 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rk
+        FROM d3)
+      WHERE rk = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS prb
+        FROM d3 WHERE vec_id < 8)
+      WHERE prb <= 2
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS item_id
+      FROM probes p JOIN a3 a ON p.cid = a.cid
+      WHERE a.vec_id <> p.query_id
+    ),
+    e AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+    dots AS (
+      SELECT cand.query_id, cand.item_id, sum(q.v * c.v) AS dp
+      FROM cand
+      JOIN e q ON cand.query_id = q.vec_id
+      JOIN e c ON cand.item_id = c.vec_id AND q.i = c.i
+      GROUP BY cand.query_id, cand.item_id
+    ),
+    scored AS (
+      SELECT query_id, item_id, dp / (a.nrm * b2.nrm) AS cos
+      FROM dots JOIN nrm a ON query_id = a.vec_id JOIN nrm b2 ON item_id = b2.vec_id
+    )
+    SELECT query_id, item_id, round(cos, 6) AS cos, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, item_id) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """,
+    "IVF approximate nearest neighbours over the trained coarse "
+    "quantizer (q53's k-means): queries probe their nprobe=2 nearest "
+    "centroids by the same exact integer metric, exact-cosine re-rank "
+    "touches only the probed inverted lists. The learned-partition scale "
+    "path next to q18's sign-bucket hash path; candidate re-rank is the "
+    "only corpus shuffle (queries + centroids broadcast)",
+)
+def q54_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toyocr_spark.operators.kmeans import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=5, nprobe=2)
+
+
+
+@_q(
+    "q55_unigram_nll",
+    f"""
+    WITH t AS ({_TOKENS_SQL}),
+    uni AS (SELECT word, count(*) AS n_w FROM t GROUP BY word),
+    tot AS (SELECT count(*) AS n_tokens FROM t)
+    SELECT id, count(*) AS doc_tokens,
+           round(avg(-ln(n_w * 1.0 / n_tokens)), 6) AS nll
+    FROM t JOIN uni USING (word) CROSS JOIN tot
+    GROUP BY id
+    """,
+    "corpus-unigram LM cross-entropy per doc (the CCNet perplexity-style "
+    "quality axis): one partial-agg shuffle for the model, 1:1 model "
+    "join per token, broadcast corpus total",
+)
+def q55_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toyocr_spark.operators.textindex import unigram_nll
+
+    return unigram_nll(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+
 # ---------------------------------------------------------------------------
 # the flagship: extraction itself, oracle-checked
 
