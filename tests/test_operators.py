@@ -359,6 +359,39 @@ def test_paragraph_dedup_first_occurrence_policy(spark):
     assert out[3]["text_kept"] == ""
 
 
+def test_duplicate_span_removal_policy(spark):
+    from toyocr_spark.operators.dedup import duplicate_span_removal
+
+    # k=3 word windows for the hand case. Doc 1 is the first occurrence
+    # of the passage "a b c d" (windows "a b c" and "b c d") and keeps
+    # everything. Doc 2 repeats the passage mid-document: both its
+    # windows are non-first occurrences, so the 4 covered words drop and
+    # only the unique flanks survive. Doc 3 is too short for a window
+    # (2 words) and passes through untouched. Doc 4 duplicates doc 1
+    # exactly -> fully removed.
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "x1 x2 a b c d y1 y2"),
+            (3, "a b"),
+            (4, "a b c d"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: r
+        for r in duplicate_span_removal(df, "doc_id", "text", k_words=3).collect()
+    }
+    assert out[1]["n_removed"] == 0 and out[1]["text_kept"] == "a b c d"
+    assert out[2]["n_dup_wins"] == 2
+    assert out[2]["n_removed"] == 4
+    assert out[2]["text_kept"] == "x1 x2 y1 y2"
+    assert out[3]["n_dup_wins"] == 0 and out[3]["text_kept"] == "a b"
+    assert out[4]["n_removed"] == 4 and out[4]["text_kept"] == ""
+    # overlapping duplicate windows must merge, not double-count
+    assert out[2]["n_words"] == 8
+
+
 def test_bloom_no_false_negatives_and_probe_agreement(spark):
     from toyocr_spark.operators.bloom import bloom_build, bloom_maybe_seen, with_bloom_verdict
 

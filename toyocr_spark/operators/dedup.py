@@ -360,6 +360,98 @@ def paragraph_dedup(
     )
 
 
+def duplicate_span_removal(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_words: int = 8,
+    pos_scale: int = 1_000_000,
+) -> DataFrame:
+    """Substring-level exact dedup ("Deduplicating Training Data Makes
+    Language Models Better", Lee et al. 2022 — the ExactSubstr policy,
+    window-hash approximation): every duplicated ``k_words``-word window
+    keeps exactly its global FIRST occurrence — ordered by (doc id,
+    window position) — and every OTHER occurrence marks its covered word
+    range for removal. Returns one row per input document:
+    (id, n_words, n_dup_wins, n_removed, text_kept).
+
+    This differs from paragraph_dedup in granularity: windows OVERLAP
+    (stride 1), so a duplicated passage of any length >= k_words is
+    caught regardless of paragraph alignment, and removal is by merged
+    word-coverage, not by chunk. Lee et al. use a suffix array for
+    arbitrary-length matches; the rolling fixed-k window is the
+    standard distributed approximation (k = minimum match length).
+
+    Scale shape:
+      * window hashing is a linear explode (one row per word position);
+      * first-occurrence per digest is groupBy(digest).min — partial
+        aggregation, O(1) state per digest even for a boilerplate
+        window present in every document (no per-digest window funnel);
+      * coverage expansion is a bounded k-fold fanout of DUPLICATE
+        windows only, then distinct + anti-join — all equi-key
+        shuffles on (id, wpos);
+      * reconstruction re-joins surviving tokens per doc; per-doc
+        state is bounded by document length.
+    All JVM-side (split / slice / md5 / posexplode) — no Python.
+    """
+    words = F.split(F.col(text_col), " ")
+    base = (
+        df.filter(F.length(text_col) > 0)
+        .select(F.col(id_col).alias("id"), words.alias("w"))
+        .withColumn("nw", F.size("w"))
+    )
+    pos = F.explode(F.sequence(F.lit(0), F.col("nw") - k_words))
+    wins = (
+        base.filter(F.col("nw") >= k_words)
+        .select("id", "w", pos.alias("pos"))
+        .select(
+            "id",
+            "pos",
+            F.md5(F.array_join(F.slice("w", F.col("pos") + 1, k_words), " ")).alias(
+                "digest"
+            ),
+        )
+        .withColumn("inst_key", F.col("id") * pos_scale + F.col("pos"))
+    )
+    keep = wins.groupBy("digest").agg(F.min("inst_key").alias("keep_key"))
+    dup = wins.join(keep, "digest").filter(F.col("inst_key") != F.col("keep_key"))
+    dup_counts = dup.groupBy("id").agg(F.count("*").alias("n_dup_wins"))
+    removed = (
+        dup.select(
+            "id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + k_words - 1)).alias(
+                "wpos"
+            ),
+        )
+        .distinct()
+    )
+    rm_counts = removed.groupBy("id").agg(F.count("*").alias("n_removed"))
+    tokens = base.select("id", F.posexplode("w").alias("wpos", "word"))
+    kept = tokens.join(removed, ["id", "wpos"], "left_anti")
+    kept_agg = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("wpos", "word"))),
+                lambda x: x["word"],
+            ),
+            " ",
+        ).alias("text_kept")
+    )
+    return (
+        base.select("id", F.col("nw").cast("long").alias("n_words"))
+        .join(dup_counts, "id", "left")
+        .join(rm_counts, "id", "left")
+        .join(kept_agg, "id", "left")
+        .select(
+            "id",
+            "n_words",
+            F.coalesce("n_dup_wins", F.lit(0).cast("long")).alias("n_dup_wins"),
+            F.coalesce("n_removed", F.lit(0).cast("long")).alias("n_removed"),
+            F.coalesce("text_kept", F.lit("")).alias("text_kept"),
+        )
+    )
+
+
 def survivors(df: DataFrame, id_col: str, dup_pairs: DataFrame) -> DataFrame:
     """Resolve pairs to a kept set: drop every id that appears as id_b
     of a pair whose id_a survives transitively. Single-pass

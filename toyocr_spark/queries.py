@@ -2206,6 +2206,113 @@ def q55_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@_q(
+    "q56_dup_spans",
+    """
+    WITH base AS (
+      SELECT doc_id AS id, string_split(text, ' ') AS w,
+             len(string_split(text, ' ')) AS nw
+      FROM documents WHERE length(text) > 0
+    ),
+    wins AS (
+      SELECT id, u.p AS pos,
+             md5(array_to_string(list_slice(w, u.p + 1, u.p + 8), ' ')) AS digest,
+             id * 1000000 + u.p AS inst_key
+      FROM base, unnest(generate_series(0, nw - 8)) AS u(p)
+      WHERE nw >= 8
+    ),
+    keep AS (SELECT digest, min(inst_key) AS keep_key FROM wins GROUP BY digest),
+    dup AS (SELECT w.id, w.pos FROM wins w JOIN keep USING (digest)
+            WHERE inst_key <> keep_key),
+    dc AS (SELECT id, count(*) AS n_dup_wins FROM dup GROUP BY id),
+    removed AS (
+      SELECT DISTINCT id, u.wp AS wpos
+      FROM dup, unnest(generate_series(pos, pos + 7)) AS u(wp)
+    ),
+    rc AS (SELECT id, count(*) AS n_removed FROM removed GROUP BY id),
+    tokens AS (
+      SELECT id, u.i - 1 AS wpos, w[u.i] AS word
+      FROM base, unnest(generate_series(1, len(w))) AS u(i)
+    ),
+    kept AS (
+      SELECT t.id, t.wpos, t.word FROM tokens t
+      WHERE NOT EXISTS (SELECT 1 FROM removed r
+                        WHERE r.id = t.id AND r.wpos = t.wpos)
+    ),
+    ka AS (SELECT id, string_agg(word, ' ' ORDER BY wpos) AS text_kept
+           FROM kept GROUP BY id)
+    SELECT b.id, CAST(b.nw AS BIGINT) AS n_words,
+           coalesce(dc.n_dup_wins, CAST(0 AS BIGINT)) AS n_dup_wins,
+           coalesce(rc.n_removed, CAST(0 AS BIGINT)) AS n_removed,
+           coalesce(ka.text_kept, '') AS text_kept
+    FROM base b
+    LEFT JOIN dc USING (id) LEFT JOIN rc USING (id) LEFT JOIN ka USING (id)
+    """,
+    "substring-level exact dedup (Lee et al. ExactSubstr policy, rolling "
+    "8-word window-hash approximation): duplicated windows keep their "
+    "global first occurrence by (doc_id, pos); later occurrences mark "
+    "merged word-coverage for removal; survivors re-joined per doc. "
+    "First-occurrence via groupBy(digest).min (partial-agg, skew-proof); "
+    "coverage is a bounded k-fold fanout of duplicate windows only",
+)
+def q56_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toyocr_spark.operators.dedup import duplicate_span_removal
+
+    return duplicate_span_removal(_t(spark, sf_dir, "documents"), "doc_id", "text", k_words=8)
+
+
+_HEX10_DOC = " + ".join(
+    f"(strpos('0123456789abcdef', substr(hh, {i + 1}, 1)) - 1) * {16 ** (9 - i)}"
+    for i in range(10)
+)
+
+
+@_q(
+    "q57_weighted_sample",
+    f"""
+    WITH hx AS (
+      SELECT doc_id, n_chars,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 10) AS hh
+      FROM documents
+    ),
+    pr AS (
+      SELECT doc_id, n_chars,
+             (n_chars * 1099511627776) // (({_HEX10_DOC}) + 1) AS priority
+      FROM hx
+    ),
+    r AS (SELECT doc_id, n_chars, priority,
+                 row_number() OVER (ORDER BY priority DESC, doc_id ASC) AS rk
+          FROM pr)
+    SELECT rk, doc_id, n_chars, priority FROM r WHERE rk <= 50
+    """,
+    "deterministic weight-proportional priority sample (Duffield-Lund-"
+    "Thorup priority sampling): priority = w * 2^40 DIV (u + 1) with u a "
+    "40-bit md5-derived uniform — all-integer arithmetic, bit-identical "
+    "across engines (the q44 discipline; no libm ln/pow in the sample "
+    "decision). Top-k is orderBy+limit (TakeOrderedAndProject), never a "
+    "global window — the scale shape for corpus subsampling by length/"
+    "quality weight",
+)
+def q57_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 10), 16, 10).cast(
+        "long"
+    )
+    pr = d.select(
+        "doc_id",
+        "n_chars",
+        F.expr("n_chars * 1099511627776").alias("_num"),
+        (u + 1).alias("_den"),
+    ).select(
+        "doc_id", "n_chars", F.expr("_num div _den").alias("priority")
+    )
+    top = pr.orderBy(F.col("priority").desc(), F.col("doc_id").asc()).limit(50)
+    w = Window.orderBy(F.col("priority").desc(), F.col("doc_id").asc())
+    return top.select(
+        F.row_number().over(w).alias("rk"), "doc_id", "n_chars", "priority"
+    )
+
+
 # ---------------------------------------------------------------------------
 # the flagship: extraction itself, oracle-checked
 
