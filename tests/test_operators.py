@@ -359,6 +359,52 @@ def test_paragraph_dedup_first_occurrence_policy(spark):
     assert out[3]["text_kept"] == ""
 
 
+def test_phrase_retrieval_positions(spark):
+    from toyocr_spark.operators.textindex import phrase_retrieve
+
+    # doc 1: phrase twice; doc 2: words present but never adjacent;
+    # doc 3: phrase once at the end; doc 4: reversed order only.
+    df = spark.createDataFrame(
+        [
+            (1, "big table hash x big table hash"),
+            (2, "table x hash table y hash"),
+            (3, "z z table hash"),
+            (4, "hash table"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = phrase_retrieve(df, "doc_id", "text", ["table", "hash"], k=10).collect()
+    got = {r["id"]: (r["rk"], r["n_hits"]) for r in rows}
+    assert got == {1: (1, 2), 3: (2, 1)}
+    # three-term phrase crosses two join legs
+    rows3 = phrase_retrieve(df, "doc_id", "text", ["big", "table", "hash"], k=10).collect()
+    assert {r["id"]: r["n_hits"] for r in rows3} == {1: 2}
+
+
+def test_normalized_dedup_collapses_case_and_punct(spark):
+    from pyspark.sql import functions as F
+    from toyocr_spark.queries import _NORM_STRIP
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello, World!"),
+            (2, "hello world"),
+            (3, "HELLO WORLD."),
+            (4, "different text"),
+        ],
+        "doc_id long, text string",
+    )
+    digest = F.md5(F.lower(F.translate(F.col("text"), _NORM_STRIP, "")))
+    groups = (
+        df.select(digest.alias("digest"), F.col("doc_id").alias("id"))
+        .groupBy("digest")
+        .agg(F.min("id").alias("keep_id"), F.count("*").alias("n_dups"))
+        .collect()
+    )
+    by_keep = {r["keep_id"]: r["n_dups"] for r in groups}
+    assert by_keep == {1: 3, 4: 1}
+
+
 def test_duplicate_span_removal_policy(spark):
     from toyocr_spark.operators.dedup import duplicate_span_removal
 

@@ -38,6 +38,47 @@ def doc_terms(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ).filter(F.length("word") > 0)
 
 
+def doc_term_positions(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, pos, word) rows — the POSITIONAL posting lists. Positions
+    are 0-based indices in the split array (empties keep their slot so
+    adjacency is preserved; they are filtered, not re-numbered)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "word"),
+    ).filter(F.length("word") > 0)
+
+
+def phrase_retrieve(
+    df: DataFrame, id_col: str, text_col: str, phrase: list[str], k: int = 20
+) -> DataFrame:
+    """Exact-phrase retrieval by positional posting-list intersection:
+    docs where ``phrase`` occurs as consecutive tokens, ranked by
+    occurrence count. Output: (rk, id, n_hits), top-k with total order
+    (n_hits desc, id asc).
+
+    The positional-index shape, not a substring scan: each term's
+    posting list is filtered FIRST (Catalyst pushes the term predicate
+    to the scan side of each join leg), then intersected by equi-join on
+    (id, start_pos) with the i-th term's positions shifted back by i.
+    Join fanout per doc is bounded by per-doc term frequency; the
+    shuffle keys on (id, pos) — never a cross join, and rare terms
+    shrink every later leg (the standard conjunctive-query plan).
+    """
+    pos = doc_term_positions(df, id_col, text_col)
+    base = pos.filter(F.col("word") == phrase[0]).select(
+        "id", F.col("pos").alias("p0")
+    )
+    for i, t in enumerate(phrase[1:], start=1):
+        leg = pos.filter(F.col("word") == t).select(
+            "id", (F.col("pos") - i).alias("p0")
+        )
+        base = base.join(leg, ["id", "p0"])
+    hits = base.groupBy("id").agg(F.count("*").alias("n_hits"))
+    topk = hits.orderBy(F.col("n_hits").desc(), F.col("id").asc()).limit(k)
+    w = Window.orderBy(F.col("n_hits").desc(), F.col("id").asc())
+    return topk.withColumn("rk", F.row_number().over(w)).select("rk", "id", "n_hits")
+
+
 def term_stats(terms: DataFrame) -> DataFrame:
     """Per-(id, word) term frequency + per-word document frequency:
     (id, word, tf, df). Two partially-aggregated shuffles (id,word)

@@ -2313,6 +2313,99 @@ def q57_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q58_phrase_retrieval",
+    """
+    WITH t AS (
+      SELECT doc_id AS id, u.i - 1 AS pos, w[u.i] AS word
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           unnest(generate_series(1, len(w))) AS u(i)
+      WHERE length(w[u.i]) > 0
+    ),
+    t0 AS (SELECT id, pos AS p0 FROM t WHERE word = 'table'),
+    t1 AS (SELECT id, pos - 1 AS p0 FROM t WHERE word = 'hash'),
+    hits AS (SELECT id, count(*) AS n_hits
+             FROM t0 JOIN t1 USING (id, p0) GROUP BY id),
+    r AS (SELECT id, n_hits,
+                 row_number() OVER (ORDER BY n_hits DESC, id ASC) AS rk
+          FROM hits)
+    SELECT rk, id, n_hits FROM r WHERE rk <= 20
+    """,
+    "exact-phrase retrieval ('table hash') by positional posting-list "
+    "intersection: per-term predicate pushed to each join leg's scan, "
+    "equi-join on (id, start_pos) with the i-th term shifted back by i — "
+    "the conjunctive positional-index plan, never a substring scan; "
+    "top-k is TakeOrderedAndProject",
+)
+def q58_phrase_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toyocr_spark.operators.textindex import phrase_retrieve
+
+    return phrase_retrieve(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", ["table", "hash"], k=20
+    )
+
+
+@_q(
+    "q59_rollup_report",
+    """
+    SELECT lang, source, grouping(lang, source) AS gid,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           round(avg(n_chars * 1.0), 4) AS avg_chars
+    FROM documents
+    GROUP BY ROLLUP (lang, source)
+    """,
+    "corpus curation report as a ROLLUP lattice (lang, source) -> "
+    "(lang) -> (): one pass, partial-aggregated at every level (Spark "
+    "plans Expand + single hash aggregate — no N-pass union); gid "
+    "disambiguates subtotal rows from genuine NULL group keys",
+)
+def q59_rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.rollup("lang", "source")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.round(F.avg(F.col("n_chars") * F.lit(1.0)), 4).alias("avg_chars"),
+        )
+        .select("lang", "source", "gid", "n_docs", "total_chars", "avg_chars")
+    )
+
+
+# the CCNet normalization alphabet: characters DELETED before hashing
+# (translate with an empty replacement). Kept identical in both engines.
+_NORM_STRIP = ".,!?;:'\"()[]"
+
+
+@_q(
+    "q60_normalized_dedup",
+    f"""
+    WITH norm AS (
+      SELECT doc_id AS id,
+             md5(lower(translate(text, '{_NORM_STRIP.replace("'", "''")}', ''))) AS digest
+      FROM documents
+    )
+    SELECT digest, min(id) AS keep_id, count(*) AS n_dups
+    FROM norm GROUP BY digest
+    """,
+    "normalization-keyed exact dedup (CCNet discipline: lowercase + "
+    "punctuation strip BEFORE hashing, so case/punct mirror pages "
+    "collapse into one group); same skew-proof min-survivor shape as "
+    "q13, the normalizer is pure Column translate/lower — no Python, "
+    "no regex (regex semantics differ across engines)",
+)
+def q60_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    digest = F.md5(F.lower(F.translate(F.col("text"), _NORM_STRIP, "")))
+    return (
+        d.select(digest.alias("digest"), F.col("doc_id").alias("id"))
+        .groupBy("digest")
+        .agg(F.min("id").alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # the flagship: extraction itself, oracle-checked
 
