@@ -245,3 +245,71 @@ def test_pmi_top_n_is_distributed_topk(spark, sf_dir):
     plan = _plan(q.queries()["q51_pmi_bigrams"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan  # zip-with-shift, no self-join
+
+
+def test_phrase_retrieval_is_filtered_equijoin(spark, sf_dir):
+    """Each phrase term's predicate must filter its posting-list leg
+    BEFORE the position intersection (never a cross join), and the final
+    top-k must be a distributed heap-merge."""
+    plan = _plan(q.queries()["q58_phrase_retrieval"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # both term filters present in the plan
+    assert "table" in plan and "hash" in plan
+
+
+def test_rollup_is_single_expand_aggregate(spark, sf_dir):
+    """ROLLUP must plan as one Expand feeding one aggregate chain — not
+    a union of per-level scans (1 scan of the corpus, not 3)."""
+    plan = _plan(q.queries()["q59_rollup_report"](spark, sf_dir))
+    assert plan.count("Expand") >= 1
+    assert len(_scan_columns(plan)) == 1, "rollup re-scanned the input"
+    assert "Union" not in plan
+
+
+def test_bucketed_join_skips_both_exchanges(spark, sf_dir):
+    """Two tables bucketed on the join key with equal bucket counts:
+    the sort-merge join must plan ZERO shuffle Exchange nodes — the
+    write-time bucketing IS the shuffle, paid once and amortized over
+    every later join (the 100 TB repeated-join contract)."""
+    from toyocr_spark.plans.bucketing import bucketed_join, write_bucketed
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    # disable broadcast so the planner must choose sort-merge — the
+    # point is the Exchange-free SMJ a 100 TB fact-fact join would use
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(orders, "b_orders", "o_orderkey", n_buckets=4)
+        write_bucketed(li, "b_lineitem", "o_orderkey", n_buckets=4)
+        joined = bucketed_join(spark, "b_orders", "b_lineitem", "o_orderkey")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        # row-count sanity vs the plain join
+        plain = orders.join(li, "o_orderkey")
+        assert joined.count() == plain.count()
+        # grouped aggregate on the bucket key also rides the bucket layout
+        agg_plan = _plan(
+            spark.table("b_lineitem").groupBy("o_orderkey").agg(F.sum("l_quantity"))
+        )
+        assert "Exchange" not in agg_plan, agg_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_funnel_report_scans_corpus_once(spark, sf_dir):
+    """The 4-stage funnel is one pass of flags + conditional sums: the
+    documents table appears exactly once in the physical plan (the
+    token-explode leg joins back to the same cached scan shape —
+    two scans total, never four)."""
+    plan = _plan(q.queries()["q61_funnel_report"](spark, sf_dir))
+    assert len(_scan_columns(plan)) <= 2, plan

@@ -2406,6 +2406,195 @@ def q60_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q61_funnel_report",
+    """
+    WITH u AS (
+      SELECT doc_id, count(DISTINCT t.wd) * 1.0 / count(*) AS uf
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           unnest(ws) AS t(wd)
+      GROUP BY doc_id
+    ),
+    flags AS (
+      SELECT CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END AS f1,
+             CASE WHEN lang IN ('en', 'de') THEN 1 ELSE 0 END AS f2,
+             CASE WHEN uf >= 0.35 THEN 1 ELSE 0 END AS f3
+      FROM documents JOIN u USING (doc_id)
+    ),
+    agg AS (
+      SELECT count(*) AS total,
+             sum(f1) AS s1,
+             sum(f1 * f2) AS s2,
+             sum(f1 * f2 * f3) AS s3
+      FROM flags
+    )
+    SELECT 0 AS stage, 'input' AS stage_name, CAST(total AS BIGINT) AS n_docs FROM agg
+    UNION ALL SELECT 1, 'min_length', CAST(s1 AS BIGINT) FROM agg
+    UNION ALL SELECT 2, 'lang', CAST(s2 AS BIGINT) FROM agg
+    UNION ALL SELECT 3, 'repetition', CAST(s3 AS BIGINT) FROM agg
+    """,
+    "corpus curation funnel: per-stage cumulative retention (input -> "
+    "min-length -> lang -> unique-word repetition filter) computed as ONE "
+    "pass of per-doc flags + conditional sums, then unpivoted — never N "
+    "separate scans of the corpus; the observability query every "
+    "training-data pipeline runs after each policy change",
+)
+def q61_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    terms = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("wd")
+    )
+    u = terms.groupBy("doc_id").agg(
+        (F.count_distinct("wd") * F.lit(1.0) / F.count("*")).alias("uf")
+    )
+    flags = d.join(u, "doc_id").select(
+        F.when(F.col("n_chars") >= 150, 1).otherwise(0).alias("f1"),
+        F.when(F.col("lang").isin("en", "de"), 1).otherwise(0).alias("f2"),
+        F.when(F.col("uf") >= 0.35, 1).otherwise(0).alias("f3"),
+    )
+    agg = flags.agg(
+        F.count("*").alias("total"),
+        F.sum("f1").alias("s1"),
+        F.sum(F.col("f1") * F.col("f2")).alias("s2"),
+        F.sum(F.col("f1") * F.col("f2") * F.col("f3")).alias("s3"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(4, 0, 'input', total, 1, 'min_length', s1, "
+            "2, 'lang', s2, 3, 'repetition', s3) AS (stage, stage_name, n_docs)"
+        )
+    )
+
+
+@_q(
+    "q62_tumbling_windows",
+    """
+    SELECT date_trunc('hour', ts) AS win_start, event_type,
+           count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+    "1-hour tumbling event-time windows (the batch twin of the streaming "
+    "watermark aggregation in streaming/ingest.py — same F.window "
+    "semantics, same epoch-aligned boundaries as date_trunc): partial-agg "
+    "shuffle on (window, type); DECIMAL-exact sums so the result is "
+    "independent of per-partition summation order",
+)
+def q62_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(F.col("win.start").alias("win_start"), "event_type", "n", "total_value")
+    )
+
+
+@_q(
+    "q63_token_packing",
+    """
+    WITH tk AS (
+      SELECT lang, doc_id, len(string_split(text, ' ')) AS toks
+      FROM documents
+    ),
+    cum AS (
+      SELECT lang, doc_id, toks,
+             sum(toks) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+      FROM tk
+    )
+    SELECT lang, (cm - toks) // 2000 AS bin,
+           count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS total_tokens
+    FROM cum GROUP BY lang, bin
+    """,
+    "deterministic sample packing for training: docs streamed per lang in "
+    "doc_id order into ~2000-token bins (bin = start-offset div capacity "
+    "from a running-sum window) — the distributed proxy for sequence "
+    "packing; at corpus scale the partition key becomes (lang, shard) so "
+    "each window is bounded, the bin arithmetic is unchanged. All-integer "
+    "(floor division), bit-identical across engines",
+)
+def q63_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    tk = d.select(
+        "lang", "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("toks")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = tk.withColumn("cm", F.sum("toks").over(w))
+    return (
+        cum.select("lang", "toks", F.expr("(cm - toks) div 2000").alias("bin"))
+        .groupBy("lang", "bin")
+        .agg(F.count("*").alias("n_docs"), F.sum("toks").cast("bigint").alias("total_tokens"))
+    )
+
+
+@_q(
+    "q64_pivot_report",
+    """
+    SELECT user_id % 5 AS bucket,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)    AS click,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)    AS error,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT)   AS signup,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)     AS "view"
+    FROM events GROUP BY user_id % 5
+    """,
+    "pivot (long -> wide) report: event counts by type per user bucket. "
+    "Spark's groupBy().pivot() with an EXPLICIT value list plans as one "
+    "partial-aggregated pass — the explicit list matters at scale "
+    "(without it Spark first runs a distinct scan over the pivot column)",
+)
+def q64_pivot_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        ev.select((F.col("user_id") % 5).alias("bucket"), "event_type")
+        .groupBy("bucket")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves null for empty cells; report zeros like the oracle
+    return out.select(
+        "bucket",
+        *[
+            F.coalesce(F.col(c), F.lit(0).cast("long")).alias(c)
+            for c in ("click", "error", "purchase", "signup", "view")
+        ],
+    )
+
+
+@_q(
+    "q65_group_percentiles",
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           round(median(CAST(n_chars AS DOUBLE)), 4) AS p50,
+           round(quantile_cont(CAST(n_chars AS DOUBLE), 0.9), 4) AS p90
+    FROM documents GROUP BY lang
+    """,
+    "EXACT per-group percentiles (interpolated median / p90 of doc "
+    "length per language): Spark's sort-based percentile() aggregate vs "
+    "DuckDB quantile_cont — both the standard linear-interpolation "
+    "definition. Exact quantiles are per-GROUP sorts (bounded by group "
+    "size); the corpus-wide analogue stays with q35's mergeable sketches",
+)
+def q65_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.expr("percentile(n_chars * 1.0, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(n_chars * 1.0, 0.9)"), 4).alias("p90"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # the flagship: extraction itself, oracle-checked
 
