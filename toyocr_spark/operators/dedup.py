@@ -491,6 +491,13 @@ def connected_components(
     materialized round result: the previous label is carried as a
     column, so "did anything change" is a filter-count over the
     checkpointed rows — one action per round, no extra join.
+
+    Iteration runs over the EDGE-INCIDENT nodes only: a node with no
+    near-dup pair keeps label == id by definition, so singletons (the
+    overwhelming majority of a crawl — dup clusters are a small
+    fraction of the corpus) never enter a round's join. They are
+    attached by one final left join. At 100 TB this is the difference
+    between iterating over the corpus and iterating over the dup graph.
     """
     edges = (
         pairs.selectExpr("id_a AS a", "id_b AS b")
@@ -498,7 +505,7 @@ def connected_components(
         .distinct()
     ).localCheckpoint()
     labels = (
-        nodes.select(F.col(nodes.columns[0]).alias("id"))
+        edges.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
         .localCheckpoint()
@@ -521,4 +528,9 @@ def connected_components(
         labels = new.select("id", "label")
         if changed == 0:
             break
-    return labels.select("id", F.col("label").alias("cluster_id"))
+    return (
+        nodes.select(F.col(nodes.columns[0]).alias("id"))
+        .distinct()
+        .join(labels, "id", "left")
+        .select("id", F.coalesce("label", F.col("id")).alias("cluster_id"))
+    )

@@ -2595,6 +2595,140 @@ def q65_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOCK_HOST_SQL = """
+      SELECT doc_id,
+             CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN 'ads.host-' || CAST(doc_id % 7 AS VARCHAR) || '.example'
+               WHEN 1 THEN 'cdn.tracker-' || CAST(doc_id % 3 AS VARCHAR) || '.example'
+               WHEN 2 THEN 'www.host-' || CAST(doc_id % 7 AS VARCHAR) || '.example'
+               ELSE 'host-' || CAST(doc_id % 7 AS VARCHAR) || '.example'
+             END AS host
+      FROM documents
+"""
+
+_BLOCK_SUFFIXES = ("tracker-1.example", "ads.host-2.example", "host-3.example")
+
+
+@_q(
+    "q66_blocklist_filter",
+    f"""
+    WITH d AS ({_BLOCK_HOST_SQL}),
+    parts AS (SELECT doc_id, host, string_split(host, '.') AS p FROM d),
+    sfx AS (
+      SELECT doc_id, array_to_string(list_slice(p, u.i, len(p)), '.') AS s
+      FROM parts, unnest(generate_series(1, len(p))) AS u(i)
+    ),
+    bl(suffix) AS (VALUES {", ".join(f"('{s}')" for s in _BLOCK_SUFFIXES)}),
+    blocked AS (SELECT DISTINCT doc_id FROM sfx JOIN bl ON s = suffix)
+    SELECT d.doc_id, d.host,
+           CASE WHEN b.doc_id IS NULL THEN 0 ELSE 1 END AS blocked
+    FROM d LEFT JOIN blocked b USING (doc_id)
+    """,
+    "registrable-domain blocklist filtering with SUFFIX semantics "
+    "(blocking 'host-3.example' blocks every subdomain): each host "
+    "explodes its bounded dot-suffix chain (depth <= label count) and "
+    "equi-joins the broadcast blocklist — the scale shape for domain "
+    "blocking, never a LIKE/endswith scan per blocklist row (which is "
+    "O(hosts x rules) with no pushdown)",
+)
+def q66_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    v = (F.col("doc_id") % 4).cast("int")
+    d7 = (F.col("doc_id") % 7).cast("string")
+    d3 = (F.col("doc_id") % 3).cast("string")
+    host = (
+        F.when(v == 0, F.concat(F.lit("ads.host-"), d7, F.lit(".example")))
+        .when(v == 1, F.concat(F.lit("cdn.tracker-"), d3, F.lit(".example")))
+        .when(v == 2, F.concat(F.lit("www.host-"), d7, F.lit(".example")))
+        .otherwise(F.concat(F.lit("host-"), d7, F.lit(".example")))
+    )
+    hosts = d.select("doc_id", host.alias("host"))
+    parts = F.split(F.col("host"), "\\.")
+    sfx = hosts.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(parts)),
+                lambda i: F.array_join(F.slice(parts, i, F.size(parts)), "."),
+            )
+        ).alias("s"),
+    )
+    bl = spark.createDataFrame([(s,) for s in _BLOCK_SUFFIXES], "suffix string")
+    blocked = (
+        sfx.join(F.broadcast(bl), sfx.s == bl.suffix, "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("_b", F.lit(1))
+    )
+    return hosts.join(blocked, "doc_id", "left").select(
+        "doc_id", "host", F.coalesce("_b", F.lit(0)).alias("blocked")
+    )
+
+
+@_q(
+    "q67_decontamination",
+    """
+    WITH base AS (
+      SELECT doc_id AS id, string_split(text, ' ') AS w,
+             len(string_split(text, ' ')) AS nw
+      FROM documents WHERE length(text) > 0
+    ),
+    wins AS (
+      SELECT id, md5(array_to_string(list_slice(w, u.p + 1, u.p + 8), ' ')) AS digest
+      FROM base, unnest(generate_series(0, nw - 8)) AS u(p)
+      WHERE nw >= 8
+    ),
+    bench AS (SELECT DISTINCT digest FROM wins WHERE id % 97 = 0),
+    totals AS (SELECT id, count(*) AS n_wins FROM wins GROUP BY id),
+    hits AS (SELECT w.id, count(*) AS n_hit
+             FROM wins w JOIN bench USING (digest) GROUP BY w.id)
+    SELECT t.id, t.n_wins,
+           coalesce(h.n_hit, CAST(0 AS BIGINT)) AS n_hit,
+           round(coalesce(h.n_hit, 0) * 1.0 / t.n_wins, 6) AS contamination
+    FROM totals t LEFT JOIN hits h USING (id)
+    """,
+    "benchmark decontamination (the n-gram overlap check run before "
+    "training): 8-word window hashes per doc, overlap fraction against "
+    "the benchmark set's distinct n-grams (proxy benchmark: doc_id % 97 "
+    "= 0). The benchmark gram set is small and broadcast-able; the "
+    "corpus side is one linear window explode + equi-join on digest — "
+    "never a doc x benchmark cross join",
+)
+def q67_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    k = 8
+    words = F.split(F.col("text"), " ")
+    base = (
+        d.filter(F.length("text") > 0)
+        .select(F.col("doc_id").alias("id"), words.alias("w"))
+        .withColumn("nw", F.size("w"))
+    )
+    pos = F.explode(F.sequence(F.lit(0), F.col("nw") - k))
+    wins = (
+        base.filter(F.col("nw") >= k)
+        .select("id", "w", pos.alias("p"))
+        .select(
+            "id",
+            F.md5(F.array_join(F.slice("w", F.col("p") + 1, k), " ")).alias("digest"),
+        )
+    )
+    bench = wins.filter(F.col("id") % 97 == 0).select("digest").distinct()
+    totals = wins.groupBy("id").agg(F.count("*").alias("n_wins"))
+    hits = (
+        wins.join(F.broadcast(bench), "digest")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return totals.join(hits, "id", "left").select(
+        "id",
+        "n_wins",
+        F.coalesce("n_hit", F.lit(0).cast("long")).alias("n_hit"),
+        F.round(
+            F.coalesce("n_hit", F.lit(0)) * F.lit(1.0) / F.col("n_wins"), 6
+        ).alias("contamination"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # the flagship: extraction itself, oracle-checked
 
