@@ -359,6 +359,54 @@ def test_paragraph_dedup_first_occurrence_policy(spark):
     assert out[3]["text_kept"] == ""
 
 
+def test_duplicate_span_removal_matches_python_model(spark):
+    """Differential check of the distributed plan against a transparent
+    single-process model of the same policy, over a corpus engineered
+    for the tricky shapes: cross-doc repeats, in-doc repeats, overlap
+    chains, short docs, and a boilerplate window present everywhere."""
+    import random
+
+    from toyocr_spark.operators.dedup import duplicate_span_removal
+
+    rng = random.Random(7)
+    k = 3
+    vocab = [f"w{i}" for i in range(12)]  # tiny vocab -> dense collisions
+    docs = []
+    for i in range(40):
+        n = rng.randint(1, 20)
+        words = [rng.choice(vocab) for _ in range(n)]
+        if rng.random() < 0.3:
+            words[0:3] = ["bp1", "bp2", "bp3"]  # shared boilerplate head
+        docs.append((i, " ".join(words)))
+
+    # python model: first occurrence of each k-window survives globally
+    first: dict[tuple, tuple] = {}
+    for i, text in docs:
+        ws = text.split(" ")
+        for p in range(len(ws) - k + 1):
+            key = tuple(ws[p : p + k])
+            if key not in first:
+                first[key] = (i, p)
+    expected = {}
+    for i, text in docs:
+        ws = text.split(" ")
+        removed = set()
+        n_dup = 0
+        for p in range(len(ws) - k + 1):
+            if first[tuple(ws[p : p + k])] != (i, p):
+                n_dup += 1
+                removed.update(range(p, p + k))
+        kept = " ".join(w for j, w in enumerate(ws) if j not in removed)
+        expected[i] = (len(ws), n_dup, len(removed), kept)
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["id"]: (r["n_words"], r["n_dup_wins"], r["n_removed"], r["text_kept"])
+        for r in duplicate_span_removal(df, "doc_id", "text", k_words=k).collect()
+    }
+    assert got == expected
+
+
 def test_phrase_retrieval_positions(spark):
     from toyocr_spark.operators.textindex import phrase_retrieve
 

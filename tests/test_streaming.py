@@ -70,6 +70,39 @@ def test_stream_matches_batch_byte_identical(spark, stream_input, tmp_path):
     assert len(lineage_batches) == 3
 
 
+def test_stream_blocklist_admission(spark, stream_input, tmp_path):
+    """Stream-static anti-join admission: blocked hosts never reach the
+    extractor; admitted pages are byte-identical to the batch path over
+    the same admitted subset."""
+    from toyocr_spark.streaming.ingest import stream_blocklist_extract
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    batch_pages = spark.read.schema(PAGES_SCHEMA).parquet(stream_input)
+    hosts = sorted(
+        r["h"]
+        for r in batch_pages.select(
+            F.parse_url("url", F.lit("HOST")).alias("h")
+        ).distinct().collect()
+    )
+    blocked = hosts[:2]
+    bl = spark.createDataFrame([(h,) for h in blocked], "host string")
+    stream_blocklist_extract(spark, stream_input, bl, out, ckpt)
+
+    got = {
+        r["url"]: r["extracted_text"]
+        for r in _read_stream_result(spark, out).collect()
+    }
+    admitted = batch_pages.filter(
+        ~F.parse_url("url", F.lit("HOST")).isin(blocked)
+    )
+    want = {
+        r["url"]: r["extracted_text"] for r in extract_pages(admitted).collect()
+    }
+    assert got == want
+    assert 0 < len(got) < batch_pages.count()  # some blocked, some admitted
+
+
 def test_stream_restart_does_not_replay(spark, stream_input, tmp_path):
     out = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")

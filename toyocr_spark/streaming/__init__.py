@@ -1,5 +1,6 @@
 from toyocr_spark.streaming.ingest import (  # noqa: F401
     stateful_host_progress,
+    stream_blocklist_extract,
     stream_dedup,
     stream_extract,
     windowed_page_counts,

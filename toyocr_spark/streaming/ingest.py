@@ -151,6 +151,60 @@ def stream_dedup(
     return writer.start()
 
 
+def stream_blocklist_extract(
+    spark: SparkSession,
+    input_dir: str,
+    blocklist: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int = 8,
+):
+    """Streaming extraction with a STREAM-STATIC anti-join admission
+    stage: pages whose url host appears in the static ``blocklist``
+    DataFrame (one ``host`` column) are dropped before the extractor
+    spends a cycle on them.
+
+    The stream-static join is stateless (each micro-batch joins the
+    current static snapshot — Spark re-plans the static side per batch,
+    so an updated blocklist table takes effect on the next trigger
+    without a restart, which is exactly how a crawl blocklist is
+    operated). The static side is broadcast: no shuffle is added to the
+    streaming plan at any corpus size, because the blocklist — even a
+    hostile one — is millions of rows, not billions.
+    """
+    if os.path.isdir(input_dir) and os.path.exists(
+        os.path.join(input_dir, "pages.parquet")
+    ):
+        input_dir = os.path.join(input_dir, "pages*.parquet")
+    reader = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    admitted = (
+        reader.withColumn("_host", F.parse_url(F.col("url"), F.lit("HOST")))
+        .join(F.broadcast(blocklist.select(F.col("host").alias("_host"))), "_host", "left_anti")
+        .drop("_host")
+    )
+    result = extract_pages(admitted)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        path = os.path.join(out_dir, f"batch={batch_id}")
+        batch_df.write.mode("overwrite").parquet(path)  # replay-safe
+
+    writer = (
+        result.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
+
+
 def stateful_host_progress(
     pages_stream: DataFrame,
     idle_timeout_ms: int | None = None,
