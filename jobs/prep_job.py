@@ -41,6 +41,18 @@ def main(argv: list[str] | None = None) -> int:
         help="paragraph-dedup window in words (0 = stage off): repeated "
         "paragraphs keep only their global first occurrence",
     )
+    ap.add_argument(
+        "--blocklist",
+        help="text file of blocked host suffixes, one per line (pages "
+        "mode): a page whose url host or any parent domain matches is "
+        "dropped before any content work",
+    )
+    ap.add_argument(
+        "--decontam-benchmark",
+        help="parquet with (doc_id, text): drop docs whose 8-gram "
+        "overlap fraction with this benchmark exceeds --decontam-max",
+    )
+    ap.add_argument("--decontam-max", type=float, default=0.05)
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -85,6 +97,18 @@ def main(argv: list[str] | None = None) -> int:
         url_keep = docs.groupBy("curl").agg(F.min("doc_id").alias("doc_id"))
         docs = docs.join(url_keep.select("doc_id"), "doc_id", "left_semi").drop("curl")
         funnel["after_url_dedup"] = docs.count()
+
+    # 0.5 domain blocklist (pages mode): suffix-semantics host filter —
+    #     the admission control a crawl runs before spending any cycle
+    if args.pages and args.blocklist:
+        from toyocr_spark.functions.urlfns import drop_blocked_hosts
+
+        with open(args.blocklist) as f:
+            suffixes = [ln.strip() for ln in f if ln.strip()]
+        bl = spark.createDataFrame([(s,) for s in suffixes], "host string")
+        docs = docs.withColumn("_host", F.parse_url(F.col("url"), F.lit("HOST")))
+        docs = drop_blocked_hosts(docs, "_host", bl).drop("_host")
+        funnel["after_blocklist"] = docs.count()
 
     # 1. quality filter (C4-style heuristics, JVM-side)
     q = quality_features(
@@ -138,6 +162,20 @@ def main(argv: list[str] | None = None) -> int:
             )
         )
         funnel["after_para_dedup"] = final.count()
+
+    # 4.8 benchmark decontamination: drop docs whose k-gram overlap with
+    #     the benchmark exceeds the threshold (run LAST so earlier dedup
+    #     cannot resurrect a contaminated doc's near-twin)
+    if args.decontam_benchmark:
+        from toyocr_spark.operators.dedup import contamination_scores
+
+        bench = spark.read.parquet(args.decontam_benchmark).select("doc_id", "text")
+        scores = contamination_scores(final, bench, "doc_id", "text")
+        dirty = scores.filter(F.col("contamination") > args.decontam_max).select(
+            F.col("id").alias("doc_id")
+        )
+        final = final.join(dirty, "doc_id", "left_anti")
+        funnel["after_decontam"] = final.count()
 
     # 5. token accounting + write
     out = (

@@ -52,3 +52,40 @@ def test_prep_funnel_from_pages(tmp_path, pages_dir):
     # fixture articles have sentence punctuation; most survive quality
     assert funnel["after_near_dedup"] > 0
     assert funnel["after_quality"] < funnel["input"]  # pathological pages drop
+
+
+@pytest.mark.slow
+def test_prep_blocklist_and_decontam_stages(tmp_path, pages_dir, sf_dir):
+    import duckdb
+
+    # blocklist stage (pages mode): fixture hosts are host-K.example
+    # (K >= 1, Pareto-skewed: host-1 is the hot host); blocking the
+    # suffix 'host-1.example' must drop rows, none else
+    bl = tmp_path / "blocked.txt"
+    bl.write_text("host-1.example\n")
+    out_dir = str(tmp_path / "prep_bl")
+    funnel = _run(
+        "--pages", pages_dir, "--output", out_dir,
+        "--min-punct", "1", "--blocklist", str(bl),
+    )
+    assert 0 < funnel["after_blocklist"] < funnel["after_url_dedup"]
+
+    # decontamination stage (documents mode): benchmark = 3 corpus docs
+    # verbatim -> those docs are fully contaminated and must drop
+    bench = str(tmp_path / "bench.parquet")
+    duckdb.sql(
+        f"COPY (SELECT doc_id, text FROM '{sf_dir}/documents.parquet' "
+        f"ORDER BY doc_id LIMIT 3) TO '{bench}' (FORMAT PARQUET)"
+    )
+    out2 = str(tmp_path / "prep_dc")
+    funnel2 = _run(
+        "--documents", f"{sf_dir}/documents.parquet",
+        "--output", out2, "--min-punct", "0",
+        "--decontam-benchmark", bench, "--decontam-max", "0.5",
+    )
+    assert funnel2["after_decontam"] < funnel2["after_near_dedup"]
+    survivors = duckdb.sql(
+        f"SELECT count(*) FROM '{out2}/*.parquet' WHERE doc_id IN "
+        f"(SELECT doc_id FROM '{bench}')"
+    ).fetchone()[0]
+    assert survivors == 0

@@ -75,3 +75,37 @@ def resolve_link(base_root: Column, base_dir: Column, link: Column) -> Column:
         .when(F.substring(link, 1, 1) == "/", F.concat(base_root, link))
         .otherwise(F.concat(base_dir, link))
     )
+
+
+def host_suffixes(host: Column) -> Column:
+    """Array of the host's dot-suffix chain: 'a.b.example' ->
+    ['a.b.example', 'b.example', 'example']. Bounded by label depth;
+    the explode side of registrable-domain blocklist matching."""
+    parts = F.split(host, "\\.")
+    return F.transform(
+        F.sequence(F.lit(1), F.size(parts)),
+        lambda i: F.array_join(F.slice(parts, i, F.size(parts)), "."),
+    )
+
+
+def drop_blocked_hosts(df, host_col: str, blocklist) -> "DataFrame":  # noqa: F821
+    """Survivors of domain-suffix blocklist filtering: rows whose host
+    (or any parent domain of it) appears in ``blocklist`` (a DataFrame
+    with one ``host`` column) are dropped.
+
+    Scale shape: each host explodes its bounded suffix chain and
+    equi-joins the BROADCAST blocklist — O(rows x labels), never the
+    O(rows x rules) of a LIKE/endswith scan per blocklist entry."""
+    sfx = df.select(
+        F.col(host_col).alias("_h"), F.explode(host_suffixes(F.col(host_col))).alias("_s")
+    )
+    blocked_hosts = (
+        sfx.join(
+            F.broadcast(blocklist.select(F.col("host").alias("_s"))), "_s", "left_semi"
+        )
+        .select("_h")
+        .distinct()
+    )
+    return df.join(
+        blocked_hosts.select(F.col("_h").alias(host_col)), host_col, "left_anti"
+    )

@@ -452,6 +452,64 @@ def duplicate_span_removal(
     )
 
 
+def ngram_digests(
+    df: DataFrame, id_col: str, text_col: str, k_words: int = 8
+) -> DataFrame:
+    """(id, digest) rows: md5 of every rolling ``k_words``-word window
+    (stride 1). The shared primitive under duplicate-span removal and
+    benchmark decontamination. Linear explode, all JVM-side."""
+    words = F.split(F.col(text_col), " ")
+    base = (
+        df.filter(F.length(text_col) > 0)
+        .select(F.col(id_col).alias("id"), words.alias("w"))
+        .withColumn("nw", F.size("w"))
+        .filter(F.col("nw") >= k_words)
+    )
+    pos = F.explode(F.sequence(F.lit(0), F.col("nw") - k_words))
+    return base.select("id", "w", pos.alias("p")).select(
+        "id",
+        F.md5(F.array_join(F.slice("w", F.col("p") + 1, k_words), " ")).alias(
+            "digest"
+        ),
+    )
+
+
+def contamination_scores(
+    df: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_words: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination scores: per corpus document, the
+    fraction of its ``k_words``-gram windows that appear anywhere in the
+    ``bench`` corpus (same (id, text) shape). Output: (id, n_wins,
+    n_hit, contamination). Docs shorter than one window get no row —
+    they cannot be measured and cannot leak a k-gram either.
+
+    Scale shape: the benchmark gram set is small by definition and is
+    BROADCAST; the corpus side is one linear window explode + equi-join
+    on digest — never corpus x benchmark."""
+    wins = ngram_digests(df, id_col, text_col, k_words)
+    bench_grams = ngram_digests(bench, id_col, text_col, k_words).select(
+        "digest"
+    ).distinct()
+    totals = wins.groupBy("id").agg(F.count("*").alias("n_wins"))
+    hits = (
+        wins.join(F.broadcast(bench_grams), "digest")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return totals.join(hits, "id", "left").select(
+        "id",
+        "n_wins",
+        F.coalesce("n_hit", F.lit(0).cast("long")).alias("n_hit"),
+        F.round(
+            F.coalesce("n_hit", F.lit(0)) * F.lit(1.0) / F.col("n_wins"), 6
+        ).alias("contamination"),
+    )
+
+
 def survivors(df: DataFrame, id_col: str, dup_pairs: DataFrame) -> DataFrame:
     """Resolve pairs to a kept set: drop every id that appears as id_b
     of a pair whose id_a survives transitively. Single-pass

@@ -2642,16 +2642,11 @@ def q66_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(v == 2, F.concat(F.lit("www.host-"), d7, F.lit(".example")))
         .otherwise(F.concat(F.lit("host-"), d7, F.lit(".example")))
     )
+    from toyocr_spark.functions.urlfns import host_suffixes
+
     hosts = d.select("doc_id", host.alias("host"))
-    parts = F.split(F.col("host"), "\\.")
     sfx = hosts.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size(parts)),
-                lambda i: F.array_join(F.slice(parts, i, F.size(parts)), "."),
-            )
-        ).alias("s"),
+        "doc_id", F.explode(host_suffixes(F.col("host"))).alias("s")
     )
     bl = spark.createDataFrame([(s,) for s in _BLOCK_SUFFIXES], "suffix string")
     blocked = (
@@ -2695,37 +2690,49 @@ def q66_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "never a doc x benchmark cross join",
 )
 def q67_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toyocr_spark.operators.dedup import contamination_scores
+
     d = _t(spark, sf_dir, "documents")
-    k = 8
-    words = F.split(F.col("text"), " ")
-    base = (
-        d.filter(F.length("text") > 0)
-        .select(F.col("doc_id").alias("id"), words.alias("w"))
-        .withColumn("nw", F.size("w"))
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    return contamination_scores(d, bench, "doc_id", "text", k_words=8)
+
+
+@_q(
+    "q68_session_window",
+    """
+    WITH l AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts
+      FROM events
+    ),
+    f AS (
+      SELECT user_id, ts,
+             CASE WHEN pts IS NULL OR ts - pts >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM l
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM f
     )
-    pos = F.explode(F.sequence(F.lit(0), F.col("nw") - k))
-    wins = (
-        base.filter(F.col("nw") >= k)
-        .select("id", "w", pos.alias("p"))
-        .select(
-            "id",
-            F.md5(F.array_join(F.slice("w", F.col("p") + 1, k), " ")).alias("digest"),
-        )
-    )
-    bench = wins.filter(F.col("id") % 97 == 0).select("digest").distinct()
-    totals = wins.groupBy("id").agg(F.count("*").alias("n_wins"))
-    hits = (
-        wins.join(F.broadcast(bench), "digest")
-        .groupBy("id")
-        .agg(F.count("*").alias("n_hit"))
-    )
-    return totals.join(hits, "id", "left").select(
-        "id",
-        "n_wins",
-        F.coalesce("n_hit", F.lit(0).cast("long")).alias("n_hit"),
-        F.round(
-            F.coalesce("n_hit", F.lit(0)) * F.lit(1.0) / F.col("n_wins"), 6
-        ).alias("contamination"),
+    SELECT min(ts) AS win_start, user_id, count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+    "Spark's NATIVE session_window aggregate (merge-on-gap<30min), "
+    "cross-checked against the classic lag + gap-cumsum formulation — "
+    "the built-in plans one aggregate with session merging instead of "
+    "two windows + a groupBy, and it is the exact operator the "
+    "streaming twin uses for stateful sessionization (q04 keeps the "
+    "hand-rolled islands variant for the general gap-and-island shape)",
+)
+def q68_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("sw.start").alias("win_start"), "user_id", "n_events")
     )
 
 
