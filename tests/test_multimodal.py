@@ -192,3 +192,48 @@ def test_jpeg_wav_mp4_live_codecs(spark):
         spark.createDataFrame([(9, _make_mp4(64, 48, b"v" * 41))], "media_id long, payload binary"), 4
     ).collect()[0]
     assert frames["n_frames"] == 4 and frames["frame_len"] == 10 and frames["last_frame_len"] == 11
+
+
+def _make_wav_pcm(rate: int, samples: list[int]) -> bytes:
+    import struct
+
+    pcm = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_audio_features_match_hand_model(spark):
+    """audio_features over real PCM: zero crossings / peak / RMS agree
+    with a transparent per-sample model; non-audio rows are skipped."""
+    import random
+
+    from toyocr_spark.multimodal import audio_features
+
+    rng = random.Random(3)
+    waves = {
+        1: [0, 1000, -1000, 1000, -1000],          # alternating: 4 crossings
+        2: [100] * 7,                               # constant positive: 0
+        3: [rng.randint(-30000, 30000) for _ in range(500)],
+    }
+    rows = [(mid, _make_wav_pcm(8000, s)) for mid, s in waves.items()]
+    rows.append((9, _make_png(8, 4)))  # image row: must not emit
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in audio_features(df, frame_samples=128).collect()}
+
+    assert set(got) == {1, 2, 3}
+    for mid, s in waves.items():
+        zc = sum(
+            1
+            for a, b in zip(s, s[1:])
+            if (a >= 0) != (b >= 0)
+        )
+        peak = max(abs(x) for x in s)
+        rms = round((sum(x * x for x in s) / len(s)) ** 0.5, 6)
+        r = got[mid]
+        assert r["n_samples"] == len(s)
+        assert r["zero_crossings"] == zc
+        assert r["peak"] == peak
+        assert r["rms"] == rms
+        assert r["n_frames"] == -(-len(s) // 128)

@@ -32,6 +32,7 @@ start of the per-record map, here over Arrow record batches.
 from __future__ import annotations
 
 import struct
+import sys
 import zlib
 from collections.abc import Iterator
 
@@ -347,3 +348,78 @@ def media_fingerprint(media: DataFrame, dim: int = 8) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInArrow(batches, schema)
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("zero_crossings", T.LongType(), False),
+        T.StructField("peak", T.IntegerType(), False),
+        T.StructField("rms", T.DoubleType(), False),
+    ]
+)
+
+
+def audio_features(media: DataFrame, frame_samples: int = 256) -> DataFrame:
+    """Signal features over DECODED audio bodies (the WAV leg is a live
+    codec: _parse_wav hands back genuine PCM): samples as little-endian
+    int16, per-file zero-crossing count, absolute peak, global RMS, and
+    the frame count at ``frame_samples`` per frame — the energy/ZCR
+    pass a speech/music corpus filter runs before any model touches the
+    audio. Pure stdlib (array module) inside mapInArrow; non-audio
+    payloads are skipped (a media table mixes kinds; each feature pass
+    consumes its own).
+
+    Integer accumulation (sum of squares over int16 fits int64 up to
+    ~2^31 samples per file), one float at the end — deterministic
+    across batch boundaries and engines.
+    """
+    import array as _array
+
+    import pyarrow as pa
+
+    def batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in it:
+            ids = b.column(0).to_pylist()
+            out_rows = []
+            for mid, p in zip(ids, b.column(1).to_pylist()):
+                kind, _, _, _, body = parse_header(p)
+                if kind != "audio":
+                    continue
+                pcm = _array.array("h")
+                pcm.frombytes(body[: len(body) - (len(body) % 2)])
+                if sys.byteorder == "big":  # WAV PCM is little-endian
+                    pcm.byteswap()
+                n = len(pcm)
+                zc = 0
+                peak = 0
+                sq = 0
+                prev_sign = None
+                for s in pcm:
+                    a = -s if s < 0 else s
+                    if a > peak:
+                        peak = a
+                    sq += s * s
+                    sign = s >= 0
+                    if prev_sign is not None and sign != prev_sign:
+                        zc += 1
+                    prev_sign = sign
+                rms = round((sq / n) ** 0.5, 6) if n else 0.0
+                out_rows.append(
+                    (mid, n, -(-n // frame_samples) if n else 0, zc, peak, rms)
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([r[0] for r in out_rows], pa.int64()),
+                    pa.array([r[1] for r in out_rows], pa.int64()),
+                    pa.array([r[2] for r in out_rows], pa.int32()),
+                    pa.array([r[3] for r in out_rows], pa.int64()),
+                    pa.array([r[4] for r in out_rows], pa.int32()),
+                    pa.array([r[5] for r in out_rows], pa.float64()),
+                ],
+                names=[f.name for f in AUDIO_SCHEMA.fields],
+            )
+
+    return media.select("media_id", "payload").mapInArrow(batches, AUDIO_SCHEMA)

@@ -2736,6 +2736,46 @@ def q68_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q69_change_rate",
+    """
+    WITH l AS (
+      SELECT user_id, value,
+             lag(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS pval
+      FROM events
+    )
+    SELECT user_id,
+           count(*) AS n_fetches,
+           CAST(sum(CASE WHEN pval IS NOT NULL AND value <> pval
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+           round(sum(CASE WHEN pval IS NOT NULL AND value <> pval
+                          THEN 1 ELSE 0 END) * 1.0
+                 / greatest(count(*) - 1, 1), 6) AS change_rate
+    FROM l GROUP BY user_id
+    """,
+    "recrawl change-rate analytics (the signal a crawl scheduler feeds "
+    "back into per-host refresh cadence): lag over a TOTAL order (ts, "
+    "event_id) compares each fetch to its predecessor; per-key windows "
+    "are bounded by per-host fetch history, aggregation is partial — "
+    "the lag/lead window family's coverage entry",
+)
+def q69_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    l = ev.withColumn("pval", F.lag("value").over(w))
+    changed = F.when(
+        F.col("pval").isNotNull() & (F.col("value") != F.col("pval")), 1
+    ).otherwise(0)
+    return l.groupBy("user_id").agg(
+        F.count("*").alias("n_fetches"),
+        F.sum(changed).cast("bigint").alias("n_changed"),
+        F.round(
+            F.sum(changed) * F.lit(1.0) / F.greatest(F.count("*") - 1, F.lit(1)), 6
+        ).alias("change_rate"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # the flagship: extraction itself, oracle-checked
 
