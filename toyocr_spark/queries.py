@@ -2776,6 +2776,58 @@ def q69_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FH_DIM = 16
+
+
+def _hex4_col(col: str) -> str:
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({col}, {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+
+
+@_q(
+    "q70_feature_hashing",
+    f"""
+    WITH t AS ({_TOKENS_SQL}),
+    hashed AS (
+      SELECT id,
+             ({_hex4_col("hh")}) % {_FH_DIM} AS dim,
+             CASE WHEN ({_hex4_col("hs")}) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+      FROM (SELECT id, substr(md5(word), 1, 4) AS hh,
+                   substr(md5('s|' || word), 1, 4) AS hs
+            FROM t)
+    )
+    SELECT id, dim, CAST(sum(sgn) AS BIGINT) AS weight
+    FROM hashed GROUP BY id, dim
+    """,
+    "feature-hashing text vectorizer (the hashing trick: term -> "
+    f"md5-bucketed dimension with a +-1 sign hash): sparse {_FH_DIM}-dim "
+    "doc vectors as (id, dim, weight) rows from ONE partial-agg shuffle "
+    "— the from-text on-ramp to the embedding/ANN family, no vocabulary "
+    "build, no Python, identical on any engine and any worker",
+)
+def q70_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toyocr_spark.operators.textindex import doc_terms
+
+    t = doc_terms(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    dim = (
+        F.conv(F.substring(F.md5(F.col("word")), 1, 4), 16, 10).cast("long") % _FH_DIM
+    )
+    sgn = F.when(
+        F.conv(F.substring(F.md5(F.concat(F.lit("s|"), F.col("word"))), 1, 4), 16, 10)
+        .cast("long")
+        % 2
+        == 0,
+        1,
+    ).otherwise(-1)
+    return (
+        t.select("id", dim.alias("dim"), sgn.alias("sgn"))
+        .groupBy("id", "dim")
+        .agg(F.sum("sgn").cast("bigint").alias("weight"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # the flagship: extraction itself, oracle-checked
 
