@@ -2828,6 +2828,65 @@ def q70_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q71_host_profile",
+    """
+    WITH d AS (
+      SELECT 'host-' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS host,
+             lang, CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END AS keep
+      FROM documents
+    ),
+    per_host AS (
+      SELECT host, count(*) AS n_docs,
+             CAST(sum(keep) AS BIGINT) AS n_keep,
+             round(sum(keep) * 1.0 / count(*), 6) AS keep_rate
+      FROM d GROUP BY host
+    ),
+    lang_counts AS (
+      SELECT host, lang, count(*) AS n
+      FROM d GROUP BY host, lang
+    ),
+    top_lang AS (
+      SELECT host, lang AS top_lang FROM (
+        SELECT host, lang,
+               row_number() OVER (PARTITION BY host
+                                  ORDER BY n DESC, lang ASC) AS rk
+        FROM lang_counts
+      ) WHERE rk = 1
+    )
+    SELECT p.host, p.n_docs, p.n_keep, p.keep_rate, t.top_lang
+    FROM per_host p JOIN top_lang t USING (host)
+    """,
+    "per-host curation profile (the table a crawl curator turns into "
+    "host allow/deny lists — RefinedWeb-style domain filtering): doc "
+    "count, quality keep-rate, dominant language per host. Two partial-"
+    "agg shuffles keyed on host/(host, lang) — host cardinality is "
+    "~10^8 at crawl scale, each with O(1) aggregate state; the argmax "
+    "window partitions on host and is bounded by languages-per-host",
+)
+def q71_host_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("host-"), (F.col("doc_id") % 7).cast("string"), F.lit(".example")
+        ).alias("host"),
+        "lang",
+        F.when(F.col("n_chars") >= 150, 1).otherwise(0).alias("keep"),
+    )
+    per_host = d.groupBy("host").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("keep").cast("bigint").alias("n_keep"),
+        F.round(F.sum("keep") * F.lit(1.0) / F.count("*"), 6).alias("keep_rate"),
+    )
+    lang_counts = d.groupBy("host", "lang").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("host").orderBy(F.col("n").desc(), F.col("lang").asc())
+    top_lang = (
+        lang_counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("host", F.col("lang").alias("top_lang"))
+    )
+    return per_host.join(top_lang, "host")
+
+
 # ---------------------------------------------------------------------------
 # the flagship: extraction itself, oracle-checked
 
