@@ -2887,6 +2887,43 @@ def q71_host_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_host.join(top_lang, "host")
 
 
+@_q(
+    "q72_set_ops",
+    """
+    WITH a AS (SELECT doc_id FROM documents WHERE n_chars >= 150),
+    b AS (SELECT doc_id FROM documents WHERE lang = 'en')
+    SELECT 'intersect' AS op, count(*) AS n
+    FROM (SELECT doc_id FROM a INTERSECT SELECT doc_id FROM b)
+    UNION ALL
+    SELECT 'except_all', count(*)
+    FROM (SELECT doc_id FROM a EXCEPT ALL SELECT doc_id FROM b)
+    UNION ALL
+    SELECT 'union_distinct', count(*)
+    FROM (SELECT doc_id FROM a UNION SELECT doc_id FROM b)
+    """,
+    "set-operator family (INTERSECT / EXCEPT ALL / UNION DISTINCT) over "
+    "two corpus slices — snapshot-membership algebra (what changed "
+    "between two curation policies). Spark plans these as hash "
+    "aggregates / left-anti joins on the id key — partial-aggregated, "
+    "skew-safe, one shuffle each",
+)
+def q72_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    a = d.filter(F.col("n_chars") >= 150).select("doc_id")
+    b = d.filter(F.col("lang") == "en").select("doc_id")
+    rows = [
+        a.intersect(b).agg(F.lit("intersect").alias("op"), F.count("*").alias("n")),
+        a.exceptAll(b).agg(F.lit("except_all").alias("op"), F.count("*").alias("n")),
+        a.union(b).distinct().agg(
+            F.lit("union_distinct").alias("op"), F.count("*").alias("n")
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # the flagship: extraction itself, oracle-checked
 
