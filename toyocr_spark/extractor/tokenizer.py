@@ -254,6 +254,8 @@ def tokenize(html: bytes | str) -> list[Block]:
     # semantics verified against the regex on all edge shapes, but
     # memchr-speed (str.find) with no token-list materialization
     src_find = src.find
+    tag_cache_get = _TAG_CACHE.get  # hoisted: one lookup per tag token
+    unescape = _htmlmod.unescape
     i = 0
     n = len(src)
     while i < n:
@@ -264,7 +266,7 @@ def tokenize(html: bytes | str) -> list[Block]:
             tok = src[i:j]
             i = j
             # unescape allocates; most text runs carry no entities
-            piece = _htmlmod.unescape(tok) if "&" in tok else tok
+            piece = unescape(tok) if "&" in tok else tok
             cur._parts.append(piece)
             if link_depth > 0:
                 # count anchor-text chars after whitespace collapse parity:
@@ -279,7 +281,7 @@ def tokenize(html: bytes | str) -> list[Block]:
         i = j + 1
         # tag tokens repeat enormously in a crawl (</p>, <div>, ...);
         # memoize the parse: (name, closing), None for malformed tags
-        hit = _TAG_CACHE.get(tok, 0)
+        hit = tag_cache_get(tok, 0)
         if hit != 0:
             if hit is None:
                 continue
