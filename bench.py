@@ -118,9 +118,11 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
     times: dict[str, float] = {}
     fns = q.queries()
-    # warm-up (scan + shuffle machinery) on the cheapest query
-    first = next(iter(fns))
-    force(fns[first](spark, sf_dir))
+    # warm-up (scan + shuffle machinery) on a cheap query — NOT the
+    # registry head, which is priority-ordered and starts with the
+    # expensive flagship
+    warm = "q01_scan_agg" if "q01_scan_agg" in fns else next(iter(fns))
+    force(fns[warm](spark, sf_dir))
     # best-of-2 per query: the shared host occasionally stalls a single
     # run by an order of magnitude (observed: one suite run measured a
     # 2.4s query at 82s while a fresh-session probe of the same query
@@ -363,9 +365,49 @@ def main() -> None:
     args = ap.parse_args()
     if args.scaling:
         out = run_scaling(args.sf_dir)
-    else:
-        out = run_bench(args.sf_dir, args.cpus, args.extract_only)
-    print(json.dumps(out))
+        print(json.dumps(out))
+        return
+    out = run_bench(args.sf_dir, args.cpus, args.extract_only)
+    if args.extract_only:
+        # --scaling subprocesses parse this line: keep the full record
+        print(json.dumps(out))
+        return
+    # The driver captures only a short stdout tail: in round 2 the full
+    # 72-query line overflowed it and BENCH_r02.json recorded
+    # "parsed": null. Persist the full per-query record to BENCH/ for
+    # audit, then print a compact headline-only line LAST so the
+    # machine-readable record always fits the tail window.
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    full_path = os.path.join(REPO, "BENCH", "last_full_suite.json")
+    with open(full_path, "w") as f:
+        json.dump(out, f, indent=1)
+    log("full per-query record: " + full_path)
+    log(json.dumps(out))  # stderr: humans watching the run still see it all
+    slowest = dict(
+        sorted(
+            ((k, v) for k, v in out["queries"].items() if k.startswith("q")),
+            key=lambda kv: -kv[1],
+        )[:3]
+    )
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "sf": out["sf"],
+        "cpus": out["cpus"],
+        "n_queries": sum(1 for k in out["queries"] if k.startswith("q")),
+        "queries": {
+            "extract": out["queries"]["extract"],
+            "extract_pdf": out["queries"].get("extract_pdf"),
+            **slowest,
+        },
+        "docs_per_sec": out.get("docs_per_sec"),
+        "pdf_docs_per_sec": out.get("pdf_docs_per_sec"),
+        "scaling_efficiency": out.get("scaling_efficiency"),
+        "scaling_pass": out.get("scaling_pass"),
+        "full_record": "BENCH/last_full_suite.json",
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -552,3 +552,29 @@ def test_ivf_recall_against_brute_force(spark, sf_dir):
     assert all(0.0 <= r["recall"] <= 1.0 for r in rows)
     # probing 2 of 8 lists on clusterable data should beat coin-flip recall
     assert sum(r["recall"] for r in rows) / len(rows) >= 0.4
+
+
+def test_first_occurrence_exact_for_full_range_int64_ids(spark):
+    """Regression (round-2 ADVICE): first-occurrence ordering used an
+    id * 1e6 + pos packed int64 key, which silently WRAPS for
+    full-range doc ids (prep_job derives ids via xxhash64 — huge or
+    negative), aliasing ids that differ by ~2^58. The struct(id, pos)
+    key must order exactly: the lowest (id, pos) wins — here the large
+    NEGATIVE id, which the packed key would have mangled."""
+    from toyocr_spark.operators.dedup import duplicate_span_removal, paragraph_dedup
+
+    A = "aa bb cc"
+    neg = -(2**62) - 12345     # xxhash64-style ids: full int64 range
+    pos_id = 2**62 + 777
+    df = spark.createDataFrame(
+        [(pos_id, A), (neg, A)], "doc_id long, text string"
+    )
+    out = {r["id"]: r for r in paragraph_dedup(df, "doc_id", "text", words_per_para=3).collect()}
+    assert out[neg]["n_kept"] == 1 and out[neg]["text_kept"] == A
+    assert out[pos_id]["n_kept"] == 0 and out[pos_id]["text_kept"] == ""
+
+    txt = "w0 w1 w2 w3"
+    df2 = spark.createDataFrame([(pos_id, txt), (neg, txt)], "doc_id long, text string")
+    out2 = {r["id"]: r for r in duplicate_span_removal(df2, "doc_id", "text", k_words=3).collect()}
+    assert out2[neg]["n_removed"] == 0 and out2[neg]["text_kept"] == txt
+    assert out2[pos_id]["n_removed"] == 4 and out2[pos_id]["text_kept"] == ""

@@ -53,6 +53,31 @@ def test_query_matches_oracle(spark, duck, sf_dir, name):
     drows = res.fetchall()
 
     assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+
+    # Driver-faithful dtype check: the driver canonicalizes BOTH sides
+    # through pandas before hashing, and DuckDB renders HUGEINT (any
+    # un-CAST sum-derived integer) as float64 while Spark's long stays
+    # int64 — identical values, different hash (the round-2 q44/q45
+    # red). fetchall() hides this (Python ints), so compare pandas
+    # dtype KINDS explicitly: no column may be integral on one side
+    # and float on the other.
+    ddtypes = duck.execute(spec.sql).df().dtypes
+    skinds = {
+        f.name: ("i" if f.dataType.typeName() in
+                 ("byte", "short", "integer", "long") else
+                 "f" if f.dataType.typeName() in ("float", "double") else "?")
+        for f in sdf.schema.fields
+    }
+    skew = [
+        c
+        for c in scols
+        if {skinds[c], ddtypes[c].kind} == {"i", "f"}
+    ]
+    assert not skew, (
+        f"{name}: int-vs-float dtype skew on {skew} — CAST the oracle "
+        f"sum-derived column(s) to BIGINT (DuckDB HUGEINT -> pandas "
+        f"float64 breaks the driver hash)"
+    )
     assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs {len(drows)}"
     sc, sn = _normalize(srows, scols)
     dc, dn = _normalize(drows, dcols)

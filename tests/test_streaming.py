@@ -71,9 +71,12 @@ def test_stream_matches_batch_byte_identical(spark, stream_input, tmp_path):
 
 
 def test_stream_blocklist_admission(spark, stream_input, tmp_path):
-    """Stream-static anti-join admission: blocked hosts never reach the
-    extractor; admitted pages are byte-identical to the batch path over
-    the same admitted subset."""
+    """Streaming admission uses the SAME suffix + case-insensitive
+    semantics as the batch drop_blocked_hosts stage: a blocklist entry
+    for a PARENT domain (uppercased, to prove case folding) blocks
+    every subdomain, and admitted pages are byte-identical to the
+    batch path over the same admitted subset."""
+    from toyocr_spark.functions.urlfns import drop_blocked_hosts
     from toyocr_spark.streaming.ingest import stream_blocklist_extract
 
     out = str(tmp_path / "out")
@@ -85,7 +88,12 @@ def test_stream_blocklist_admission(spark, stream_input, tmp_path):
             F.parse_url("url", F.lit("HOST")).alias("h")
         ).distinct().collect()
     )
-    blocked = hosts[:2]
+    # UPPERCASE blocklist entries: hosts are case-insensitive, so the
+    # spelling must not matter (the fixture corpus has a flat
+    # host-N.example namespace, so the parent-suffix case lives in the
+    # drop_blocked_hosts unit test; here we prove the streaming twin
+    # delegates to that same operator)
+    blocked = [hosts[0].upper(), hosts[1].upper()]
     bl = spark.createDataFrame([(h,) for h in blocked], "host string")
     stream_blocklist_extract(spark, stream_input, bl, out, ckpt)
 
@@ -93,14 +101,17 @@ def test_stream_blocklist_admission(spark, stream_input, tmp_path):
         r["url"]: r["extracted_text"]
         for r in _read_stream_result(spark, out).collect()
     }
-    admitted = batch_pages.filter(
-        ~F.parse_url("url", F.lit("HOST")).isin(blocked)
-    )
+    admitted = drop_blocked_hosts(
+        batch_pages.withColumn("_host", F.parse_url("url", F.lit("HOST"))), "_host", bl
+    ).drop("_host")
     want = {
         r["url"]: r["extracted_text"] for r in extract_pages(admitted).collect()
     }
     assert got == want
     assert 0 < len(got) < batch_pages.count()  # some blocked, some admitted
+    # the UPPERCASE entries really blocked their lowercase hosts
+    got_hosts = {u.split("/")[2] for u in got}
+    assert hosts[0] not in got_hosts and hosts[1] not in got_hosts
 
 
 def test_stream_restart_does_not_replay(spark, stream_input, tmp_path):

@@ -86,3 +86,23 @@ def test_canonical_dedup_plan_single_shuffle(spark, sf_dir):
 
     plan = QUERIES["q41_url_canonical"].spark(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_drop_blocked_hosts_suffix_and_case(spark):
+    """Blocklist semantics: an entry blocks the exact host AND every
+    subdomain of it (suffix chain), case-insensitively on both sides —
+    Ads.Example.com must not escape an 'example.com' entry, and an
+    'ADS.TRACKER.NET' entry must still block ads.tracker.net."""
+    from toyocr_spark.functions.urlfns import drop_blocked_hosts
+
+    rows = [
+        ("Ads.Example.com",),   # subdomain of example.com, mixed case -> blocked
+        ("example.com",),       # exact match -> blocked
+        ("notexample.com",),    # suffix match is per-label, not substring -> kept
+        ("ads.tracker.net",),   # blocked by the UPPERCASE rule
+        ("safe.org",),          # kept
+    ]
+    df = spark.createDataFrame(rows, "h string")
+    bl = spark.createDataFrame([("example.com",), ("ADS.TRACKER.NET",)], "host string")
+    kept = sorted(r["h"] for r in drop_blocked_hosts(df, "h", bl).collect())
+    assert kept == ["notexample.com", "safe.org"]

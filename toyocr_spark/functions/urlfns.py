@@ -93,15 +93,23 @@ def drop_blocked_hosts(df, host_col: str, blocklist) -> "DataFrame":  # noqa: F8
     (or any parent domain of it) appears in ``blocklist`` (a DataFrame
     with one ``host`` column) are dropped.
 
+    Matching is case-insensitive (DNS hosts are): both the host's
+    suffix chain and the blocklist entries are lowercased before the
+    join, so ``Ads.Example.com`` cannot escape a lowercase
+    ``ads.example.com`` (or ``example.com``) entry.
+
     Scale shape: each host explodes its bounded suffix chain and
     equi-joins the BROADCAST blocklist — O(rows x labels), never the
     O(rows x rules) of a LIKE/endswith scan per blocklist entry."""
     sfx = df.select(
-        F.col(host_col).alias("_h"), F.explode(host_suffixes(F.col(host_col))).alias("_s")
+        F.col(host_col).alias("_h"),
+        F.explode(host_suffixes(F.lower(F.col(host_col)))).alias("_s"),
     )
     blocked_hosts = (
         sfx.join(
-            F.broadcast(blocklist.select(F.col("host").alias("_s"))), "_s", "left_semi"
+            F.broadcast(blocklist.select(F.lower(F.col("host")).alias("_s"))),
+            "_s",
+            "left_semi",
         )
         .select("_h")
         .distinct()

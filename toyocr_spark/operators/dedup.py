@@ -313,7 +313,6 @@ def paragraph_dedup(
     id_col: str,
     text_col: str,
     words_per_para: int = 12,
-    pos_scale: int = 1_000_000,
 ) -> DataFrame:
     """Corpus-wide paragraph-level dedup (CCNet / "Deduplicating
     Training Data" policy): every repeated paragraph keeps exactly its
@@ -329,13 +328,15 @@ def paragraph_dedup(
     for a boilerplate paragraph present in every document, where a
     ``row_number() OVER (PARTITION BY digest)`` window would funnel all
     instances of the hot digest through one reducer. The join back is
-    1:1 per instance (one keep row per digest). ``pos_scale`` packs
-    (id, pos) into one orderable int64; positions are bounded by
-    document length << pos_scale.
+    1:1 per instance (one keep row per digest). The instance key is an
+    orderable ``struct(id, pos)`` — NOT a packed ``id*scale+pos``
+    integer, which silently wraps for full-range int64 doc ids (e.g.
+    prep_job's xxhash64-derived ids) and can alias ids differing by
+    2^58 into one "first occurrence".
     """
     paras = paragraph_chunks(df, id_col, text_col, words_per_para)
     keyed = paras.withColumn("digest", F.md5("para")).withColumn(
-        "inst_key", F.col("id") * pos_scale + F.col("pos")
+        "inst_key", F.struct("id", "pos")
     )
     keep = keyed.groupBy("digest").agg(F.min("inst_key").alias("keep_key"))
     kept = keyed.join(keep, "digest").filter(F.col("inst_key") == F.col("keep_key"))
@@ -365,7 +366,6 @@ def duplicate_span_removal(
     id_col: str,
     text_col: str,
     k_words: int = 8,
-    pos_scale: int = 1_000_000,
 ) -> DataFrame:
     """Substring-level exact dedup ("Deduplicating Training Data Makes
     Language Models Better", Lee et al. 2022 — the ExactSubstr policy,
@@ -384,9 +384,12 @@ def duplicate_span_removal(
 
     Scale shape:
       * window hashing is a linear explode (one row per word position);
-      * first-occurrence per digest is groupBy(digest).min — partial
-        aggregation, O(1) state per digest even for a boilerplate
-        window present in every document (no per-digest window funnel);
+      * first-occurrence per digest is groupBy(digest).min over an
+        orderable struct(id, pos) — partial aggregation, O(1) state
+        per digest even for a boilerplate window present in every
+        document (no per-digest window funnel); the struct key (vs a
+        packed id*scale+pos integer) stays exact for full-range int64
+        doc ids, where the multiply would silently wrap;
       * coverage expansion is a bounded k-fold fanout of DUPLICATE
         windows only, then distinct + anti-join — all equi-key
         shuffles on (id, wpos);
@@ -411,7 +414,7 @@ def duplicate_span_removal(
                 "digest"
             ),
         )
-        .withColumn("inst_key", F.col("id") * pos_scale + F.col("pos"))
+        .withColumn("inst_key", F.struct("id", "pos"))
     )
     keep = wins.groupBy("digest").agg(F.min("inst_key").alias("keep_key"))
     dup = wins.join(keep, "digest").filter(F.col("inst_key") != F.col("keep_key"))

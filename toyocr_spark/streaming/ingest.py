@@ -160,19 +160,27 @@ def stream_blocklist_extract(
     available_now: bool = True,
     max_files_per_trigger: int = 8,
 ):
-    """Streaming extraction with a STREAM-STATIC anti-join admission
-    stage: pages whose url host appears in the static ``blocklist``
-    DataFrame (one ``host`` column) are dropped before the extractor
-    spends a cycle on them.
+    """Streaming extraction with a per-micro-batch blocklist admission
+    stage: pages whose url host — or ANY parent domain of it — appears
+    in the static ``blocklist`` DataFrame (one ``host`` column) are
+    dropped before the extractor spends a cycle on them. Admission uses
+    the SAME ``drop_blocked_hosts`` operator as the batch prep_job
+    stage (suffix-chain explode + case-insensitive broadcast
+    equi-join), so one blocklist file means one thing in both modes —
+    a bare stream-static equi-join here would block ``example.com``
+    but admit ``ads.example.com``, silently diverging from the batch
+    twin.
 
-    The stream-static join is stateless (each micro-batch joins the
-    current static snapshot — Spark re-plans the static side per batch,
-    so an updated blocklist table takes effect on the next trigger
-    without a restart, which is exactly how a crawl blocklist is
-    operated). The static side is broadcast: no shuffle is added to the
-    streaming plan at any corpus size, because the blocklist — even a
-    hostile one — is millions of rows, not billions.
+    Admission runs inside foreachBatch (each micro-batch is a plain
+    DataFrame), which keeps the streaming plan stateless and re-plans
+    the static blocklist side on every trigger: an updated blocklist
+    table takes effect on the next micro-batch without a restart,
+    which is exactly how a crawl blocklist is operated. The blocklist
+    side is broadcast — no shuffle at any corpus size, because a
+    blocklist, even a hostile one, is millions of rows, not billions.
     """
+    from toyocr_spark.functions.urlfns import drop_blocked_hosts
+
     if os.path.isdir(input_dir) and os.path.exists(
         os.path.join(input_dir, "pages.parquet")
     ):
@@ -182,19 +190,18 @@ def stream_blocklist_extract(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
-    admitted = (
-        reader.withColumn("_host", F.parse_url(F.col("url"), F.lit("HOST")))
-        .join(F.broadcast(blocklist.select(F.col("host").alias("_host"))), "_host", "left_anti")
-        .drop("_host")
-    )
-    result = extract_pages(admitted)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        admitted = drop_blocked_hosts(
+            batch_df.withColumn("_host", F.parse_url(F.col("url"), F.lit("HOST"))),
+            "_host",
+            blocklist,
+        ).drop("_host")
         path = os.path.join(out_dir, f"batch={batch_id}")
-        batch_df.write.mode("overwrite").parquet(path)  # replay-safe
+        extract_pages(admitted).write.mode("overwrite").parquet(path)  # replay-safe
 
     writer = (
-        result.writeStream.foreachBatch(write_batch)
+        reader.writeStream.foreachBatch(write_batch)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
     )
