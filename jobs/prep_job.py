@@ -53,6 +53,17 @@ def main(argv: list[str] | None = None) -> int:
         "overlap fraction with this benchmark exceeds --decontam-max",
     )
     ap.add_argument("--decontam-max", type=float, default=0.05)
+    ap.add_argument(
+        "--dsir-target",
+        help="parquet with (doc_id, text): a target-domain seed corpus; "
+        "surviving docs are DSIR importance-resampled against it "
+        "(unigram log-likelihood ratio weights, deterministic integer "
+        "priority sampling)",
+    )
+    ap.add_argument(
+        "--dsir-keep", type=int, default=0,
+        help="how many docs the DSIR stage keeps (0 = stage off)",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -176,6 +187,19 @@ def main(argv: list[str] | None = None) -> int:
         )
         final = final.join(dirty, "doc_id", "left_anti")
         funnel["after_decontam"] = final.count()
+
+    # 4.9 DSIR importance resampling: keep the --dsir-keep docs that
+    #     best match the target-domain seed corpus (run after all
+    #     dedup/decontam so weights are computed over clean survivors)
+    if args.dsir_target and args.dsir_keep > 0:
+        from toyocr_spark.operators.dsir import dsir_sample
+
+        seed = spark.read.parquet(args.dsir_target).select("doc_id", "text")
+        picked = dsir_sample(
+            final, "doc_id", "text", seed, k=args.dsir_keep
+        ).select(F.col("id").alias("doc_id"))
+        final = final.join(picked, "doc_id", "left_semi")
+        funnel["after_dsir"] = final.count()
 
     # 5. token accounting + write
     out = (

@@ -313,3 +313,24 @@ def test_funnel_report_scans_corpus_once(spark, sf_dir):
     two scans total, never four)."""
     plan = _plan(q.queries()["q61_funnel_report"](spark, sf_dir))
     assert len(_scan_columns(plan)) <= 2, plan
+
+
+def test_dsir_one_model_shuffle_and_distributed_topk(spark, sf_dir):
+    """DSIR contract: the token stream is joined against the unigram
+    model exactly ONCE — the only word-keyed shuffles build the raw and
+    target models (2 partial-agg Exchanges); the token stream itself is
+    never word-shuffled. Selection is TakeOrderedAndProject with the
+    row_number window ABOVE it (it ranks only the k survivors, never
+    the corpus)."""
+    plan = _plan(q.queries()["q73_dsir_sample"](spark, sf_dir))
+    # model is localCheckpoint-materialized before scoring, so the
+    # scoring plan carries NO word-keyed shuffle at all — the token
+    # stream is joined against the (broadcast-able) materialized model
+    # and the only Exchange left is the per-doc aggregate on id
+    word_shuffles = len(re.findall(r"Exchange hashpartitioning\(word#", plan))
+    assert word_shuffles == 0, f"token stream must never shuffle on word, got {word_shuffles}"
+    all_shuffles = len(re.findall(r"Exchange hashpartitioning\(", plan))
+    assert all_shuffles == 1, f"scoring pass should shuffle once (per-doc agg), got {all_shuffles}"
+    assert "TakeOrderedAndProject(limit=50" in plan
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+    assert "CartesianProduct" not in plan

@@ -89,3 +89,32 @@ def test_prep_blocklist_and_decontam_stages(tmp_path, pages_dir, sf_dir):
         f"(SELECT doc_id FROM '{bench}')"
     ).fetchone()[0]
     assert survivors == 0
+
+
+@pytest.mark.slow
+def test_prep_dsir_stage(tmp_path, sf_dir):
+    """--dsir-target + --dsir-keep: the final corpus is exactly the K
+    importance-resampled survivors, deterministically (two runs pick
+    the identical set)."""
+    import duckdb
+
+    seed_dir = str(tmp_path / "seed")
+    # target-domain seed corpus: the en-language slice of the table
+    duckdb.sql(
+        f"COPY (SELECT doc_id, text FROM '{sf_dir}/documents.parquet' "
+        f"WHERE lang = 'en' AND doc_id % 7 = 0) TO '{seed_dir}' (FORMAT PARQUET, PER_THREAD_OUTPUT FALSE)"
+    )
+    outs = []
+    for tag in ("a", "b"):
+        out_dir = str(tmp_path / f"prep_{tag}")
+        funnel = _run(
+            "--documents", f"{sf_dir}/documents.parquet",
+            "--output", out_dir, "--min-punct", "0",
+            "--dsir-target", seed_dir, "--dsir-keep", "25",
+        )
+        assert funnel["after_dsir"] == 25
+        ids = duckdb.sql(
+            f"select doc_id from '{out_dir}/*.parquet' order by doc_id"
+        ).fetchall()
+        outs.append(ids)
+    assert outs[0] == outs[1] and len(outs[0]) == 25

@@ -2964,6 +2964,71 @@ def q25_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# DSIR-style importance-weighted data selection (round-3: composes q55's
+# unigram LM with q57's integer priority sampler into the standard
+# modern curation operator)
+
+
+_HEX10_H = " + ".join(
+    f"(strpos('0123456789abcdef', substr(hh, {i + 1}, 1)) - 1) * {16 ** (9 - i)}"
+    for i in range(10)
+)
+
+
+@_q(
+    "q73_dsir_sample",
+    f"""
+    WITH t AS ({_TOKENS_SQL}),
+    raw AS (SELECT word, count(*) AS rc FROM t GROUP BY word),
+    tgt AS (SELECT word, count(*) AS tc FROM t WHERE id % 13 = 0 GROUP BY word),
+    model AS (
+      SELECT raw.word, rc, coalesce(tc, CAST(0 AS BIGINT)) AS tc
+      FROM raw LEFT JOIN tgt USING (word)
+    ),
+    totals AS (SELECT CAST(sum(rc) AS BIGINT) AS raw_tot,
+                      CAST(sum(tc) AS BIGINT) AS tgt_tot,
+                      count(*) AS vs
+               FROM model),
+    scores AS (
+      SELECT id, count(*) AS doc_tokens,
+             round(avg(ln(((tc + 1.0) / (tgt_tot + vs))
+                          / ((rc + 1.0) / (raw_tot + vs)))), 6) AS logratio_avg
+      FROM t JOIN model USING (word) CROSS JOIN totals
+      GROUP BY id
+    ),
+    hx AS (
+      SELECT id, doc_tokens, logratio_avg,
+             substr(md5('dsir|' || CAST(id AS VARCHAR)), 1, 10) AS hh
+      FROM scores
+    ),
+    pr AS (
+      SELECT id, doc_tokens, logratio_avg,
+             ((CAST(round(logratio_avg * 1000000, 0) AS BIGINT) + 30000000)
+              * 17179869184) // (({_HEX10_H}) + 1) AS priority
+      FROM hx
+    ),
+    r AS (SELECT id, doc_tokens, logratio_avg, priority,
+                 row_number() OVER (ORDER BY priority DESC, id ASC) AS rk
+          FROM pr)
+    SELECT rk, id, doc_tokens, logratio_avg, priority FROM r WHERE rk <= 50
+    """,
+    "DSIR importance resampling (Xie et al. 2023): per-doc mean token "
+    "log-likelihood ratio between a target-domain unigram LM (proxy "
+    "target: doc_id % 13 = 0) and the raw-corpus LM, add-one smoothed "
+    "over the raw vocabulary, then integer weight-proportional priority "
+    "sampling (q57's DLT sampler) of the top 50. One model shuffle "
+    "(target counts join the raw model at vocab size, the token stream "
+    "is joined once); top-k is TakeOrderedAndProject; the selected SET "
+    "is bit-identical across engines",
+)
+def q73_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toyocr_spark.operators.dsir import dsir_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_sample(d, "doc_id", "text", F.col("doc_id") % 13 == 0, k=50)
+
+
+# ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
 # The driver verifies only the FIRST 50 registry entries per round
