@@ -578,3 +578,19 @@ def test_first_occurrence_exact_for_full_range_int64_ids(spark):
     out2 = {r["id"]: r for r in duplicate_span_removal(df2, "doc_id", "text", k_words=3).collect()}
     assert out2[neg]["n_removed"] == 0 and out2[neg]["text_kept"] == txt
     assert out2[pos_id]["n_removed"] == 4 and out2[pos_id]["text_kept"] == ""
+
+
+def test_ivf_recall_monotone_in_nprobe(spark, sf_dir):
+    """q74: recall@5 must be non-decreasing in nprobe, and probing all
+    n_centroids cells IS brute force — recall exactly 1.0 at nprobe=8."""
+    from toyocr_spark.queries import QUERIES
+
+    rows = sorted(
+        (r["nprobe"], r["recall_at_5"], r["candidates_touched"])
+        for r in QUERIES["q74_ivf_recall_curve"].spark(spark, sf_dir).collect()
+    )
+    recalls = [r[1] for r in rows]
+    cands = [r[2] for r in rows]
+    assert recalls == sorted(recalls), f"recall not monotone: {rows}"
+    assert rows[-1][0] == 8 and rows[-1][1] == 1.0
+    assert cands == sorted(cands) and cands[0] < cands[-1]

@@ -334,3 +334,30 @@ def test_dsir_one_model_shuffle_and_distributed_topk(spark, sf_dir):
     assert "TakeOrderedAndProject(limit=50" in plan
     assert plan.index("Window") < plan.index("TakeOrderedAndProject")
     assert "CartesianProduct" not in plan
+
+
+def test_ivf_persisted_search_plan_has_no_training_and_no_cid_exchange(spark, sf_dir):
+    """The persisted-index search (q75) must be pure search: centroids
+    + bucketed lists come from catalog tables (no k-means stages — the
+    inline-trained q54 plan scans embeddings ~a dozen times, this one
+    exactly twice for probe+rerank query vectors), the lists are read
+    Bucketed so NO Exchange on cid exists anywhere, and the only
+    shuffles rank the tiny per-query candidate sets."""
+    plan = _plan(q.queries()["q75_ivf_persisted_search"](spark, sf_dir))
+    assert "toyocr_ivf_v1" in plan  # reads the persisted tables
+    assert "Bucketed: true" in plan  # the lists scan honors the bucket spec
+    exchanges = re.findall(r"Exchange hashpartitioning\((\w+)#", plan)
+    assert exchanges and set(exchanges) == {"query_id"}, exchanges
+    assert plan.count("FileScan") == 4  # 2x query vecs + centroids + lists
+
+
+def test_ivf_bucketed_lists_aggregate_skips_exchange(spark, sf_dir):
+    """Real-consumer proof of the bucketing contract: a groupBy on the
+    persisted lists' bucket key plans ZERO Exchange (list-size
+    accounting — the maintenance query an IVF operator actually runs)."""
+    from toyocr_spark.queries import _ivf_table_prefix, ensure_ivf_index
+
+    ensure_ivf_index(spark, sf_dir)
+    lists = spark.table(_ivf_table_prefix(sf_dir) + "_lists")
+    plan = _plan(lists.groupBy("cid").count())
+    assert "Exchange" not in plan

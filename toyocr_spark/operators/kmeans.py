@@ -118,6 +118,82 @@ def kmeans_fit(
     return kmeans_index(df, id_col, vec_col, k, iters)[1]
 
 
+def ivf_probes(
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, cid): each query's ``nprobe`` nearest centroids by the
+    same exact integer metric the quantizer trained with. Centroids are
+    broadcast; the probe set is queries x nprobe rows — tiny."""
+    from toyocr_spark.operators.selection import topk_per_group
+
+    qs = queries.select(F.col(id_col).alias("query_id"), _scaled(vec_col).alias("qs"))
+    qdist = F.aggregate(
+        F.zip_with(F.col("qs"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return topk_per_group(
+        qs.crossJoin(F.broadcast(centroids)).select("query_id", "cid", qdist.alias("qd")),
+        ["query_id"],
+        [F.col("qd").asc(), F.col("cid").asc()],
+        nprobe,
+        rank_name="prb",
+    ).select("query_id", "cid")
+
+
+def ivf_rerank(
+    probes: DataFrame,
+    lists: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-cosine re-rank of ONLY the probed inverted lists.
+    ``lists`` is the IVF index payload (item_id, cid, iv: array<double>)
+    — the item vector rides IN the list row, so candidate scoring joins
+    nothing corpus-wide: probes (tiny) broadcast against the lists, the
+    query vectors broadcast against the candidates. (query_id, item_id,
+    cos, rk)."""
+    from toyocr_spark.operators.selection import topk_per_group
+    from toyocr_spark.operators.similarity import _as_double, cosine
+
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    cand = F.broadcast(probes).join(lists, "cid").filter(
+        F.col("item_id") != F.col("query_id")
+    )
+    scored = cand.join(F.broadcast(qv), "query_id").select(
+        "query_id", "item_id", cosine(F.col("qv"), F.col("iv")).alias("cos")
+    )
+    out = topk_per_group(
+        scored, ["query_id"], [F.col("cos").desc(), F.col("item_id").asc()], k, rank_name="rk"
+    )
+    return out.select("query_id", "item_id", F.round("cos", 6).alias("cos"), "rk")
+
+
+def ivf_lists(
+    corpus: DataFrame,
+    assigned: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The IVF inverted lists (item_id, cid, iv): each corpus vector
+    tagged with its coarse-quantizer cell, double components inline so
+    search never joins back to the corpus."""
+    from toyocr_spark.operators.similarity import _as_double
+
+    c = corpus.select(
+        F.col(id_col).alias("item_id"), _as_double(F.col(vec_col)).alias("iv")
+    )
+    return assigned.select(F.col("id").alias("item_id"), "cid").join(c, "item_id")
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -128,49 +204,69 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF approximate nearest neighbours: train the coarse quantizer
-    (kmeans_index), probe each query's nprobe nearest centroids by the
-    same exact integer metric, then exact-cosine re-rank ONLY the
-    probed inverted lists. (query_id, item_id, cos, rk).
+    """IVF approximate nearest neighbours, train-and-search in one call:
+    train the coarse quantizer (kmeans_index), probe each query's
+    nprobe nearest centroids, exact-cosine re-rank only the probed
+    inverted lists. (query_id, item_id, cos, rk).
 
     This is the learned-partition scale path next to the sign-bucket
     hash path (similarity.bucketed_cosine_topk): candidates per query
     drop from |corpus| to ~nprobe/n_centroids of it, and the only
-    corpus-wide shuffle keys on item_id for the candidate re-rank —
-    queries and centroids stay broadcast."""
-    from toyocr_spark.operators.selection import topk_per_group
-    from toyocr_spark.operators.similarity import _as_double, cosine
+    corpus-wide shuffle keys on item_id to assemble the lists — probes,
+    queries and centroids stay broadcast. At 100 TB the index is
+    trained ONCE and persisted (ivf_write_index / ivf_persisted_search
+    below); this inline form is the demo/training path."""
+    centroids, assigned, _ = kmeans_index(corpus, id_col, vec_col, n_centroids, iters)
+    lists = ivf_lists(corpus, assigned, id_col, vec_col)
+    probes = ivf_probes(queries, centroids, nprobe, id_col, vec_col)
+    return ivf_rerank(probes, lists, queries, k, id_col, vec_col)
+
+
+def ivf_write_index(
+    spark,
+    corpus: DataFrame,
+    table_prefix: str,
+    n_centroids: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_buckets: int = 8,
+) -> None:
+    """Train the coarse quantizer ONCE and persist the index — the
+    100 TB usage pattern (a petabyte corpus trains its IVF index in one
+    job and every later search reads it; retraining per query, as the
+    demo path does, would re-shuffle the corpus 2*iters times).
+
+    Layout: ``{table_prefix}_centroids`` (k rows, plain) and
+    ``{table_prefix}_lists`` — the inverted lists BUCKETED on cid
+    (plans/bucketing.write_bucketed), so any later join or aggregate
+    keyed on the list id reads pre-partitioned files and plans no
+    Exchange on cid at all."""
+    from toyocr_spark.plans.bucketing import write_bucketed
 
     centroids, assigned, _ = kmeans_index(corpus, id_col, vec_col, n_centroids, iters)
-    qv = queries.select(
-        F.col(id_col).alias("query_id"),
-        _scaled(vec_col).alias("qs"),
-        _as_double(F.col(vec_col)).alias("qv"),
+    lists = ivf_lists(corpus, assigned, id_col, vec_col)
+    centroids.write.mode("overwrite").format("parquet").saveAsTable(
+        f"{table_prefix}_centroids"
     )
-    qdist = F.aggregate(
-        F.zip_with(F.col("qs"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    probes = topk_per_group(
-        qv.crossJoin(F.broadcast(centroids)).select(
-            "query_id", "cid", qdist.alias("qd")
-        ),
-        ["query_id"],
-        [F.col("qd").asc(), F.col("cid").asc()],
-        nprobe,
-        rank_name="prb",
-    ).select("query_id", "cid")
-    cand = probes.join(
-        assigned.select(F.col("id").alias("item_id"), "cid"), "cid"
-    ).filter(F.col("item_id") != F.col("query_id"))
-    c = corpus.select(F.col(id_col).alias("item_id"), _as_double(F.col(vec_col)).alias("cv"))
-    scored = (
-        cand.join(F.broadcast(qv.select("query_id", "qv")), "query_id")
-        .join(c, "item_id")
-        .select("query_id", "item_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
-    )
-    out = topk_per_group(
-        scored, ["query_id"], [F.col("cos").desc(), F.col("item_id").asc()], k, rank_name="rk"
-    )
-    return out.select("query_id", "item_id", F.round("cos", 6).alias("cos"), "rk")
+    write_bucketed(lists, f"{table_prefix}_lists", "cid", n_buckets=n_buckets)
+
+
+def ivf_persisted_search(
+    spark,
+    table_prefix: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a persisted IVF index: NO k-means stages in the plan —
+    centroids come from the tiny catalog table (broadcast), candidates
+    from the cid-bucketed lists table (no Exchange on cid; probes
+    broadcast). The search-side plan shuffles only to rank the
+    candidate set per query."""
+    centroids = spark.table(f"{table_prefix}_centroids")
+    lists = spark.table(f"{table_prefix}_lists")
+    probes = ivf_probes(queries, centroids, nprobe, id_col, vec_col)
+    return ivf_rerank(probes, lists, queries, k, id_col, vec_col)

@@ -3029,6 +3029,171 @@ def q73_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IVF ANN: recall/cost trade curve + the persisted-index search path
+# (round-3: VERDICT items 6 and 7)
+
+
+@_q(
+    "q74_ivf_recall_curve",
+    None,
+    "multi-probe IVF recall/cost curve: for nprobe in {1,2,4,8}, "
+    "recall@5 of the IVF search vs the exact brute-force baseline "
+    "(q17's operator) plus candidates_touched — the tuning table an "
+    "operator reads to pick nprobe. Index trained ONCE (centroids + "
+    "assignment localCheckpointed) and probed four times; recall is "
+    "provably monotone in nprobe (asserted in tests). Rows-only: the "
+    "iterative trainer + four-way union is not one SQL expression",
+)
+def q74_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toyocr_spark.operators.kmeans import (
+        ivf_lists,
+        ivf_probes,
+        ivf_rerank,
+        kmeans_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 8)
+    k = 5
+    exact = brute_force_cosine_topk(emb, qs, k=k).select("query_id", "item_id")
+    n_exact = exact.count()  # COUNT-driven: the recall denominator
+    centroids, assigned, _ = kmeans_index(emb, "vec_id", "embedding", k=8, iters=3)
+    centroids = centroids.localCheckpoint()  # train once, probe 4x
+    lists = ivf_lists(emb, assigned).localCheckpoint()
+    out = None
+    for nprobe in (1, 2, 4, 8):
+        probes = ivf_probes(qs, centroids, nprobe)
+        cand = F.broadcast(probes).join(lists.select("item_id", "cid"), "cid").filter(
+            F.col("item_id") != F.col("query_id")
+        )
+        approx = ivf_rerank(probes, lists, qs, k=k)
+        hits = approx.join(exact, ["query_id", "item_id"], "left_semi")
+        row = cand.agg(F.count("*").alias("candidates_touched")).crossJoin(
+            hits.agg(F.count("*").alias("_h"))
+        ).select(
+            F.lit(nprobe).alias("nprobe"),
+            F.round(F.col("_h") / F.lit(n_exact), 6).alias("recall_at_5"),
+            F.col("candidates_touched"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _ivf_table_prefix(sf_dir: str) -> str:
+    tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_").replace("-", "_")
+    return f"toyocr_ivf_v1_{tag}"
+
+
+def ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    """Train-once gate for the persisted IVF index: if the catalog
+    tables for this sf are absent, train and write them (deterministic
+    k-means -> identical bytes whenever rebuilt). Returns the prefix.
+
+    The default in-memory catalog forgets tables across sessions while
+    their warehouse directories survive, and ``saveAsTable`` refuses a
+    managed-table location that already exists — so a location the
+    CURRENT catalog does not know is stale state from a previous
+    session and is removed before the (bit-identical) retrain. A
+    Hive/Iceberg catalog would make the registration itself durable
+    and this gate a pure tableExists check."""
+    import shutil
+    from urllib.parse import urlparse
+
+    from toyocr_spark.operators.kmeans import ivf_write_index
+
+    prefix = _ivf_table_prefix(sf_dir)
+    if not spark.catalog.tableExists(f"{prefix}_lists"):
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        for t in (f"{prefix}_lists", f"{prefix}_centroids"):
+            if not spark.catalog.tableExists(t):
+                shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+        ivf_write_index(
+            spark, _t(spark, sf_dir, "embeddings"), prefix, n_centroids=8, iters=3
+        )
+    return prefix
+
+
+@_q(
+    "q75_ivf_persisted_search",
+    f"""
+    WITH vd AS (
+      SELECT vec_id, i AS dim,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS val
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+    ),
+    c0 AS (
+      SELECT vec_id AS cid, dim, val AS cval FROM vd
+      WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)
+    ),
+    {_kmeans_round_sql(1)},
+    {_kmeans_round_sql(2)},
+    d3 AS (
+      SELECT vd.vec_id, c.cid,
+             sum((vd.val - c.cval) * (vd.val - c.cval)) AS dist
+      FROM vd JOIN c2 c ON vd.dim = c.dim
+      GROUP BY vd.vec_id, c.cid
+    ),
+    a3 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rk
+        FROM d3)
+      WHERE rk = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS prb
+        FROM d3 WHERE vec_id >= 8 AND vec_id < 16)
+      WHERE prb <= 2
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS item_id
+      FROM probes p JOIN a3 a ON p.cid = a.cid
+      WHERE a.vec_id <> p.query_id
+    ),
+    e AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+    dots AS (
+      SELECT cand.query_id, cand.item_id, sum(q.v * c.v) AS dp
+      FROM cand
+      JOIN e q ON cand.query_id = q.vec_id
+      JOIN e c ON cand.item_id = c.vec_id AND q.i = c.i
+      GROUP BY cand.query_id, cand.item_id
+    ),
+    scored AS (
+      SELECT query_id, item_id, dp / (a.nrm * b2.nrm) AS cos
+      FROM dots JOIN nrm a ON query_id = a.vec_id JOIN nrm b2 ON item_id = b2.vec_id
+    )
+    SELECT query_id, item_id, round(cos, 6) AS cos, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, item_id) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """,
+    "IVF search against the PERSISTED index — the 100 TB usage pattern "
+    "(train once, every search reads the index): centroids from the "
+    "tiny catalog table, candidates from the cid-BUCKETED lists table "
+    "(no k-means stages in the search plan, zero Exchange on cid — "
+    "plan-contract-locked). Because the trainer is bit-deterministic, "
+    "the persisted index equals the inline-trained one, so the DuckDB "
+    "oracle retrains from scratch and must match exactly; query set "
+    "vec_id in [8, 16) to complement q54's [0, 8)",
+)
+def q75_ivf_persisted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toyocr_spark.operators.kmeans import ivf_persisted_search
+
+    prefix = ensure_ivf_index(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16))
+    return ivf_persisted_search(spark, prefix, qs, k=5, nprobe=2)
+
+
+# ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
 # The driver verifies only the FIRST 50 registry entries per round
