@@ -30,6 +30,8 @@ _STRIP_RE = re.compile(
 )
 _TAG_NAME_RE = re.compile(r"</?\s*([a-zA-Z][a-zA-Z0-9]*)")
 _WS_RE = re.compile(r"\s+")
+_TAG_TOKEN_RE = re.compile(r"<[^>]*>")
+_TAG_SPLIT_RE = re.compile(r"(<[^>]*>)")
 # style="position:absolute;left:10px;top:20px;width:100px;height:30px"
 _POS_RE = re.compile(
     r"position\s*:\s*absolute[^\"']*?left\s*:\s*(-?\d+)px\s*;\s*top\s*:\s*(-?\d+)px"
@@ -90,16 +92,24 @@ class Block:
 _PATH_CACHE_CAP = 1 << 14
 _BOILER_CACHE: dict[tuple[str, ...], bool] = {}
 _CLASSIFY_CACHE: dict[tuple[str, ...], str] = {}
-# tag-token -> (name, closing, box|None) | None-for-malformed; 0 is the
-# miss sentinel (a valid entry is never 0). The box is parsed here, at
-# token-cache-fill time, so the "position" pre-check can afford a
+# tag-token -> (name, closing, box|None, cat) | None-for-malformed; 0 is
+# the miss sentinel (a valid entry is never 0). The box is parsed here,
+# at token-cache-fill time, so the "position" pre-check can afford a
 # case-fold: _POS_RE is re.I, and a case-sensitive fast-path guard would
 # silently drop boxes on <DIV STYLE="POSITION:ABSOLUTE;..."> (legal
 # HTML) — lost boxes change XY-cut reading order, a byte-identity break.
-_TAG_CACHE: dict[str, tuple[str, bool, tuple[int, int, int, int] | None] | None] = {}
+# ``cat`` pre-resolves the scanner's set-membership chain ONCE per
+# distinct token instead of on every occurrence:
+#   0 = ignored tag, 1 = block (stack-tracked), 2 = anchor,
+#   3 = other inline, 4 = void block (br/hr — flush but never stack)
+_TAG_CACHE: dict[
+    str, tuple[str, bool, tuple[int, int, int, int] | None, int] | None
+] = {}
 
 
-def _parse_tag(tok: str) -> tuple[str, bool, tuple[int, int, int, int] | None] | None:
+def _parse_tag(
+    tok: str,
+) -> tuple[str, bool, tuple[int, int, int, int] | None, int] | None:
     nm = _TAG_NAME_RE.match(tok)
     if nm is None:
         return None  # malformed tag: drop (deterministic)
@@ -115,7 +125,15 @@ def _parse_tag(tok: str) -> tuple[str, bool, tuple[int, int, int, int] | None] |
             w = int(pm.group(3)) if pm.group(3) else 100
             h = int(pm.group(4)) if pm.group(4) else 20
             box = (x, y, w, h)
-    return (name, closing, box)
+    if name in BLOCK_TAGS:
+        cat = 4 if name in _VOID_TAGS else 1
+    elif name == "a":
+        cat = 2
+    elif name in _INLINE_TAGS:
+        cat = 3
+    else:
+        cat = 0
+    return (name, closing, box, cat)
 
 
 # <meta charset=...> / <meta http-equiv content="...charset=..."> and
@@ -224,11 +242,13 @@ def tokenize(html: bytes | str) -> list[Block]:
 
     def flush() -> None:
         nonlocal cur, cur_box
-        if cur._parts:
+        parts = cur._parts
+        if parts:
             # " ".join(s.split()) == _WS_RE.sub(" ", s).strip() for every
             # codepoint (verified exhaustively); the split form is ~3x
-            # faster (pure C, no regex engine)
-            text = " ".join("".join(cur._parts).split())
+            # faster (pure C, no regex engine). Most blocks hold exactly
+            # one text run — skip the concat join for those.
+            text = " ".join((parts[0] if len(parts) == 1 else "".join(parts)).split())
             if text:
                 cur.text = text
                 cur.n_chars = len(text)
@@ -248,83 +268,91 @@ def tokenize(html: bytes | str) -> list[Block]:
         cur.tag_path = path
         cur_box = None
 
-    # scanner equivalent of re.findall(r"<[^>]*>|[^<]+"): a tag runs from
-    # '<' to the FIRST '>' (embedded '<' included); a '<' with no later
-    # '>' is skipped and the remainder scans as text — byte-equivalent
-    # semantics verified against the regex on all edge shapes, but
-    # memchr-speed (str.find) with no token-list materialization
-    src_find = src.find
+    def add_text(text: str) -> None:
+        # a '<' inside a text element means it has no '>' anywhere after
+        # (possible only in the final element): the original char-walk
+        # skipped each such '<' and appended the fragments between them
+        # as SEPARATE pieces — replicate by splitting on '<'
+        frags = text.split("<") if "<" in text else (text,)
+        for frag in frags:
+            if frag:
+                piece = unescape(frag) if "&" in frag else frag
+                cur._parts.append(piece)
+                if link_depth > 0:
+                    # count anchor-text chars after whitespace collapse
+                    # parity: collapse here too so link_chars <= n_chars
+                    cur.link_chars += len(" ".join(piece.split()))
+
+    # scanner over _TAG_SPLIT_RE (r"(<[^>]*>)").split: ONE C pass yields
+    # [text, tag, text, ..., tag, text] directly — no match objects, no
+    # per-token start/end/group calls, no Python-level find/slice pair.
+    # A tag runs from '<' to the FIRST '>' (embedded '<' included —
+    # [^>]* cannot cross one). Every text element except the final one
+    # is '<'-free by construction (a '<' either starts a tag match or
+    # has no '>' anywhere after it, which forces it into the LAST
+    # element — handled by add_text). Byte-equivalence with the
+    # original char-walk is gauntleted over every fixture class + an
+    # HTML-soup fuzz corpus.
     tag_cache_get = _TAG_CACHE.get  # hoisted: one lookup per tag token
     unescape = _htmlmod.unescape
-    i = 0
-    n = len(src)
-    while i < n:
-        if src[i] != "<":
-            j = src_find("<", i)
-            if j == -1:
-                j = n
-            tok = src[i:j]
-            i = j
-            # unescape allocates; most text runs carry no entities
-            piece = unescape(tok) if "&" in tok else tok
-            cur._parts.append(piece)
-            if link_depth > 0:
-                # count anchor-text chars after whitespace collapse parity:
-                # collapse here too so link_chars <= n_chars always holds
-                cur.link_chars += len(" ".join(piece.split()))
-            continue
-        j = src_find(">", i + 1)
-        if j == -1:
-            i += 1  # unclosed '<': the regex skips it and rescans as text
-            continue
-        tok = src[i : j + 1]
-        i = j + 1
+    segs = _TAG_SPLIT_RE.split(src)
+    seg_iter = iter(segs)
+    head = next(seg_iter)
+    if head:
+        add_text(head)
+    for tok, text in zip(seg_iter, seg_iter):
         # tag tokens repeat enormously in a crawl (</p>, <div>, ...);
-        # memoize the parse: (name, closing), None for malformed tags
+        # memoize the parse (incl. the category chain): None = malformed
         hit = tag_cache_get(tok, 0)
-        if hit != 0:
-            if hit is None:
-                continue
-            name, closing, box = hit
-        else:
+        if hit == 0:
             hit = _parse_tag(tok)
             if len(_TAG_CACHE) < _PATH_CACHE_CAP:
                 _TAG_CACHE[tok] = hit
-            if hit is None:
-                continue
-            name, closing, box = hit
-        if name in BLOCK_TAGS:
-            if cur._parts or cur.link_chars or cur.n_inline:
-                flush()
-            else:
-                cur_box = None  # what an empty flush would observably do
-            if name in _VOID_TAGS:
-                continue
-            if closing:
-                # pop to the matching open tag if present (tolerant of
-                # broken nesting — pathological fixture pages)
-                if name in stack:
-                    while stack:
-                        top = stack.pop()
-                        if top == name:
-                            break
+        if hit is not None:
+            name, closing, box, cat = hit
+            if cat == 1:  # block tag: close the current text run
+                if cur._parts or cur.link_chars or cur.n_inline:
+                    flush()
+                else:
+                    cur_box = None  # what an empty flush observably does
+                if closing:
+                    # pop to the matching open tag if present (tolerant
+                    # of broken nesting — pathological fixture pages)
+                    if name in stack:
+                        while stack:
+                            top = stack.pop()
+                            if top == name:
+                                break
+                        path = tuple(stack)
+                else:
+                    stack.append(name)
                     path = tuple(stack)
-            else:
-                stack.append(name)
-                path = tuple(stack)
-                if box is not None:
-                    cur_box = box
-            cur.tag_path = path
-        elif name == "a":
-            if closing:
-                link_depth = max(0, link_depth - 1)
-            else:
-                link_depth += 1
-                cur.n_inline += 1
-        elif name in _INLINE_TAGS:
-            if not closing:
-                cur.n_inline += 1
-        # other tags are ignored entirely
+                    if box is not None:
+                        cur_box = box
+                cur.tag_path = path
+            elif cat == 4:  # void block (br/hr): flush, never on stack
+                if cur._parts or cur.link_chars or cur.n_inline:
+                    flush()
+                else:
+                    cur_box = None
+            elif cat == 2:  # anchor
+                if closing:
+                    link_depth = max(0, link_depth - 1)
+                else:
+                    link_depth += 1
+                    cur.n_inline += 1
+            elif cat == 3:  # other inline
+                if not closing:
+                    cur.n_inline += 1
+            # cat == 0: ignored entirely
+        if text:
+            if "<" in text:  # only possible in the final element
+                add_text(text)
+            else:  # hot path, inlined (no closure call per text run)
+                piece = unescape(text) if "&" in text else text
+                cur._parts.append(piece)
+                if link_depth > 0:
+                    cur.link_chars += len(" ".join(piece.split()))
     flush()
 
     for i, b in enumerate(blocks):
