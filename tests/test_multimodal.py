@@ -237,3 +237,69 @@ def test_audio_features_match_hand_model(spark):
         assert r["peak"] == peak
         assert r["rms"] == rms
         assert r["n_frames"] == -(-len(s) // 128)
+
+
+def test_jpeg_baseline_pixel_decode_roundtrip():
+    """The JPEG leg is a real pixel decoder now: encode a known raster
+    with the fixture encoder (flat Huffman tables, real bitstream) and
+    get the pixels back within JPEG quantization error — across 4:4:4,
+    4:2:0 subsampling, and restart intervals."""
+    from toyocr_spark.jpegcodec import decode_baseline, encode_baseline
+
+    w, h = 35, 21
+    smooth = bytes(50 + x * 2 + y + c * 20 for y in range(h) for x in range(w) for c in range(3))
+    for kw in ({}, {"subsample": True}, {"subsample": True, "restart_interval": 2}):
+        jp = encode_baseline(smooth, w, h, 3, quality=95, **kw)
+        W, H, C, rast = decode_baseline(jp)
+        assert (W, H, C, len(rast)) == (w, h, 3, w * h * 3)
+        assert max(abs(a - b) for a, b in zip(rast, smooth)) <= 2, kw
+        assert decode_baseline(jp) == decode_baseline(jp)  # deterministic
+
+    # grayscale, non-multiple-of-8 dims, restart markers
+    g = bytes(40 + x + y for y in range(19) for x in range(26))
+    jp = encode_baseline(g, 26, 19, 1, quality=95, restart_interval=3)
+    W, H, C, rast = decode_baseline(jp)
+    assert (W, H, C) == (26, 19, 1)
+    assert max(abs(a - b) for a, b in zip(rast, g)) <= 2
+
+    # DC-only content decodes EXACTLY (flat block == DC * basis)
+    flat = bytes([200]) * (16 * 8)
+    _, _, _, rast = decode_baseline(encode_baseline(flat, 16, 8, 1, quality=90))
+    assert set(rast) == {200}
+
+
+def test_jpeg_pixels_flow_through_decode_media(spark):
+    """decode_media's body_len for a baseline JPEG is the DECODED
+    raster size (w*h*channels), not the entropy-coded scan length —
+    the same contract as the PNG leg; non-baseline files (the header
+    fixture has no DQT/DHT) still fall back to the scan body."""
+    from toyocr_spark.jpegcodec import encode_baseline
+
+    w, h = 24, 10
+    rgb = bytes(30 + x * 3 + y * 2 + c * 10 for y in range(h) for x in range(w) for c in range(3))
+    rows = [(1, encode_baseline(rgb, w, h, 3, quality=90)), (2, _make_jpeg(31, 19, 3))]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in decode_media(media).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["channels"]) == (w, h, 3)
+    assert got[1]["body_len"] == w * h * 3  # true pixels
+    assert got[2]["body_len"] == 64  # header-only fallback: scan bytes
+
+
+def test_jpeg_fingerprint_stable_across_batch_boundaries(spark):
+    """media_fingerprint over decoded JPEG pixels is a pure function of
+    the payload: one-row batches and a single multi-row batch give
+    identical signatures."""
+    from toyocr_spark.jpegcodec import encode_baseline
+
+    payloads = [
+        (i, encode_baseline(
+            bytes((20 + x * (2 + i) + y + c * 15) % 256 for y in range(12) for x in range(16) for c in range(3)),
+            16, 12, 3, quality=92,
+        ))
+        for i in range(4)
+    ]
+    one = spark.createDataFrame(payloads, "media_id long, payload binary").repartition(1)
+    many = spark.createDataFrame(payloads, "media_id long, payload binary").repartition(4)
+    a = {r["media_id"]: r["sig"] for r in media_fingerprint(one).collect()}
+    b = {r["media_id"]: r["sig"] for r in media_fingerprint(many).collect()}
+    assert a == b and len(a) == 4

@@ -1,0 +1,610 @@
+"""Pure-stdlib baseline JPEG codec: a real Huffman+IDCT pixel decoder
+(and a minimal encoder used by the fixtures/tests — no PIL/libjpeg in
+this container).
+
+Decoder scope (``decode_baseline``): baseline sequential DCT, Huffman
+entropy coding (SOF0/SOF1), 8-bit precision, grayscale or 3-component
+YCbCr with arbitrary h/v sampling factors (4:4:4, 4:2:2, 4:2:0, ...),
+restart intervals, 16-bit DQT entries, 0xFF00 byte stuffing. Raises
+``ValueError`` on progressive (SOF2) / arithmetic / 4-component CMYK
+files — callers fall back to header-only parsing for those.
+
+Everything is deterministic: Huffman decode and dequantization are
+exact integers; the IDCT uses IEEE-double cosine tables evaluated in a
+fixed operation order; chroma upsampling is nearest-neighbour; the
+YCbCr->RGB step is the libjpeg fixed-point integer formula. The same
+payload decodes to the same raster bytes on any worker.
+
+This closes the decode seam the round-2 review called out
+(multimodal.parse_header previously returned the raw entropy-coded
+scan for JPEG): ``kind/width/height/channels/body`` for a baseline
+JPEG now come from genuinely decoded pixels, the same contract as the
+PNG leg. Reference analogue: the image bytes -> array decode at the
+start of the per-record map (/root/reference/data/dataset_mapper.py:
+151-155).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+# zig-zag index -> natural (row-major) index, spec Figure A.6
+ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+# separable DCT basis: _COS[u][x] = C(u)/2 * cos((2x+1) u pi / 16),
+# evaluated once at import in a fixed order (deterministic doubles)
+_COS = [
+    [
+        (math.sqrt(0.5) if u == 0 else 1.0) / 2.0 * math.cos((2 * x + 1) * u * math.pi / 16.0)
+        for x in range(8)
+    ]
+    for u in range(8)
+]
+
+_SOF_BASELINE = {0xC0, 0xC1}
+_SOF_UNSUPPORTED = {0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+
+class _Huff:
+    """Canonical Huffman table as a (length, code) -> symbol dict plus
+    min/max code per length for the spec's sequential decode walk."""
+
+    __slots__ = ("lookup", "maxlen")
+
+    def __init__(self, counts: list[int], symbols: bytes):
+        self.lookup: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        maxlen = 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                self.lookup[(length, code)] = symbols[k]
+                code += 1
+                k += 1
+                maxlen = length
+            code <<= 1
+        self.maxlen = maxlen
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    stuffing; stops (returns None) at any real marker."""
+
+    __slots__ = ("d", "i", "acc", "nbits")
+
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.i = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> bool:
+        d, i = self.d, self.i
+        if i >= len(d):
+            return False
+        b = d[i]
+        if b == 0xFF:
+            nxt = d[i + 1] if i + 1 < len(d) else 0xD9
+            if nxt != 0x00:
+                return False  # a real marker terminates the segment
+            self.i = i + 2
+        else:
+            self.i = i + 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+        return True
+
+    def bit(self) -> int | None:
+        if self.nbits == 0 and not self._fill():
+            return None
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int | None:
+        v = 0
+        for _ in range(n):
+            b = self.bit()
+            if b is None:
+                return None
+            v = (v << 1) | b
+        return v
+
+    def align_to_marker(self) -> None:
+        """Drop partial bits; self.i then points at the next marker."""
+        self.acc = 0
+        self.nbits = 0
+
+    def decode(self, table: _Huff) -> int | None:
+        code = 0
+        lookup = table.lookup
+        for length in range(1, table.maxlen + 1):
+            b = self.bit()
+            if b is None:
+                return None
+            code = (code << 1) | b
+            sym = lookup.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """Spec EXTEND: map s low bits to the signed coefficient value."""
+    return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+
+
+def _idct_block(coef: list[int], out: bytearray, ow: int, ox: int, oy: int) -> None:
+    """8x8 inverse DCT of dequantized coefficients (natural order) into
+    ``out`` (a component plane of row stride ``ow``) at (ox, oy), with
+    level shift and clamping."""
+    cos = _COS
+    # rows of the coefficient matrix transform over u; then columns
+    tmp = [0.0] * 64
+    for y in range(8):
+        base = y * 8
+        for x in range(8):
+            s = 0.0
+            for u in range(8):
+                c = coef[base + u]
+                if c:
+                    s += c * cos[u][x]
+            tmp[base + x] = s
+    for x in range(8):
+        col = [tmp[v * 8 + x] for v in range(8)]
+        for y in range(8):
+            s = 0.0
+            for v in range(8):
+                cv = col[v]
+                if cv:
+                    s += cv * cos[v][y]
+            val = int(s + 128.5) if s >= -128.5 else 0  # round + level shift
+            if val < 0:
+                val = 0
+            elif val > 255:
+                val = 255
+            out[(oy + y) * ow + ox + x] = val
+
+
+def decode_baseline(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a baseline JPEG to (width, height, channels, raster).
+    raster = row-major, interleaved uint8 (RGB for 3 components, gray
+    for 1). Raises ValueError for non-baseline or malformed files."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    n = len(payload)
+    pos = 2
+    qt: dict[int, list[int]] = {}
+    huff_dc: dict[int, _Huff] = {}
+    huff_ac: dict[int, _Huff] = {}
+    restart_interval = 0
+    frame = None  # (w, h, comps) with comps = [(cid, hs, vs, tq)]
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = payload[pos + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker in _SOF_UNSUPPORTED or marker in (0xC8, 0xCC):
+            raise ValueError("non-baseline JPEG (progressive/arithmetic)")
+        (seg_len,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        seg = payload[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            s = 0
+            while s < len(seg):
+                pq, tq = seg[s] >> 4, seg[s] & 15
+                s += 1
+                tab = [0] * 64
+                if pq:  # 16-bit entries
+                    for k in range(64):
+                        tab[ZIGZAG[k]] = (seg[s] << 8) | seg[s + 1]
+                        s += 2
+                else:
+                    for k in range(64):
+                        tab[ZIGZAG[k]] = seg[s]
+                        s += 1
+                qt[tq] = tab
+        elif marker == 0xC4:  # DHT
+            s = 0
+            while s < len(seg):
+                tc, th = seg[s] >> 4, seg[s] & 15
+                counts = list(seg[s + 1 : s + 17])
+                total = sum(counts)
+                syms = seg[s + 17 : s + 17 + total]
+                (huff_ac if tc else huff_dc)[th] = _Huff(counts, syms)
+                s += 17 + total
+        elif marker in _SOF_BASELINE:
+            if seg[0] != 8:
+                raise ValueError("JPEG precision != 8 unsupported")
+            h, w = struct.unpack(">HH", seg[1:5])
+            nc = seg[5]
+            if nc not in (1, 3):
+                raise ValueError(f"JPEG with {nc} components unsupported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            frame = (w, h, comps)
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG scan before frame header")
+            ns = seg[0]
+            scan_tabs = {}
+            for c in range(ns):
+                cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan_tabs[cs] = (tdta >> 4, tdta & 15)
+            return _decode_scan(
+                payload, pos + 2 + seg_len, frame, qt, huff_dc, huff_ac,
+                scan_tabs, restart_interval,
+            )
+        pos += 2 + seg_len
+    raise ValueError("JPEG without SOS marker")
+
+
+def _decode_scan(payload, pos, frame, qt, huff_dc, huff_ac, scan_tabs, ri):
+    w, h, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = []
+    for cid, hs, vs, tq in comps:
+        pw, ph = mcus_x * hs * 8, mcus_y * vs * 8
+        planes.append(bytearray(pw * ph))
+    reader = _BitReader(payload, pos)
+    preds = [0] * len(comps)
+    coef = [0] * 64
+    mcu_count = 0
+    rst_next = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if ri and mcu_count and mcu_count % ri == 0:
+                # byte-align and consume the RSTn marker, reset DC preds
+                reader.align_to_marker()
+                i = reader.i
+                d = reader.d
+                while i + 1 < len(d) and d[i] == 0xFF and d[i + 1] == 0xFF:
+                    i += 1  # fill bytes before a marker are legal
+                if i + 1 < len(d) and d[i] == 0xFF and d[i + 1] == 0xD0 + rst_next:
+                    reader.i = i + 2
+                    rst_next = (rst_next + 1) & 7
+                    preds = [0] * len(comps)
+                else:
+                    raise ValueError("JPEG missing expected restart marker")
+            for ci, (cid, hs, vs, tq) in enumerate(comps):
+                dc_t, ac_t = scan_tabs[cid]
+                dtab, atab = huff_dc[dc_t], huff_ac[ac_t]
+                qtab = qt[tq]
+                pw = mcus_x * hs * 8
+                for by in range(vs):
+                    for bx in range(hs):
+                        for k in range(64):
+                            coef[k] = 0
+                        t = reader.decode(dtab)
+                        if t is None:
+                            raise ValueError("JPEG entropy data truncated")
+                        if t:
+                            diff_bits = reader.bits(t)
+                            if diff_bits is None:
+                                raise ValueError("JPEG entropy data truncated")
+                            preds[ci] += _extend(diff_bits, t)
+                        coef[0] = preds[ci] * qtab[0]
+                        k = 1
+                        while k < 64:
+                            rs = reader.decode(atab)
+                            if rs is None:
+                                raise ValueError("JPEG entropy data truncated")
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC run past block end")
+                            vbits = reader.bits(s)
+                            if vbits is None:
+                                raise ValueError("JPEG entropy data truncated")
+                            zz = ZIGZAG[k]
+                            coef[zz] = _extend(vbits, s) * qtab[zz]
+                            k += 1
+                        _idct_block(
+                            coef, planes[ci], pw,
+                            (mx * hs + bx) * 8, (my * vs + by) * 8,
+                        )
+            mcu_count += 1
+    # assemble raster: nearest-neighbour chroma upsample + color convert
+    nc = len(comps)
+    if nc == 1:
+        pw = mcus_x * comps[0][1] * 8
+        out = bytearray(w * h)
+        plane = planes[0]
+        for y in range(h):
+            row = y * pw
+            out[y * w : (y + 1) * w] = plane[row : row + w]
+        return w, h, 1, bytes(out)
+    out = bytearray(w * h * 3)
+    pws = [mcus_x * c[1] * 8 for c in comps]
+    yp, cbp, crp = planes
+    ph_, pwY = None, pws[0]
+    hsY, vsY = comps[0][1], comps[0][2]
+    hsB, vsB = comps[1][1], comps[1][2]
+    hsR, vsR = comps[2][1], comps[2][2]
+    for y in range(h):
+        yY = y * vsY // vmax
+        yB = y * vsB // vmax
+        yR = y * vsR // vmax
+        rowY = yY * pws[0]
+        rowB = yB * pws[1]
+        rowR = yR * pws[2]
+        o = y * w * 3
+        for x in range(w):
+            Y = yp[rowY + (x * hsY // hmax)]
+            cb = cbp[rowB + (x * hsB // hmax)] - 128
+            cr = crp[rowR + (x * hsR // hmax)] - 128
+            # libjpeg fixed-point YCbCr -> RGB (exact integer math)
+            r = Y + ((91881 * cr + 32768) >> 16)
+            g = Y - ((22554 * cb + 46802 * cr + 32768) >> 16)
+            b = Y + ((116130 * cb + 32768) >> 16)
+            out[o] = 0 if r < 0 else 255 if r > 255 else r
+            out[o + 1] = 0 if g < 0 else 255 if g > 255 else g
+            out[o + 2] = 0 if b < 0 else 255 if b > 255 else b
+            o += 3
+    return w, h, 3, bytes(out)
+
+
+# --------------------------------------------------------------- encoder
+# Minimal baseline encoder for fixtures/tests ONLY (the decoder above is
+# table-driven, so it exercises exactly the same paths on these files as
+# on libjpeg output). Grayscale or 4:4:4 YCbCr, flat-length Huffman
+# tables (every symbol at one code length — trivially canonical, and the
+# all-ones code is never assigned), quality-scaled Annex-K-style quant.
+
+_Q_BASE = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+
+def _flat_table(symbols: list[int], length: int) -> tuple[list[int], bytes, dict[int, tuple[int, int]]]:
+    """All ``symbols`` at code length ``length`` (canonical order).
+    Valid iff 2**length > len(symbols) (keeps the all-ones code free)."""
+    assert (1 << length) > len(symbols)
+    counts = [0] * 16
+    counts[length - 1] = len(symbols)
+    codes = {sym: (length, i) for i, sym in enumerate(symbols)}
+    return counts, bytes(symbols), codes
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | code
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # pad with 1-bits per spec
+
+
+def _fdct_quant(samples: list[int], qtab: list[int]) -> list[int]:
+    """Forward DCT (level-shifted) + quantization, natural order."""
+    cos = _COS
+    shifted = [s - 128 for s in samples]
+    tmp = [0.0] * 64
+    for y in range(8):
+        base = y * 8
+        for u in range(8):
+            s = 0.0
+            for x in range(8):
+                s += shifted[base + x] * cos[u][x]
+            tmp[base + u] = s
+    out = [0] * 64
+    for u in range(8):
+        for v in range(8):
+            s = 0.0
+            for y in range(8):
+                s += tmp[y * 8 + u] * cos[v][y]
+            q = qtab[v * 8 + u]
+            val = s / q
+            out[v * 8 + u] = int(val + 0.5) if val >= 0 else -int(-val + 0.5)
+    return out
+
+
+def _category(v: int) -> int:
+    a = -v if v < 0 else v
+    return a.bit_length()
+
+
+def encode_baseline(
+    pixels: bytes,
+    width: int,
+    height: int,
+    channels: int,
+    quality: int = 75,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an interleaved uint8 raster (gray or RGB) as a baseline
+    JPEG. Fixture-grade: correct bitstream, flat Huffman tables.
+    ``subsample`` emits 4:2:0 chroma (2x2-averaged half-res Cb/Cr —
+    the dominant real-crawl layout); ``restart_interval`` emits DRI +
+    RSTn markers every N MCUs. Both exist to exercise the decoder's
+    subsampling and restart paths with no external codec."""
+    if channels not in (1, 3):
+        raise ValueError("encode_baseline supports 1 or 3 channels")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    qtab = [max(1, min(255, (q * scale + 50) // 100)) for q in _Q_BASE]
+
+    dc_counts, dc_syms, dc_codes = _flat_table(list(range(12)), 5)
+    # AC symbols the encoder can emit: EOB, ZRL, and (run, cat) pairs
+    # for cat 1..10 (8-bit samples never need cat > 10) — 162 symbols,
+    # all at code length 8 (256 > 163 keeps the all-ones code free)
+    ac_symbols = [0x00, 0xF0] + [
+        (r << 4) | c for r in range(16) for c in range(1, 11)
+    ]
+    ac_counts, ac_syms, ac_codes = _flat_table(ac_symbols, 8)
+
+    ncomp = channels
+    sampling = [(2, 2), (1, 1), (1, 1)] if (subsample and ncomp == 3) else [(1, 1)] * ncomp
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+
+    out = bytearray(b"\xff\xd8")
+    # DQT (one table, 8-bit)
+    zz_q = bytes(qtab[ZIGZAG[k]] for k in range(64))
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz_q
+    # SOF0
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    for c in range(ncomp):
+        hs, vs = sampling[c]
+        sof += bytes([c + 1, (hs << 4) | vs, 0])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    # DHT: DC table 0 + AC table 0
+    dht = b"\x00" + bytes(dc_counts) + dc_syms
+    dht += b"\x10" + bytes(ac_counts) + ac_syms
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    # SOS
+    sos = bytes([ncomp])
+    for c in range(ncomp):
+        sos += bytes([c + 1, 0x00])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    # color convert RGB -> YCbCr (libjpeg fixed-point) at full res
+    full: list[list[int]] = []
+    if ncomp == 1:
+        full.append(list(pixels))
+    else:
+        yv, cbv, crv = [], [], []
+        for i in range(0, len(pixels), 3):
+            r, g, b = pixels[i], pixels[i + 1], pixels[i + 2]
+            yv.append((19595 * r + 38470 * g + 7471 * b + 32768) >> 16)
+            cbv.append(((-11059 * r - 21709 * g + 32768 * b + 32768) >> 16) + 128)
+            crv.append(((32768 * r - 27439 * g - 5329 * b + 32768) >> 16) + 128)
+        full = [yv, [min(255, max(0, v)) for v in cbv], [min(255, max(0, v)) for v in crv]]
+
+    # per-component planes at component resolution (box-filter average
+    # over the hmax/hs x vmax/vs pixel group, edge-clamped)
+    planes: list[tuple[list[int], int, int]] = []  # (plane, cw, ch)
+    for ci in range(ncomp):
+        hs, vs = sampling[ci]
+        if (hs, vs) == (hmax, vmax):
+            planes.append((full[ci], width, height))
+            continue
+        fx, fy = hmax // hs, vmax // vs
+        cw = -(-width // fx)
+        ch = -(-height // fy)
+        plane = [0] * (cw * ch)
+        src = full[ci]
+        for cy in range(ch):
+            for cx in range(cw):
+                acc = cnt = 0
+                for dy in range(fy):
+                    sy = min(cy * fy + dy, height - 1)
+                    for dx in range(fx):
+                        sx = min(cx * fx + dx, width - 1)
+                        acc += src[sy * width + sx]
+                        cnt += 1
+                plane[cy * cw + cx] = (acc + cnt // 2) // cnt
+        planes.append((plane, cw, ch))
+
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    block = [0] * 64
+    mcu_count = 0
+    rst_next = 0
+
+    def encode_block(ci: int, px: int, py: int) -> None:
+        plane, cw, ch = planes[ci]
+        for yy in range(8):
+            sy = min(py + yy, ch - 1)
+            for xx in range(8):
+                sx = min(px + xx, cw - 1)
+                block[yy * 8 + xx] = plane[sy * cw + sx]
+        coef = _fdct_quant(block, qtab)
+        diff = coef[0] - preds[ci]
+        preds[ci] = coef[0]
+        cat = _category(diff)
+        ln, code = dc_codes[cat]
+        bw.put(code, ln)
+        if cat:
+            v = diff if diff >= 0 else diff + (1 << cat) - 1
+            bw.put(v, cat)
+        run = 0
+        zz_coef = [coef[ZIGZAG[k]] for k in range(64)]
+        last_nz = 0
+        for k in range(63, 0, -1):
+            if zz_coef[k]:
+                last_nz = k
+                break
+        for k in range(1, last_nz + 1):
+            v = zz_coef[k]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, code = ac_codes[0xF0]
+                bw.put(code, ln)
+                run -= 16
+            cat = _category(v)
+            ln, code = ac_codes[(run << 4) | cat]
+            bw.put(code, ln)
+            vb = v if v >= 0 else v + (1 << cat) - 1
+            bw.put(vb, cat)
+            run = 0
+        if last_nz < 63:
+            ln, code = ac_codes[0x00]  # EOB
+            bw.put(code, ln)
+
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw.flush()  # byte-align (1-padded) before the marker
+                bw.out += bytes([0xFF, 0xD0 + rst_next])
+                rst_next = (rst_next + 1) & 7
+                preds = [0] * ncomp
+            for ci in range(ncomp):
+                hs, vs = sampling[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        encode_block(ci, (mx * hs + bx) * 8, (my * vs + by) * 8)
+            mcu_count += 1
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -5,11 +5,13 @@ Arrow-batched UDFs.
 The real codec libraries (PIL/opencv/ffmpeg) are not in this container,
 so the decode stage is layered (clearly marked):
   * live pure-stdlib codecs for PNG (IHDR + inflated IDAT scanlines),
-    JPEG (SOFn dimensions + entropy-coded scan body), WAV (fmt/data
+    baseline JPEG (FULL pixel decode — Huffman + IDCT + chroma
+    upsample + YCbCr->RGB, toyocr_spark.jpegcodec), WAV (fmt/data
     chunks + PCM body) and MP4 (tkhd dimensions + mdat body) — every
     metadata field the pipeline consumes comes from the real byte
-    layout; only JPEG pixel / MP4 sample decode still needs a codec
-    lib, and the seam for that is one function (parse_header);
+    layout, and image/audio bodies are genuinely decoded; only
+    progressive-JPEG pixels and MP4 sample decode still need a codec
+    lib, and the seam for both is one function (parse_header);
   * a deterministic synthetic container format ("FMED") generated
     JVM-side from the documents table, so the Spark-side plumbing —
     binary schema, batch shape, header parsing, struct output,
@@ -137,10 +139,25 @@ _JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
 
 
 def _parse_jpeg(payload: bytes) -> tuple[str, int, int, int, bytes]:
-    """Pure-stdlib JPEG header parse: marker walk to the first SOFn for
-    (height, width, components); body = the entropy-coded scan data
-    after SOS. Huffman decode itself would need a real codec lib, but
-    dimensions/channels — what the metadata stage consumes — are exact."""
+    """JPEG decode, layered like the PNG leg:
+
+    1. Baseline sequential files (the overwhelming majority of a crawl)
+       go through the REAL pure-stdlib pixel decoder
+       (toyocr_spark.jpegcodec: Huffman + dequant + IDCT + chroma
+       upsample + fixed-point YCbCr->RGB) — body is the decoded
+       interleaved raster, deterministic byte-for-byte.
+    2. Non-baseline files (progressive/arithmetic/CMYK) fall back to
+       the header parse: marker walk to SOFn for dimensions, body =
+       the entropy-coded scan after SOS (the remaining documented
+       seam, alongside MP4 sample decode)."""
+    from toyocr_spark.jpegcodec import decode_baseline
+
+    try:
+        width, height, chans, raster = decode_baseline(payload)
+        return "image", width, height, chans, raster
+    except Exception:
+        # non-baseline or malformed past the header: header-only path
+        pass
     n = len(payload)
     pos = 2
     dims = None
@@ -237,11 +254,12 @@ def _parse_mp4(payload: bytes) -> tuple[str, int, int, int, bytes]:
 
 def parse_header(payload: bytes) -> tuple[str, int, int, int, bytes]:
     """Magic-dispatched decode. Live pure-stdlib codecs: FMED (synthetic
-    container), PNG (IHDR + inflated IDAT), JPEG (SOFn dimensions + scan
-    body), WAV (fmt/data chunks), MP4 (tkhd/mdat boxes). Full pixel/PCM
-    sample decode for JPEG/MP4 would need PIL/ffmpeg — the remaining
-    (clearly-marked) seam — but every header/metadata field the pipeline
-    consumes is parsed from the real byte layout."""
+    container), PNG (IHDR + inflated IDAT), baseline JPEG (full pixel
+    decode via toyocr_spark.jpegcodec), WAV (fmt/data chunks + PCM),
+    MP4 (tkhd/mdat boxes). The remaining (clearly-marked) seam is
+    progressive-JPEG pixels and MP4 sample decode, which need
+    PIL/ffmpeg — those fall back to header + raw body, every metadata
+    field still parsed from the real byte layout."""
     if payload[:8] == _PNG_MAGIC:
         return _parse_png(payload)
     if payload[:2] == b"\xff\xd8":
