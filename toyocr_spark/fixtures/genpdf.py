@@ -93,3 +93,102 @@ def paragraph_ops(x: int, y: int, size: int, leading: int, lines: list[str]) -> 
         ops.append(f"({escape_pdf_text(ln)}) Tj")
     ops.append("ET")
     return "\n".join(ops)
+
+
+def _cmap_stream(mapping: dict[int, str]) -> bytes:
+    """A /ToUnicode CMap stream body covering ``mapping`` (1-byte codes
+    -> unicode), bfchar entries in chunks of <= 90 per the CMap spec."""
+    codes = sorted(mapping)
+    lines = [
+        "/CIDInit /ProcSet findresource begin",
+        "12 dict begin",
+        "begincmap",
+        "/CMapName /ToyOCRSubset def",
+        "/CMapType 2 def",
+        "1 begincodespacerange",
+        "<00> <FF>",
+        "endcodespacerange",
+    ]
+    for i in range(0, len(codes), 90):
+        chunk = codes[i : i + 90]
+        lines.append(f"{len(chunk)} beginbfchar")
+        for c in chunk:
+            dst = mapping[c].encode("utf-16-be").hex().upper()
+            lines.append(f"<{c:02X}> <{dst}>")
+        lines.append("endbfchar")
+    lines += ["endcmap", "CMapName currentdict /CMap defineresource pop", "end", "end"]
+    return "\n".join(lines).encode("latin-1")
+
+
+def subset_encode(text: str, offset: int = 0x21) -> tuple[bytes, dict[int, str]]:
+    """Simulate an embedded subset font: each distinct character of
+    ``text`` gets a glyph code assigned in first-appearance order
+    starting at ``offset`` (the way real subsetters number glyphs).
+    Returns (encoded bytes, code -> char mapping for the CMap)."""
+    mapping: dict[str, int] = {}
+    out = bytearray()
+    for ch in text:
+        code = mapping.get(ch)
+        if code is None:
+            code = offset + len(mapping)
+            if code > 0xFF:
+                raise ValueError("fixture text exceeds 1-byte subset space")
+            mapping[ch] = code
+        out.append(code)
+    return bytes(out), {c: ch for ch, c in mapping.items()}
+
+
+def build_pdf_subset_font(paragraphs: list[list[str]], compress: bool = True) -> bytes:
+    """A PDF whose text uses a REMAPPED subset font: string bytes are
+    glyph codes (meaningless under Latin-1), recoverable only through
+    the embedded /ToUnicode CMap — the embedded-font shape every
+    LaTeX/word-processor PDF has. One page; each inner list is a
+    paragraph of pre-wrapped lines placed like paragraph_ops does.
+    Glyph codes are assigned per-document in first-appearance order."""
+    all_text = "".join(ln for para in paragraphs for ln in para)
+    _, code_to_char = subset_encode(all_text)
+    char_to_code = {ch: c for c, ch in code_to_char.items()}
+
+    ops: list[str] = []
+    y = 740
+    for para in paragraphs:
+        ops.append(f"BT /F1 11 Tf 13 TL 72 {y} Td")
+        for j, ln in enumerate(para):
+            if j:
+                ops.append("T*")
+            hexes = "".join(f"{char_to_code[ch]:02X}" for ch in ln)
+            ops.append(f"<{hexes}> Tj")
+        ops.append("ET")
+        y -= 13 * (len(para) + 2)
+    content = "\n".join(ops).encode("latin-1")
+
+    cmap = _cmap_stream(code_to_char)
+    body = zlib.compress(content) if compress else content
+    filt = b" /Filter /FlateDecode" if compress else b""
+    objs: list[bytes] = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+        b"<< /Type /Font /Subtype /TrueType /BaseFont /AAAAAA+Subset "
+        b"/ToUnicode 6 0 R >>",
+        (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 5 0 R /Resources << /Font << /F1 3 0 R >> >> >>"
+        ),
+        b"<< /Length %d%s >>\nstream\n%s\nendstream" % (len(body), filt, body),
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(cmap), cmap),
+    ]
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets: list[int] = []
+    for i, o in enumerate(objs, 1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + o + b"\nendobj\n"
+    xref_pos = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (
+        len(objs) + 1,
+        xref_pos,
+    )
+    return bytes(out)
