@@ -190,6 +190,7 @@ def test_relational_queries_have_no_python_nodes(spark, sf_dir):
         "q27_media_frames",      # multimodal frame kernel
         "q37_greedy_exact",      # used-flags greedy: applyInPandas per key
         "q40_pdf_extract",       # the extraction kernel, PDF dispatch path
+        "q76_jpeg_pixels",       # JPEG encode+decode media kernel (mapInArrow)
     }
     markers = ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas",
                "MapInPandas", "PythonMapInArrow", "MapInArrow")

@@ -2087,7 +2087,7 @@ def _kmeans_round_sql(r: int) -> str:
       FROM vd JOIN c2 c ON vd.dim = c.dim
       GROUP BY vd.vec_id, c.cid
     )
-    SELECT vec_id AS id, cid, dist FROM (
+    SELECT vec_id AS id, cid, CAST(dist AS BIGINT) AS dist FROM (
       SELECT vec_id, cid, dist,
              row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rk
       FROM d3)
@@ -2509,7 +2509,7 @@ def q62_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
       FROM tk
     )
-    SELECT lang, (cm - toks) // 2000 AS bin,
+    SELECT lang, CAST((cm - toks) // 2000 AS BIGINT) AS bin,
            count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS total_tokens
     FROM cum GROUP BY lang, bin
     """,
@@ -3193,6 +3193,160 @@ def q75_ivf_persisted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_persisted_search(spark, prefix, qs, k=5, nprobe=2)
 
 
+@_q(
+    "q76_jpeg_pixels",
+    """
+    SELECT doc_id AS media_id,
+           CAST(8 + doc_id % 17 AS INTEGER) AS width,
+           CAST(8 + doc_id % 13 AS INTEGER) AS height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS INTEGER) AS channels,
+           CAST((8 + doc_id % 17) * (8 + doc_id % 13)
+                * (CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END) AS BIGINT) AS body_len
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+    "JPEG pixel-decode round trip, driver-checked: deterministic rasters "
+    "rendered per doc_id, encoded as baseline JPEG (pure-stdlib encoder), "
+    "pushed through decode_media's REAL Huffman+IDCT decoder; the oracle "
+    "predicts the decoded dimensions and raster size in closed form, so "
+    "a green row proves the decoded body is true pixels (w*h*c), not "
+    "the entropy-coded scan. Pixel-value fidelity is unit-tested "
+    "(test_multimodal round trips within quantization error)",
+)
+def q76_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from toyocr_spark.multimodal import decode_media
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0).select("doc_id")
+
+    def encode_batches(it):
+        import pyarrow as pa
+
+        from toyocr_spark.jpegcodec import encode_baseline
+
+        for b in it:
+            ids = b.column(0).to_pylist()
+            payloads = []
+            for i in ids:
+                w = 8 + i % 17
+                h = 8 + i % 13
+                c = 3 if i % 2 == 0 else 1
+                raster = bytes(
+                    (10 + x * 2 + y * 3 + ch * 5 + i) % 236
+                    for y in range(h)
+                    for x in range(w)
+                    for ch in range(c)
+                )
+                payloads.append(encode_baseline(raster, w, h, c, quality=90))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), pa.array(payloads, pa.binary())],
+                names=["media_id", "payload"],
+            )
+
+    media_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+    media = d.mapInArrow(encode_batches, media_schema)
+    out = decode_media(media)
+    return out.select("media_id", "width", "height", "channels", "body_len")
+
+
+@_q(
+    "q77_semdedup",
+    f"""
+    WITH vd AS (
+      SELECT vec_id, i AS dim,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS val
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+    ),
+    c0 AS (
+      SELECT vec_id AS cid, dim, val AS cval FROM vd
+      WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)
+    ),
+    {_kmeans_round_sql(1)},
+    {_kmeans_round_sql(2)},
+    d3 AS (
+      SELECT vd.vec_id, c.cid,
+             sum((vd.val - c.cval) * (vd.val - c.cval)) AS dist
+      FROM vd JOIN c2 c ON vd.dim = c.dim
+      GROUP BY vd.vec_id, c.cid
+    ),
+    a3 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rk
+        FROM d3)
+      WHERE rk = 1
+    ),
+    e AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+    dots AS (
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b, sum(x.v * y.v) AS dp
+      FROM e x JOIN e y ON x.i = y.i
+      JOIN a3 xa ON x.vec_id = xa.vec_id JOIN a3 ya ON y.vec_id = ya.vec_id
+      WHERE x.vec_id < y.vec_id AND xa.cid = ya.cid
+      GROUP BY x.vec_id, y.vec_id
+    ),
+    dropped AS (
+      SELECT DISTINCT d.id_b AS vec_id
+      FROM dots d JOIN nrm a ON d.id_a = a.vec_id JOIN nrm b2 ON d.id_b = b2.vec_id
+      WHERE d.dp / (a.nrm * b2.nrm) >= 0.40
+    )
+    SELECT a3.vec_id, a3.cid,
+           CAST(CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept
+    FROM a3 LEFT JOIN dropped dr ON a3.vec_id = dr.vec_id
+    """,
+    "SemDeDup (Abbas et al. 2023): semantic dedup with the quadratic "
+    "bounded by clustering — k-means cells (q53's bit-exact trainer) "
+    "partition the corpus, cosine pairs are computed only WITHIN a cell, "
+    "and a vector is dropped when a lower-id cell-mate sits above the "
+    "similarity threshold. The 100 TB shape: cluster count scales with "
+    "corpus size so cells stay bounded, making within-cell pairing "
+    "linear-ish in practice — never an all-pairs join",
+)
+def q77_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toyocr_spark.operators.kmeans import kmeans_fit
+    from toyocr_spark.operators.similarity import _as_double, cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = kmeans_fit(emb, "vec_id", "embedding", k=8, iters=3)
+    v = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    # materialize the assignment once: the self-join below would
+    # otherwise duplicate (and re-run) the whole k-means subtree per
+    # side — at scale this is the persisted cluster table
+    m = (
+        assigned.select(F.col("id").alias("vec_id"), "cid")
+        .join(v, "vec_id")
+        .localCheckpoint()
+    )
+    a = m.select("cid", F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = m.select("cid", F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    dropped = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= 0.40)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("_d", F.lit(1))
+    )
+    return (
+        m.select("vec_id", "cid")
+        .join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.when(F.col("_d").isNull(), 1).otherwise(0).cast("int").alias("kept"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
@@ -3233,6 +3387,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q74_ivf_recall_curve",
     "q75_ivf_persisted_search",
     "q76_jpeg_pixels",
+    "q77_semdedup",
 ]
 
 
