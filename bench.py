@@ -482,6 +482,11 @@ def main() -> None:
         "pdf_docs_per_sec": out.get("pdf_docs_per_sec"),
         "scaling_efficiency": out.get("scaling_efficiency"),
         "scaling_pass": out.get("scaling_pass"),
+        # same-window host ceiling: a raw sub-0.8 efficiency during a
+        # contention trough is only interpretable next to these
+        "host_ctrl_efficiency": out.get("host_ctrl_efficiency"),
+        "efficiency_vs_host": out.get("efficiency_vs_host"),
+        "plan_adds_no_loss": out.get("plan_adds_no_loss"),
         "full_record": "BENCH/last_full_suite.json",
     }
     print(json.dumps(compact))
