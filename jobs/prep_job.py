@@ -64,6 +64,13 @@ def main(argv: list[str] | None = None) -> int:
         "--dsir-keep", type=int, default=0,
         help="how many docs the DSIR stage keeps (0 = stage off)",
     )
+    ap.add_argument(
+        "--semdedup-embeddings",
+        help="parquet with (vec_id, embedding) keyed by doc_id: run "
+        "SemDeDup (cluster-bounded embedding near-dup removal) and drop "
+        "the non-survivors",
+    )
+    ap.add_argument("--semdedup-threshold", type=float, default=0.40)
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -187,6 +194,24 @@ def main(argv: list[str] | None = None) -> int:
         )
         final = final.join(dirty, "doc_id", "left_anti")
         funnel["after_decontam"] = final.count()
+
+    # 4.7 SemDeDup: embedding-space near-dup removal, quadratic bounded
+    #     by k-means cells (runs after the lexical dedups — it catches
+    #     paraphrase-level twins that no hash family sees)
+    if args.semdedup_embeddings:
+        from toyocr_spark.operators.dedup import semantic_dedup
+
+        emb = spark.read.parquet(args.semdedup_embeddings).select(
+            "vec_id", "embedding"
+        )
+        verdict = semantic_dedup(
+            emb, "vec_id", "embedding", threshold=args.semdedup_threshold
+        )
+        dropped_sem = verdict.filter(F.col("kept") == 0).select(
+            F.col("vec_id").alias("doc_id")
+        )
+        final = final.join(dropped_sem, "doc_id", "left_anti")
+        funnel["after_semdedup"] = final.count()
 
     # 4.9 DSIR importance resampling: keep the --dsir-keep docs that
     #     best match the target-domain seed corpus (run after all

@@ -118,3 +118,22 @@ def test_prep_dsir_stage(tmp_path, sf_dir):
         ).fetchall()
         outs.append(ids)
     assert outs[0] == outs[1] and len(outs[0]) == 25
+
+
+@pytest.mark.slow
+def test_prep_semdedup_stage(tmp_path, sf_dir):
+    """--semdedup-embeddings drops embedding-space near-dups: the funnel
+    gains an after_semdedup count strictly between 0 and the prior
+    stage, and it is deterministic across runs."""
+    counts = []
+    for tag in ("a", "b"):
+        out_dir = str(tmp_path / f"prep_{tag}")
+        funnel = _run(
+            "--documents", f"{sf_dir}/documents.parquet",
+            "--output", out_dir, "--min-punct", "0",
+            "--semdedup-embeddings", f"{sf_dir}/embeddings.parquet",
+            "--semdedup-threshold", "0.40",
+        )
+        assert 0 < funnel["after_semdedup"] <= funnel["after_near_dedup"]
+        counts.append(funnel["after_semdedup"])
+    assert counts[0] == counts[1]

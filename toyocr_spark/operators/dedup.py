@@ -595,3 +595,57 @@ def connected_components(
         .join(labels, "id", "left")
         .select("id", F.coalesce("label", F.col("id")).alias("cluster_id"))
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    iters: int = 3,
+    threshold: float = 0.40,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): embedding-space
+    near-duplicate removal with the pairwise quadratic bounded by
+    clustering. The corpus is partitioned into k-means cells (the
+    bit-exact integer trainer, operators/kmeans.py), cosine pairs are
+    computed only WITHIN a cell, and a vector is dropped when a
+    lower-id cell-mate sits at/above ``threshold`` similarity.
+    Returns (vec_id, cid, kept 1|0) for every input vector.
+
+    Scale shape: at 100 TB the cluster count scales with the corpus so
+    cells stay bounded (SemDeDup uses ~10-100k clusters for web scale),
+    keeping within-cell pairing near-linear — never an all-pairs join.
+    The assignment is materialized once (localCheckpoint here; a
+    persisted table in production — see kmeans.ivf_write_index) so the
+    self-join cannot re-run the trainer per side."""
+    from toyocr_spark.operators.kmeans import kmeans_fit
+    from toyocr_spark.operators.similarity import _as_double, cosine
+
+    assigned = kmeans_fit(emb, id_col, vec_col, k=n_clusters, iters=iters)
+    v = emb.select(F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v"))
+    m = (
+        assigned.select(F.col("id").alias("vec_id"), "cid")
+        .join(v, "vec_id")
+        .localCheckpoint()
+    )
+    a = m.select("cid", F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = m.select("cid", F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    dropped = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("_d", F.lit(1))
+    )
+    return (
+        m.select("vec_id", "cid")
+        .join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.when(F.col("_d").isNull(), 1).otherwise(0).cast("int").alias("kept"),
+        )
+    )

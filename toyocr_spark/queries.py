@@ -3343,37 +3343,148 @@ def q76_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     "linear-ish in practice — never an all-pairs join",
 )
 def q77_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toyocr_spark.operators.dedup import semantic_dedup
+
+    return semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.40
+    )
+
+
+@_q(
+    "q78_cluster_balanced_sample",
+    f"""
+    WITH vd AS (
+      SELECT vec_id, i AS dim,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS val
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+    ),
+    c0 AS (
+      SELECT vec_id AS cid, dim, val AS cval FROM vd
+      WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)
+    ),
+    {_kmeans_round_sql(1)},
+    {_kmeans_round_sql(2)},
+    d3 AS (
+      SELECT vd.vec_id, c.cid,
+             sum((vd.val - c.cval) * (vd.val - c.cval)) AS dist
+      FROM vd JOIN c2 c ON vd.dim = c.dim
+      GROUP BY vd.vec_id, c.cid
+    ),
+    a3 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rk
+        FROM d3)
+      WHERE rk = 1
+    ),
+    sizes AS (SELECT cid, count(*) AS n_cell FROM a3 GROUP BY cid),
+    ranked AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY cid
+                                ORDER BY md5('bal|' || CAST(vec_id AS VARCHAR)) ASC,
+                                         vec_id ASC) AS rk
+      FROM a3
+    )
+    SELECT r.cid, r.rk, r.vec_id, CAST(s.n_cell AS BIGINT) AS n_cell
+    FROM ranked r JOIN sizes s USING (cid)
+    WHERE r.rk <= 20
+    """,
+    "cluster-balanced subsampling (the topic-diversification step of "
+    "modern curation, SemDeDup/DoReMi-adjacent): k-means cells over the "
+    "embedding space, then exactly min(B=20, |cell|) survivors per cell "
+    "chosen by deterministic md5 order — over-represented topics are "
+    "capped, rare topics survive whole. Per-cell top-B is a window "
+    "bounded by cell size; at 100 TB cluster count scales with the "
+    "corpus so cells stay bounded (the q77 argument); md5 ordering "
+    "makes any engine anywhere pick the identical sample",
+)
+def q78_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from toyocr_spark.operators.kmeans import kmeans_fit
-    from toyocr_spark.operators.similarity import _as_double, cosine
+    from toyocr_spark.operators.selection import topk_per_group
 
     emb = _t(spark, sf_dir, "embeddings")
-    assigned = kmeans_fit(emb, "vec_id", "embedding", k=8, iters=3)
-    v = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
-    # materialize the assignment once: the self-join below would
-    # otherwise duplicate (and re-run) the whole k-means subtree per
-    # side — at scale this is the persisted cluster table
-    m = (
-        assigned.select(F.col("id").alias("vec_id"), "cid")
-        .join(v, "vec_id")
-        .localCheckpoint()
+    assigned = kmeans_fit(emb, "vec_id", "embedding", k=8, iters=3).select(
+        F.col("id").alias("vec_id"), "cid"
+    ).localCheckpoint()  # sizes + ranked both read it; train once
+    sizes = assigned.groupBy("cid").agg(F.count("*").cast("long").alias("n_cell"))
+    keyed = assigned.withColumn(
+        "_h", F.md5(F.concat(F.lit("bal|"), F.col("vec_id").cast("string")))
     )
-    a = m.select("cid", F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    b = m.select("cid", F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
-    dropped = (
-        a.join(b, "cid")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine(F.col("va"), F.col("vb")) >= 0.40)
-        .select(F.col("id_b").alias("vec_id"))
+    top = topk_per_group(
+        keyed, ["cid"], [F.col("_h").asc(), F.col("vec_id").asc()], 20, rank_name="rk"
+    )
+    return top.join(sizes, "cid").select("cid", "rk", "vec_id", "n_cell")
+
+
+@_q(
+    "q79_host_boilerplate",
+    """
+    WITH hosts AS (
+      SELECT doc_id, doc_id % 40 AS host,
+             'banner host ' || CAST(doc_id % 40 AS VARCHAR)
+               || ' please accept cookies and terms ' || text AS text
+      FROM documents WHERE length(text) > 0
+    ),
+    wins AS (
+      SELECT DISTINCT doc_id, host,
+             md5(array_to_string(list_slice(w, u.p + 1, u.p + 6), ' ')) AS digest
+      FROM (SELECT doc_id, host, string_split(text, ' ') AS w,
+                   len(string_split(text, ' ')) AS nw
+            FROM hosts),
+           unnest(generate_series(0, nw - 6)) AS u(p)
+      WHERE nw >= 6
+    ),
+    hd AS (SELECT host, count(DISTINCT doc_id) AS host_docs FROM hosts GROUP BY host),
+    df AS (SELECT host, digest, count(*) AS n_docs FROM wins GROUP BY host, digest)
+    SELECT df.host, df.digest,
+           CAST(df.n_docs AS BIGINT) AS n_docs,
+           CAST(hd.host_docs AS BIGINT) AS host_docs,
+           round(df.n_docs * 1.0 / hd.host_docs, 6) AS frac
+    FROM df JOIN hd USING (host)
+    WHERE hd.host_docs >= 5 AND df.n_docs * 2 >= hd.host_docs
+    """,
+    "per-host boilerplate n-gram detection (the CCNet/RefinedWeb "
+    "template-removal signal): a 6-word window whose digest appears in "
+    ">= half of a host's documents is site furniture (nav text, cookie "
+    "banners, footers), not content. Shapes: linear window explode + "
+    "DISTINCT per (doc, digest), one partial-agg shuffle on (host, "
+    "digest), host sizes joined at host granularity (broadcast-able) — "
+    "the output feeds an anti-join that strips those windows corpus-"
+    "wide, and integer cross-multiplication (n*2 >= docs) keeps the "
+    "threshold float-free",
+)
+def q79_host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toyocr_spark.operators.dedup import ngram_digests
+
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    # synthetic corpus has no organic site furniture: prepend a
+    # deterministic per-host banner so the detector has real positives
+    # (the operator itself is agnostic to where repeats come from)
+    host = (F.col("doc_id") % 40).alias("host")
+    aug = F.concat(
+        F.lit("banner host "),
+        (F.col("doc_id") % 40).cast("string"),
+        F.lit(" please accept cookies and terms "),
+        F.col("text"),
+    )
+    hosts = d.select("doc_id", host, aug.alias("text"))
+    wins = (
+        ngram_digests(hosts, "doc_id", "text", k_words=6)
+        .join(hosts.select(F.col("doc_id").alias("id"), "host"), "id")
+        .select("id", "host", "digest")
         .distinct()
-        .withColumn("_d", F.lit(1))
     )
+    hd = hosts.groupBy("host").agg(F.countDistinct("doc_id").alias("host_docs"))
+    df_ = wins.groupBy("host", "digest").agg(F.count("*").alias("n_docs"))
     return (
-        m.select("vec_id", "cid")
-        .join(dropped, "vec_id", "left")
+        df_.join(F.broadcast(hd), "host")
+        .filter((F.col("host_docs") >= 5) & (F.col("n_docs") * 2 >= F.col("host_docs")))
         .select(
-            "vec_id",
-            "cid",
-            F.when(F.col("_d").isNull(), 1).otherwise(0).cast("int").alias("kept"),
+            "host",
+            "digest",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("host_docs").cast("long").alias("host_docs"),
+            F.round(F.col("n_docs") / F.col("host_docs"), 6).alias("frac"),
         )
     )
 
@@ -3419,6 +3530,8 @@ _DRIVER_PRIORITY: list[str] = [
     "q75_ivf_persisted_search",
     "q76_jpeg_pixels",
     "q77_semdedup",
+    "q78_cluster_balanced_sample",
+    "q79_host_boilerplate",
 ]
 
 
