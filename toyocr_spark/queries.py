@@ -3489,6 +3489,54 @@ def q79_host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q80_quality_survival",
+    """
+    WITH scored AS (
+      SELECT doc_id, CAST(floor(n_chars / 50) * 50 AS BIGINT) AS bin,
+             len(string_split(text, ' ')) AS toks
+      FROM documents
+    ),
+    bins AS (
+      SELECT bin, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens
+      FROM scored GROUP BY bin
+    )
+    SELECT bin, n_docs, n_tokens,
+           CAST(sum(n_docs) OVER (ORDER BY bin DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS docs_surviving,
+           CAST(sum(n_tokens) OVER (ORDER BY bin DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS tokens_surviving
+    FROM bins
+    """,
+    "quality-threshold survival table (the curation tool that picks a "
+    "filter cutoff to hit a token budget): docs bucketed by score bin "
+    "(length proxy at 50-char resolution), then docs/tokens surviving "
+    "each 'keep >= bin' threshold via a cumulative window from the top. "
+    "One partial-agg shuffle to bins (bounded cardinality), then a "
+    "window over the TINY bin table — never over the corpus; windowed "
+    "sums CAST to BIGINT (the HUGEINT discipline)",
+)
+def q80_quality_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        (F.floor(F.col("n_chars") / 50) * 50).cast("long").alias("bin"),
+        F.size(F.split("text", " ")).alias("toks"),
+    )
+    bins = scored.groupBy("bin").agg(
+        F.count("*").alias("n_docs"), F.sum("toks").cast("long").alias("n_tokens")
+    )
+    w = Window.orderBy(F.col("bin").desc()).rowsBetween(Window.unboundedPreceding, 0)
+    return bins.select(
+        "bin",
+        "n_docs",
+        "n_tokens",
+        F.sum("n_docs").over(w).cast("long").alias("docs_surviving"),
+        F.sum("n_tokens").over(w).cast("long").alias("tokens_surviving"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
@@ -3532,6 +3580,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q77_semdedup",
     "q78_cluster_balanced_sample",
     "q79_host_boilerplate",
+    "q80_quality_survival",
 ]
 
 
