@@ -303,3 +303,54 @@ def test_jpeg_fingerprint_stable_across_batch_boundaries(spark):
     a = {r["media_id"]: r["sig"] for r in media_fingerprint(one).collect()}
     b = {r["media_id"]: r["sig"] for r in media_fingerprint(many).collect()}
     assert a == b and len(a) == 4
+
+
+def test_jpeg_decoder_fuzz_deterministic_and_bounded():
+    """Hostile-input guard for the pixel decoder (the PDF parser has
+    the same): random truncations and bit flips of a valid baseline
+    JPEG either decode deterministically or raise a clean ValueError —
+    never hang, never crash with a non-ValueError, and parse_header
+    always returns (falling back to the header path when pixel decode
+    rejects)."""
+    import random
+
+    from toyocr_spark.jpegcodec import decode_baseline, encode_baseline
+    from toyocr_spark.multimodal import parse_header
+
+    base = encode_baseline(
+        bytes(40 + x + y for y in range(24) for x in range(32)), 32, 24, 1,
+        quality=90, restart_interval=2,
+    )
+    rng = random.Random(7)
+    for trial in range(300):
+        b = bytearray(base)
+        if trial % 3 == 0:
+            b = b[: rng.randrange(2, len(b))]          # truncation
+        elif trial % 3 == 1:
+            for _ in range(rng.randrange(1, 6)):        # bit flips
+                i = rng.randrange(len(b))
+                b[i] ^= 1 << rng.randrange(8)
+        else:
+            i = rng.randrange(len(b))                   # byte splice
+            b = b[:i] + bytes([rng.randrange(256)]) + b[i:]
+        payload = bytes(b)
+
+        def attempt():
+            try:
+                return decode_baseline(payload)
+            except (ValueError, KeyError, IndexError) as e:
+                # bounded, clean rejection classes (missing Huffman
+                # table = KeyError; short buffer = IndexError); the
+                # DISPATCH layer below must still normalize these
+                return ("rejected", type(e).__name__)
+
+        first, second = attempt(), attempt()
+        assert first == second  # deterministic either way
+        if payload[:2] == b"\xff\xd8" and len(payload) > 4:
+            # the dispatch layer must survive every mutation with at
+            # most a clean ValueError (never struct.error/KeyError —
+            # a worker task dying on garbage media is a pipeline bug)
+            try:
+                parse_header(payload)
+            except ValueError:
+                pass

@@ -178,9 +178,18 @@ def _idct_block(coef: list[int], out: bytearray, ow: int, ox: int, oy: int) -> N
 def decode_baseline(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode a baseline JPEG to (width, height, channels, raster).
     raster = row-major, interleaved uint8 (RGB for 3 components, gray
-    for 1). Raises ValueError for non-baseline or malformed files."""
+    for 1). Raises ValueError for non-baseline, malformed, or
+    truncated files — never struct.error/KeyError/IndexError (hostile
+    bytes must reject cleanly, not kill a worker task)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
+    try:
+        return _decode_markers(payload)
+    except (struct.error, IndexError, KeyError) as e:
+        raise ValueError(f"malformed JPEG: {type(e).__name__}") from e
+
+
+def _decode_markers(payload: bytes) -> tuple[int, int, int, bytes]:
     n = len(payload)
     pos = 2
     qt: dict[int, list[int]] = {}

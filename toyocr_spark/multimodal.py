@@ -170,6 +170,8 @@ def _parse_jpeg(payload: bytes) -> tuple[str, int, int, int, bytes]:
             continue
         (seg_len,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         if marker in _JPEG_SOF:
+            if pos + 10 > n:  # truncated mid-frame-header
+                raise ValueError("JPEG truncated inside SOF segment")
             height, width = struct.unpack(">HH", payload[pos + 5 : pos + 9])
             chans = payload[pos + 9]
             dims = (width, height, chans)
