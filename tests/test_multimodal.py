@@ -354,3 +354,75 @@ def test_jpeg_decoder_fuzz_deterministic_and_bounded():
                 parse_header(payload)
             except ValueError:
                 pass
+
+
+# ----------------------------------------------------------- MP4 demux
+
+
+def test_mp4_demux_exact_byte_ranges(spark):
+    """demux_samples re-derives each sample's bytes exactly from the
+    sample table, across chunk layouts (even, short-last-chunk, single
+    sample)."""
+    from toyocr_spark.multimodal import _mux_mp4, demux_samples
+    import hashlib
+
+    rows = []
+    truth = {}
+    for mid, n in [(1, 1), (2, 2), (3, 5), (4, 4)]:
+        samples = [f"s{mid}:{i}!".encode() * (1 + i) for i in range(n)]
+        rows.append((mid, _mux_mp4(mid, 64, 48, samples)))
+        truth[mid] = samples
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = demux_samples(media).collect()
+    by_key = {(r["media_id"], r["sample_idx"]): r for r in got}
+    assert len(by_key) == sum(len(s) for s in truth.values())
+    for mid, samples in truth.items():
+        for i, s in enumerate(samples):
+            r = by_key[(mid, i)]
+            assert r["codec"] == "rawv"
+            assert r["sample_len"] == len(s)
+            assert r["sample_md5"] == hashlib.md5(s).hexdigest()
+
+
+def test_mp4_sample_table_uniform_stsz_and_co64():
+    """Parser handles the uniform-size stsz shortcut and 64-bit co64
+    offsets (neither produced by _mux_mp4, both in real crawls)."""
+    import struct
+
+    from toyocr_spark.multimodal import _parse_mp4_sample_table
+
+    def box(typ: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + typ + body
+
+    samples = [b"AAAA", b"BBBB", b"CCCC"]
+    stsd = box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + box(b"rawv", b"\x00" * 8))
+    stsz = box(b"stsz", b"\x00" * 4 + struct.pack(">II", 4, 3))  # uniform size 4
+    stsc = box(b"stsc", b"\x00" * 4 + struct.pack(">I", 1) + struct.pack(">III", 1, 3, 1))
+
+    def build(co64_off: int) -> bytes:
+        co64 = box(b"co64", b"\x00" * 4 + struct.pack(">I", 1) + struct.pack(">Q", co64_off))
+        stbl = box(b"stbl", stsd + stsz + stsc + co64)
+        moov = box(b"moov", box(b"trak", box(b"mdia", box(b"minf", stbl))))
+        return box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
+
+    head = build(0)
+    payload = build(len(head) + 8) + box(b"mdat", b"".join(samples))
+    codec, spans = _parse_mp4_sample_table(payload)
+    assert codec == "rawv"
+    assert [payload[o : o + s] for o, s in spans] == samples
+
+
+def test_mp4_without_sample_table_skipped_not_fatal(spark):
+    """Tables mix demuxable and header-only MP4s; the demux op keeps
+    the former and silently skips the latter (same convention as
+    audio_features over mixed kinds)."""
+    from toyocr_spark.multimodal import _mux_mp4, demux_samples
+
+    rows = [
+        (1, _mux_mp4(1, 64, 48, [b"only-sample"])),
+        (2, _make_mp4(320, 240, b"no-sample-table")),
+        (3, b"\x89PNG\r\n\x1a\x08 not even close"),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = demux_samples(media).collect()
+    assert [r["media_id"] for r in got] == [1]

@@ -594,3 +594,21 @@ def test_ivf_recall_monotone_in_nprobe(spark, sf_dir):
     assert recalls == sorted(recalls), f"recall not monotone: {rows}"
     assert rows[-1][0] == 8 and rows[-1][1] == 1.0
     assert cands == sorted(cands) and cands[0] < cands[-1]
+
+
+def test_gopher_rules_split_and_consistency(spark, sf_dir):
+    """q82: the decision table must actually discriminate on this
+    corpus (both keep classes present, every individual rule fires
+    both ways somewhere) and keep == AND of the rule columns."""
+    from toyocr_spark.queries import QUERIES
+
+    rows = QUERIES["q82_gopher_rules"].spark(spark, sf_dir).collect()
+    assert rows
+    keeps = {r["keep"] for r in rows}
+    assert keeps == {0, 1}, "degenerate keep split"
+    for rule in ("r_wordcount", "r_meanlen", "r_repetition", "r_stopwords"):
+        assert {r[rule] for r in rows} == {0, 1}, f"degenerate rule {rule}"
+    for r in rows:
+        assert r["keep"] == (
+            r["r_wordcount"] & r["r_meanlen"] & r["r_repetition"] & r["r_stopwords"]
+        )

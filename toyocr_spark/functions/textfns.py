@@ -154,3 +154,60 @@ def repetition_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.round(F.col("top_w") / F.col("n_words"), 6).alias("top_word_frac"),
         F.round(F.col("top_b") / F.col("n_bi"), 6).alias("top_bigram_frac"),
     )
+
+
+GOPHER_STOPWORDS = ("the", "a", "and", "of", "to", "in")
+
+
+def gopher_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style document filter as a per-rule decision table (Rae
+    et al. 2021 §A1.1): each rule's boolean outcome is its own column,
+    so a curation run can account attrition per rule instead of only
+    seeing the final keep bit.
+
+    Rules (thresholds scaled to the synthetic corpus's 10-100-word
+    documents; the published ones assume full web pages):
+      r_wordcount  — 20 <= n_words <= 10000
+      r_meanlen    — 3 <= mean word length <= 5
+      r_repetition — most-common-word fraction <= 0.12
+      r_stopwords  — >= 2 stopword occurrences from GOPHER_STOPWORDS
+    keep = every rule passes.
+
+    One explode + two-level aggregation (word counts, then per-doc
+    sums/max) — one shuffle per level, partial aggregation map-side;
+    the same distributed shape as repetition_features."""
+    uni = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("w"),
+        )
+        .groupBy("id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    agg = uni.groupBy("id").agg(
+        F.sum("c").cast("long").alias("n_words"),
+        F.max("c").alias("top_w"),
+        F.sum(F.when(F.col("w").isin(*GOPHER_STOPWORDS), F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("stop_count"),
+        F.sum(F.col("c") * F.length("w")).alias("chars"),
+    )
+    mean_len = F.col("chars") / F.col("n_words")
+    top_frac = F.col("top_w") / F.col("n_words")
+    r_wordcount = (F.col("n_words") >= 20) & (F.col("n_words") <= 10000)
+    r_meanlen = (mean_len >= 3.0) & (mean_len <= 5.0)
+    r_repetition = top_frac <= 0.12
+    r_stopwords = F.col("stop_count") >= 2
+    as_int = lambda c: c.cast("int")  # noqa: E731
+    return agg.select(
+        "id",
+        "n_words",
+        F.round(mean_len, 4).alias("mean_word_len"),
+        F.round(top_frac, 6).alias("top_word_frac"),
+        "stop_count",
+        as_int(r_wordcount).alias("r_wordcount"),
+        as_int(r_meanlen).alias("r_meanlen"),
+        as_int(r_repetition).alias("r_repetition"),
+        as_int(r_stopwords).alias("r_stopwords"),
+        as_int(r_wordcount & r_meanlen & r_repetition & r_stopwords).alias("keep"),
+    )

@@ -7,10 +7,12 @@ so the decode stage is layered (clearly marked):
   * live pure-stdlib codecs for PNG (IHDR + inflated IDAT scanlines),
     baseline JPEG (FULL pixel decode — Huffman + IDCT + chroma
     upsample + YCbCr->RGB, toyocr_spark.jpegcodec), WAV (fmt/data
-    chunks + PCM body) and MP4 (tkhd dimensions + mdat body) — every
-    metadata field the pipeline consumes comes from the real byte
-    layout, and image/audio bodies are genuinely decoded; only
-    progressive-JPEG pixels and MP4 sample decode still need a codec
+    chunks + PCM body) and MP4 (tkhd dimensions + mdat body, plus a
+    REAL sample-table demux — stsd/stsz/stsc/stco/co64 resolved to
+    exact per-sample byte ranges, demux_samples) — every metadata
+    field the pipeline consumes comes from the real byte layout, and
+    image/audio bodies are genuinely decoded; only progressive-JPEG
+    pixels and CODEC decode of demuxed MP4 samples still need a codec
     lib, and the seam for both is one function (parse_header);
   * a deterministic synthetic container format ("FMED") generated
     JVM-side from the documents table, so the Spark-side plumbing —
@@ -258,10 +260,11 @@ def parse_header(payload: bytes) -> tuple[str, int, int, int, bytes]:
     """Magic-dispatched decode. Live pure-stdlib codecs: FMED (synthetic
     container), PNG (IHDR + inflated IDAT), baseline JPEG (full pixel
     decode via toyocr_spark.jpegcodec), WAV (fmt/data chunks + PCM),
-    MP4 (tkhd/mdat boxes). The remaining (clearly-marked) seam is
-    progressive-JPEG pixels and MP4 sample decode, which need
-    PIL/ffmpeg — those fall back to header + raw body, every metadata
-    field still parsed from the real byte layout."""
+    MP4 (tkhd/mdat boxes; per-sample demux lives in demux_samples).
+    The remaining (clearly-marked) seam is progressive-JPEG pixels and
+    CODEC decode of demuxed MP4 samples, which need PIL/ffmpeg — those
+    fall back to header + raw body, every metadata field still parsed
+    from the real byte layout."""
     if payload[:8] == _PNG_MAGIC:
         return _parse_png(payload)
     if payload[:2] == b"\xff\xd8":
@@ -443,3 +446,257 @@ def audio_features(media: DataFrame, frame_samples: int = 256) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInArrow(batches, AUDIO_SCHEMA)
+
+
+# --------------------------------------------------- MP4 demux (sample table)
+
+
+SAMPLES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("codec", T.StringType(), False),
+        T.StructField("sample_idx", T.IntegerType(), False),
+        T.StructField("sample_len", T.LongType(), False),
+        T.StructField("sample_md5", T.StringType(), False),
+    ]
+)
+
+
+def _parse_mp4_sample_table(payload: bytes) -> tuple[str, list[tuple[int, int]]]:
+    """Real ISO-BMFF demux: resolve every sample's absolute byte range
+    from the sample table (ISO/IEC 14496-12 §8.5-8.7):
+
+      stsd -> codec fourcc of the first sample entry
+      stsz -> per-sample sizes (or one uniform size)
+      stsc -> sample->chunk run-length map
+      stco/co64 -> chunk file offsets
+
+    Returns (codec, [(offset, size), ...]) in sample order. Raises
+    ValueError when any of the four boxes is absent or inconsistent —
+    callers that only need the raw mdat keep using _parse_mp4. Only
+    CODEC decode of the sample payloads needs an external library; the
+    byte ranges here are exact."""
+    want = frozenset({b"stsd", b"stsz", b"stsc", b"stco", b"co64"})
+    codec = None
+    sizes: list[int] | None = None
+    stsc: list[tuple[int, int]] | None = None  # (first_chunk, samples_per_chunk)
+    chunk_offsets: list[int] | None = None
+    for typ, lo, hi in _walk_mp4(payload, 0, len(payload), want):
+        if typ == b"stsd" and codec is None:
+            # fullbox(4) + entry_count(4) + first entry: size(4) + fourcc(4)
+            if hi - lo >= 16:
+                codec = payload[lo + 12 : lo + 16].decode("latin-1")
+        elif typ == b"stsz" and sizes is None:
+            uniform, count = struct.unpack(">II", payload[lo + 4 : lo + 12])
+            if uniform:
+                sizes = [uniform] * count
+            else:
+                end = lo + 12 + 4 * count
+                if end > hi:
+                    raise ValueError("stsz table truncated")
+                sizes = list(struct.unpack(f">{count}I", payload[lo + 12 : end]))
+        elif typ == b"stsc" and stsc is None:
+            (count,) = struct.unpack(">I", payload[lo + 4 : lo + 8])
+            end = lo + 8 + 12 * count
+            if end > hi:
+                raise ValueError("stsc table truncated")
+            flat = struct.unpack(f">{3 * count}I", payload[lo + 8 : end])
+            stsc = [(flat[i], flat[i + 1]) for i in range(0, len(flat), 3)]
+        elif typ in (b"stco", b"co64") and chunk_offsets is None:
+            (count,) = struct.unpack(">I", payload[lo + 4 : lo + 8])
+            w = 4 if typ == b"stco" else 8
+            end = lo + 8 + w * count
+            if end > hi:
+                raise ValueError("chunk offset table truncated")
+            fmt = f">{count}I" if typ == b"stco" else f">{count}Q"
+            chunk_offsets = list(struct.unpack(fmt, payload[lo + 8 : end]))
+    if codec is None or sizes is None or not stsc or not chunk_offsets:
+        raise ValueError("MP4 without a complete sample table")
+    # expand the stsc run-length map: samples_per_chunk for each chunk
+    spans: list[tuple[int, int]] = []
+    si = 0
+    n_chunks = len(chunk_offsets)
+    for run, (first_chunk, per_chunk) in enumerate(stsc):
+        last_chunk = (
+            stsc[run + 1][0] - 1 if run + 1 < len(stsc) else n_chunks
+        )
+        for chunk in range(first_chunk, last_chunk + 1):
+            if chunk > n_chunks:
+                break
+            pos = chunk_offsets[chunk - 1]
+            for _ in range(per_chunk):
+                if si >= len(sizes):
+                    break
+                spans.append((pos, sizes[si]))
+                pos += sizes[si]
+                si += 1
+    if si != len(sizes):
+        raise ValueError("stsc/stco cover fewer samples than stsz declares")
+    return codec, spans
+
+
+def demux_samples(media: DataFrame) -> DataFrame:
+    """(media_id, payload) -> one row per demuxed MP4 sample with its
+    exact byte length and the md5 of the sample bytes sliced at the
+    sample-table offsets. This is the real demux stage of a video
+    ingest pipeline (ffmpeg's av_read_frame equivalent); only the codec
+    decode of each sample remains library-bound. Non-MP4 payloads and
+    MP4s without a sample table are skipped (same mixed-table
+    convention as audio_features)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    def batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in it:
+            ids = b.column(0).to_pylist()
+            rows = []
+            for mid, p in zip(ids, b.column(1).to_pylist()):
+                if len(p) < 12 or p[4:8] != b"ftyp":
+                    continue
+                try:
+                    codec, spans = _parse_mp4_sample_table(p)
+                except ValueError:
+                    continue
+                for idx, (off, size) in enumerate(spans):
+                    chunk = p[off : off + size]
+                    if len(chunk) != size:
+                        raise ValueError("sample table points outside the file")
+                    rows.append(
+                        (mid, codec, idx, size, hashlib.md5(chunk).hexdigest())
+                    )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([r[0] for r in rows], pa.int64()),
+                    pa.array([r[1] for r in rows], pa.string()),
+                    pa.array([r[2] for r in rows], pa.int32()),
+                    pa.array([r[3] for r in rows], pa.int64()),
+                    pa.array([r[4] for r in rows], pa.string()),
+                ],
+                names=[f.name for f in SAMPLES_SCHEMA.fields],
+            )
+
+    return media.select("media_id", "payload").mapInArrow(batches, SAMPLES_SCHEMA)
+
+
+def _mux_mp4(doc_id: int, width: int, height: int, samples: list[bytes]) -> bytes:
+    """Deterministic single-track MP4 with a REAL sample table (ftyp +
+    moov[trak[tkhd + mdia[minf[stbl[stsd/stts/stsc/stsz/stco]]]]] +
+    mdat), samples packed two per chunk. Pure stdlib; byte-identical
+    for identical inputs — the video twin of fixtures/genpdf."""
+
+    def box(typ: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + typ + body
+
+    n = len(samples)
+    tkhd = (
+        b"\x00" + b"\x00" * 3  # version/flags
+        + b"\x00" * 4 * 2  # ctime/mtime
+        + struct.pack(">I", 1)  # track id
+        + b"\x00" * 4  # reserved
+        + struct.pack(">I", n)  # duration (1 tick per sample)
+        + b"\x00" * 8  # reserved
+        + b"\x00" * 2 * 2  # layer, alternate group
+        + b"\x00" * 2  # volume
+        + b"\x00" * 2  # reserved
+        + b"\x00" * 36  # matrix
+        + struct.pack(">II", width << 16, height << 16)
+    )
+    stsd = box(
+        b"stsd",
+        b"\x00" * 4
+        + struct.pack(">I", 1)
+        + box(b"rawv", b"\x00" * 8),  # minimal sample entry, fourcc "rawv"
+    )
+    stts = box(b"stts", b"\x00" * 4 + struct.pack(">III", 1, n, 1))
+    per_chunk = 2
+    n_chunks = -(-n // per_chunk) if n else 0
+    stsc_entries = [(1, per_chunk, 1)]
+    if n % per_chunk and n_chunks > 1:  # short last chunk needs its own run
+        stsc_entries.append((n_chunks, n % per_chunk, 1))
+    elif n_chunks == 1:
+        stsc_entries = [(1, n, 1)]
+    stsc = box(
+        b"stsc",
+        b"\x00" * 4
+        + struct.pack(">I", len(stsc_entries))
+        + b"".join(struct.pack(">III", *e) for e in stsc_entries),
+    )
+    stsz = box(
+        b"stsz",
+        b"\x00" * 4
+        + struct.pack(">II", 0, n)
+        + b"".join(struct.pack(">I", len(s)) for s in samples),
+    )
+    # stco offsets depend on the total moov size; build with a
+    # placeholder once to measure, then rewrite with real offsets
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+
+    def build(offsets: list[int]) -> bytes:
+        stco = box(
+            b"stco",
+            b"\x00" * 4
+            + struct.pack(">I", len(offsets))
+            + b"".join(struct.pack(">I", o) for o in offsets),
+        )
+        stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+        moov = box(b"moov", box(b"trak", box(b"tkhd", tkhd) + box(b"mdia", box(b"minf", stbl))))
+        return ftyp + moov
+
+    head_len = len(build([0] * n_chunks))
+    mdat_body_at = head_len + 8
+    offsets = []
+    pos = mdat_body_at
+    for c in range(n_chunks):
+        offsets.append(pos)
+        for s in samples[c * per_chunk : (c + 1) * per_chunk]:
+            pos += len(s)
+    mdat = box(b"mdat", b"".join(samples))
+    out = build(offsets) + mdat
+    assert len(build(offsets)) == head_len  # offset width is fixed (stco 32-bit)
+    return out
+
+
+def synth_mp4(documents: DataFrame, n_docs: int = 200) -> DataFrame:
+    """documents(doc_id, ...) -> (media_id, payload) of real MP4 bytes
+    with full sample tables, fully determined by doc_id:
+
+      n_samples   = 1 + doc_id % 5
+      sample i    = utf-8 of concat(doc_id, ':', i, ';') repeated
+                    (3 + (doc_id + i) % 5) times
+
+    so an oracle can predict every sample's length and md5 in closed
+    form without parsing MP4 — the demux correctness check reduces to
+    string SQL."""
+    import pyarrow as pa
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in it:
+            ids = b.column(0).to_pylist()
+            payloads = []
+            for did in ids:
+                n = 1 + did % 5
+                samples = [
+                    (f"{did}:{i};" * (3 + (did + i) % 5)).encode("utf-8")
+                    for i in range(n)
+                ]
+                payloads.append(
+                    _mux_mp4(did, 64 + did % 512, 32 + did % 256, samples)
+                )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), pa.array(payloads, pa.binary())],
+                names=["media_id", "payload"],
+            )
+
+    return (
+        documents.filter(F.col("doc_id") < n_docs)
+        .select("doc_id")
+        .mapInArrow(batches, schema)
+    )
