@@ -191,6 +191,7 @@ def test_relational_queries_have_no_python_nodes(spark, sf_dir):
         "q37_greedy_exact",      # used-flags greedy: applyInPandas per key
         "q40_pdf_extract",       # the extraction kernel, PDF dispatch path
         "q76_jpeg_pixels",       # JPEG encode+decode media kernel (mapInArrow)
+        "q81_mp4_demux",         # MP4 mux+demux media kernel (mapInArrow)
     }
     markers = ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas",
                "MapInPandas", "PythonMapInArrow", "MapInArrow")
