@@ -612,3 +612,118 @@ def test_gopher_rules_split_and_consistency(spark, sf_dir):
         assert r["keep"] == (
             r["r_wordcount"] & r["r_meanlen"] & r["r_repetition"] & r["r_stopwords"]
         )
+
+
+def test_quality_classifier_separates_distinct_vocabularies(spark):
+    from toyocr_spark.functions.textfns import hashed_nb_classifier
+
+    # two classes with class-specific vocabularies plus shared filler —
+    # the CCNet Wikipedia-vs-crawl shape with an actual learnable
+    # signal (the sf documents table's labels are deliberately near-
+    # independent of its ~40-word vocabulary, so separation is asserted
+    # here, on a corpus where a correct fit MUST separate)
+    import random
+
+    rng = random.Random(7)
+    good_v = [f"wiki{i}" for i in range(20)]
+    bad_v = [f"spam{i}" for i in range(20)]
+    shared = [f"word{i}" for i in range(20)]
+    rows = []
+    for i in range(80):
+        good = i % 2 == 0
+        own = good_v if good else bad_v
+        words = [rng.choice(own if j % 2 == 0 else shared) for j in range(30)]
+        rows.append((i, 1 if good else 0, " ".join(words)))
+    df = spark.createDataFrame(rows, "id long, good int, text string")
+    out = hashed_nb_classifier(df, "id", "text", F.col("good") == 1, dim=256)
+    joined = out.join(df.select("id", "good"), "id").collect()
+    acc = sum(1 for r in joined if r["label"] == r["good"]) / len(joined)
+    assert acc >= 0.95, f"in-sample accuracy {acc}"
+    # integer-exactness: score_num is a BIGINT reproducible bit-for-bit
+    again = {
+        r["id"]: r["score_num"]
+        for r in hashed_nb_classifier(df, "id", "text", F.col("good") == 1, dim=256).collect()
+    }
+    assert all(again[r["id"]] == r["score_num"] for r in joined)
+
+
+def test_lang_mix_sample_hits_balanced_target(spark, sf_dir):
+    from toyocr_spark.queries import q84_lang_mix_sample
+
+    rows = q84_lang_mix_sample(spark, sf_dir).collect()
+    target = rows[0]["target"]
+    assert all(r["target"] == target for r in rows)
+    for r in rows:
+        assert r["n_kept"] <= r["n_docs"]
+        # md5-bucket admission is binomial around the target rate
+        assert 0.5 * target <= r["n_kept"] <= 1.5 * target, r
+    # the smallest language is kept (almost) whole
+    smallest = min(rows, key=lambda r: r["n_docs"])
+    assert smallest["n_kept"] >= 0.9 * smallest["n_docs"]
+
+
+def test_template_strip_drops_banner_everywhere(spark):
+    from toyocr_spark.operators.dedup import template_strip
+
+    banner = "one two three four"
+    rows = [
+        (i, "a", f"{banner} u{i} v{i} w{i} x{i}") for i in range(6)
+    ] + [  # host below min_host_docs: nothing stripped even though shared
+        (10 + i, "b", f"{banner} y{i} z{i} p{i} q{i}") for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "id long, host string, text string")
+    out = {
+        r["id"]: r
+        for r in template_strip(df, "id", "host", "text", words_per_para=4).collect()
+    }
+    for i in range(6):  # host a: banner para stripped from EVERY doc
+        assert out[i]["n_paras"] == 2 and out[i]["n_kept"] == 1, out[i]
+    for i in range(3):  # host b (3 docs < 5): kept whole
+        assert out[10 + i]["n_kept"] == out[10 + i]["n_paras"] == 2
+    # a doc that is ALL furniture survives with n_kept = 0 and md5('')
+    allb = spark.createDataFrame(
+        [(i, "c", banner) for i in range(6)], "id long, host string, text string"
+    )
+    r0 = template_strip(allb, "id", "host", "text", words_per_para=4).collect()[0]
+    assert r0["n_kept"] == 0 and r0["chars_kept"] == 0
+    import hashlib
+
+    assert r0["text_md5"] == hashlib.md5(b"").hexdigest()
+
+
+def test_robots_rules_parse_and_admission(spark):
+    from toyocr_spark.functions.urlfns import parse_robots_rules, robots_admission
+
+    robots = spark.createDataFrame(
+        [
+            ("a.com", "User-agent: *\nDisallow: /private\nDisallow:\n# note"),
+            ("b.com", "Disallow: /x\nDisallow: /y/z"),
+        ],
+        "host string, txt string",
+    )
+    rules = parse_robots_rules(robots, "host", "txt")
+    got = {(r["host"], r["prefix"]) for r in rules.collect()}
+    # the empty Disallow and the comment line must not become rules
+    assert got == {("a.com", "/private"), ("b.com", "/x"), ("b.com", "/y/z")}
+
+    urls = spark.createDataFrame(
+        [
+            ("a.com", "/private/doc"),   # blocked (prefix)
+            ("a.com", "/public"),        # allowed
+            ("b.com", "/y/zebra"),       # blocked (/y/z prefix)
+            ("b.com", "/y/a"),           # allowed
+            ("c.com", "/private/doc"),   # no rules for host: allowed
+        ],
+        "host string, path string",
+    )
+    verdicts = {
+        (r["host"], r["path"]): r["blocked"]
+        for r in robots_admission(urls, rules).collect()
+    }
+    assert verdicts == {
+        ("a.com", "/private/doc"): 1,
+        ("a.com", "/public"): 0,
+        ("b.com", "/y/zebra"): 1,
+        ("b.com", "/y/a"): 0,
+        ("c.com", "/private/doc"): 0,
+    }

@@ -211,3 +211,77 @@ def gopher_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         as_int(r_stopwords).alias("r_stopwords"),
         as_int(r_wordcount & r_meanlen & r_repetition & r_stopwords).alias("keep"),
     )
+
+
+def hashed_nb_classifier(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: Column,
+    dim: int = 64,
+) -> DataFrame:
+    """fastText/CCNet-style linear quality classifier over hashed word
+    features, trained and applied in one integer-exact plan.
+
+    The production pattern (CCNet trains a fastText model on Wikipedia
+    vs raw crawl; LLaMA-style pipelines score every page with it):
+      fit   — hash each token into ``dim`` buckets, count bucket hits
+              per class, derive an add-one-smoothed discriminative
+              weight per bucket;
+      apply — score every document as the sum of its tokens' bucket
+              weights; positive sum => classified into the ``good``
+              class.
+
+    Exactness discipline: the usual log-odds weight needs ``ln`` whose
+    last-bit rounding differs between engines, so the weight is the
+    cross-multiplied NUMERATOR of the smoothed rate difference
+        (good_c+1)/(good_total+dim) - (bad_c+1)/(bad_total+dim)
+    i.e. ``(good_c+1)*(bad_total+dim) - (bad_c+1)*(good_total+dim)`` —
+    a BIGINT, bit-identical on any engine; the shared positive
+    denominator cannot change any document's sign or ranking.
+
+    Scale shape: fit is one partial-agg shuffle to ``dim`` rows plus a
+    1-row class-total agg (both broadcast back); apply is a broadcast
+    join + one partial-agg shuffle per doc. No vocabulary, no Python,
+    no floats until the final reported average.
+
+    Returns (id, n_toks, score_num, score, label).
+    """
+    toks = df.filter(F.length(text_col) > 0).select(
+        F.col(id_col).alias("id"),
+        label_col.cast("int").alias("good"),
+        F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("word"),
+    )
+    toks = toks.filter(F.length("word") > 0).withColumn(
+        "dim", F.conv(F.substring(F.md5("word"), 1, 4), 16, 10).cast("long") % dim
+    )
+    dimc = toks.groupBy("dim").agg(
+        F.sum("good").cast("long").alias("good_c"),
+        F.sum(1 - F.col("good")).cast("long").alias("bad_c"),
+    )
+    totals = toks.groupBy().agg(
+        F.sum("good").cast("long").alias("good_total"),
+        F.sum(1 - F.col("good")).cast("long").alias("bad_total"),
+    )
+    weights = dimc.crossJoin(F.broadcast(totals)).select(
+        "dim",
+        (
+            (F.col("good_c") + 1) * (F.col("bad_total") + dim)
+            - (F.col("bad_c") + 1) * (F.col("good_total") + dim)
+        ).alias("weight_num"),
+    )
+    scored = (
+        toks.join(F.broadcast(weights), "dim")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_toks"),
+            F.sum("weight_num").cast("long").alias("score_num"),
+        )
+    )
+    return scored.select(
+        "id",
+        "n_toks",
+        "score_num",
+        F.round(F.col("score_num") / F.col("n_toks"), 4).alias("score"),
+        (F.col("score_num") > 0).cast("int").alias("label"),
+    )

@@ -117,3 +117,58 @@ def drop_blocked_hosts(df, host_col: str, blocklist) -> "DataFrame":  # noqa: F8
     return df.join(
         blocked_hosts.select(F.col("_h").alias(host_col)), host_col, "left_anti"
     )
+
+
+def parse_robots_rules(robots: "DataFrame", host_col: str, txt_col: str) -> "DataFrame":  # noqa: F821
+    """(host, robots_txt) -> (host, prefix) Disallow rules.
+
+    Minimal robots.txt subset (the part a crawl admission filter
+    enforces): newline-split, one ``Disallow: <path-prefix>`` rule per
+    matching line; empty Disallow values (= allow all) are dropped.
+    User-agent groups are out of scope — rules are taken as applying to
+    ``*``, which is the conservative reading for a generic crawler.
+    Pure string ops (split/explode/substring), portable 1:1 to SQL.
+    """
+    from pyspark.sql import DataFrame  # noqa: F401 (typing only)
+
+    line = F.explode(F.split(F.col(txt_col), "\n")).alias("line")
+    rules = robots.select(F.col(host_col).alias("host"), line)
+    marker = "Disallow: "
+    return (
+        rules.filter(F.substring(F.col("line"), 1, len(marker)) == marker)
+        .select(
+            "host",
+            F.trim(F.substring(F.col("line"), len(marker) + 1, _BIG())).alias("prefix"),
+        )
+        .filter(F.length("prefix") > 0)
+    )
+
+
+def robots_admission(
+    urls: "DataFrame", rules: "DataFrame", host_col: str = "host", path_col: str = "path"  # noqa: F821
+) -> "DataFrame":
+    """Per-URL robots verdict: blocked iff ANY of the host's Disallow
+    prefixes is a prefix of the url path (substring compare — no
+    LIKE/regex, so the oracle evaluates identically and no pattern
+    metacharacter in a rule can change semantics).
+
+    Scale shape: the rule table is tiny (a few rules per host) —
+    broadcast left join on host, per-rule prefix test, one partial-agg
+    ``max`` per url. The urls table never shuffles on anything but its
+    own aggregation key. Hosts with no rules admit everything (left
+    join null => no match).
+
+    Returns one row per url: (host, path, blocked int).
+    """
+    j = urls.select(
+        F.col(host_col).alias("host"), F.col(path_col).alias("path")
+    ).join(F.broadcast(rules), "host", "left")
+    hit = F.when(
+        F.col("prefix").isNotNull()
+        & (F.substring(F.col("path"), 1, F.length("prefix")) == F.col("prefix")),
+        1,
+    ).otherwise(0)
+    return (
+        j.groupBy("host", "path")
+        .agg(F.max(hit).cast("int").alias("blocked"))
+    )

@@ -649,3 +649,75 @@ def semantic_dedup(
             F.when(F.col("_d").isNull(), 1).otherwise(0).cast("int").alias("kept"),
         )
     )
+
+
+def template_strip(
+    df: DataFrame,
+    id_col: str,
+    host_col: str,
+    text_col: str,
+    words_per_para: int = 8,
+    min_host_docs: int = 5,
+) -> DataFrame:
+    """Site-template removal (the RefinedWeb/CCNet line-dedup policy at
+    host scope): a paragraph whose digest appears in at least HALF of a
+    host's documents is site furniture (nav text, cookie banner,
+    footer) and is stripped from EVERY document of that host —
+    including the first occurrence, which distinguishes this from
+    ``paragraph_dedup``'s keep-first policy (furniture has no "first"
+    worth keeping).
+
+    Shapes at 100 TB: paragraphs are non-overlapping fixed word windows
+    (linear explode, the corpus proxy for ``\\n\\n`` units); per-host
+    document frequency is ``countDistinct(id)`` partial-aggregated on
+    (host, digest); host sizes aggregate to one row per host
+    (broadcast-able); the strip itself is a left-anti join on (host,
+    digest) against the small template table; integer
+    cross-multiplication (``n_docs*2 >= host_docs``) keeps the
+    threshold float-free. Nothing funnels through a per-digest window.
+
+    Returns one row per document:
+    (id, host, n_paras, n_kept, chars_kept, text_md5) where text_md5
+    fingerprints the surviving paragraphs re-joined in document order
+    (empty string when everything was furniture).
+    """
+    base = df.filter(F.length(text_col) > 0).select(
+        F.col(id_col).alias("id"), F.col(host_col).alias("host"), F.col(text_col).alias("_t")
+    )
+    paras = paragraph_chunks(base, "id", "_t", words_per_para)
+    hosts = base.select("id", "host")
+    keyed = paras.join(hosts, "id").withColumn("digest", F.md5("para"))
+    host_docs = base.groupBy("host").agg(F.count("*").alias("host_docs"))
+    tpl = (
+        keyed.groupBy("host", "digest")
+        .agg(F.countDistinct("id").alias("n_docs"))
+        .join(F.broadcast(host_docs), "host")
+        .filter(
+            (F.col("host_docs") >= min_host_docs)
+            & (F.col("n_docs") * 2 >= F.col("host_docs"))
+        )
+        .select("host", "digest")
+    )
+    kept = keyed.join(F.broadcast(tpl), ["host", "digest"], "left_anti")
+    totals = keyed.groupBy("id", "host").agg(F.count("*").alias("n_paras"))
+    kept_agg = kept.groupBy("id").agg(
+        F.count("*").alias("n_kept"),
+        F.sum(F.length("para")).cast("long").alias("chars_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                    lambda x: x["para"],
+                ),
+                "\n\n",
+            )
+        ).alias("text_md5"),
+    )
+    return totals.join(kept_agg, "id", "left").select(
+        "id",
+        "host",
+        F.col("n_paras").cast("long").alias("n_paras"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("chars_kept"), F.lit(0)).cast("long").alias("chars_kept"),
+        F.coalesce(F.col("text_md5"), F.md5(F.lit(""))).alias("text_md5"),
+    )

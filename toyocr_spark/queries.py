@@ -3643,6 +3643,266 @@ def q82_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_rules(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+_NBC_DIM = 64
+
+
+@_q(
+    "q83_quality_classifier",
+    f"""
+    WITH toks AS (
+      SELECT id, good, word FROM (
+        SELECT doc_id AS id,
+               CASE WHEN source IN ('src0', 'src8', 'src14')
+                    THEN 1 ELSE 0 END AS good,
+               unnest(string_split(trim(text), ' ')) AS word
+        FROM documents WHERE length(text) > 0
+      ) WHERE length(word) > 0
+    ),
+    hashed AS (
+      SELECT id, good, ({_hex4_col("hh")}) % {_NBC_DIM} AS dim
+      FROM (SELECT id, good, substr(md5(word), 1, 4) AS hh FROM toks)
+    ),
+    dimc AS (SELECT dim,
+                    CAST(sum(good) AS BIGINT) AS good_c,
+                    CAST(sum(1 - good) AS BIGINT) AS bad_c
+             FROM hashed GROUP BY dim),
+    tot AS (SELECT CAST(sum(good) AS BIGINT) AS good_total,
+                   CAST(sum(1 - good) AS BIGINT) AS bad_total
+            FROM hashed),
+    w AS (SELECT dim,
+                 (good_c + 1) * (bad_total + {_NBC_DIM})
+                 - (bad_c + 1) * (good_total + {_NBC_DIM}) AS weight_num
+          FROM dimc CROSS JOIN tot)
+    SELECT id,
+           CAST(count(*) AS BIGINT) AS n_toks,
+           CAST(sum(weight_num) AS BIGINT) AS score_num,
+           round(sum(weight_num) * 1.0 / count(*), 4) AS score,
+           CAST(CASE WHEN sum(weight_num) > 0 THEN 1 ELSE 0 END AS INTEGER) AS label
+    FROM hashed JOIN w USING (dim)
+    GROUP BY id
+    """,
+    "fastText/CCNet-style linear quality classifier over hashed word "
+    "features, trained AND applied in one integer-exact plan: fit = "
+    "per-bucket class counts (one partial-agg shuffle to 64 rows) + "
+    "1-row class totals; weight = the cross-multiplied NUMERATOR of "
+    "the add-one-smoothed rate difference (no ln — engine libm "
+    "last-bit drift can never flip a sign); apply = broadcast weight "
+    "join + per-doc sum. The production data-curation scorer shape "
+    "(CCNet trains fastText on Wikipedia-vs-crawl; here the positive "
+    "class is three 'curated' sources vs the rest — the synthetic "
+    "corpus's per-source signal is deliberately weak, so separation "
+    "quality is asserted in the unit test on a two-vocabulary corpus, "
+    "not here): no vocabulary build, no Python, floats only in the "
+    "final reported average",
+)
+def q83_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toyocr_spark.functions.textfns import hashed_nb_classifier
+
+    d = _t(spark, sf_dir, "documents")
+    return hashed_nb_classifier(
+        d, "doc_id", "text", F.col("source").isin("src0", "src8", "src14"), dim=_NBC_DIM
+    )
+
+
+@_q(
+    "q84_lang_mix_sample",
+    f"""
+    WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY lang),
+    m AS (SELECT min(n_docs) AS min_docs FROM c),
+    keyed AS (
+      SELECT lang, ({_HEX4_DOC}) % 10000 AS bucket
+      FROM (SELECT lang, substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 4) AS hh
+            FROM documents)
+    )
+    SELECT k.lang, c.n_docs,
+           CAST(m.min_docs AS BIGINT) AS target,
+           CAST(sum(CASE WHEN k.bucket * c.n_docs < m.min_docs * 10000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM keyed k JOIN c USING (lang) CROSS JOIN m
+    GROUP BY k.lang, c.n_docs, m.min_docs
+    """,
+    "language-mix rebalancing sampler (the data-mixing step of corpus "
+    "assembly): per-language keep rates DERIVED FROM THE DATA to hit a "
+    "balanced target (downsample every language to the smallest one), "
+    "then deterministic md5-bucket admission — integer "
+    "cross-multiplication (bucket*n_docs < min_docs*10000) so no float "
+    "rate ever rounds differently across engines. Scale shape: the "
+    "rate table is one tiny partial-agg (|langs| rows, broadcast "
+    "back); the corpus itself never shuffles — admission is a "
+    "projection, the counts one partial agg. Complements q45 (given "
+    "rates) and q78 (cluster-balanced)",
+)
+def q84_lang_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    c = d.groupBy("lang").agg(F.count("*").cast("long").alias("n_docs"))
+    m = c.groupBy().agg(F.min("n_docs").alias("min_docs"))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    keyed = d.select("lang", bucket.alias("bucket"))
+    kept = F.when(
+        F.col("bucket") * F.col("n_docs") < F.col("min_docs") * 10000, 1
+    ).otherwise(0)
+    return (
+        keyed.join(F.broadcast(c), "lang")
+        .crossJoin(F.broadcast(m))
+        .groupBy("lang", "n_docs", "min_docs")
+        .agg(F.sum(kept).cast("long").alias("n_kept"))
+        .select(
+            "lang",
+            "n_docs",
+            F.col("min_docs").cast("long").alias("target"),
+            "n_kept",
+        )
+    )
+
+
+@_q(
+    "q85_template_strip",
+    """
+    WITH hosts AS (
+      SELECT doc_id AS id, doc_id % 40 AS host,
+             'banner host ' || CAST(doc_id % 40 AS VARCHAR)
+               || ' accept cookies and terms ' || text AS text
+      FROM documents WHERE length(text) > 0
+    ),
+    p0 AS (SELECT id, host, string_split(text, ' ') AS w FROM hosts),
+    paras AS (
+      SELECT id, host, u.i - 1 AS pos,
+             array_to_string(list_slice(w, (u.i - 1) * 8 + 1, (u.i - 1) * 8 + 8), ' ') AS para
+      FROM p0, unnest(generate_series(1, CAST(ceil(len(w) / 8.0) AS BIGINT))) AS u(i)
+    ),
+    keyed AS (SELECT id, host, pos, para, md5(para) AS digest FROM paras),
+    hd AS (SELECT host, CAST(count(*) AS BIGINT) AS host_docs FROM hosts GROUP BY host),
+    tpl AS (
+      SELECT g.host, g.digest
+      FROM (SELECT host, digest, count(DISTINCT id) AS n_docs
+            FROM keyed GROUP BY host, digest) g
+      JOIN hd USING (host)
+      WHERE hd.host_docs >= 5 AND g.n_docs * 2 >= hd.host_docs
+    ),
+    kept AS (SELECT k.id, k.pos, k.para FROM keyed k
+             LEFT JOIN tpl t ON k.host = t.host AND k.digest = t.digest
+             WHERE t.digest IS NULL),
+    totals AS (SELECT id, host, CAST(count(*) AS BIGINT) AS n_paras
+               FROM keyed GROUP BY id, host),
+    ka AS (SELECT id, CAST(count(*) AS BIGINT) AS n_kept,
+                  CAST(sum(length(para)) AS BIGINT) AS chars_kept,
+                  md5(string_agg(para, chr(10) || chr(10) ORDER BY pos)) AS text_md5
+           FROM kept GROUP BY id)
+    SELECT t.id, t.host, t.n_paras,
+           coalesce(ka.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+           coalesce(ka.chars_kept, CAST(0 AS BIGINT)) AS chars_kept,
+           coalesce(ka.text_md5, md5('')) AS text_md5
+    FROM totals t LEFT JOIN ka USING (id)
+    """,
+    "site-template removal (RefinedWeb/CCNet line-dedup policy at host "
+    "scope): a paragraph present in >= half of a host's documents is "
+    "furniture (cookie banner, nav, footer) and is stripped from EVERY "
+    "document — including the first occurrence, unlike q48's "
+    "keep-first. The synthesized per-host banner (one exact 8-word "
+    "window) is the template ground truth. Shapes: linear window "
+    "explode, countDistinct partial-agg on (host,digest), broadcast "
+    "template anti-join, integer cross-multiplied threshold; nothing "
+    "funnels through a per-digest window. dedup.template_strip",
+)
+def q85_template_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toyocr_spark.operators.dedup import template_strip
+
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    banner = d.select(
+        F.col("doc_id").alias("id"),
+        (F.col("doc_id") % 40).alias("host"),
+        F.concat(
+            F.lit("banner host "),
+            (F.col("doc_id") % 40).cast("string"),
+            F.lit(" accept cookies and terms "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return template_strip(banner, "id", "host", "text", words_per_para=8)
+
+
+@_q(
+    "q86_robots_admission",
+    """
+    WITH urls AS (
+      SELECT 'h' || CAST(doc_id % 40 AS VARCHAR) || '.example' AS host,
+             '/p' || CAST(doc_id % 10 AS VARCHAR) || '/page'
+               || CAST(doc_id AS VARCHAR) AS path
+      FROM documents
+    ),
+    robots AS (
+      SELECT 'h' || CAST(h AS VARCHAR) || '.example' AS host,
+             'User-agent: *' || chr(10) ||
+             'Disallow: /p' || CAST(h % 7 AS VARCHAR) || chr(10) ||
+             'Disallow:' || chr(10) ||
+             'Disallow: /q' || CAST(h % 5 AS VARCHAR) AS txt
+      FROM (SELECT DISTINCT doc_id % 40 AS h FROM documents WHERE doc_id % 40 < 30)
+    ),
+    rules AS (
+      SELECT host, trim(substr(line, 11)) AS prefix
+      FROM (SELECT host, unnest(string_split(txt, chr(10))) AS line FROM robots)
+      WHERE substr(line, 1, 10) = 'Disallow: '
+        AND length(trim(substr(line, 11))) > 0
+    ),
+    j AS (
+      SELECT u.host, u.path,
+             CASE WHEN r.prefix IS NOT NULL
+                       AND substr(u.path, 1, length(r.prefix)) = r.prefix
+                  THEN 1 ELSE 0 END AS hit
+      FROM urls u LEFT JOIN rules r USING (host)
+    )
+    SELECT host, path, CAST(max(hit) AS INTEGER) AS blocked
+    FROM j GROUP BY host, path
+    """,
+    "robots.txt crawl admission: parse per-host Disallow path prefixes "
+    "from raw robots text (newline split + marker strip — empty "
+    "Disallow values dropped, non-rule lines ignored), then verdict "
+    "every url by substring prefix compare (no LIKE/regex: a "
+    "metacharacter in a rule can never change semantics and both "
+    "engines evaluate identically). Scale shape: rules are a few rows "
+    "per host — broadcast left join, per-rule test, one partial-agg "
+    "max per url; hosts without robots admit everything via the null "
+    "leg. urlfns.parse_robots_rules / robots_admission; complements "
+    "q66's host-suffix blocklist (path-level vs domain-level policy)",
+)
+def q86_robots_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toyocr_spark.functions.urlfns import parse_robots_rules, robots_admission
+
+    d = _t(spark, sf_dir, "documents")
+    urls = d.select(
+        F.concat(
+            F.lit("h"), (F.col("doc_id") % 40).cast("string"), F.lit(".example")
+        ).alias("host"),
+        F.concat(
+            F.lit("/p"),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit("/page"),
+            F.col("doc_id").cast("string"),
+        ).alias("path"),
+    )
+    hosts = d.select((F.col("doc_id") % 40).alias("h")).filter(F.col("h") < 30).distinct()
+    robots = hosts.select(
+        F.concat(F.lit("h"), F.col("h").cast("string"), F.lit(".example")).alias("host"),
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /p"),
+            (F.col("h") % 7).cast("string"),
+            F.lit("\nDisallow:\nDisallow: /q"),
+            (F.col("h") % 5).cast("string"),
+        ).alias("txt"),
+    )
+    return robots_admission(urls, parse_robots_rules(robots, "host", "txt"))
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
@@ -3689,6 +3949,10 @@ _DRIVER_PRIORITY: list[str] = [
     "q80_quality_survival",
     "q81_mp4_demux",
     "q82_gopher_rules",
+    "q83_quality_classifier",
+    "q84_lang_mix_sample",
+    "q85_template_strip",
+    "q86_robots_admission",
 ]
 
 
