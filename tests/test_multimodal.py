@@ -426,3 +426,98 @@ def test_mp4_without_sample_table_skipped_not_fatal(spark):
     media = spark.createDataFrame(rows, "media_id long, payload binary")
     got = demux_samples(media).collect()
     assert [r["media_id"] for r in got] == [1]
+
+
+def test_jpeg_progressive_decode_matches_sequential():
+    """Progressive (SOF2) decode is real now: encode_progressive
+    transports the SAME quantized coefficients as encode_baseline, so
+    the decoded rasters must be byte-identical — across spectral
+    splits, 4:2:0 subsampling, restart-marked DC scans, grayscale, and
+    non-multiple-of-8 dims."""
+    from toyocr_spark.jpegcodec import (
+        decode_baseline,
+        encode_baseline,
+        encode_progressive,
+    )
+
+    w, h = 35, 21
+    smooth = bytes(50 + x * 2 + y + c * 20 for y in range(h) for x in range(w) for c in range(3))
+    for kw in (
+        {},
+        {"spectral_split": 20},
+        {"subsample": True},
+        {"subsample": True, "restart_interval": 2},
+        {"subsample": True, "spectral_split": 6, "restart_interval": 3},
+    ):
+        seq = encode_baseline(smooth, w, h, 3, quality=95, subsample=kw.get("subsample", False))
+        prog = encode_progressive(smooth, w, h, 3, quality=95, **kw)
+        assert decode_baseline(prog) == decode_baseline(seq), kw
+        assert decode_baseline(prog) == decode_baseline(prog)  # deterministic
+
+    g = bytes(40 + x + y for y in range(19) for x in range(26))
+    assert decode_baseline(encode_progressive(g, 26, 19, 1, quality=95)) == decode_baseline(
+        encode_baseline(g, 26, 19, 1, quality=95)
+    )
+
+
+def test_jpeg_progressive_flows_through_decode_media(spark):
+    """A progressive payload now reaches the pixel path: decode_media's
+    body_len is the DECODED raster size, identical to the sequential
+    encoding of the same image."""
+    from toyocr_spark.jpegcodec import encode_baseline, encode_progressive
+
+    w, h = 24, 10
+    rgb = bytes(30 + x * 3 + y * 2 + c * 10 for y in range(h) for x in range(w) for c in range(3))
+    rows = [
+        (1, encode_progressive(rgb, w, h, 3, quality=90, spectral_split=10)),
+        (2, encode_baseline(rgb, w, h, 3, quality=90)),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in decode_media(media).collect()}
+    for mid in (1, 2):
+        assert (got[mid]["width"], got[mid]["height"], got[mid]["channels"]) == (w, h, 3)
+        assert got[mid]["body_len"] == w * h * 3
+
+
+def test_jpeg_progressive_fuzz_deterministic_and_bounded():
+    """Hostile-input guard for the progressive path, mirroring the
+    baseline fuzz test: truncations / bit flips / splices either decode
+    deterministically or reject cleanly, and parse_header always
+    returns (header fallback) for anything still carrying the SOI
+    magic."""
+    import random
+
+    from toyocr_spark.jpegcodec import decode_baseline, encode_progressive
+    from toyocr_spark.multimodal import parse_header
+
+    base = encode_progressive(
+        bytes(40 + x + y for y in range(24) for x in range(32)), 32, 24, 1,
+        quality=90, spectral_split=12, restart_interval=2,
+    )
+    rng = random.Random(13)
+    for trial in range(300):
+        b = bytearray(base)
+        if trial % 3 == 0:
+            b = b[: rng.randrange(2, len(b))]
+        elif trial % 3 == 1:
+            for _ in range(rng.randrange(1, 6)):
+                i = rng.randrange(len(b))
+                b[i] ^= 1 << rng.randrange(8)
+        else:
+            i = rng.randrange(len(b))
+            b = b[:i] + bytes([rng.randrange(256)]) + b[i:]
+        payload = bytes(b)
+
+        def attempt():
+            try:
+                return decode_baseline(payload)
+            except (ValueError, KeyError, IndexError) as e:
+                return ("rejected", type(e).__name__)
+
+        first, second = attempt(), attempt()
+        assert first == second
+        if payload[:2] == b"\xff\xd8" and len(payload) > 4:
+            try:
+                parse_header(payload)
+            except ValueError:
+                pass  # clean dispatch-level rejection is allowed

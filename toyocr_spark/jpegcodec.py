@@ -1,13 +1,16 @@
-"""Pure-stdlib baseline JPEG codec: a real Huffman+IDCT pixel decoder
-(and a minimal encoder used by the fixtures/tests — no PIL/libjpeg in
-this container).
+"""Pure-stdlib JPEG codec: a real Huffman+IDCT pixel decoder (and a
+minimal encoder used by the fixtures/tests — no PIL/libjpeg in this
+container).
 
-Decoder scope (``decode_baseline``): baseline sequential DCT, Huffman
-entropy coding (SOF0/SOF1), 8-bit precision, grayscale or 3-component
-YCbCr with arbitrary h/v sampling factors (4:4:4, 4:2:2, 4:2:0, ...),
-restart intervals, 16-bit DQT entries, 0xFF00 byte stuffing. Raises
-``ValueError`` on progressive (SOF2) / arithmetic / 4-component CMYK
-files — callers fall back to header-only parsing for those.
+Decoder scope (``decode_baseline``): baseline sequential DCT (SOF0/
+SOF1) AND progressive DCT (SOF2 — spectral selection, successive
+approximation, EOB-run coding, per spec Annex G), Huffman entropy
+coding, 8-bit precision, grayscale or 3-component YCbCr with
+arbitrary h/v sampling factors (4:4:4, 4:2:2, 4:2:0, ...), restart
+intervals, 16-bit DQT entries, 0xFF00 byte stuffing. Raises
+``ValueError`` on arithmetic-coded / lossless / hierarchical /
+4-component CMYK files — callers fall back to header-only parsing for
+those.
 
 Everything is deterministic: Huffman decode and dequantization are
 exact integers; the IDCT uses IEEE-double cosine tables evaluated in a
@@ -52,7 +55,8 @@ _COS = [
 ]
 
 _SOF_BASELINE = {0xC0, 0xC1}
-_SOF_UNSUPPORTED = {0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+_SOF_PROGRESSIVE = {0xC2}
+_SOF_UNSUPPORTED = {0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
 
 
 class _Huff:
@@ -176,11 +180,16 @@ def _idct_block(coef: list[int], out: bytearray, ow: int, ox: int, oy: int) -> N
 
 
 def decode_baseline(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a baseline JPEG to (width, height, channels, raster).
-    raster = row-major, interleaved uint8 (RGB for 3 components, gray
-    for 1). Raises ValueError for non-baseline, malformed, or
-    truncated files — never struct.error/KeyError/IndexError (hostile
-    bytes must reject cleanly, not kill a worker task)."""
+    """Decode a baseline-sequential OR progressive JPEG to (width,
+    height, channels, raster). raster = row-major, interleaved uint8
+    (RGB for 3 components, gray for 1). Progressive (SOF2) files are
+    decoded scan-by-scan into a coefficient store (spectral selection,
+    successive approximation, EOB runs) and rendered once at EOI —
+    identical quantized coefficients give a raster byte-identical to
+    the sequential encoding of the same image. Raises ValueError for
+    arithmetic/lossless/hierarchical, malformed, or truncated files —
+    never struct.error/KeyError/IndexError (hostile bytes must reject
+    cleanly, not kill a worker task)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     try:
@@ -197,15 +206,20 @@ def _decode_markers(payload: bytes) -> tuple[int, int, int, bytes]:
     huff_ac: dict[int, _Huff] = {}
     restart_interval = 0
     frame = None  # (w, h, comps) with comps = [(cid, hs, vs, tq)]
+    progressive = False
+    coefs = None  # progressive: per-component zigzag coefficient blocks
+    scans_seen = 0
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
         marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
         if marker in _SOF_UNSUPPORTED or marker in (0xC8, 0xCC):
-            raise ValueError("non-baseline JPEG (progressive/arithmetic)")
+            raise ValueError("non-baseline JPEG (arithmetic/lossless)")
         (seg_len,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         seg = payload[pos + 4 : pos + 2 + seg_len]
         if marker == 0xDB:  # DQT
@@ -232,7 +246,7 @@ def _decode_markers(payload: bytes) -> tuple[int, int, int, bytes]:
                 syms = seg[s + 17 : s + 17 + total]
                 (huff_ac if tc else huff_dc)[th] = _Huff(counts, syms)
                 s += 17 + total
-        elif marker in _SOF_BASELINE:
+        elif marker in _SOF_BASELINE or marker in _SOF_PROGRESSIVE:
             if seg[0] != 8:
                 raise ValueError("JPEG precision != 8 unsupported")
             h, w = struct.unpack(">HH", seg[1:5])
@@ -242,23 +256,46 @@ def _decode_markers(payload: bytes) -> tuple[int, int, int, bytes]:
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
-                comps.append((cid, hv >> 4, hv & 15, tq))
+                hs, vs = hv >> 4, hv & 15
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise ValueError("JPEG sampling factor out of range")
+                comps.append((cid, hs, vs, tq))
             frame = (w, h, comps)
+            progressive = marker in _SOF_PROGRESSIVE
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG scan before frame header")
             ns = seg[0]
-            scan_tabs = {}
+            scan_comps = []  # (component index, dc table, ac table)
+            cids = [c[0] for c in frame[2]]
             for c in range(ns):
                 cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
-                scan_tabs[cs] = (tdta >> 4, tdta & 15)
-            return _decode_scan(
-                payload, pos + 2 + seg_len, frame, qt, huff_dc, huff_ac,
-                scan_tabs, restart_interval,
+                if cs not in cids:
+                    raise ValueError("JPEG scan names unknown component")
+                scan_comps.append((cids.index(cs), tdta >> 4, tdta & 15))
+            if not progressive:
+                scan_tabs = {
+                    cids[ci]: (dt, at) for ci, dt, at in scan_comps
+                }
+                return _decode_scan(
+                    payload, pos + 2 + seg_len, frame, qt, huff_dc,
+                    huff_ac, scan_tabs, restart_interval,
+                )
+            ss, se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            if coefs is None:
+                coefs = _alloc_coefs(frame)
+            pos = _decode_prog_scan(
+                payload, pos + 2 + seg_len, frame, huff_dc, huff_ac,
+                scan_comps, (ss, se, a >> 4, a & 15), restart_interval,
+                coefs,
             )
+            scans_seen += 1
+            continue
         pos += 2 + seg_len
+    if progressive and scans_seen:
+        return _finish_progressive(frame, qt, coefs)
     raise ValueError("JPEG without SOS marker")
 
 
@@ -335,7 +372,14 @@ def _decode_scan(payload, pos, frame, qt, huff_dc, huff_ac, scan_tabs, ri):
                             (mx * hs + bx) * 8, (my * vs + by) * 8,
                         )
             mcu_count += 1
-    # assemble raster: nearest-neighbour chroma upsample + color convert
+    return _assemble_raster(w, h, comps, planes, mcus_x, hmax, vmax)
+
+
+def _assemble_raster(w, h, comps, planes, mcus_x, hmax, vmax):
+    """Component planes -> interleaved raster: nearest-neighbour chroma
+    upsample + libjpeg fixed-point YCbCr->RGB (shared by the baseline
+    and progressive paths — identical coefficients give identical
+    bytes either way)."""
     nc = len(comps)
     if nc == 1:
         pw = mcus_x * comps[0][1] * 8
@@ -373,6 +417,248 @@ def _decode_scan(payload, pos, frame, qt, huff_dc, huff_ac, scan_tabs, ri):
             out[o + 2] = 0 if b < 0 else 255 if b > 255 else b
             o += 3
     return w, h, 3, bytes(out)
+
+
+# -------------------------------------------------- progressive decoding
+# Scan-by-scan coefficient accumulation per spec Annex G: DC scans
+# (interleaved or not) send diffs of coef>>Al then one refinement bit
+# per pass; AC scans are single-component, send a spectral band
+# [Ss..Se] at point transform Al with EOB-run coding, then refinement
+# scans correct one bit per already-nonzero coefficient and place
+# newly-significant +-1<<Al values. Blocks are stored in ZIGZAG
+# (spectral) order; dequant + IDCT happen once at EOI.
+
+
+def _grid_dims(frame):
+    """Per-component block grids: full MCU-aligned (interleaved scans)
+    and the tight ceil(samples/8) sub-grid (non-interleaved scans)."""
+    w, h, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    full = []
+    tight = []
+    for cid, hs, vs, tq in comps:
+        full.append((mcus_x * hs, mcus_y * vs))
+        tight.append((-(-(-(-w * hs // hmax)) // 8), -(-(-(-h * vs // vmax)) // 8)))
+    return hmax, vmax, mcus_x, mcus_y, full, tight
+
+
+def _alloc_coefs(frame):
+    _, _, _, _, full, _ = _grid_dims(frame)
+    return [[[0] * 64 for _ in range(bw * bh)] for bw, bh in full]
+
+
+def _refine_nonzero(block, k, se, reader, p1, m1, r):
+    """Advance from spectral index k emitting nothing: read one
+    correction bit per already-nonzero coefficient, count down ``r``
+    zero-history positions; stop at the (r+1)-th zero-history slot (or
+    past ``se``). Returns the stop index."""
+    while k <= se:
+        c = block[k]
+        if c != 0:
+            b = reader.bit()
+            if b is None:
+                raise ValueError("JPEG entropy data truncated")
+            if b and (c & p1) == 0:
+                block[k] = c + (p1 if c >= 0 else m1)
+        else:
+            if r == 0:
+                break
+            r -= 1
+        k += 1
+    return k
+
+
+def _decode_prog_scan(payload, pos, frame, huff_dc, huff_ac, scan_comps,
+                      band, ri, coefs):
+    """One progressive scan; mutates ``coefs`` and returns the payload
+    offset of the next marker."""
+    ss, se, ah, al = band
+    w, h, comps = frame
+    hmax, vmax, mcus_x, mcus_y, full, tight = _grid_dims(frame)
+    reader = _BitReader(payload, pos)
+    ns = len(scan_comps)
+    if ns > 1 and ss != 0:
+        raise ValueError("JPEG interleaved AC scan is not legal")
+    if ss == 0 and se != 0:
+        raise ValueError("JPEG scan mixes DC and AC bands")
+
+    # unit = one MCU (interleaved) or one block (single-component scan)
+    if ns > 1 or ss == 0 and ns == len(comps):
+        units_x, units_y = mcus_x, mcus_y
+    else:
+        ci0 = scan_comps[0][0]
+        units_x, units_y = tight[ci0]
+
+    preds = [0] * len(comps)
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+    rst_next = 0
+    unit_count = 0
+    atab = None
+    if ss != 0:
+        atab = huff_ac[scan_comps[0][2]]
+
+    def dc_block(ci, dtab, block):
+        nonlocal preds
+        if ah == 0:
+            t = reader.decode(dtab)
+            if t is None:
+                raise ValueError("JPEG entropy data truncated")
+            if t:
+                diff_bits = reader.bits(t)
+                if diff_bits is None:
+                    raise ValueError("JPEG entropy data truncated")
+                preds[ci] += _extend(diff_bits, t)
+            block[0] = preds[ci] << al
+        else:
+            b = reader.bit()
+            if b is None:
+                raise ValueError("JPEG entropy data truncated")
+            if b:
+                block[0] |= p1
+
+    def ac_first(block):
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = reader.decode(atab)
+            if rs is None:
+                raise ValueError("JPEG entropy data truncated")
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1
+                if r:
+                    eb = reader.bits(r)
+                    if eb is None:
+                        raise ValueError("JPEG entropy data truncated")
+                    eobrun += eb
+                return
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC run past band end")
+            vbits = reader.bits(s)
+            if vbits is None:
+                raise ValueError("JPEG entropy data truncated")
+            block[k] = _extend(vbits, s) << al
+            k += 1
+
+    def ac_refine(block):
+        nonlocal eobrun
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = reader.decode(atab)
+                if rs is None:
+                    raise ValueError("JPEG entropy data truncated")
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eb = reader.bits(r)
+                            if eb is None:
+                                raise ValueError("JPEG entropy data truncated")
+                            eobrun += eb
+                        break
+                    val = 0  # ZRL: skip 16 zero-history slots
+                else:
+                    if s != 1:
+                        raise ValueError("JPEG refinement magnitude != 1")
+                    b = reader.bit()
+                    if b is None:
+                        raise ValueError("JPEG entropy data truncated")
+                    val = p1 if b else m1
+                k = _refine_nonzero(block, k, se, reader, p1, m1, r)
+                if s and k <= se:
+                    block[k] = val
+                k += 1
+        if eobrun > 0:
+            _refine_nonzero(block, k, se, reader, p1, m1, 64)
+            eobrun -= 1
+
+    def do_unit(ux, uy):
+        if ss == 0:
+            if ns > 1:
+                for ci, dt, _at in scan_comps:
+                    _cid, hs, vs, _tq = comps[ci]
+                    bw = full[ci][0]
+                    dtab = huff_dc[dt] if ah == 0 else None
+                    for by in range(vs):
+                        for bx in range(hs):
+                            dc_block(
+                                ci, dtab,
+                                coefs[ci][(uy * vs + by) * bw + ux * hs + bx],
+                            )
+            else:
+                ci, dt, _at = scan_comps[0]
+                bw = full[ci][0]
+                dc_block(ci, huff_dc[dt] if ah == 0 else None,
+                         coefs[ci][uy * bw + ux])
+        else:
+            ci = scan_comps[0][0]
+            bw = full[ci][0]
+            block = coefs[ci][uy * bw + ux]
+            if ah == 0:
+                ac_first(block)
+            else:
+                ac_refine(block)
+
+    for uy in range(units_y):
+        for ux in range(units_x):
+            if ri and unit_count and unit_count % ri == 0:
+                reader.align_to_marker()
+                i = reader.i
+                d = reader.d
+                while i + 1 < len(d) and d[i] == 0xFF and d[i + 1] == 0xFF:
+                    i += 1
+                if i + 1 < len(d) and d[i] == 0xFF and d[i + 1] == 0xD0 + rst_next:
+                    reader.i = i + 2
+                    rst_next = (rst_next + 1) & 7
+                    preds = [0] * len(comps)
+                    eobrun = 0
+                else:
+                    raise ValueError("JPEG missing expected restart marker")
+            do_unit(ux, uy)
+            unit_count += 1
+
+    reader.align_to_marker()
+    i = reader.i
+    d = reader.d
+    while i + 1 < len(d) and d[i] == 0xFF and d[i + 1] == 0xFF:
+        i += 1  # fill bytes before the next marker
+    return i
+
+
+def _finish_progressive(frame, qt, coefs):
+    """Dequantize + IDCT the accumulated coefficient store and
+    assemble the raster exactly as the sequential path does."""
+    w, h, comps = frame
+    hmax, vmax, mcus_x, mcus_y, full, _ = _grid_dims(frame)
+    planes = []
+    nat = [0] * 64
+    for ci, (cid, hs, vs, tq) in enumerate(comps):
+        bw, bh = full[ci]
+        pw = bw * 8
+        plane = bytearray(pw * bh * 8)
+        qtab = qt[tq]
+        for by in range(bh):
+            for bx in range(bw):
+                block = coefs[ci][by * bw + bx]
+                for k in range(64):
+                    z = ZIGZAG[k]
+                    nat[z] = block[k] * qtab[z]
+                _idct_block(nat, plane, pw, bx * 8, by * 8)
+        planes.append(plane)
+    return _assemble_raster(w, h, comps, planes, mcus_x, hmax, vmax)
 
 
 # --------------------------------------------------------------- encoder
@@ -455,6 +741,57 @@ def _category(v: int) -> int:
     return a.bit_length()
 
 
+def _quant_table(quality: int) -> list[int]:
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return [max(1, min(255, (q * scale + 50) // 100)) for q in _Q_BASE]
+
+
+def _component_planes(
+    pixels: bytes, width: int, height: int, ncomp: int,
+    sampling: list[tuple[int, int]], hmax: int, vmax: int,
+) -> list[tuple[list[int], int, int]]:
+    """RGB->YCbCr (libjpeg fixed-point) then per-component planes at
+    component resolution (box-filter average over the hmax/hs x
+    vmax/vs pixel group, edge-clamped). Returns (plane, cw, ch) per
+    component. Shared by the sequential and progressive encoders —
+    identical arithmetic, identical planes."""
+    full: list[list[int]] = []
+    if ncomp == 1:
+        full.append(list(pixels))
+    else:
+        yv, cbv, crv = [], [], []
+        for i in range(0, len(pixels), 3):
+            r, g, b = pixels[i], pixels[i + 1], pixels[i + 2]
+            yv.append((19595 * r + 38470 * g + 7471 * b + 32768) >> 16)
+            cbv.append(((-11059 * r - 21709 * g + 32768 * b + 32768) >> 16) + 128)
+            crv.append(((32768 * r - 27439 * g - 5329 * b + 32768) >> 16) + 128)
+        full = [yv, [min(255, max(0, v)) for v in cbv], [min(255, max(0, v)) for v in crv]]
+
+    planes: list[tuple[list[int], int, int]] = []
+    for ci in range(ncomp):
+        hs, vs = sampling[ci]
+        if (hs, vs) == (hmax, vmax):
+            planes.append((full[ci], width, height))
+            continue
+        fx, fy = hmax // hs, vmax // vs
+        cw = -(-width // fx)
+        ch = -(-height // fy)
+        plane = [0] * (cw * ch)
+        src = full[ci]
+        for cy in range(ch):
+            for cx in range(cw):
+                acc = cnt = 0
+                for dy in range(fy):
+                    sy = min(cy * fy + dy, height - 1)
+                    for dx in range(fx):
+                        sx = min(cx * fx + dx, width - 1)
+                        acc += src[sy * width + sx]
+                        cnt += 1
+                plane[cy * cw + cx] = (acc + cnt // 2) // cnt
+        planes.append((plane, cw, ch))
+    return planes
+
+
 def encode_baseline(
     pixels: bytes,
     width: int,
@@ -472,8 +809,7 @@ def encode_baseline(
     subsampling and restart paths with no external codec."""
     if channels not in (1, 3):
         raise ValueError("encode_baseline supports 1 or 3 channels")
-    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
-    qtab = [max(1, min(255, (q * scale + 50) // 100)) for q in _Q_BASE]
+    qtab = _quant_table(quality)
 
     dc_counts, dc_syms, dc_codes = _flat_table(list(range(12)), 5)
     # AC symbols the encoder can emit: EOB, ZRL, and (run, cat) pairs
@@ -512,43 +848,7 @@ def encode_baseline(
     sos += b"\x00\x3f\x00"
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
 
-    # color convert RGB -> YCbCr (libjpeg fixed-point) at full res
-    full: list[list[int]] = []
-    if ncomp == 1:
-        full.append(list(pixels))
-    else:
-        yv, cbv, crv = [], [], []
-        for i in range(0, len(pixels), 3):
-            r, g, b = pixels[i], pixels[i + 1], pixels[i + 2]
-            yv.append((19595 * r + 38470 * g + 7471 * b + 32768) >> 16)
-            cbv.append(((-11059 * r - 21709 * g + 32768 * b + 32768) >> 16) + 128)
-            crv.append(((32768 * r - 27439 * g - 5329 * b + 32768) >> 16) + 128)
-        full = [yv, [min(255, max(0, v)) for v in cbv], [min(255, max(0, v)) for v in crv]]
-
-    # per-component planes at component resolution (box-filter average
-    # over the hmax/hs x vmax/vs pixel group, edge-clamped)
-    planes: list[tuple[list[int], int, int]] = []  # (plane, cw, ch)
-    for ci in range(ncomp):
-        hs, vs = sampling[ci]
-        if (hs, vs) == (hmax, vmax):
-            planes.append((full[ci], width, height))
-            continue
-        fx, fy = hmax // hs, vmax // vs
-        cw = -(-width // fx)
-        ch = -(-height // fy)
-        plane = [0] * (cw * ch)
-        src = full[ci]
-        for cy in range(ch):
-            for cx in range(cw):
-                acc = cnt = 0
-                for dy in range(fy):
-                    sy = min(cy * fy + dy, height - 1)
-                    for dx in range(fx):
-                        sx = min(cx * fx + dx, width - 1)
-                        acc += src[sy * width + sx]
-                        cnt += 1
-                plane[cy * cw + cx] = (acc + cnt // 2) // cnt
-        planes.append((plane, cw, ch))
+    planes = _component_planes(pixels, width, height, ncomp, sampling, hmax, vmax)
 
     bw = _BitWriter()
     preds = [0] * ncomp
@@ -615,5 +915,290 @@ def encode_baseline(
             mcu_count += 1
     bw.flush()
     out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ----------------------------------------------- progressive encoder
+# Fixture-grade progressive (SOF2) encoder exercising every decoder
+# path: an interleaved DC scan at Al=1 (optionally restart-marked),
+# per-component AC first scans at Al=1 (optionally split into two
+# spectral bands) with EOB-run coding, then a DC refinement scan and
+# per-component AC refinement scans down to Al=0. The transported
+# quantized coefficients are identical to encode_baseline's for the
+# same (pixels, quality, subsample), so the decoded raster is
+# byte-identical between the two encodings — the round-trip oracle.
+
+
+def encode_progressive(
+    pixels: bytes,
+    width: int,
+    height: int,
+    channels: int,
+    quality: int = 75,
+    subsample: bool = False,
+    spectral_split: int = 0,
+    restart_interval: int = 0,
+) -> bytes:
+    if channels not in (1, 3):
+        raise ValueError("encode_progressive supports 1 or 3 channels")
+    qtab = _quant_table(quality)
+    ncomp = channels
+    sampling = [(2, 2), (1, 1), (1, 1)] if (subsample and ncomp == 3) else [(1, 1)] * ncomp
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    planes = _component_planes(pixels, width, height, ncomp, sampling, hmax, vmax)
+
+    # full-grid coefficient blocks per component, ZIGZAG order
+    coefs: list[list[list[int]]] = []
+    block = [0] * 64
+    for ci in range(ncomp):
+        hs, vs = sampling[ci]
+        plane, cw, ch = planes[ci]
+        bw_full, bh_full = mcus_x * hs, mcus_y * vs
+        comp_blocks = []
+        for by in range(bh_full):
+            for bx in range(bw_full):
+                px, py = bx * 8, by * 8
+                for yy in range(8):
+                    sy = min(py + yy, ch - 1)
+                    for xx in range(8):
+                        sx = min(px + xx, cw - 1)
+                        block[yy * 8 + xx] = plane[sy * cw + sx]
+                nat = _fdct_quant(block, qtab)
+                comp_blocks.append([nat[ZIGZAG[k]] for k in range(64)])
+        coefs.append(comp_blocks)
+
+    dc_counts, dc_syms, dc_codes = _flat_table(list(range(12)), 5)
+    # all (run, size) symbols incl. EOBn (r<15, s=0) and ZRL — 176 at
+    # one code length (256 > 177 keeps the all-ones code free)
+    ac_symbols = [(r << 4) | s for r in range(16) for s in range(11)]
+    ac_counts, ac_syms, ac_codes = _flat_table(ac_symbols, 8)
+
+    out = bytearray(b"\xff\xd8")
+    zz_q = bytes(qtab[ZIGZAG[k]] for k in range(64))
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz_q
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    for c in range(ncomp):
+        hs, vs = sampling[c]
+        sof += bytes([c + 1, (hs << 4) | vs, 0])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    dht = b"\x00" + bytes(dc_counts) + dc_syms
+    dht += b"\x10" + bytes(ac_counts) + ac_syms
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+
+    def sos_header(comp_ids: list[int], is_dc: bool, ss: int, se: int,
+                   ah: int, al: int) -> bytes:
+        sos = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            sos += bytes([cid, 0x00])  # DC table 0 / AC table 0
+        sos += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    def put_sym(w: _BitWriter, codes, sym: int) -> None:
+        ln, code = codes[sym]
+        w.put(code, ln)
+
+    # ---- scan 1: interleaved DC first pass, Al=1 (restarts optional)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += sos_header(list(range(1, ncomp + 1)), True, 0, 0, 0, 1)
+    w = _BitWriter()
+    preds = [0] * ncomp
+    rst_next = 0
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                w.flush()
+                w.out += bytes([0xFF, 0xD0 + rst_next])
+                rst_next = (rst_next + 1) & 7
+                preds = [0] * ncomp
+            for ci in range(ncomp):
+                hs, vs = sampling[ci]
+                bw_full = mcus_x * hs
+                for by in range(vs):
+                    for bx in range(hs):
+                        c0 = coefs[ci][(my * vs + by) * bw_full + mx * hs + bx][0]
+                        v = c0 >> 1
+                        diff = v - preds[ci]
+                        preds[ci] = v
+                        cat = _category(diff)
+                        put_sym(w, dc_codes, cat)
+                        if cat:
+                            w.put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+            mcu_count += 1
+    w.flush()
+    out += w.out
+    if restart_interval:
+        # disable restarts for the remaining scans (DRI = 0)
+        out += b"\xff\xdd" + struct.pack(">HH", 4, 0)
+
+    # tight (non-interleaved) block grids per component
+    tight = []
+    for ci in range(ncomp):
+        hs, vs = sampling[ci]
+        cs_x = -(-width * hs // hmax)
+        cs_y = -(-height * vs // vmax)
+        tight.append((-(-cs_x // 8), -(-cs_y // 8)))
+
+    def ac_first_scan(ci: int, ss: int, se: int, al: int) -> bytes:
+        w = _BitWriter()
+        eobrun = 0
+        bw_full = mcus_x * sampling[ci][0]
+        bwn, bhn = tight[ci]
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                put_sym(w, ac_codes, r << 4)
+                if r:
+                    w.put(eobrun - (1 << r), r)
+                eobrun = 0
+
+        for by in range(bhn):
+            for bx in range(bwn):
+                blk = coefs[ci][by * bw_full + bx]
+                temps = [0] * 64
+                last = 0
+                for k in range(ss, se + 1):
+                    c = blk[k]
+                    a = -c if c < 0 else c
+                    t = a >> al
+                    if t:
+                        temps[k] = t if c >= 0 else -t
+                        last = k
+                if last == 0:
+                    eobrun += 1
+                    if eobrun == 32767:
+                        flush_eob()
+                    continue
+                flush_eob()
+                r = 0
+                for k in range(ss, last + 1):
+                    t = temps[k]
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15:
+                        put_sym(w, ac_codes, 0xF0)
+                        r -= 16
+                    cat = _category(t)
+                    put_sym(w, ac_codes, (r << 4) | cat)
+                    w.put(t if t >= 0 else t + (1 << cat) - 1, cat)
+                    r = 0
+                if last < se:
+                    eobrun += 1
+                    if eobrun == 32767:
+                        flush_eob()
+        flush_eob()
+        w.flush()
+        return bytes(w.out)
+
+    def ac_refine_scan(ci: int, ss: int, se: int, al: int) -> bytes:
+        w = _BitWriter()
+        eobrun = 0
+        pend: list[int] = []  # correction bits deferred to the EOB-run flush
+        bw_full = mcus_x * sampling[ci][0]
+        bwn, bhn = tight[ci]
+
+        def flush_eob():
+            nonlocal eobrun, pend
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                put_sym(w, ac_codes, r << 4)
+                if r:
+                    w.put(eobrun - (1 << r), r)
+                for b in pend:
+                    w.put(b, 1)
+                eobrun = 0
+                pend = []
+
+        for by in range(bhn):
+            for bx in range(bwn):
+                blk = coefs[ci][by * bw_full + bx]
+                # point-transformed magnitudes; EOB = last newly-
+                # significant index (t == 1; already-significant have
+                # t > 1 since abs >= 2<<Al)
+                temps = [0] * 64
+                eob = 0
+                for k in range(ss, se + 1):
+                    c = blk[k]
+                    a = -c if c < 0 else c
+                    t = a >> al
+                    temps[k] = t
+                    if t == 1:
+                        eob = k
+                r = 0
+                br: list[int] = []  # correction bits in the current run
+                for k in range(ss, se + 1):
+                    t = temps[k]
+                    if t == 0:
+                        r += 1
+                        continue
+                    # ZRLs are emitted at EVERY nonzero position once the
+                    # pending zero run exceeds 15 (but never past the last
+                    # newly-significant coefficient — those runs fold into
+                    # the EOB run), so each symbol's buffered correction
+                    # bits lie inside that symbol's decode walk
+                    while r > 15 and k <= eob:
+                        flush_eob()
+                        put_sym(w, ac_codes, 0xF0)
+                        r -= 16
+                        for b in br:
+                            w.put(b, 1)
+                        br = []
+                    if t > 1:  # already significant: one correction bit
+                        br.append(t & 1)
+                        continue
+                    # newly significant (+-1 at this level)
+                    flush_eob()
+                    put_sym(w, ac_codes, (r << 4) | 1)
+                    w.put(1 if blk[k] >= 0 else 0, 1)
+                    for b in br:
+                        w.put(b, 1)
+                    br = []
+                    r = 0
+                if r > 0 or br:
+                    eobrun += 1
+                    pend.extend(br)
+                    if eobrun == 32767:
+                        flush_eob()
+        flush_eob()
+        w.flush()
+        return bytes(w.out)
+
+    # ---- scans 2..: per-component AC first pass at Al=1
+    for ci in range(ncomp):
+        bands = [(1, 63)]
+        if spectral_split and 1 <= spectral_split < 63:
+            bands = [(1, spectral_split), (spectral_split + 1, 63)]
+        for ss, se in bands:
+            out += sos_header([ci + 1], False, ss, se, 0, 1)
+            out += ac_first_scan(ci, ss, se, 1)
+
+    # ---- DC refinement: one bit per block, interleaved MCU order
+    out += sos_header(list(range(1, ncomp + 1)), True, 0, 0, 1, 0)
+    w = _BitWriter()
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(ncomp):
+                hs, vs = sampling[ci]
+                bw_full = mcus_x * hs
+                for by in range(vs):
+                    for bx in range(hs):
+                        c0 = coefs[ci][(my * vs + by) * bw_full + mx * hs + bx][0]
+                        w.put(c0 & 1, 1)
+    w.flush()
+    out += w.out
+
+    # ---- per-component AC refinement down to Al=0
+    for ci in range(ncomp):
+        out += sos_header([ci + 1], False, 1, 63, 1, 0)
+        out += ac_refine_scan(ci, 1, 63, 0)
+
     out += b"\xff\xd9"
     return bytes(out)

@@ -5,15 +5,16 @@ Arrow-batched UDFs.
 The real codec libraries (PIL/opencv/ffmpeg) are not in this container,
 so the decode stage is layered (clearly marked):
   * live pure-stdlib codecs for PNG (IHDR + inflated IDAT scanlines),
-    baseline JPEG (FULL pixel decode — Huffman + IDCT + chroma
-    upsample + YCbCr->RGB, toyocr_spark.jpegcodec), WAV (fmt/data
-    chunks + PCM body) and MP4 (tkhd dimensions + mdat body, plus a
-    REAL sample-table demux — stsd/stsz/stsc/stco/co64 resolved to
-    exact per-sample byte ranges, demux_samples) — every metadata
-    field the pipeline consumes comes from the real byte layout, and
-    image/audio bodies are genuinely decoded; only progressive-JPEG
-    pixels and CODEC decode of demuxed MP4 samples still need a codec
-    lib, and the seam for both is one function (parse_header);
+    JPEG (FULL pixel decode for baseline-sequential AND progressive
+    SOF2 — Huffman + IDCT + chroma upsample + YCbCr->RGB,
+    toyocr_spark.jpegcodec), WAV (fmt/data chunks + PCM body) and MP4
+    (tkhd dimensions + mdat body, plus a REAL sample-table demux —
+    stsd/stsz/stsc/stco/co64 resolved to exact per-sample byte
+    ranges, demux_samples) — every metadata field the pipeline
+    consumes comes from the real byte layout, and image/audio bodies
+    are genuinely decoded; only CODEC decode of demuxed MP4 samples
+    still needs a codec lib, and the seam is one function
+    (parse_header);
   * a deterministic synthetic container format ("FMED") generated
     JVM-side from the documents table, so the Spark-side plumbing —
     binary schema, batch shape, header parsing, struct output,
@@ -143,15 +144,17 @@ _JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
 def _parse_jpeg(payload: bytes) -> tuple[str, int, int, int, bytes]:
     """JPEG decode, layered like the PNG leg:
 
-    1. Baseline sequential files (the overwhelming majority of a crawl)
-       go through the REAL pure-stdlib pixel decoder
-       (toyocr_spark.jpegcodec: Huffman + dequant + IDCT + chroma
-       upsample + fixed-point YCbCr->RGB) — body is the decoded
-       interleaved raster, deterministic byte-for-byte.
-    2. Non-baseline files (progressive/arithmetic/CMYK) fall back to
-       the header parse: marker walk to SOFn for dimensions, body =
-       the entropy-coded scan after SOS (the remaining documented
-       seam, alongside MP4 sample decode)."""
+    1. Baseline-sequential (SOF0/SOF1) AND progressive (SOF2) files —
+       together the overwhelming majority of a crawl — go through the
+       REAL pure-stdlib pixel decoder (toyocr_spark.jpegcodec:
+       Huffman + dequant + IDCT + chroma upsample + fixed-point
+       YCbCr->RGB; progressive scans accumulate into a coefficient
+       store rendered once at EOI) — body is the decoded interleaved
+       raster, deterministic byte-for-byte.
+    2. Arithmetic/lossless/CMYK files fall back to the header parse:
+       marker walk to SOFn for dimensions, body = the entropy-coded
+       scan after SOS (the remaining documented seam, alongside MP4
+       sample decode)."""
     from toyocr_spark.jpegcodec import decode_baseline
 
     try:
@@ -258,13 +261,13 @@ def _parse_mp4(payload: bytes) -> tuple[str, int, int, int, bytes]:
 
 def parse_header(payload: bytes) -> tuple[str, int, int, int, bytes]:
     """Magic-dispatched decode. Live pure-stdlib codecs: FMED (synthetic
-    container), PNG (IHDR + inflated IDAT), baseline JPEG (full pixel
-    decode via toyocr_spark.jpegcodec), WAV (fmt/data chunks + PCM),
-    MP4 (tkhd/mdat boxes; per-sample demux lives in demux_samples).
-    The remaining (clearly-marked) seam is progressive-JPEG pixels and
-    CODEC decode of demuxed MP4 samples, which need PIL/ffmpeg — those
-    fall back to header + raw body, every metadata field still parsed
-    from the real byte layout."""
+    container), PNG (IHDR + inflated IDAT), JPEG (full pixel decode,
+    baseline + progressive, via toyocr_spark.jpegcodec), WAV (fmt/data
+    chunks + PCM), MP4 (tkhd/mdat boxes; per-sample demux lives in
+    demux_samples). The remaining (clearly-marked) seam is CODEC
+    decode of demuxed MP4 samples, which needs ffmpeg — that falls
+    back to header + raw body, every metadata field still parsed from
+    the real byte layout."""
     if payload[:8] == _PNG_MAGIC:
         return _parse_png(payload)
     if payload[:2] == b"\xff\xd8":

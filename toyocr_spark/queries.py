@@ -3257,12 +3257,14 @@ def q75_ivf_persisted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents WHERE doc_id % 10 = 0
     """,
     "JPEG pixel-decode round trip, driver-checked: deterministic rasters "
-    "rendered per doc_id, encoded as baseline JPEG (pure-stdlib encoder), "
-    "pushed through decode_media's REAL Huffman+IDCT decoder; the oracle "
-    "predicts the decoded dimensions and raster size in closed form, so "
-    "a green row proves the decoded body is true pixels (w*h*c), not "
-    "the entropy-coded scan. Pixel-value fidelity is unit-tested "
-    "(test_multimodal round trips within quantization error)",
+    "rendered per doc_id, encoded as baseline-sequential JPEG for odd "
+    "doc_id/10 and PROGRESSIVE (SOF2, spectral-split AC scans) for even "
+    "— both pushed through decode_media's REAL Huffman+IDCT decoder; "
+    "the oracle predicts the decoded dimensions and raster size in "
+    "closed form, so a green row proves both coding modes decode to "
+    "true pixels (w*h*c), not the entropy-coded scan. Pixel-value "
+    "fidelity and seq==prog raster identity are unit-tested "
+    "(test_multimodal)",
 )
 def q76_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
@@ -3274,7 +3276,7 @@ def q76_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     def encode_batches(it):
         import pyarrow as pa
 
-        from toyocr_spark.jpegcodec import encode_baseline
+        from toyocr_spark.jpegcodec import encode_baseline, encode_progressive
 
         for b in it:
             ids = b.column(0).to_pylist()
@@ -3289,7 +3291,14 @@ def q76_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for x in range(w)
                     for ch in range(c)
                 )
-                payloads.append(encode_baseline(raster, w, h, c, quality=90))
+                if (i // 10) % 2 == 0:
+                    payloads.append(
+                        encode_progressive(
+                            raster, w, h, c, quality=90, spectral_split=int(i % 30)
+                        )
+                    )
+                else:
+                    payloads.append(encode_baseline(raster, w, h, c, quality=90))
             yield pa.RecordBatch.from_arrays(
                 [pa.array(ids, pa.int64()), pa.array(payloads, pa.binary())],
                 names=["media_id", "payload"],
