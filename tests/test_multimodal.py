@@ -521,3 +521,63 @@ def test_jpeg_progressive_fuzz_deterministic_and_bounded():
                 parse_header(payload)
             except ValueError:
                 pass  # clean dispatch-level rejection is allowed
+
+
+# --------------------------------------------------- MJPEG frame decode
+
+
+def test_mjpeg_frames_decode_true_pixels(spark):
+    """decode_video_frames demuxes each MJPEG sample and decodes it to
+    a real raster: dims/length match the synthesis parameters, the
+    raster md5 equals a direct local decode of the same sample bytes,
+    and pixel values track the pre-encode source raster (lossy JPEG,
+    so mean absolute error bounded, not byte equality)."""
+    import hashlib
+
+    from toyocr_spark.jpegcodec import decode_baseline, encode_baseline
+    from toyocr_spark.multimodal import (
+        _mjpeg_raster,
+        _mux_mp4,
+        decode_video_frames,
+    )
+
+    rows = []
+    truth = {}
+    for did in (0, 3, 17, 51):
+        w, h = 8 + did % 17, 8 + did % 13
+        frames = [
+            encode_baseline(_mjpeg_raster(did, f, w, h, 3), w, h, 3, quality=90)
+            for f in range(1 + did % 4)
+        ]
+        rows.append((did, _mux_mp4(did, w, h, frames, fourcc=b"jpeg")))
+        truth[did] = (w, h, frames)
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {(r["media_id"], r["frame_idx"]): r for r in decode_video_frames(media).collect()}
+    assert len(got) == sum(len(f) for _, _, f in truth.values())
+    for did, (w, h, frames) in truth.items():
+        for i, sample in enumerate(frames):
+            r = got[(did, i)]
+            assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
+            assert r["raster_len"] == w * h * 3
+            dw, dh, dc, raster = decode_baseline(sample)
+            assert r["raster_md5"] == hashlib.md5(raster).hexdigest()
+            src = _mjpeg_raster(did, i, w, h, 3)
+            mae = sum(abs(a - b) for a, b in zip(src, raster)) / len(src)
+            assert mae < 12.0, f"doc {did} frame {i}: MAE {mae}"
+
+
+def test_mjpeg_frames_skip_non_mjpeg_codecs(spark):
+    """Non-MJPEG fourccs (rawv here, avc1 in real crawls) are skipped,
+    not decoded or fatal — the codec seam stays explicit."""
+    from toyocr_spark.jpegcodec import encode_baseline
+    from toyocr_spark.multimodal import _mjpeg_raster, _mux_mp4, decode_video_frames
+
+    jpeg_frame = encode_baseline(_mjpeg_raster(1, 0, 8, 8, 3), 8, 8, 3, quality=90)
+    rows = [
+        (1, _mux_mp4(1, 8, 8, [jpeg_frame], fourcc=b"jpeg")),
+        (2, _mux_mp4(2, 8, 8, [jpeg_frame], fourcc=b"rawv")),
+        (3, _mux_mp4(3, 8, 8, [b"not-a-jpeg-sample"], fourcc=b"avc1")),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = decode_video_frames(media).collect()
+    assert [r["media_id"] for r in got] == [1]

@@ -192,6 +192,7 @@ def test_relational_queries_have_no_python_nodes(spark, sf_dir):
         "q40_pdf_extract",       # the extraction kernel, PDF dispatch path
         "q76_jpeg_pixels",       # JPEG encode+decode media kernel (mapInArrow)
         "q81_mp4_demux",         # MP4 mux+demux media kernel (mapInArrow)
+        "q87_mjpeg_frames",      # MJPEG mux+demux+decode kernel (mapInArrow)
     }
     markers = ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas",
                "MapInPandas", "PythonMapInArrow", "MapInArrow")

@@ -285,3 +285,85 @@ def hashed_nb_classifier(
         F.round(F.col("score_num") / F.col("n_toks"), 4).alias("score"),
         (F.col("score_num") > 0).cast("int").alias("label"),
     )
+
+
+def c4_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """C4-style document filter as a per-rule decision table (Raffel et
+    al. 2020 §2.2, doc-level variant): each rule's boolean outcome is
+    its own column for per-rule attrition accounting, mirroring
+    gopher_rules.
+
+    Rules (word-count threshold scaled to the synthetic corpus's
+    10-100-word documents; C4 filters full pages):
+      r_terminal  — document ends in terminal punctuation (. ! ? ")
+      r_no_brace  — no '{' (C4 drops pages with code markers)
+      r_no_lorem  — no 'lorem ipsum' placeholder text
+      r_no_js     — no 'javascript' boilerplate warning
+      r_min_words — n_words >= 30
+    keep = every rule passes.
+
+    Purely per-row Column expressions — no explode, no shuffle, whole
+    plan stays inside one codegen stage (cheaper than gopher_rules's
+    two-level agg; the two tables complement each other the way the
+    published filters do)."""
+    text = F.trim(F.col(text_col))
+    n_words = F.size(F.split(text, " ")).cast("long")
+    r_terminal = F.substring(text, -1, 1).isin(".", "!", "?", '"')
+    r_no_brace = ~text.contains("{")
+    r_no_lorem = ~F.lower(text).contains("lorem ipsum")
+    r_no_js = ~F.lower(text).contains("javascript")
+    r_min_words = n_words >= 30
+    as_int = lambda c: c.cast("int")  # noqa: E731
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_words.alias("n_words"),
+        as_int(r_terminal).alias("r_terminal"),
+        as_int(r_no_brace).alias("r_no_brace"),
+        as_int(r_no_lorem).alias("r_no_lorem"),
+        as_int(r_no_js).alias("r_no_js"),
+        as_int(r_min_words).alias("r_min_words"),
+        as_int(
+            r_terminal & r_no_brace & r_no_lorem & r_no_js & r_min_words
+        ).alias("keep"),
+    )
+
+
+#: PII patterns kept to char-classes + bounded quantifiers so the Java
+#: (Spark) and RE2 (DuckDB) regex engines agree byte-for-byte.
+PII_EMAIL_RE = "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+[a-zA-Z0-9]"
+PII_PHONE_RE = "[+][0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+PII_IPV4_RE = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+
+def pii_redact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII scrubbing pass (the C4/RefinedWeb-style pre-training
+    redaction stage): counts and masks emails, phone numbers, and IPv4
+    addresses with fixed placeholder tokens. Redaction order is
+    email -> phone -> ip so an address inside an email host can never
+    be double-masked; counts are taken on the ORIGINAL text.
+
+    All regexp_extract_all/regexp_replace Column expressions — JVM
+    codegen, zero shuffle, no UDF."""
+    text = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE,
+            "<PHONE>",
+        ),
+        PII_IPV4_RE,
+        "<IP>",
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL_RE), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(text, F.lit(PII_PHONE_RE), 0))
+        .cast("long")
+        .alias("n_phones"),
+        F.size(F.regexp_extract_all(text, F.lit(PII_IPV4_RE), 0))
+        .cast("long")
+        .alias("n_ips"),
+        redacted.alias("redacted"),
+    )

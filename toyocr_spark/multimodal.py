@@ -582,11 +582,19 @@ def demux_samples(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInArrow(batches, SAMPLES_SCHEMA)
 
 
-def _mux_mp4(doc_id: int, width: int, height: int, samples: list[bytes]) -> bytes:
+def _mux_mp4(
+    doc_id: int,
+    width: int,
+    height: int,
+    samples: list[bytes],
+    fourcc: bytes = b"rawv",
+) -> bytes:
     """Deterministic single-track MP4 with a REAL sample table (ftyp +
     moov[trak[tkhd + mdia[minf[stbl[stsd/stts/stsc/stsz/stco]]]]] +
     mdat), samples packed two per chunk. Pure stdlib; byte-identical
-    for identical inputs — the video twin of fixtures/genpdf."""
+    for identical inputs — the video twin of fixtures/genpdf. `fourcc`
+    is the stsd sample-entry coding name (b"jpeg" for Motion-JPEG,
+    whose samples decode_video_frames can fully decode)."""
 
     def box(typ: bytes, body: bytes) -> bytes:
         return struct.pack(">I", 8 + len(body)) + typ + body
@@ -609,7 +617,7 @@ def _mux_mp4(doc_id: int, width: int, height: int, samples: list[bytes]) -> byte
         b"stsd",
         b"\x00" * 4
         + struct.pack(">I", 1)
-        + box(b"rawv", b"\x00" * 8),  # minimal sample entry, fourcc "rawv"
+        + box(fourcc, b"\x00" * 8),  # minimal sample entry
     )
     stts = box(b"stts", b"\x00" * 4 + struct.pack(">III", 1, n, 1))
     per_chunk = 2
@@ -693,6 +701,143 @@ def synth_mp4(documents: DataFrame, n_docs: int = 200) -> DataFrame:
                 payloads.append(
                     _mux_mp4(did, 64 + did % 512, 32 + did % 256, samples)
                 )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), pa.array(payloads, pa.binary())],
+                names=["media_id", "payload"],
+            )
+
+    return (
+        documents.filter(F.col("doc_id") < n_docs)
+        .select("doc_id")
+        .mapInArrow(batches, schema)
+    )
+
+
+VIDEO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("channels", T.IntegerType(), False),
+        T.StructField("raster_len", T.LongType(), False),
+        T.StructField("raster_md5", T.StringType(), False),
+    ]
+)
+
+#: stsd sample-entry fourccs whose samples are complete JPEG images
+#: (Motion-JPEG family). Everything else (avc1/hev1/...) genuinely
+#: needs an external codec library and is skipped by
+#: decode_video_frames — that is the remaining (and only) media seam.
+_MJPEG_FOURCCS = frozenset({"jpeg", "mjpa", "mjpb"})
+
+
+def decode_video_frames(media: DataFrame) -> DataFrame:
+    """(media_id, payload) -> one row per fully DECODED video frame for
+    Motion-JPEG MP4s: the sample table resolves each frame's exact byte
+    range (_parse_mp4_sample_table) and each sample is a standalone
+    JPEG pushed through the real Huffman+IDCT decoder
+    (toyocr_spark.jpegcodec) — true pixels, not entropy-coded bytes.
+    This is the frame-sampling stage of a video ingest pipeline with
+    the codec leg live for the one family a pure-stdlib decoder can
+    serve; non-MJPEG codecs and non-MP4 payloads are skipped (same
+    mixed-table convention as demux_samples / audio_features).
+    Reference decodes media bytes for real in its dataset mapper
+    (data/dataset_mapper.py:151-155); this is the Spark-side,
+    Arrow-batched equivalent for video."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from toyocr_spark.jpegcodec import decode_baseline
+
+    def batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in it:
+            ids = b.column(0).to_pylist()
+            rows = []
+            for mid, p in zip(ids, b.column(1).to_pylist()):
+                if len(p) < 12 or p[4:8] != b"ftyp":
+                    continue
+                try:
+                    codec, spans = _parse_mp4_sample_table(p)
+                except ValueError:
+                    continue
+                if codec not in _MJPEG_FOURCCS:
+                    continue
+                for idx, (off, size) in enumerate(spans):
+                    chunk = p[off : off + size]
+                    if len(chunk) != size:
+                        raise ValueError("sample table points outside the file")
+                    w, h, c, raster = decode_baseline(chunk)
+                    rows.append(
+                        (mid, idx, w, h, c, len(raster),
+                         hashlib.md5(raster).hexdigest())
+                    )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([r[0] for r in rows], pa.int64()),
+                    pa.array([r[1] for r in rows], pa.int32()),
+                    pa.array([r[2] for r in rows], pa.int32()),
+                    pa.array([r[3] for r in rows], pa.int32()),
+                    pa.array([r[4] for r in rows], pa.int32()),
+                    pa.array([r[5] for r in rows], pa.int64()),
+                    pa.array([r[6] for r in rows], pa.string()),
+                ],
+                names=[f.name for f in VIDEO_FRAMES_SCHEMA.fields],
+            )
+
+    return media.select("media_id", "payload").mapInArrow(batches, VIDEO_FRAMES_SCHEMA)
+
+
+def _mjpeg_raster(doc_id: int, frame: int, w: int, h: int, c: int) -> bytes:
+    """Deterministic per-frame raster: a byte gradient keyed on
+    (doc_id, frame, x, y, channel) so every frame of every doc is
+    distinct and reproducible on any engine."""
+    return bytes(
+        (7 + x * 2 + y * 3 + ch * 5 + doc_id + frame * 11) % 236
+        for y in range(h)
+        for x in range(w)
+        for ch in range(c)
+    )
+
+
+def synth_mjpeg(documents: DataFrame, n_docs: int = 120) -> DataFrame:
+    """documents(doc_id, ...) -> (media_id, payload) of real
+    Motion-JPEG MP4s, fully determined by doc_id:
+
+      n_frames = 1 + doc_id % 4
+      frame dims: w = 8 + doc_id % 17, h = 8 + doc_id % 13, RGB
+      frame raster = _mjpeg_raster(doc_id, frame, w, h, 3)
+
+    Each frame is encoded as a standalone baseline JPEG (quality 90)
+    and muxed with a full sample table under stsd fourcc "jpeg", so
+    decoded frame count / dims / raster size are all predictable in
+    closed form by an oracle without parsing MP4 or JPEG."""
+    import pyarrow as pa
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from toyocr_spark.jpegcodec import encode_baseline
+
+        for b in it:
+            ids = b.column(0).to_pylist()
+            payloads = []
+            for did in ids:
+                w = 8 + did % 17
+                h = 8 + did % 13
+                frames = [
+                    encode_baseline(
+                        _mjpeg_raster(did, f, w, h, 3), w, h, 3, quality=90
+                    )
+                    for f in range(1 + did % 4)
+                ]
+                payloads.append(_mux_mp4(did, w, h, frames, fourcc=b"jpeg"))
             yield pa.RecordBatch.from_arrays(
                 [pa.array(ids, pa.int64()), pa.array(payloads, pa.binary())],
                 names=["media_id", "payload"],

@@ -3912,6 +3912,185 @@ def q86_robots_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_admission(urls, parse_robots_rules(robots, "host", "txt"))
 
 
+@_q(
+    "q87_mjpeg_frames",
+    """
+    SELECT doc_id AS media_id,
+           CAST(f.i AS INTEGER) AS frame_idx,
+           CAST(8 + doc_id % 17 AS INTEGER) AS width,
+           CAST(8 + doc_id % 13 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           CAST((8 + doc_id % 17) * (8 + doc_id % 13) * 3 AS BIGINT)
+               AS raster_len
+    FROM documents
+    CROSS JOIN (VALUES (0), (1), (2), (3)) f(i)
+    WHERE doc_id < 120 AND f.i < 1 + doc_id % 4
+    """,
+    "Motion-JPEG video frame decode, driver-checked end-to-end: "
+    "synth_mjpeg renders deterministic per-frame rasters, encodes each "
+    "as a standalone baseline JPEG, and muxes real MP4s (full sample "
+    "table, stsd fourcc 'jpeg'); decode_video_frames re-derives every "
+    "frame's byte range from the sample table and pushes it through "
+    "the REAL Huffman+IDCT decoder — the oracle predicts frame count, "
+    "dimensions, and raster size (w*h*3) in closed form, so a green "
+    "row proves true pixel decode of demuxed video samples, closing "
+    "the MP4-codec seam for the one family a pure-stdlib decoder can "
+    "serve (avc1/hev1 still need ffmpeg). Pixel fidelity vs the "
+    "source raster is unit-tested (test_multimodal). Reference "
+    "analogue: byte->array decode at the head of the per-record map "
+    "(data/dataset_mapper.py:151-155)",
+)
+def q87_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toyocr_spark.multimodal import decode_video_frames, synth_mjpeg
+
+    media = synth_mjpeg(_t(spark, sf_dir, "documents"), n_docs=120)
+    return decode_video_frames(media).select(
+        "media_id", "frame_idx", "width", "height", "channels", "raster_len"
+    )
+
+
+@_q(
+    "q88_c4_rules",
+    """
+    WITH pages AS (
+      SELECT doc_id AS id,
+             trim(text)
+             || CASE WHEN doc_id % 7 = 0 THEN ' {x}' ELSE '' END
+             || CASE WHEN doc_id % 11 = 0 THEN ' lorem ipsum' ELSE '' END
+             || CASE WHEN doc_id % 13 = 0 THEN ' javascript required' ELSE '' END
+             || CASE WHEN doc_id % 3 = 0 THEN '.' ELSE '' END AS page
+      FROM documents
+    )
+    SELECT id,
+           CAST(len(string_split(trim(page), ' ')) AS BIGINT) AS n_words,
+           CAST(CASE WHEN right(page, 1) IN ('.', '!', '?', '"')
+                THEN 1 ELSE 0 END AS INTEGER) AS r_terminal,
+           CAST(CASE WHEN contains(page, '{') THEN 0 ELSE 1 END AS INTEGER)
+               AS r_no_brace,
+           CAST(CASE WHEN contains(lower(page), 'lorem ipsum')
+                THEN 0 ELSE 1 END AS INTEGER) AS r_no_lorem,
+           CAST(CASE WHEN contains(lower(page), 'javascript')
+                THEN 0 ELSE 1 END AS INTEGER) AS r_no_js,
+           CAST(CASE WHEN len(string_split(trim(page), ' ')) >= 30
+                THEN 1 ELSE 0 END AS INTEGER) AS r_min_words,
+           CAST(CASE WHEN right(page, 1) IN ('.', '!', '?', '"')
+                      AND NOT contains(page, '{')
+                      AND NOT contains(lower(page), 'lorem ipsum')
+                      AND NOT contains(lower(page), 'javascript')
+                      AND len(string_split(trim(page), ' ')) >= 30
+                THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM pages
+    """,
+    "C4 document filter as a per-rule decision table (Raffel et al. "
+    "2020 §2.2 doc-level variant: terminal punctuation, code-brace / "
+    "lorem-ipsum / javascript markers, word-count floor). The fixture "
+    "page deterministically augments each doc (brace for doc_id%7, "
+    "lorem for %11, javascript for %13, terminal '.' for %3) so every "
+    "rule's split is non-degenerate and closed-form predictable. "
+    "Unlike q82's two-level agg, this is purely per-row Column "
+    "expressions — zero shuffle, one codegen stage; the two tables "
+    "complement each other the way the published filters do. "
+    "textfns.c4_rules",
+)
+def q88_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toyocr_spark.functions.textfns import c4_rules
+
+    d = _t(spark, sf_dir, "documents")
+    blank = F.lit("")
+    page = F.concat(
+        F.trim(F.col("text")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" {x}")).otherwise(blank),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" lorem ipsum")).otherwise(blank),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(" javascript required")).otherwise(blank),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(".")).otherwise(blank),
+    )
+    return c4_rules(d.select("doc_id", page.alias("page")), "doc_id", "page")
+
+
+@_q(
+    "q89_pii_redaction",
+    """
+    WITH pages AS (
+      SELECT doc_id AS id,
+             trim(text)
+             || CASE WHEN doc_id % 2 = 0 THEN ' contact u'
+                  || CAST(doc_id AS VARCHAR) || '@ex'
+                  || CAST(doc_id % 10 AS VARCHAR) || '.org' ELSE '' END
+             || CASE WHEN doc_id % 3 = 0 THEN ' call +1-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+             || CASE WHEN doc_id % 5 = 0 THEN ' from 10.'
+                  || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+                  || CAST(doc_id % 100 AS VARCHAR) ELSE '' END AS page
+      FROM documents
+    )
+    SELECT id,
+           CAST(len(regexp_extract_all(page,
+                '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+[a-zA-Z0-9]')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(page,
+                '[+][0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(page,
+                '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}')) AS BIGINT)
+               AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(page,
+                '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+[a-zA-Z0-9]', '<EMAIL>', 'g'),
+                '[+][0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+                '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}', '<IP>', 'g'))
+               AS redacted_md5
+    FROM pages
+    """,
+    "PII scrubbing pass (the C4/RefinedWeb pre-training redaction "
+    "stage): count and mask emails, phone numbers, and IPv4 addresses "
+    "with placeholder tokens, patterns restricted to char-classes + "
+    "bounded quantifiers so the Java (Spark) and RE2 (DuckDB) engines "
+    "agree byte-for-byte; the md5 of the redacted page proves the "
+    "masking itself is identical, not just the counts. The fixture "
+    "injects deterministic PII (email for doc_id%2, phone for %3, IP "
+    "for %5) so every counter's split is non-degenerate. All "
+    "regexp Column expressions — JVM codegen, zero shuffle, no UDF. "
+    "textfns.pii_redact",
+)
+def q89_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toyocr_spark.functions.textfns import pii_redact
+
+    d = _t(spark, sf_dir, "documents")
+    blank = F.lit("")
+    page = F.concat(
+        F.trim(F.col("text")),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit(" contact u"),
+                F.col("doc_id").cast("string"),
+                F.lit("@ex"),
+                (F.col("doc_id") % 10).cast("string"),
+                F.lit(".org"),
+            ),
+        ).otherwise(blank),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" call +1-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(blank),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit(".0."),
+                (F.col("doc_id") % 100).cast("string"),
+            ),
+        ).otherwise(blank),
+    )
+    out = pii_redact(d.select("doc_id", page.alias("page")), "doc_id", "page")
+    return out.select(
+        "id", "n_emails", "n_phones", "n_ips",
+        F.md5(F.col("redacted")).alias("redacted_md5"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
@@ -3962,6 +4141,9 @@ _DRIVER_PRIORITY: list[str] = [
     "q84_lang_mix_sample",
     "q85_template_strip",
     "q86_robots_admission",
+    "q87_mjpeg_frames",
+    "q88_c4_rules",
+    "q89_pii_redaction",
 ]
 
 
