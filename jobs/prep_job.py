@@ -48,6 +48,20 @@ def main(argv: list[str] | None = None) -> int:
         "dropped before any content work",
     )
     ap.add_argument(
+        "--c4-rules",
+        action="store_true",
+        help="apply the C4 per-rule decision table (terminal "
+        "punctuation, code/lorem/javascript markers, word-count floor) "
+        "after the surface-quality filter",
+    )
+    ap.add_argument(
+        "--pii-redact",
+        action="store_true",
+        help="mask emails / phone numbers / IPv4 addresses in the "
+        "surviving text with placeholder tokens before token "
+        "accounting (redaction mutates text, never drops rows)",
+    )
+    ap.add_argument(
         "--decontam-benchmark",
         help="parquet with (doc_id, text): drop docs whose 8-gram "
         "overlap fraction with this benchmark exceeds --decontam-max",
@@ -135,6 +149,20 @@ def main(argv: list[str] | None = None) -> int:
     ).filter(F.col("q_keep") == 1)
     q = q.localCheckpoint()  # funnel stages reuse it; truncate lineage
     funnel["after_quality"] = q.count()
+
+    # 1.5 C4 rule table: the published-filter complement to the
+    #     surface-quality stage — per-row Column expressions only, so
+    #     this adds zero shuffles to the funnel
+    if args.c4_rules:
+        from toyocr_spark.functions.textfns import c4_rules
+
+        c4_keep = c4_rules(q.select("doc_id", "text"), "doc_id", "text").filter(
+            F.col("keep") == 1
+        )
+        q = q.join(
+            c4_keep.select(F.col("id").alias("doc_id")), "doc_id", "left_semi"
+        )
+        funnel["after_c4"] = q.count()
 
     # 2. language ID (n-gram marker heuristic)
     lang = lang_id_scores(q.select("doc_id", "text"), "text").select(
@@ -225,6 +253,22 @@ def main(argv: list[str] | None = None) -> int:
         ).select(F.col("id").alias("doc_id"))
         final = final.join(picked, "doc_id", "left_semi")
         funnel["after_dsir"] = final.count()
+
+    # 4.95 PII redaction: mask emails/phones/IPs in the survivors'
+    #      text BEFORE token accounting (placeholders count as tokens
+    #      the way they will at training time); transform-only — the
+    #      funnel records how many docs were touched, none are dropped
+    if args.pii_redact:
+        from toyocr_spark.functions.textfns import pii_redact
+
+        red = pii_redact(final.select("doc_id", "text"), "doc_id", "text")
+        funnel["pii_docs_redacted"] = red.filter(
+            (F.col("n_emails") + F.col("n_phones") + F.col("n_ips")) > 0
+        ).count()
+        final = final.drop("text").join(
+            red.select(F.col("id").alias("doc_id"), F.col("redacted").alias("text")),
+            "doc_id",
+        )
 
     # 5. token accounting + write
     out = (

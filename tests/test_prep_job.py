@@ -137,3 +137,43 @@ def test_prep_semdedup_stage(tmp_path, sf_dir):
         assert 0 < funnel["after_semdedup"] <= funnel["after_near_dedup"]
         counts.append(funnel["after_semdedup"])
     assert counts[0] == counts[1]
+
+
+@pytest.mark.slow
+def test_prep_c4_and_pii_stages(tmp_path, pages_dir):
+    """--c4-rules filters after the surface-quality stage (extracted
+    fixture articles end in sentence punctuation, so the split is the
+    word-count floor, not total attrition); --pii-redact masks
+    injected PII in the surviving text without dropping rows."""
+    import duckdb
+
+    out_dir = str(tmp_path / "prep_c4")
+    funnel = _run(
+        "--pages", pages_dir, "--output", out_dir,
+        "--min-punct", "1", "--c4-rules",
+    )
+    assert 0 < funnel["after_c4"] <= funnel["after_quality"]
+
+    # PII stage: documents mode over a crafted corpus with known PII
+    docs_dir = str(tmp_path / "docs_pii")
+    # per-doc vocabulary is disjoint (wordN-K tokens) so the near-dup
+    # stage cannot collapse the fixture; half the docs carry an email
+    duckdb.sql(
+        "COPY (SELECT CAST(i AS BIGINT) AS doc_id, "
+        "concat(repeat(concat('word', i, '-', i * 7 + 3, ' '), 25), "
+        "'tail', CASE WHEN i % 2 = 0 THEN concat(' mail u', i, '@ex.org') "
+        "ELSE '' END) AS text FROM range(20) t(i)) "
+        f"TO '{docs_dir}' (FORMAT PARQUET, PER_THREAD_OUTPUT FALSE)"
+    )
+    out2 = str(tmp_path / "prep_pii")
+    funnel2 = _run(
+        "--documents", docs_dir, "--output", out2,
+        "--min-punct", "0", "--pii-redact",
+    )
+    assert funnel2["pii_docs_redacted"] == 10
+    n, masked, leaked = duckdb.sql(
+        f"SELECT count(*), sum(CASE WHEN contains(text, '<EMAIL>') THEN 1 ELSE 0 END), "
+        f"sum(CASE WHEN contains(text, '@') THEN 1 ELSE 0 END) FROM '{out2}/*.parquet'"
+    ).fetchone()
+    assert n == funnel2["after_near_dedup"] == 20  # transform-only, no drops
+    assert masked == 10 and leaked == 0
