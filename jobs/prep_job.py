@@ -48,6 +48,19 @@ def main(argv: list[str] | None = None) -> int:
         "dropped before any content work",
     )
     ap.add_argument(
+        "--partition-by",
+        help="comma-separated output partition columns (e.g. "
+        "lang_pred): Hive-partitioned corpus layout with a bounded "
+        "file count per directory",
+    )
+    ap.add_argument(
+        "--files-per-partition",
+        type=int,
+        default=1,
+        help="max parquet files per partition directory (file-count "
+        "control at cluster width)",
+    )
+    ap.add_argument(
         "--c4-rules",
         action="store_true",
         help="apply the C4 per-rule decision table (terminal "
@@ -275,7 +288,17 @@ def main(argv: list[str] | None = None) -> int:
         final.join(lang, "doc_id")
         .withColumn("n_tokens", token_count(F.col("text")))
     )
-    out.write.mode("overwrite").parquet(args.output)
+    if args.partition_by:
+        from toyocr_spark.plans.partitioning import write_partitioned_corpus
+
+        write_partitioned_corpus(
+            out,
+            args.output,
+            [c.strip() for c in args.partition_by.split(",") if c.strip()],
+            files_per_partition=args.files_per_partition,
+        )
+    else:
+        out.write.mode("overwrite").parquet(args.output)
     funnel["tokens_total"] = int(
         out.agg(F.sum("n_tokens")).collect()[0][0] or 0
     )

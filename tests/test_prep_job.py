@@ -177,3 +177,29 @@ def test_prep_c4_and_pii_stages(tmp_path, pages_dir):
     ).fetchone()
     assert n == funnel2["after_near_dedup"] == 20  # transform-only, no drops
     assert masked == 10 and leaked == 0
+
+
+@pytest.mark.slow
+def test_prep_partitioned_output(tmp_path, sf_dir):
+    """--partition-by writes a Hive-partitioned corpus with a bounded
+    file count: every row lands under its lang_pred=... directory, no
+    directory exceeds --files-per-partition parquet files, and the
+    total row count matches the unpartitioned funnel."""
+    import glob
+
+    import duckdb
+
+    out_dir = str(tmp_path / "prep_part")
+    funnel = _run(
+        "--documents", f"{sf_dir}/documents.parquet",
+        "--output", out_dir, "--min-punct", "0",
+        "--partition-by", "lang_pred", "--files-per-partition", "2",
+    )
+    dirs = sorted(glob.glob(f"{out_dir}/lang_pred=*"))
+    assert len(dirs) >= 2  # the synthetic corpus is multilingual
+    for d in dirs:
+        assert len(glob.glob(f"{d}/*.parquet")) <= 2
+    n = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{out_dir}/lang_pred=*/*.parquet')"
+    ).fetchone()[0]
+    assert n == funnel["after_near_dedup"]

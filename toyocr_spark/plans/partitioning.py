@@ -91,3 +91,32 @@ def salted_repartition(
     out = out.withColumn("_salt", salt)
     out = out.repartition(num_partitions, F.col("host"), F.col("_salt"), F.xxhash64(F.col(url_col)))
     return out.drop("_salt", "host")
+
+
+def write_partitioned_corpus(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    files_per_partition: int = 1,
+    id_col: str = "doc_id",
+) -> None:
+    """Hive-partitioned corpus sink with a bounded file count — the
+    standard output shape for a curated training corpus (one directory
+    per language / quality bucket, readable with partition pruning).
+
+    The naive ``df.write.partitionBy(cols)`` writes up to
+    tasks x |values| files: every shuffle task that holds at least one
+    row of a value opens a file in that value's directory — at crawl
+    scale that is millions of KB-sized files and a dead object store.
+    The scale shape repartitions on (partition_cols, salt) FIRST, so
+    each (value, salt) slice lands wholly in one task and each
+    partition directory gets at most ``files_per_partition`` files,
+    regardless of cluster width. One extra shuffle, bounded output."""
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_partition))
+    cols = [F.col(c) for c in partition_cols]
+    (
+        df.repartition(*cols, salt)
+        .write.partitionBy(*partition_cols)
+        .mode("overwrite")
+        .parquet(path)
+    )
