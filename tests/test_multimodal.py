@@ -581,3 +581,48 @@ def test_mjpeg_frames_skip_non_mjpeg_codecs(spark):
     media = spark.createDataFrame(rows, "media_id long, payload binary")
     got = decode_video_frames(media).collect()
     assert [r["media_id"] for r in got] == [1]
+
+
+def test_mp4_pcm_audio_matches_wav_features(spark):
+    """The same int16 PCM stream carried as a WAV file and as a
+    sowt-MP4 (split across sample-table chunks) must yield identical
+    ZCR/peak/RMS — demux order and signal arithmetic agree."""
+    import struct
+
+    from toyocr_spark.multimodal import (
+        _mux_mp4,
+        audio_features,
+        mp4_audio_features,
+    )
+
+    vals = [((m * 13 + j * 7) % 4001) - 2000 for m in (5,) for j in range(96)]
+    pcm = b"".join(struct.pack("<h", v) for v in vals)
+
+    def wav(body: bytes) -> bytes:
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        chunks += b"data" + struct.pack("<I", len(body)) + body
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    wav_media = spark.createDataFrame([(1, wav(pcm))], "media_id long, payload binary")
+    mp4_media = spark.createDataFrame(
+        [(1, _mux_mp4(1, 0, 0, [pcm[:64], pcm[64:128], pcm[128:]], fourcc=b"sowt"))],
+        "media_id long, payload binary",
+    )
+    a = audio_features(wav_media).collect()[0]
+    b = mp4_audio_features(mp4_media).collect()[0]
+    for f in ("n_samples", "zero_crossings", "peak", "rms"):
+        assert a[f] == b[f], f
+
+
+def test_mp4_audio_skips_non_pcm_codecs(spark):
+    from toyocr_spark.multimodal import _mux_mp4, mp4_audio_features
+
+    rows = [
+        (1, _mux_mp4(1, 0, 0, [b"\x01\x00\x02\x00"], fourcc=b"sowt")),
+        (2, _mux_mp4(2, 0, 0, [b"\x01\x00\x02\x00"], fourcc=b"mp4a")),
+        (3, b"not mp4 at all"),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = mp4_audio_features(media).collect()
+    assert [r["media_id"] for r in got] == [1]

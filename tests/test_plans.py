@@ -193,6 +193,7 @@ def test_relational_queries_have_no_python_nodes(spark, sf_dir):
         "q76_jpeg_pixels",       # JPEG encode+decode media kernel (mapInArrow)
         "q81_mp4_demux",         # MP4 mux+demux media kernel (mapInArrow)
         "q87_mjpeg_frames",      # MJPEG mux+demux+decode kernel (mapInArrow)
+        "q90_mp4_audio",         # PCM-in-MP4 demux+features kernel (mapInArrow)
     }
     markers = ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas",
                "MapInPandas", "PythonMapInArrow", "MapInArrow")

@@ -388,6 +388,35 @@ AUDIO_SCHEMA = T.StructType(
 )
 
 
+def _pcm_features(body: bytes, big_endian: bool) -> tuple[int, int, int, float]:
+    """(n_samples, zero_crossings, abs peak, rms) over an int16 PCM
+    byte stream. Integer accumulation (sum of squares over int16 fits
+    int64 up to ~2^31 samples per file), one float at the end —
+    deterministic across batch boundaries and engines."""
+    import array as _array
+
+    pcm = _array.array("h")
+    pcm.frombytes(body[: len(body) - (len(body) % 2)])
+    if (sys.byteorder == "big") != big_endian:
+        pcm.byteswap()
+    n = len(pcm)
+    zc = 0
+    peak = 0
+    sq = 0
+    prev_sign = None
+    for s in pcm:
+        a = -s if s < 0 else s
+        if a > peak:
+            peak = a
+        sq += s * s
+        sign = s >= 0
+        if prev_sign is not None and sign != prev_sign:
+            zc += 1
+        prev_sign = sign
+    rms = round((sq / n) ** 0.5, 6) if n else 0.0
+    return n, zc, peak, rms
+
+
 def audio_features(media: DataFrame, frame_samples: int = 256) -> DataFrame:
     """Signal features over DECODED audio bodies (the WAV leg is a live
     codec: _parse_wav hands back genuine PCM): samples as little-endian
@@ -402,8 +431,6 @@ def audio_features(media: DataFrame, frame_samples: int = 256) -> DataFrame:
     ~2^31 samples per file), one float at the end — deterministic
     across batch boundaries and engines.
     """
-    import array as _array
-
     import pyarrow as pa
 
     def batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -414,25 +441,7 @@ def audio_features(media: DataFrame, frame_samples: int = 256) -> DataFrame:
                 kind, _, _, _, body = parse_header(p)
                 if kind != "audio":
                     continue
-                pcm = _array.array("h")
-                pcm.frombytes(body[: len(body) - (len(body) % 2)])
-                if sys.byteorder == "big":  # WAV PCM is little-endian
-                    pcm.byteswap()
-                n = len(pcm)
-                zc = 0
-                peak = 0
-                sq = 0
-                prev_sign = None
-                for s in pcm:
-                    a = -s if s < 0 else s
-                    if a > peak:
-                        peak = a
-                    sq += s * s
-                    sign = s >= 0
-                    if prev_sign is not None and sign != prev_sign:
-                        zc += 1
-                    prev_sign = sign
-                rms = round((sq / n) ** 0.5, 6) if n else 0.0
+                n, zc, peak, rms = _pcm_features(body, big_endian=False)
                 out_rows.append(
                     (mid, n, -(-n // frame_samples) if n else 0, zc, peak, rms)
                 )
@@ -838,6 +847,103 @@ def synth_mjpeg(documents: DataFrame, n_docs: int = 120) -> DataFrame:
                     for f in range(1 + did % 4)
                 ]
                 payloads.append(_mux_mp4(did, w, h, frames, fourcc=b"jpeg"))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), pa.array(payloads, pa.binary())],
+                names=["media_id", "payload"],
+            )
+
+    return (
+        documents.filter(F.col("doc_id") < n_docs)
+        .select("doc_id")
+        .mapInArrow(batches, schema)
+    )
+
+
+#: stsd fourccs carrying uncompressed int16 PCM: 'sowt' little-endian,
+#: 'twos' big-endian (QuickTime audio sample entries).
+_PCM_FOURCCS = {"sowt": False, "twos": True}
+
+
+def mp4_audio_features(media: DataFrame, frame_samples: int = 256) -> DataFrame:
+    """audio_features for PCM-in-MP4: the sample table resolves each
+    audio chunk's exact byte range (_parse_mp4_sample_table), samples
+    concatenate in table order into the int16 stream ('sowt' LE /
+    'twos' BE), and the same integer-exact ZCR/peak/RMS pass runs over
+    it. With decode_video_frames this closes the MP4 codec seam for
+    both uncompressed-family tracks; compressed codecs (aac/avc1)
+    remain the documented library-bound seam. Non-MP4 payloads and
+    non-PCM codecs are skipped (mixed-table convention)."""
+    import pyarrow as pa
+
+    def batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in it:
+            ids = b.column(0).to_pylist()
+            out_rows = []
+            for mid, p in zip(ids, b.column(1).to_pylist()):
+                if len(p) < 12 or p[4:8] != b"ftyp":
+                    continue
+                try:
+                    codec, spans = _parse_mp4_sample_table(p)
+                except ValueError:
+                    continue
+                if codec not in _PCM_FOURCCS:
+                    continue
+                body = b"".join(p[off : off + size] for off, size in spans)
+                n, zc, peak, rms = _pcm_features(body, big_endian=_PCM_FOURCCS[codec])
+                out_rows.append(
+                    (mid, n, -(-n // frame_samples) if n else 0, zc, peak, rms)
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([r[0] for r in out_rows], pa.int64()),
+                    pa.array([r[1] for r in out_rows], pa.int64()),
+                    pa.array([r[2] for r in out_rows], pa.int32()),
+                    pa.array([r[3] for r in out_rows], pa.int64()),
+                    pa.array([r[4] for r in out_rows], pa.int32()),
+                    pa.array([r[5] for r in out_rows], pa.float64()),
+                ],
+                names=[f.name for f in AUDIO_SCHEMA.fields],
+            )
+
+    return media.select("media_id", "payload").mapInArrow(batches, AUDIO_SCHEMA)
+
+
+def synth_pcm_mp4(documents: DataFrame, n_docs: int = 150) -> DataFrame:
+    """documents(doc_id, ...) -> (media_id, payload) of MP4s whose
+    track is uncompressed int16 PCM under stsd fourcc "sowt", fully
+    determined by doc_id:
+
+      n MP4 samples = 1 + doc_id % 4, each carrying 32 PCM values
+      PCM value j (global, concatenated order) =
+          ((doc_id * 13 + j * 7) % 4001) - 2000
+
+    so an oracle can regenerate the exact PCM stream with
+    generate_series and aggregate ZCR/peak/RMS in closed form."""
+    import pyarrow as pa
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in it:
+            ids = b.column(0).to_pylist()
+            payloads = []
+            for did in ids:
+                n_boxes = 1 + did % 4
+                samples = []
+                for box_i in range(n_boxes):
+                    vals = [
+                        ((did * 13 + (box_i * 32 + k) * 7) % 4001) - 2000
+                        for k in range(32)
+                    ]
+                    samples.append(
+                        b"".join(struct.pack("<h", v) for v in vals)
+                    )
+                payloads.append(_mux_mp4(did, 0, 0, samples, fourcc=b"sowt"))
             yield pa.RecordBatch.from_arrays(
                 [pa.array(ids, pa.int64()), pa.array(payloads, pa.binary())],
                 names=["media_id", "payload"],

@@ -4091,6 +4091,54 @@ def q89_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q90_mp4_audio",
+    """
+    WITH pcm AS (
+      SELECT doc_id,
+             u.j AS j,
+             ((doc_id * 13 + u.j * 7) % 4001) - 2000 AS v
+      FROM documents,
+           unnest(generate_series(0, 32 * (1 + doc_id % 4) - 1)) AS u(j)
+      WHERE doc_id < 150
+    ),
+    lagged AS (
+      SELECT doc_id, j, v,
+             lag(v) OVER (PARTITION BY doc_id ORDER BY j) AS pv
+      FROM pcm
+    )
+    SELECT doc_id AS media_id,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(CASE WHEN pv IS NOT NULL
+                          AND (v >= 0) <> (pv >= 0) THEN 1 ELSE 0 END)
+                AS BIGINT) AS zero_crossings,
+           CAST(max(abs(v)) AS INTEGER) AS peak,
+           round(sqrt(sum(CAST(v * v AS BIGINT)) * 1.0 / count(*)), 6) AS rms
+    FROM lagged
+    GROUP BY doc_id
+    """,
+    "PCM-in-MP4 audio features, driver-checked end-to-end: "
+    "synth_pcm_mp4 muxes deterministic int16 PCM under stsd fourcc "
+    "'sowt' (32 values per MP4 sample, 1-4 samples per doc); "
+    "mp4_audio_features demuxes the sample table, concatenates the "
+    "stream in table order, and runs the same integer-exact "
+    "ZCR/peak/RMS pass as the WAV leg. The oracle regenerates the "
+    "exact PCM with generate_series and aggregates the features in "
+    "SQL, so a green row proves demux order AND signal arithmetic "
+    "bit-for-bit. With q87's MJPEG frames this closes the MP4 codec "
+    "seam for both uncompressed track families; compressed codecs "
+    "(aac/avc1) remain the library-bound seam. multimodal."
+    "mp4_audio_features",
+)
+def q90_mp4_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toyocr_spark.multimodal import mp4_audio_features, synth_pcm_mp4
+
+    media = synth_pcm_mp4(_t(spark, sf_dir, "documents"), n_docs=150)
+    return mp4_audio_features(media).select(
+        "media_id", "n_samples", "zero_crossings", "peak", "rms"
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
@@ -4144,6 +4192,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q87_mjpeg_frames",
     "q88_c4_rules",
     "q89_pii_redaction",
+    "q90_mp4_audio",
 ]
 
 
