@@ -12,9 +12,12 @@ so the decode stage is layered (clearly marked):
     stsd/stsz/stsc/stco/co64 resolved to exact per-sample byte
     ranges, demux_samples) — every metadata field the pipeline
     consumes comes from the real byte layout, and image/audio bodies
-    are genuinely decoded; only CODEC decode of demuxed MP4 samples
-    still needs a codec lib, and the seam is one function
-    (parse_header);
+    are genuinely decoded. Demuxed MP4 samples decode for real too
+    when the track is an uncompressed family: Motion-JPEG frames
+    (decode_video_frames -> jpegcodec) and int16 PCM audio
+    (mp4_audio_features, sowt/twos); only COMPRESSED sample codecs
+    (aac/avc1/hev1) still need a codec lib, and the seam is one
+    function per stage (parse_header / the fourcc gates);
   * a deterministic synthetic container format ("FMED") generated
     JVM-side from the documents table, so the Spark-side plumbing —
     binary schema, batch shape, header parsing, struct output,
