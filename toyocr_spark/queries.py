@@ -4139,6 +4139,136 @@ def q90_mp4_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q91_anchor_text",
+    """
+    WITH pages AS (
+      SELECT doc_id,
+             '<p>pre</p><a href="https://t-' || CAST(doc_id % 5 AS VARCHAR)
+             || '.example/">' || (['click','here','download','best','news'])[1 + doc_id % 3]
+             || '</a><a href="https://t-' || CAST(doc_id % 7 AS VARCHAR)
+             || '.example/">' || (['click','here','download','best','news'])[1 + (doc_id + 1) % 4]
+             || '</a>' AS html
+      FROM documents
+    ),
+    elems AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(html, '<a href="[^"]+">[^<]*</a>')) AS elem
+      FROM pages
+    ),
+    links AS (
+      SELECT regexp_extract(elem, 'href="([^"]+)"', 1) AS target,
+             regexp_extract(elem, '>([^<]*)<', 1) AS anchor
+      FROM elems
+    ),
+    per_anchor AS (
+      SELECT target, anchor, CAST(count(*) AS BIGINT) AS cnt
+      FROM links GROUP BY target, anchor
+    )
+    SELECT target,
+           CAST(sum(cnt) AS BIGINT) AS n_inlinks,
+           CAST(count(*) AS BIGINT) AS n_distinct_anchors,
+           max(struct_pack(cnt := cnt, anchor := anchor)).anchor AS top_anchor,
+           CAST(max(struct_pack(cnt := cnt, anchor := anchor)).cnt AS BIGINT)
+             AS top_anchor_cnt
+    FROM per_anchor
+    GROUP BY target
+    """,
+    "anchor-text aggregation per link target — the classic web-graph "
+    "quality/relevance signal (what OTHER pages call this url): "
+    "map-only <a>-element extraction (regexp_extract_all, zero "
+    "shuffle), then TWO-LEVEL partial aggregation: groupBy(target, "
+    "anchor) pre-collapses the raw edge list before groupBy(target) "
+    "picks the dominant anchor via an orderable-struct max — so a "
+    "viral target with 10^9 inlinks arrives at the final agg as at "
+    "most |anchor vocabulary| rows, never 10^9 (the same skew "
+    "discipline as q48's paragraph dedup). No window, no join, no "
+    "collect_set of unbounded lists. functions analogue: urlfns "
+    "outlink family (q42 resolves targets; this consumes the edges)",
+)
+def q91_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    vocab = F.array(*[F.lit(w) for w in ("click", "here", "download", "best", "news")])
+    a1 = F.element_at(vocab, (F.col("doc_id") % 3 + 1).cast("int"))
+    a2 = F.element_at(vocab, ((F.col("doc_id") + 1) % 4 + 1).cast("int"))
+    html = F.concat(
+        F.lit('<p>pre</p><a href="https://t-'),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit('.example/">'), a1,
+        F.lit('</a><a href="https://t-'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit('.example/">'), a2,
+        F.lit("</a>"),
+    )
+    pages = d.select("doc_id", html.alias("html"))
+    elems = pages.select(
+        F.explode(
+            F.regexp_extract_all("html", F.lit('<a href="[^"]+">[^<]*</a>'), 0)
+        ).alias("elem")
+    )
+    links = elems.select(
+        F.regexp_extract("elem", 'href="([^"]+)"', 1).alias("target"),
+        F.regexp_extract("elem", ">([^<]*)<", 1).alias("anchor"),
+    )
+    per_anchor = links.groupBy("target", "anchor").agg(F.count("*").alias("cnt"))
+    best = F.max(F.struct(F.col("cnt"), F.col("anchor")))
+    return per_anchor.groupBy("target").agg(
+        F.sum("cnt").alias("n_inlinks"),
+        F.count("*").alias("n_distinct_anchors"),
+        best["anchor"].alias("top_anchor"),
+        best["cnt"].alias("top_anchor_cnt"),
+    )
+
+
+@_q(
+    "q92_frontier_schedule",
+    """
+    WITH frontier AS (
+      SELECT doc_id,
+             'h' || CAST(doc_id % 13 AS VARCHAR) AS host,
+             CAST((doc_id * 7) % 100 AS BIGINT) AS priority
+      FROM documents
+    ),
+    waved AS (
+      SELECT doc_id, host, priority,
+             CAST(row_number() OVER (
+               PARTITION BY host ORDER BY priority DESC, doc_id
+             ) AS BIGINT) AS wave
+      FROM frontier
+    )
+    SELECT doc_id, host, priority, wave,
+           CAST(row_number() OVER (
+             PARTITION BY wave ORDER BY priority DESC, doc_id
+           ) AS BIGINT) AS slot
+    FROM waved
+    """,
+    "politeness-aware crawl-frontier scheduling: wave = per-host fetch "
+    "position (row_number partitioned by host — the politeness "
+    "invariant IS per-host sequential fetching, so the host partition "
+    "is the natural, never-skew-surprising unit: a hot host just gets "
+    "a deep queue spread across many waves instead of hammering the "
+    "server), slot = deterministic within-wave ordering (one row per "
+    "host per wave, so wave groups are bounded by |hosts| regardless "
+    "of frontier depth). Two bounded windows, no global sort is ever "
+    "materialized — downstream fetchers range-partition on (wave, "
+    "slot). This is the planning step between q86's robots admission "
+    "and the fetch itself",
+)
+def q92_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    frontier = d.select(
+        "doc_id",
+        F.concat(F.lit("h"), (F.col("doc_id") % 13).cast("string")).alias("host"),
+        ((F.col("doc_id") * 7) % 100).alias("priority"),
+    )
+    w_host = Window.partitionBy("host").orderBy(F.desc("priority"), F.col("doc_id"))
+    waved = frontier.withColumn("wave", F.row_number().over(w_host).cast("long"))
+    w_wave = Window.partitionBy("wave").orderBy(F.desc("priority"), F.col("doc_id"))
+    return waved.withColumn("slot", F.row_number().over(w_wave).cast("long"))
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
@@ -4193,6 +4323,8 @@ _DRIVER_PRIORITY: list[str] = [
     "q88_c4_rules",
     "q89_pii_redaction",
     "q90_mp4_audio",
+    "q91_anchor_text",
+    "q92_frontier_schedule",
 ]
 
 
