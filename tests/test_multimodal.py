@@ -48,13 +48,15 @@ def test_fingerprint_shape_and_determinism(spark):
 
 
 def test_unknown_container_is_documented_stub():
-    # PNG/JPEG/WAV/MP4 are live codecs; an unknown magic stays a
-    # documented seam, and a truncated PNG fails loudly rather than
-    # decoding junk
+    # PNG/GIF/JPEG/WAV/MP4 are live codecs; an unknown magic stays a
+    # documented seam, and truncated PNG/GIF files fail loudly rather
+    # than decoding junk
     with pytest.raises(NotImplementedError, match="implement decode"):
-        parse_header(b"GIF89a" + b"\x00" * 16)
+        parse_header(b"WEBP" + b"\x00" * 16)
     with pytest.raises(ValueError, match="IHDR"):
         parse_header(b"\x89PNG\r\n\x1a\n....")
+    with pytest.raises(ValueError):
+        parse_header(b"GIF89a" + b"\x00" * 16)
 
 
 def test_decode_partitioned_plan_has_no_extra_shuffle(spark):
@@ -626,3 +628,155 @@ def test_mp4_audio_skips_non_pcm_codecs(spark):
     media = spark.createDataFrame(rows, "media_id long, payload binary")
     got = mp4_audio_features(media).collect()
     assert [r["media_id"] for r in got] == [1]
+
+
+def test_gif_lzw_roundtrip_including_reset_and_interlace():
+    """The pure-stdlib GIF codec round-trips arbitrary index rasters,
+    including rasters long enough to force a 4096-entry LZW dictionary
+    reset and the four-pass interlace row order."""
+    import random
+
+    from toyocr_spark.gifcodec import decode_gif, encode_gif
+
+    rng = random.Random(11)
+    for _ in range(40):
+        w, h = rng.randint(1, 30), rng.randint(1, 30)
+        npal = rng.choice([2, 4, 7, 16, 256])
+        pal = [(rng.randrange(256),) * 3 for _ in range(npal)]
+        idx = bytes(rng.randrange(npal) for _ in range(w * h))
+        inter = rng.random() < 0.5
+        gw, gh, gpal, graster = decode_gif(
+            encode_gif(idx, w, h, pal, interlace=inter)
+        )
+        assert (gw, gh) == (w, h)
+        assert graster == idx
+    # long low-entropy raster: dictionary crosses 4096 and resets
+    idx = bytes((i // 7) % 3 for i in range(50000))
+    _, _, _, out = decode_gif(
+        encode_gif(idx, 250, 200, [(1, 2, 3), (4, 5, 6), (7, 8, 9)])
+    )
+    assert out == idx
+
+
+def test_gif_flows_through_decode_media(spark):
+    """parse_header dispatches on the GIF magic: body is the decoded
+    index raster (1 channel per pixel, like the PNG palette leg)."""
+    from toyocr_spark.gifcodec import encode_gif
+    from toyocr_spark.multimodal import decode_media, parse_header
+
+    pal = [(i, 2 * i, 3 * i) for i in range(4)]
+    idx = bytes((x + y) % 4 for y in range(9) for x in range(13))
+    gif = encode_gif(idx, 13, 9, pal, interlace=True)
+    kind, w, h, chans, body = parse_header(gif)
+    assert (kind, w, h, chans) == ("image", 13, 9, 1)
+    assert body == idx
+
+    media = spark.createDataFrame([(1, gif)], "media_id long, payload binary")
+    row = decode_media(media).collect()[0]
+    assert (row["width"], row["height"], row["channels"], row["body_len"]) == (
+        13, 9, 1, 13 * 9,
+    )
+
+
+def test_g711_tables_match_audioop():
+    """All 256 code points of both companding laws agree with CPython's
+    reference implementation (Modules/audioop.c wraps the classic sun
+    g711.c tables). Skipped where audioop has been removed (3.13+)."""
+    audioop = pytest.importorskip("audioop")
+    import struct
+
+    from toyocr_spark.multimodal import _alaw_expand, _ulaw_expand
+
+    for b in range(256):
+        assert (
+            struct.unpack("<h", audioop.ulaw2lin(bytes([b]), 2))[0]
+            == _ulaw_expand(b)
+        ), f"ulaw byte {b}"
+        assert (
+            struct.unpack("<h", audioop.alaw2lin(bytes([b]), 2))[0]
+            == _alaw_expand(b)
+        ), f"alaw byte {b}"
+
+
+def test_g711_wav_decodes_to_expanded_pcm(spark):
+    """A mu-law WAV's parse_header body is the EXPANDED int16 stream
+    (decode-at-parse), and audio_features over companded WAVs equals
+    audio_features over the equivalent linear-PCM WAV."""
+    import struct
+
+    from toyocr_spark.multimodal import (
+        _ulaw_expand,
+        audio_features,
+        parse_header,
+    )
+
+    data = bytes((j * 37) % 256 for j in range(80))
+
+    def wav(tag: int, body: bytes, bits: int) -> bytes:
+        fmt = struct.pack("<HHIIHH", tag, 1, 8000, 8000 * bits // 8, bits // 8, bits)
+        chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        chunks += b"data" + struct.pack("<I", len(body)) + body
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    expanded = b"".join(struct.pack("<h", _ulaw_expand(b)) for b in data)
+    kind, rate, _, chans, body = parse_header(wav(7, data, 8))
+    assert (kind, rate, chans) == ("audio", 8000, 1)
+    assert body == expanded
+
+    media = spark.createDataFrame(
+        [(1, wav(7, data, 8)), (2, wav(1, expanded, 16))],
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: r for r in audio_features(media).collect()}
+    for f in ("n_samples", "zero_crossings", "peak", "rms"):
+        assert got[1][f] == got[2][f], f
+
+
+def test_wav_unknown_format_tag_raises():
+    """Format tags beyond PCM/G.711 (e.g. 0x11 IMA ADPCM) are the
+    documented library-bound seam and fail loudly, not silently."""
+    import struct
+
+    from toyocr_spark.multimodal import parse_header
+
+    fmt = struct.pack("<HHIIHH", 0x11, 1, 8000, 4000, 1, 4)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", 4) + b"\x00\x01\x02\x03"
+    wav = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    with pytest.raises(ValueError, match="codec library"):
+        parse_header(wav)
+
+
+def test_gif_decoder_fuzz_deterministic_and_bounded():
+    """Random and bit-flipped GIF bytes either decode or raise
+    ValueError — never hang, crash, or decode nondeterministically
+    (same guard discipline as the JPEG fuzz tests)."""
+    import random
+    import struct
+
+    from toyocr_spark.gifcodec import decode_gif, encode_gif
+
+    rng = random.Random(23)
+    base = encode_gif(
+        bytes((x + y) % 5 for y in range(11) for x in range(17)),
+        17, 11,
+        [(i * 9 % 256,) * 3 for i in range(5)],
+        interlace=True,
+    )
+    for _ in range(300):
+        blob = bytearray(base)
+        for _ in range(rng.randint(1, 6)):
+            blob[rng.randrange(len(blob))] = rng.randrange(256)
+        payload = bytes(blob)
+        try:
+            first = decode_gif(payload)
+        except (ValueError, struct.error, IndexError):
+            continue
+        assert decode_gif(payload) == first
+    for _ in range(100):
+        junk = b"GIF89a" + bytes(rng.randrange(256) for _ in range(rng.randint(0, 200)))
+        try:
+            first = decode_gif(junk)
+        except (ValueError, struct.error, IndexError):
+            continue
+        assert decode_gif(junk) == first

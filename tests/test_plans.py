@@ -194,6 +194,8 @@ def test_relational_queries_have_no_python_nodes(spark, sf_dir):
         "q81_mp4_demux",         # MP4 mux+demux media kernel (mapInArrow)
         "q87_mjpeg_frames",      # MJPEG mux+demux+decode kernel (mapInArrow)
         "q90_mp4_audio",         # PCM-in-MP4 demux+features kernel (mapInArrow)
+        "q93_gif_pixels",        # GIF encode+LZW-decode media kernel (mapInArrow)
+        "q94_g711_audio",        # G.711 WAV mux+expand+features kernel (mapInArrow)
     }
     markers = ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas",
                "MapInPandas", "PythonMapInArrow", "MapInArrow")

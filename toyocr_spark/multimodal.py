@@ -139,6 +139,18 @@ def _parse_png(payload: bytes) -> tuple[str, int, int, int, bytes]:
     return "image", width, height, chans, body
 
 
+def _parse_gif(payload: bytes) -> tuple[str, int, int, int, bytes]:
+    """Real-codec GIF leg: full LZW decode via toyocr_spark.gifcodec
+    (variable code width, dictionary resets, deinterlace) — the body
+    is the natural-order palette-index raster, one byte per pixel, the
+    same genuinely-decoded contract as the PNG palette leg (1 index
+    channel per pixel)."""
+    from toyocr_spark.gifcodec import decode_gif
+
+    width, height, _pal, raster = decode_gif(payload)
+    return "image", width, height, 1, raster
+
+
 # JPEG frame-header (SOFn) markers that carry dimensions; C4/C8/CC are
 # DHT/JPG/DAC, which share the C-range but are not frame headers
 _JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
@@ -194,24 +206,72 @@ def _parse_jpeg(payload: bytes) -> tuple[str, int, int, int, bytes]:
     raise ValueError("JPEG without SOS marker")
 
 
+def _ulaw_expand(b: int) -> int:
+    """G.711 mu-law byte -> linear int16 (ITU-T G.711 Table 2a/2b
+    expansion: complemented byte, 3-bit exponent, 4-bit mantissa,
+    +33 bias applied and removed at 8x scale)."""
+    u = ~b & 0xFF
+    mag = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+    mag -= 0x84
+    return -mag if u & 0x80 else mag
+
+
+def _alaw_expand(b: int) -> int:
+    """G.711 A-law byte -> linear int16 (even-bit inversion 0x55, 3-bit
+    exponent with the segment-0 special case, 4-bit mantissa)."""
+    a = b ^ 0x55
+    exp = (a >> 4) & 0x07
+    man = a & 0x0F
+    if exp == 0:
+        mag = (man << 4) + 8
+    elif exp == 1:
+        mag = (man << 4) + 0x108
+    else:
+        mag = ((man << 4) + 0x108) << (exp - 1)
+    # A-law's sign convention is inverted relative to mu-law's
+    return mag if a & 0x80 else -mag
+
+
+#: WAVE format tags whose data chunk this parser can expand to linear
+#: int16 (decode-at-parse, like the image legs): 1 = PCM passthrough,
+#: 6 = G.711 A-law, 7 = G.711 mu-law.
+_G711_TABLES = {
+    6: [_alaw_expand(i) for i in range(256)],
+    7: [_ulaw_expand(i) for i in range(256)],
+}
+
+
 def _parse_wav(payload: bytes) -> tuple[str, int, int, int, bytes]:
-    """RIFF/WAVE chunk walk: fmt -> (channels, sample rate), data ->
-    body (the raw PCM samples). Follows the FMED audio convention:
-    width = sample rate, height = 0."""
+    """RIFF/WAVE chunk walk: fmt -> (format tag, channels, sample
+    rate), data -> body as linear int16 little-endian samples — PCM
+    (tag 1) passes through, G.711 mu-law/A-law (tags 7/6) are expanded
+    via the real ITU-T tables, so the body is genuinely decoded audio
+    in every live case. Follows the FMED audio convention: width =
+    sample rate, height = 0."""
     if payload[8:12] != b"WAVE":
         raise ValueError("RIFF container that is not WAVE")
     pos, n = 12, len(payload)
-    rate, chans, body = None, None, None
+    fmt_tag, rate, chans, body = 1, None, None, None
     while pos + 8 <= n:
         cid = payload[pos : pos + 4]
         (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
         if cid == b"fmt ":
-            chans, rate = struct.unpack("<HI", payload[pos + 10 : pos + 16])
+            fmt_tag, chans, rate = struct.unpack(
+                "<HHI", payload[pos + 8 : pos + 16]
+            )
         elif cid == b"data":
             body = payload[pos + 8 : pos + 8 + clen]
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
     if rate is None or body is None:
         raise ValueError("WAVE missing fmt or data chunk")
+    if fmt_tag in _G711_TABLES:
+        table = _G711_TABLES[fmt_tag]
+        expanded = bytearray(2 * len(body))
+        for i, by in enumerate(body):
+            struct.pack_into("<h", expanded, 2 * i, table[by])
+        body = bytes(expanded)
+    elif fmt_tag != 1:
+        raise ValueError(f"WAVE format tag {fmt_tag} needs a codec library")
     return "audio", rate, 0, chans, body
 
 
@@ -264,15 +324,18 @@ def _parse_mp4(payload: bytes) -> tuple[str, int, int, int, bytes]:
 
 def parse_header(payload: bytes) -> tuple[str, int, int, int, bytes]:
     """Magic-dispatched decode. Live pure-stdlib codecs: FMED (synthetic
-    container), PNG (IHDR + inflated IDAT), JPEG (full pixel decode,
+    container), PNG (IHDR + inflated IDAT), GIF (full LZW pixel decode
+    + deinterlace, toyocr_spark.gifcodec), JPEG (full pixel decode,
     baseline + progressive, via toyocr_spark.jpegcodec), WAV (fmt/data
-    chunks + PCM), MP4 (tkhd/mdat boxes; per-sample demux lives in
-    demux_samples). The remaining (clearly-marked) seam is CODEC
-    decode of demuxed MP4 samples, which needs ffmpeg — that falls
-    back to header + raw body, every metadata field still parsed from
-    the real byte layout."""
+    chunks + PCM, with G.711 mu-law/A-law expansion), MP4 (tkhd/mdat
+    boxes; per-sample demux lives in demux_samples). The remaining
+    (clearly-marked) seam is CODEC decode of demuxed MP4 samples,
+    which needs ffmpeg — that falls back to header + raw body, every
+    metadata field still parsed from the real byte layout."""
     if payload[:8] == _PNG_MAGIC:
         return _parse_png(payload)
+    if payload[:4] == b"GIF8":
+        return _parse_gif(payload)
     if payload[:2] == b"\xff\xd8":
         return _parse_jpeg(payload)
     if payload[:4] == b"RIFF":
@@ -281,10 +344,10 @@ def parse_header(payload: bytes) -> tuple[str, int, int, int, bytes]:
         return _parse_mp4(payload)
     if payload[:4] != MAGIC:
         raise NotImplementedError(
-            "unknown media container; live codecs are PNG/JPEG/WAV/MP4/"
-            "FMED — implement decode(payload) -> (kind, width, height, "
-            "channels, body) for new formats and the rest of the "
-            "pipeline is unchanged"
+            "unknown media container; live codecs are PNG/GIF/JPEG/WAV/"
+            "MP4/FMED — implement decode(payload) -> (kind, width, "
+            "height, channels, body) for new formats and the rest of "
+            "the pipeline is unchanged"
         )
     kind_code, width, height, chans = struct.unpack(">BIIB", payload[4:14])
     return _KINDS[kind_code], width, height, chans, payload[14:]
@@ -947,6 +1010,182 @@ def synth_pcm_mp4(documents: DataFrame, n_docs: int = 150) -> DataFrame:
                         b"".join(struct.pack("<h", v) for v in vals)
                     )
                 payloads.append(_mux_mp4(did, 0, 0, samples, fourcc=b"sowt"))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), pa.array(payloads, pa.binary())],
+                names=["media_id", "payload"],
+            )
+
+    return (
+        documents.filter(F.col("doc_id") < n_docs)
+        .select("doc_id")
+        .mapInArrow(batches, schema)
+    )
+
+
+# ------------------------------------------------------------- GIF fixtures
+
+
+def _gif_plan(doc_id: int) -> tuple[int, int, int]:
+    """(width, height, palette size) for the deterministic GIF fixture
+    — shared by the encoder and (in closed form) the q93 oracle."""
+    return 5 + doc_id % 19, 4 + doc_id % 11, 2 + doc_id % 7
+
+
+def synth_gif(documents: DataFrame, n_docs: int = 140) -> DataFrame:
+    """documents(doc_id, ...) -> (media_id, payload) of real GIF89a
+    bytes (LZW-compressed), fully determined by doc_id:
+
+      w = 5 + doc_id % 19, h = 4 + doc_id % 11, npal = 2 + doc_id % 7
+      index(x, y)   = (x*2 + y*3 + doc_id) % npal
+      palette[k]    = ((k*41 + doc_id) % 256,
+                       (k*59 + doc_id*3) % 256,
+                       (k*83 + doc_id*7) % 256)
+      interlaced when doc_id is even
+
+    so an oracle can predict every decoded pixel and palette entry in
+    closed form without parsing GIF or LZW."""
+    import pyarrow as pa
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from toyocr_spark.gifcodec import encode_gif
+
+        for b in it:
+            ids = b.column(0).to_pylist()
+            payloads = []
+            for did in ids:
+                w, h, npal = _gif_plan(did)
+                idx = bytes(
+                    (x * 2 + y * 3 + did) % npal
+                    for y in range(h)
+                    for x in range(w)
+                )
+                pal = [
+                    (
+                        (k * 41 + did) % 256,
+                        (k * 59 + did * 3) % 256,
+                        (k * 83 + did * 7) % 256,
+                    )
+                    for k in range(npal)
+                ]
+                payloads.append(
+                    encode_gif(idx, w, h, pal, interlace=did % 2 == 0)
+                )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), pa.array(payloads, pa.binary())],
+                names=["media_id", "payload"],
+            )
+
+    return (
+        documents.filter(F.col("doc_id") < n_docs)
+        .select("doc_id")
+        .mapInArrow(batches, schema)
+    )
+
+
+GIF_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("n_pixels", T.LongType(), False),
+        T.StructField("idx_possum", T.LongType(), False),
+        T.StructField("rgb_sum", T.LongType(), False),
+    ]
+)
+
+
+def gif_pixel_stats(media: DataFrame) -> DataFrame:
+    """(media_id, payload) -> pixel-VALUE statistics over genuinely
+    decoded GIF rasters: ``idx_possum`` is the position-weighted index
+    sum sum(idx[j] * (1 + j % 97)) over natural row-major order — any
+    deinterlace or LZW error shifts it — and ``rgb_sum`` maps every
+    pixel through the palette READ BACK FROM THE FILE and sums the
+    r+g+b bytes, so a matching row proves both the raster values and
+    the color table round-tripped. Non-GIF payloads are skipped
+    (mixed-table convention)."""
+    import pyarrow as pa
+
+    def batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from toyocr_spark.gifcodec import decode_gif
+
+        for b in it:
+            ids = b.column(0).to_pylist()
+            rows = []
+            for mid, p in zip(ids, b.column(1).to_pylist()):
+                if p[:4] != b"GIF8":
+                    continue
+                w, h, pal, raster = decode_gif(p)
+                possum = sum(
+                    v * (1 + j % 97) for j, v in enumerate(raster)
+                )
+                rgb = sum(
+                    pal[3 * v] + pal[3 * v + 1] + pal[3 * v + 2]
+                    for v in raster
+                )
+                rows.append((mid, w, h, len(raster), possum, rgb))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([r[0] for r in rows], pa.int64()),
+                    pa.array([r[1] for r in rows], pa.int32()),
+                    pa.array([r[2] for r in rows], pa.int32()),
+                    pa.array([r[3] for r in rows], pa.int64()),
+                    pa.array([r[4] for r in rows], pa.int64()),
+                    pa.array([r[5] for r in rows], pa.int64()),
+                ],
+                names=[f.name for f in GIF_STATS_SCHEMA.fields],
+            )
+
+    return media.select("media_id", "payload").mapInArrow(batches, GIF_STATS_SCHEMA)
+
+
+# ----------------------------------------------------------- G.711 fixtures
+
+
+def synth_g711_wav(documents: DataFrame, n_docs: int = 140) -> DataFrame:
+    """documents(doc_id, ...) -> (media_id, payload) of RIFF/WAVE files
+    whose data chunk is G.711-companded audio, fully determined by
+    doc_id:
+
+      format tag = 7 (mu-law) for even doc_id, 6 (A-law) for odd
+      n bytes    = 48 + doc_id % 33
+      byte j     = (doc_id * 31 + j * 17) % 256
+
+    _parse_wav expands the companded bytes through the real ITU-T
+    tables, so an oracle that re-implements the G.711 expansion in SQL
+    predicts every decoded int16 sample in closed form."""
+    import pyarrow as pa
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in it:
+            ids = b.column(0).to_pylist()
+            payloads = []
+            for did in ids:
+                tag = 7 if did % 2 == 0 else 6
+                n = 48 + did % 33
+                data = bytes((did * 31 + j * 17) % 256 for j in range(n))
+                fmt = struct.pack("<HHIIHH", tag, 1, 8000, 8000, 1, 8)
+                chunks = (
+                    b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", n) + data
+                    + (b"\x00" if n & 1 else b"")
+                )
+                payloads.append(
+                    b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+                )
             yield pa.RecordBatch.from_arrays(
                 [pa.array(ids, pa.int64()), pa.array(payloads, pa.binary())],
                 names=["media_id", "payload"],

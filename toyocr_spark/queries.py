@@ -4269,6 +4269,114 @@ def q92_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return waved.withColumn("slot", F.row_number().over(w_wave).cast("long"))
 
 
+@_q(
+    "q93_gif_pixels",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             5 + doc_id % 19 AS w,
+             4 + doc_id % 11 AS h,
+             2 + doc_id % 7 AS npal
+      FROM documents WHERE doc_id < 140
+    ),
+    px AS (
+      SELECT doc_id, w, h, u.j AS j,
+             ((u.j % w) * 2 + (u.j // w) * 3 + doc_id) % npal AS idx
+      FROM dims, unnest(generate_series(0, w * h - 1)) AS u(j)
+    )
+    SELECT doc_id AS media_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(count(*) AS BIGINT) AS n_pixels,
+           CAST(sum(idx * (1 + j % 97)) AS BIGINT) AS idx_possum,
+           CAST(sum((idx * 41 + doc_id) % 256
+                  + (idx * 59 + doc_id * 3) % 256
+                  + (idx * 83 + doc_id * 7) % 256) AS BIGINT) AS rgb_sum
+    FROM px
+    GROUP BY doc_id, w, h
+    """,
+    "GIF pixel decode at VALUE level, driver-checked: synth_gif writes "
+    "real LZW-compressed GIF89a files (interlaced for even doc_id) and "
+    "gif_pixel_stats decodes them with the pure-stdlib LZW decoder "
+    "(gifcodec: variable code width, dictionary resets, four-pass "
+    "deinterlace). idx_possum position-weights every decoded index in "
+    "natural row order (any LZW or deinterlace slip shifts it) and "
+    "rgb_sum maps pixels through the palette read back from the file, "
+    "so a green row proves raster values AND color table round-trip — "
+    "stronger than q76's dimensional check. The oracle regenerates "
+    "the raster in closed form with generate_series. "
+    "multimodal.gif_pixel_stats, toyocr_spark/gifcodec.py",
+)
+def q93_gif_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toyocr_spark.multimodal import gif_pixel_stats, synth_gif
+
+    media = synth_gif(_t(spark, sf_dir, "documents"), n_docs=140)
+    return gif_pixel_stats(media)
+
+
+@_q(
+    "q94_g711_audio",
+    """
+    WITH bytes AS (
+      SELECT doc_id, u.j AS j,
+             (doc_id * 31 + u.j * 17) % 256 AS b,
+             doc_id % 2 = 0 AS is_ulaw
+      FROM documents,
+           unnest(generate_series(0, 47 + doc_id % 33)) AS u(j)
+      WHERE doc_id < 140
+    ),
+    comp AS (
+      SELECT doc_id, j, is_ulaw, 255 - b AS u, xor(b, 85) AS a
+      FROM bytes
+    ),
+    expanded AS (
+      SELECT doc_id, j,
+        CASE WHEN is_ulaw THEN
+          (CASE WHEN u >= 128 THEN -1 ELSE 1 END)
+          * ((((u % 16) * 8 + 132) << ((u // 16) % 8)) - 132)
+        ELSE
+          (CASE WHEN a >= 128 THEN 1 ELSE -1 END)
+          * (CASE WHEN (a // 16) % 8 = 0
+                  THEN (a % 16) * 16 + 8
+                  ELSE ((a % 16) * 16 + 264) << (((a // 16) % 8) - 1) END)
+        END AS v
+      FROM comp
+    ),
+    lagged AS (
+      SELECT doc_id, j, v,
+             lag(v) OVER (PARTITION BY doc_id ORDER BY j) AS pv
+      FROM expanded
+    )
+    SELECT doc_id AS media_id,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(CASE WHEN pv IS NOT NULL
+                          AND (v >= 0) <> (pv >= 0) THEN 1 ELSE 0 END)
+                AS BIGINT) AS zero_crossings,
+           CAST(max(abs(v)) AS INTEGER) AS peak,
+           round(sqrt(sum(CAST(v * v AS BIGINT)) * 1.0 / count(*)), 6) AS rms
+    FROM lagged
+    GROUP BY doc_id
+    """,
+    "G.711 companded-audio decode, driver-checked at sample-value "
+    "level: synth_g711_wav writes WAV files whose data chunk is mu-law "
+    "(tag 7, even doc_id) or A-law (tag 6, odd) companded bytes; "
+    "_parse_wav expands them through the real ITU-T G.711 tables "
+    "(cross-validated byte-for-byte against CPython's audioop in "
+    "test_multimodal) and the shared integer-exact ZCR/peak/RMS pass "
+    "runs over the decoded int16 stream. The oracle re-implements the "
+    "expansion formulas with SQL bit arithmetic, so a green row proves "
+    "all 256 code points of both companding laws decode identically. "
+    "multimodal.synth_g711_wav / audio_features",
+)
+def q94_g711_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toyocr_spark.multimodal import audio_features, synth_g711_wav
+
+    media = synth_g711_wav(_t(spark, sf_dir, "documents"), n_docs=140)
+    return audio_features(media).select(
+        "media_id", "n_samples", "zero_crossings", "peak", "rms"
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
@@ -4325,6 +4433,8 @@ _DRIVER_PRIORITY: list[str] = [
     "q90_mp4_audio",
     "q91_anchor_text",
     "q92_frontier_schedule",
+    "q93_gif_pixels",
+    "q94_g711_audio",
 ]
 
 
