@@ -4377,6 +4377,178 @@ def q94_g711_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q95_sitemap_parse",
+    """
+    WITH e AS (
+      SELECT doc_id, u.k AS k
+      FROM documents, unnest(generate_series(0, doc_id % 3)) AS u(k)
+    ),
+    parsed AS (
+      SELECT 's' || CAST(doc_id % 11 AS VARCHAR) || '.example' AS host,
+             doc_id,
+             '2026-0' || CAST(1 + k % 9 AS VARCHAR) || '-15' AS lastmod,
+             (doc_id + k) % 10 AS prio_x10
+      FROM e
+    )
+    SELECT host,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_sitemaps,
+           max(lastmod) AS latest_lastmod,
+           CAST(sum(prio_x10) AS BIGINT) AS priority_sum_x10
+    FROM parsed
+    GROUP BY host
+    """,
+    "sitemap.xml ingestion — the crawl-seeding step before q86's "
+    "robots admission and q92's frontier scheduling: each doc carries "
+    "a synthetic <urlset> sitemap (built JVM-side with "
+    "transform/sequence/array_join — no UDF), parsed back JVM-side "
+    "with regexp_extract_all into parallel loc/lastmod/priority "
+    "arrays, zipped, exploded, and aggregated per host (url count, "
+    "distinct sitemap count, newest lastmod, integer-exact priority "
+    "mass x10 — never a float sum). Map-only until one partial-agg "
+    "shuffle on host; at 100 TB sitemap files are a tiny fraction of "
+    "the crawl and hosts are the natural partition. The oracle "
+    "predicts the parsed aggregate in closed form",
+)
+def q95_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    entry = lambda k: F.concat(  # noqa: E731
+        F.lit("<url><loc>https://s"),
+        (did % 11).cast("string"),
+        F.lit(".example/p/"),
+        did.cast("string"),
+        F.lit("-"),
+        k.cast("string"),
+        F.lit("</loc><lastmod>2026-0"),
+        (1 + k % 9).cast("string"),
+        F.lit("-15</lastmod><priority>0."),
+        ((did + k) % 10).cast("string"),
+        F.lit("</priority></url>"),
+    )
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset>'),
+        F.array_join(F.transform(F.sequence(F.lit(0), did % 3), entry), ""),
+        F.lit("</urlset>"),
+    )
+    sitemaps = d.select("doc_id", xml.alias("xml"))
+    parsed = sitemaps.select(
+        "doc_id",
+        F.regexp_extract_all("xml", F.lit("<loc>([^<]+)</loc>"), 1).alias("locs"),
+        F.regexp_extract_all(
+            "xml", F.lit("<lastmod>([^<]+)</lastmod>"), 1
+        ).alias("mods"),
+        F.regexp_extract_all(
+            "xml", F.lit("<priority>0\\.([0-9])</priority>"), 1
+        ).alias("prios"),
+    )
+    rows = parsed.select(
+        "doc_id",
+        F.explode(F.arrays_zip("locs", "mods", "prios")).alias("u"),
+    ).select(
+        "doc_id",
+        F.regexp_extract(F.col("u.locs"), "^https://([^/]+)/", 1).alias("host"),
+        F.col("u.mods").alias("lastmod"),
+        F.col("u.prios").cast("long").alias("prio_x10"),
+    )
+    return rows.groupBy("host").agg(
+        F.count("*").alias("n_urls"),
+        F.countDistinct("doc_id").alias("n_sitemaps"),
+        F.max("lastmod").alias("latest_lastmod"),
+        F.sum("prio_x10").alias("priority_sum_x10"),
+    )
+
+
+@_q(
+    "q96_html_tables",
+    """
+    WITH t AS (
+      SELECT doc_id, u.t AS t,
+             2 + (doc_id + u.t) % 3 AS r,
+             1 + (doc_id + u.t) % 4 AS c
+      FROM documents, unnest(generate_series(0, doc_id % 2)) AS u(t)
+    ),
+    cells AS (
+      SELECT t.doc_id, t.t, t.r, t.c,
+             (t.doc_id + t.t + ri.i * t.c + cj.j) % 100 AS val
+      FROM t,
+           unnest(generate_series(0, t.r - 1)) AS ri(i),
+           unnest(generate_series(0, t.c - 1)) AS cj(j)
+    )
+    SELECT doc_id,
+           CAST(t AS INTEGER) AS table_idx,
+           CAST(r AS INTEGER) AS n_rows,
+           CAST(c AS INTEGER) AS n_cols,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(2 + CASE WHEN val >= 10 THEN 1 ELSE 0 END) AS BIGINT)
+             AS cell_chars
+    FROM cells
+    GROUP BY doc_id, t, r, c
+    """,
+    "HTML table extraction to structured rows — the tabular-data leg "
+    "of a training corpus (tables become aligned text or are routed "
+    "to a separate modality): per-doc synthetic <table> markup is "
+    "built JVM-side with NESTED higher-order functions (transform "
+    "inside transform — rows inside tables), then parsed back from "
+    "the markup alone: regexp_extract_all pulls each table, <tr>/<td> "
+    "counts give shape, and cell_chars measures the extracted cell "
+    "text (length of the array_join of all <td> captures). Map-only, "
+    "zero shuffle, one row per (doc, table). The oracle predicts "
+    "shape and text mass in closed form",
+)
+def q96_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+
+    def cell(t, i, j, c):
+        return F.concat(
+            F.lit("<td>v"),
+            ((did + t + i * c + j) % 100).cast("string"),
+            F.lit("</td>"),
+        )
+
+    def table(t):
+        r = 2 + (did + t) % 3
+        c = 1 + (did + t) % 4
+        row = lambda i: F.concat(  # noqa: E731
+            F.lit("<tr>"),
+            F.array_join(
+                F.transform(F.sequence(F.lit(0), c - 1), lambda j: cell(t, i, j, c)),
+                "",
+            ),
+            F.lit("</tr>"),
+        )
+        return F.concat(
+            F.lit("<table>"),
+            F.array_join(F.transform(F.sequence(F.lit(0), r - 1), row), ""),
+            F.lit("</table>"),
+        )
+
+    html = F.concat(
+        F.lit("<html><body><p>prose</p>"),
+        F.array_join(F.transform(F.sequence(F.lit(0), did % 2), table), ""),
+        F.lit("</body></html>"),
+    )
+    pages = d.select("doc_id", html.alias("html"))
+    tables = pages.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all("html", F.lit("<table>(.*?)</table>"), 1)
+        ).alias("table_idx", "tbl"),
+    )
+    trs = F.regexp_extract_all("tbl", F.lit("<tr>(.*?)</tr>"), 1)
+    tds = F.regexp_extract_all("tbl", F.lit("<td>([^<]*)</td>"), 1)
+    return tables.select(
+        "doc_id",
+        F.col("table_idx").cast("int"),
+        F.size(trs).alias("n_rows"),
+        (F.size(tds) / F.size(trs)).cast("int").alias("n_cols"),
+        F.size(tds).cast("long").alias("n_cells"),
+        F.length(F.array_join(tds, "")).cast("long").alias("cell_chars"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
@@ -4435,6 +4607,8 @@ _DRIVER_PRIORITY: list[str] = [
     "q92_frontier_schedule",
     "q93_gif_pixels",
     "q94_g711_audio",
+    "q95_sitemap_parse",
+    "q96_html_tables",
 ]
 
 
