@@ -45,6 +45,15 @@ def main(argv: list[str] | None = None) -> int:
         "per previously-seen page for ~1%% FP): bloom misses skip the exact "
         "anti-join entirely; results are identical either way",
     )
+    ap.add_argument(
+        "--wet-output", default=None,
+        help="also export the extracted text as WET conversion segments "
+        "(Common Crawl's sidecar format) under this directory",
+    )
+    ap.add_argument(
+        "--wet-segments", type=int, default=16,
+        help="WET segment count (pick ~ corpus_bytes / 1 GB at scale)",
+    )
     args = ap.parse_args(argv)
 
     # imports deferred: under spark-submit --py-files the zip only joins
@@ -78,6 +87,16 @@ def main(argv: list[str] | None = None) -> int:
         hot=hot,
         strategy=args.strategy,
     )
+    if args.wet_output:
+        from toyocr_spark.sources.warc import write_wet
+
+        summary["wet_files"] = len(
+            write_wet(
+                read_result(spark, args.output),
+                args.wet_output,
+                segments=args.wet_segments,
+            )
+        )
     lineage = read_lineage(spark, args.output)
     summary["hot_hosts"] = hot
     summary["lineage_rows"] = lineage.count()

@@ -105,3 +105,48 @@ def test_malformed_http_block_is_skipped():
     out = parse_warc(rec + good)
     assert [r["url"] for r in out] == ["https://y.example/"]
     assert out[0]["html"] == b"<p>ok</p>"
+
+
+def test_wet_export_round_trip_byte_identity(spark, warc_dir):
+    """The WET sink is the inverse of extraction at the byte level:
+    export the extraction results as WET conversion segments, parse
+    every segment back with the WARC parser, and every url's text
+    bytes must equal the extraction output exactly. Re-running the
+    export produces byte-identical files (gzip mtime=0)."""
+    from toyocr_spark.sources.warc import write_wet
+
+    result = extract_pages(read_warc(spark, warc_dir + "/*"))
+    expected = {
+        r["url"]: (r["extracted_text"] or "").encode("utf-8")
+        for r in result.select("url", "extracted_text").collect()
+    }
+
+    out1 = os.path.join(warc_dir, "wet1")
+    out2 = os.path.join(warc_dir, "wet2")
+    paths1 = write_wet(result, out1, segments=4)
+    paths2 = write_wet(result, out2, segments=4)
+
+    got: dict[str, bytes] = {}
+    for p in paths1:
+        with open(p, "rb") as f:
+            for rec in parse_warc(f.read(), types=("conversion",)):
+                got[rec["url"]] = rec["html"]
+    assert got == expected
+    assert len(paths1) == len(paths2)
+    for p1, p2 in zip(paths1, paths2):
+        with open(p1, "rb") as a, open(p2, "rb") as b:
+            assert a.read() == b.read(), (p1, p2)
+
+
+def test_wet_segments_deterministic_and_ordered(spark):
+    """Segment routing is url-hash, in-segment order is by url: the
+    same rows in any input order produce identical segment bytes."""
+    from toyocr_spark.sources.warc import wet_segments
+
+    rows = [(f"https://h{i % 3}.example/p/{i}", f"text {i} é") for i in range(40)]
+    a = spark.createDataFrame(rows, "url string, extracted_text string")
+    b = spark.createDataFrame(rows[::-1], "url string, extracted_text string")
+    sa = {r["segment"]: bytes(r["wet"]) for r in wet_segments(a, 4).collect()}
+    sb = {r["segment"]: bytes(r["wet"]) for r in wet_segments(b, 4).collect()}
+    assert sa == sb
+    assert sum(r["n_records"] for r in wet_segments(a, 4).collect()) == 40

@@ -39,10 +39,13 @@ from toyocr_spark.sources.pages import PAGES_SCHEMA
 _CRLF = b"\r\n"
 
 
-def parse_warc(raw: bytes) -> list[dict]:
+def parse_warc(raw: bytes, types: tuple[str, ...] = ("response",)) -> list[dict]:
     """Parse one WARC file's bytes (gzipped or plain) into record dicts
     ``{url, warc_ts, html}``. Pure function; tolerant of trailing
-    garbage (stops at the first malformed record boundary)."""
+    garbage (stops at the first malformed record boundary). ``types``
+    selects the admitted WARC-Type values: ``response`` for crawl
+    archives (the default), ``conversion`` for WET sidecars (whose
+    bodies are extracted text, no http header block)."""
     if raw[:2] == b"\x1f\x8b":
         # member-per-record or whole-file gzip: a streaming reader
         # handles both (multi-member decompression is the gzip default)
@@ -71,7 +74,7 @@ def parse_warc(raw: bytes) -> list[dict]:
         body = raw[body_start : body_start + length]
         pos = body_start + length
         if (
-            headers.get("warc-type") == "response"
+            headers.get("warc-type") in types
             and headers.get("warc-target-uri")
         ):
             # strip the http response header block if present
@@ -137,6 +140,103 @@ def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
         F.lit(None).cast("string").alias("text"),
         F.lit(None).cast("string").alias("lang"),
     )
+
+
+# ------------------------------------------------------ WET export sink
+
+
+def wet_segments(
+    result: DataFrame, segments: int = 16, ts_col: str | None = None
+) -> DataFrame:
+    """Extraction results (url, extracted_text, ...) -> one row per WET
+    segment: ``(segment, n_records, wet binary)`` where ``wet`` is the
+    concatenation of WARC *conversion* records — Common Crawl's WET
+    sidecar, the standard at-rest form of extracted text.
+
+    The record bytes are assembled ENTIRELY JVM-side (concat/encode/
+    octet_length — Content-Length is the UTF-8 octet count of the
+    text, never a Python serializer), records are routed to segments
+    by url-hash and ordered by url inside each segment, and the
+    array-of-records is folded to one binary with F.aggregate. Fully
+    deterministic: same results -> byte-identical segments on any
+    engine or partitioning.
+
+    Scale shape: one shuffle on the segment key; ``segments`` sets the
+    output-file granularity exactly like Common Crawl's ~80k WET files
+    per crawl (pick segments ~= corpus_bytes / 1 GB). A segment's
+    bytes materialize as ONE row, so segments must be sized to fit an
+    executor — the same constraint as any archive writer."""
+    text = F.coalesce(F.col("extracted_text"), F.lit(""))
+    body = F.encode(text, "UTF-8")
+    ts = (
+        F.date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+        if ts_col
+        else F.lit("1970-01-01T00:00:00Z")
+    )
+    rec = F.concat(
+        F.encode(
+            F.concat_ws(
+                "\r\n",
+                F.lit("WARC/1.0"),
+                F.lit("WARC-Type: conversion"),
+                F.concat(F.lit("WARC-Target-URI: "), F.col("url")),
+                F.concat(F.lit("WARC-Date: "), ts),
+                F.lit("Content-Type: text/plain"),
+                F.concat(
+                    F.lit("Content-Length: "),
+                    F.octet_length(body).cast("string"),
+                ),
+                F.lit("\r\n"),  # header terminator (joined -> CRLF CRLF)
+            ),
+            "UTF-8",
+        ),
+        body,
+        F.encode(F.lit("\r\n\r\n"), "UTF-8"),
+    )
+    keyed = result.select(
+        F.pmod(F.xxhash64("url"), F.lit(segments)).alias("segment"),
+        F.col("url"),
+        rec.alias("rec"),
+    )
+    return keyed.groupBy("segment").agg(
+        F.count("*").alias("n_records"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("url", "rec"))),
+                lambda x: x["rec"],
+            ),
+            F.lit(b""),
+            lambda acc, x: F.concat(acc, x),
+        ).alias("wet"),
+    )
+
+
+def write_wet(
+    result: DataFrame, out_dir: str, segments: int = 16, compress: bool = True
+) -> list[str]:
+    """Materialize ``wet_segments`` as ``wet-{segment:05d}.warc.wet[.gz]``
+    files under ``out_dir``. Segments stream through the driver one at
+    a time (toLocalIterator) — the demo-scale committer; on a real
+    cluster the same rows would be written executor-side by a
+    foreachPartition committer against the object store. Gzip uses
+    mtime=0 so re-running produces byte-identical files."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths: list[str] = []
+    suffix = ".warc.wet.gz" if compress else ".warc.wet"
+    for row in wet_segments(result, segments).toLocalIterator():
+        data = bytes(row["wet"])
+        if compress:
+            buf = io.BytesIO()
+            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+                g.write(data)
+            data = buf.getvalue()
+        path = os.path.join(out_dir, f"wet-{row['segment']:05d}{suffix}")
+        with open(path, "wb") as f:
+            f.write(data)
+        paths.append(path)
+    return sorted(paths)
 
 
 # ------------------------------------------------------ fixture writer
