@@ -214,3 +214,55 @@ def test_cmap_absent_keeps_legacy_decode_byte_identical():
         assert r.text == extract(p.html).text  # deterministic
         if p.text is not None:
             assert r.text == p.text  # fixture oracle unchanged
+
+
+def test_differences_encoding_font_identity():
+    """Simple-font PDFs with an /Encoding /Differences array (no
+    ToUnicode) extract the original text exactly: AGL names and the
+    algorithmic uniXXXX family both resolve, inline-vs-indirect
+    /Encoding both parse, and unmapped codes keep Latin-1 passthrough."""
+    from toyocr_spark.extractor import extract
+    from toyocr_spark.extractor.pdf import tokenize_pdf
+    from toyocr_spark.fixtures.genpdf import build_pdf_differences_font
+
+    paras = [
+        ["Café résumé — daß grüße", "œuvre for 5€, plain ascii."],
+        ["Second paragraph stays latin-1:", "no remapped bytes at all here."],
+    ]
+    want = [" ".join(p) for p in paras]
+    pdf = build_pdf_differences_font(paras)
+    got = [b.text for b in tokenize_pdf(pdf)]
+    assert got == want
+    assert extract(pdf).text == "\n".join(want)
+    # determinism across parses
+    assert [b.text for b in tokenize_pdf(pdf)] == want
+
+
+def test_glyph_name_resolution_table():
+    from toyocr_spark.extractor.pdf import _glyph_char
+
+    assert _glyph_char("eacute") == "é"
+    assert _glyph_char("emdash") == "—"
+    assert _glyph_char("seven") == "7"
+    assert _glyph_char("Q") == "Q"
+    assert _glyph_char("uni20AC") == "€"
+    assert _glyph_char("u1F600") == "\U0001f600"
+    assert _glyph_char("g42") is None  # subset glyph: unresolvable
+    assert _glyph_char("notaname") is None
+
+
+def test_tounicode_wins_over_differences():
+    """When a font has BOTH maps, ToUnicode is authoritative: the
+    Differences array must not shadow it (build a subset-font PDF and
+    inject a bogus Differences dict alongside — text is unchanged)."""
+    from toyocr_spark.extractor.pdf import tokenize_pdf
+    from toyocr_spark.fixtures.genpdf import build_pdf_subset_font
+
+    paras = [["Mapped through the CMap only."]]
+    pdf = build_pdf_subset_font(paras)
+    # splice a /Differences into the font object: ToUnicode still wins
+    pdf2 = pdf.replace(
+        b"/ToUnicode 6 0 R",
+        b"/Encoding << /Differences [33 /A /B /C] >> /ToUnicode 6 0 R",
+    )
+    assert [b.text for b in tokenize_pdf(pdf2)] == [" ".join(paras[0])]

@@ -25,9 +25,12 @@ Scope (documented, deterministic):
   * strings decode through the active font's /ToUnicode CMap when one
     is embedded (bfchar + bfrange, 1- or 2-byte codes, FlateDecode
     streams — the subset every modern generator emits for embedded
-    fonts), else as UTF-16BE when BOM-prefixed, else Latin-1
+    fonts), else through the font's /Encoding /Differences array
+    (glyph names resolved via an Adobe-Glyph-List subset + the
+    algorithmic uniXXXX family — the classic pre-Unicode re-encoding
+    shape), else as UTF-16BE when BOM-prefixed, else Latin-1
     (PDFDocEncoding's printable range); glyph-program (CFF/TrueType
-    cmap table) decoding without a ToUnicode map stays out of scope;
+    cmap table) decoding without either map stays out of scope;
   * each content stream is offset to its own vertical band so
     multi-page documents keep page order through the XY-cut (a
     /Contents array splitting ONE page across streams would band
@@ -230,10 +233,148 @@ def _parse_cmap(body: bytes) -> tuple[int, dict[int, str]] | None:
     return (width, table) if table else None
 
 
+# ------------------------------------------- /Differences encoding support
+#
+# Simple fonts (Type1/TrueType) without a ToUnicode CMap often carry an
+# /Encoding dict whose /Differences array remaps byte codes to named
+# glyphs (the classic pre-Unicode PDF shape: symbol repertoires,
+# re-encoded accents). The names resolve through the Adobe Glyph List;
+# the subset below covers ASCII + Latin-1 + the common typographic
+# marks, plus the ALGORITHMIC uniXXXX / uXXXX(XX) families — enough for
+# every /Differences array a Latin-script crawl PDF realistically
+# carries. Unresolvable names (gNN subset glyphs without ToUnicode)
+# stay unmapped and fall back to Latin-1, the documented seam.
+
+_AGL: dict[str, str] = {}
+for _c in range(0x41, 0x5B):  # A-Z and a-z name themselves
+    _AGL[chr(_c)] = chr(_c)
+    _AGL[chr(_c + 32)] = chr(_c + 32)
+for _i, _n in enumerate("zero one two three four five six seven eight nine".split()):
+    _AGL[_n] = str(_i)
+_AGL.update(
+    {
+        # StandardEncoding ASCII punctuation
+        "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+        "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+        "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+        "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+        "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+        "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+        "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+        "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+        "braceright": "}", "asciitilde": "~",
+        # Latin-1 letters and signs
+        "exclamdown": "¡", "cent": "¢", "sterling": "£",
+        "currency": "¤", "yen": "¥", "brokenbar": "¦",
+        "section": "§", "dieresis": "¨", "copyright": "©",
+        "ordfeminine": "ª", "guillemotleft": "«",
+        "logicalnot": "¬", "registered": "®", "macron": "¯",
+        "degree": "°", "plusminus": "±", "acute": "´",
+        "mu": "µ", "paragraph": "¶", "periodcentered": "·",
+        "cedilla": "¸", "ordmasculine": "º",
+        "guillemotright": "»", "onequarter": "¼",
+        "onehalf": "½", "threequarters": "¾",
+        "questiondown": "¿",
+        "Agrave": "À", "Aacute": "Á", "Acircumflex": "Â",
+        "Atilde": "Ã", "Adieresis": "Ä", "Aring": "Å",
+        "AE": "Æ", "Ccedilla": "Ç", "Egrave": "È",
+        "Eacute": "É", "Ecircumflex": "Ê", "Edieresis": "Ë",
+        "Igrave": "Ì", "Iacute": "Í", "Icircumflex": "Î",
+        "Idieresis": "Ï", "Eth": "Ð", "Ntilde": "Ñ",
+        "Ograve": "Ò", "Oacute": "Ó", "Ocircumflex": "Ô",
+        "Otilde": "Õ", "Odieresis": "Ö", "multiply": "×",
+        "Oslash": "Ø", "Ugrave": "Ù", "Uacute": "Ú",
+        "Ucircumflex": "Û", "Udieresis": "Ü", "Yacute": "Ý",
+        "Thorn": "Þ", "germandbls": "ß",
+        "agrave": "à", "aacute": "á", "acircumflex": "â",
+        "atilde": "ã", "adieresis": "ä", "aring": "å",
+        "ae": "æ", "ccedilla": "ç", "egrave": "è",
+        "eacute": "é", "ecircumflex": "ê", "edieresis": "ë",
+        "igrave": "ì", "iacute": "í", "icircumflex": "î",
+        "idieresis": "ï", "eth": "ð", "ntilde": "ñ",
+        "ograve": "ò", "oacute": "ó", "ocircumflex": "ô",
+        "otilde": "õ", "odieresis": "ö", "divide": "÷",
+        "oslash": "ø", "ugrave": "ù", "uacute": "ú",
+        "ucircumflex": "û", "udieresis": "ü", "yacute": "ý",
+        "thorn": "þ", "ydieresis": "ÿ",
+        # typographic marks (WinAnsi / PDF ubiquitous)
+        "quoteleft": "‘", "quoteright": "’",
+        "quotedblleft": "“", "quotedblright": "”",
+        "quotesinglbase": "‚", "quotedblbase": "„",
+        "endash": "–", "emdash": "—", "bullet": "•",
+        "ellipsis": "…", "dagger": "†", "daggerdbl": "‡",
+        "perthousand": "‰", "Euro": "€", "trademark": "™",
+        "florin": "ƒ", "fraction": "⁄", "minus": "−",
+        "guilsinglleft": "‹", "guilsinglright": "›",
+        "fi": "ﬁ", "fl": "ﬂ",
+        "OE": "Œ", "oe": "œ", "Scaron": "Š",
+        "scaron": "š", "Ydieresis": "Ÿ", "Zcaron": "Ž",
+        "zcaron": "ž", "circumflex": "ˆ", "tilde": "˜",
+        "breve": "˘", "dotaccent": "˙", "ring": "˚",
+        "ogonek": "˛", "caron": "ˇ", "hungarumlaut": "˝",
+    }
+)
+
+
+def _glyph_char(name: str) -> str | None:
+    """Glyph name -> character, per the Adobe Glyph List conventions:
+    the table above, else the algorithmic uniXXXX / uXXXX(XX) forms.
+    None for unresolvable names (gNN subset glyphs)."""
+    ch = _AGL.get(name)
+    if ch is not None:
+        return ch
+    try:
+        if name.startswith("uni") and len(name) >= 7:
+            return chr(int(name[3:7], 16))
+        if name.startswith("u") and 5 <= len(name) <= 7:
+            return chr(int(name[1:], 16))
+    except ValueError:
+        pass
+    return None
+
+
+_ENC_REF_RE = re.compile(rb"/Encoding\s+(\d+)\s+\d+\s+R")
+_DIFF_RE = re.compile(rb"/Differences\s*\[(.*?)\]", re.S)
+_DIFF_TOK_RE = re.compile(rb"(\d+)|/([A-Za-z0-9._]+)")
+
+
+def _parse_differences(
+    font_obj: bytes, objs: dict[int, bytes]
+) -> tuple[int, dict[int, str]] | None:
+    """The font's /Encoding /Differences array as a 1-byte code table
+    (same shape as a parsed ToUnicode CMap). The array lives either in
+    an inline /Encoding dict or behind an indirect /Encoding object."""
+    diff = _DIFF_RE.search(font_obj)
+    if diff is None:
+        ref = _ENC_REF_RE.search(font_obj)
+        if ref is None:
+            return None
+        enc_obj = objs.get(int(ref.group(1)))
+        if enc_obj is None:
+            return None
+        diff = _DIFF_RE.search(enc_obj)
+        if diff is None:
+            return None
+    table: dict[int, str] = {}
+    code = 0
+    for m in _DIFF_TOK_RE.finditer(diff.group(1)):
+        if m.group(1) is not None:
+            code = int(m.group(1))
+        else:
+            ch = _glyph_char(m.group(2).decode("latin-1"))
+            if ch is not None and 0 <= code <= 0xFF:
+                table[code] = ch
+            code += 1
+    return (1, table) if table else None
+
+
 def _font_cmaps(data: bytes) -> dict[bytes, tuple[int, dict[int, str]]]:
-    """Resource font name (b"F1") -> parsed ToUnicode CMap, for every
-    font reachable from a /Resources /Font dict that carries one."""
-    if b"/ToUnicode" not in data:
+    """Resource font name (b"F1") -> code table, for every font
+    reachable from a /Resources /Font dict: the /ToUnicode CMap when
+    the font has one, else its /Encoding /Differences array resolved
+    through the glyph-name list (ToUnicode wins — it is authoritative
+    where both exist)."""
+    if b"/ToUnicode" not in data and b"/Differences" not in data:
         return {}
     objs = _object_bodies(data)
     out: dict[bytes, tuple[int, dict[int, str]]] = {}
@@ -245,15 +386,16 @@ def _font_cmaps(data: bytes) -> dict[bytes, tuple[int, dict[int, str]]]:
             if font_obj is None:
                 continue
             tu = _TOUNICODE_RE.search(font_obj)
-            if tu is None:
-                continue
-            cmap_obj = objs.get(int(tu.group(1)))
-            if cmap_obj is None:
-                continue
-            stream = _object_stream(cmap_obj)
-            if stream is None:
-                continue
-            parsed = _parse_cmap(stream)
+            if tu is not None:
+                cmap_obj = objs.get(int(tu.group(1)))
+                if cmap_obj is not None:
+                    stream = _object_stream(cmap_obj)
+                    if stream is not None:
+                        parsed = _parse_cmap(stream)
+                        if parsed is not None:
+                            out[name] = parsed
+                            continue
+            parsed = _parse_differences(font_obj, objs)
             if parsed is not None:
                 out[name] = parsed
     return out

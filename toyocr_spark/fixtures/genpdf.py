@@ -192,3 +192,69 @@ def build_pdf_subset_font(paragraphs: list[list[str]], compress: bool = True) ->
         xref_pos,
     )
     return bytes(out)
+
+
+def build_pdf_differences_font(
+    paragraphs: list[list[str]],
+    remap: dict[str, str] | None = None,
+    compress: bool = True,
+) -> bytes:
+    """A PDF whose font carries an /Encoding /Differences array — the
+    classic pre-Unicode simple-font re-encoding (no ToUnicode). Every
+    character listed in ``remap`` (char -> glyph name) is moved to a
+    code in 0x80.., recoverable only by resolving the glyph name; all
+    other characters ride Latin-1 passthrough. Default remap exercises
+    AGL names and the algorithmic uniXXXX family."""
+    if remap is None:
+        remap = {
+            "é": "eacute", "—": "emdash", "ü": "udieresis",
+            "ß": "germandbls", "œ": "oe", "€": "uni20AC",
+        }
+    char_to_code = {ch: 0x80 + i for i, ch in enumerate(remap)}
+    diff_parts = ["128"] + ["/" + remap[ch] for ch in remap]
+
+    ops: list[str] = []
+    y = 740
+    for para in paragraphs:
+        ops.append(f"BT /F1 11 Tf 13 TL 72 {y} Td")
+        for j, ln in enumerate(para):
+            if j:
+                ops.append("T*")
+            hexes = "".join(
+                f"{char_to_code.get(ch, ord(ch)):02X}" for ch in ln
+            )
+            ops.append(f"<{hexes}> Tj")
+        ops.append("ET")
+        y -= 13 * (len(para) + 2)
+    content = "\n".join(ops).encode("latin-1")
+    body = zlib.compress(content) if compress else content
+    filt = b" /Filter /FlateDecode" if compress else b""
+    objs: list[bytes] = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding 6 0 R >>",
+        (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 5 0 R /Resources << /Font << /F1 3 0 R >> >> >>"
+        ),
+        b"<< /Length %d%s >>\nstream\n%s\nendstream" % (len(body), filt, body),
+        b"<< /Type /Encoding /BaseEncoding /WinAnsiEncoding /Differences ["
+        + " ".join(diff_parts).encode("latin-1")
+        + b"] >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets: list[int] = []
+    for i, o in enumerate(objs, 1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + o + b"\nendobj\n"
+    xref_pos = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (
+        len(objs) + 1,
+        xref_pos,
+    )
+    return bytes(out)
