@@ -4549,6 +4549,76 @@ def q96_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q97_bpe_pairs",
+    """
+    WITH words AS (
+      SELECT lower(w.word) AS word
+      FROM documents,
+           unnest(string_split_regex(text, '\\s+')) AS w(word)
+      WHERE regexp_matches(lower(w.word), '^[a-z]+$')
+        AND length(w.word) >= 2
+    ),
+    vocab AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq
+      FROM words GROUP BY word
+    ),
+    pairs AS (
+      SELECT substr(word, u.i, 2) AS pair, freq
+      FROM vocab, unnest(generate_series(1, length(word) - 1)) AS u(i)
+    ),
+    counted AS (
+      SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
+      FROM pairs GROUP BY pair
+    )
+    SELECT pair, pair_count,
+           CAST(row_number() OVER (ORDER BY pair_count DESC, pair)
+                AS BIGINT) AS rank
+    FROM counted
+    ORDER BY pair_count DESC, pair
+    LIMIT 20
+    """,
+    "BPE merge-candidate pair counting — the first round of "
+    "byte-pair-encoding tokenizer training (Sennrich et al.'s "
+    "learn_bpe), the on-ramp to training a tokenizer ON the corpus "
+    "the engine curates. The critical scale shape: the token stream "
+    "is collapsed to the DISTINCT-WORD vocabulary first (one partial "
+    "agg), and adjacent-pair explosion + counting then iterate over "
+    "vocabulary entries weighted by frequency — corpus growth beyond "
+    "vocabulary saturation adds nothing to the pair stage. All "
+    "JVM-side (split/transform/sequence/substring), top-20 via "
+    "TakeOrderedAndProject with a deterministic pair tiebreak. "
+    "Subsequent merge rounds re-run the same plan over the re-segmented "
+    "vocab table",
+)
+def q97_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word"))
+        .filter(F.col("word").rlike("^[a-z]+$") & (F.length("word") >= 2))
+    )
+    vocab = words.groupBy("word").agg(F.count("*").alias("freq"))
+    pairs = vocab.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.substring(F.col("word"), i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    counted = pairs.groupBy("pair").agg(F.sum("freq").alias("pair_count"))
+    ranked = counted.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.desc("pair_count"), F.col("pair")))
+        .cast("long"),
+    )
+    return ranked.orderBy(F.desc("pair_count"), "pair").limit(20)
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
@@ -4609,6 +4679,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q94_g711_audio",
     "q95_sitemap_parse",
     "q96_html_tables",
+    "q97_bpe_pairs",
 ]
 
 
