@@ -367,3 +367,22 @@ def test_ivf_bucketed_lists_aggregate_skips_exchange(spark, sf_dir):
     lists = spark.table(_ivf_table_prefix(sf_dir) + "_lists")
     plan = _plan(lists.groupBy("cid").count())
     assert "Exchange" not in plan
+
+
+def test_webtext_parse_queries_plan_shapes(spark, sf_dir):
+    """Scale contracts for the markup-parsing family: q96 (HTML table
+    extraction) is map-only — ZERO exchanges; q95 (sitemap ingestion)
+    shuffles at most twice (the distinct-sitemap count's two-phase
+    aggregate), never more; q97 (BPE pairs) takes its top-k with
+    TakeOrderedAndProject — per-partition top-k merge, no full sort of
+    the pair vocabulary — and its final rank window touches only the
+    20 survivors."""
+    fns = q.queries()
+    p96 = _plan(fns["q96_html_tables"](spark, sf_dir))
+    assert p96.count("Exchange") == 0, p96[:1500]
+
+    p95 = _plan(fns["q95_sitemap_parse"](spark, sf_dir))
+    assert p95.count("Exchange") <= 2, p95[:1500]
+
+    p97 = _plan(fns["q97_bpe_pairs"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p97, p97[:1500]

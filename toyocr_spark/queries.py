@@ -4610,13 +4610,16 @@ def q97_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "freq",
     )
     counted = pairs.groupBy("pair").agg(F.sum("freq").alias("pair_count"))
-    ranked = counted.withColumn(
+    # limit FIRST (TakeOrderedAndProject: per-partition top-k, no full
+    # sort), then rank the 20 survivors — the single-partition window
+    # exchange touches 20 rows, never the pair vocabulary
+    top = counted.orderBy(F.desc("pair_count"), "pair").limit(20)
+    return top.withColumn(
         "rank",
         F.row_number()
         .over(Window.orderBy(F.desc("pair_count"), F.col("pair")))
         .cast("long"),
     )
-    return ranked.orderBy(F.desc("pair_count"), "pair").limit(20)
 
 
 # ---------------------------------------------------------------------------
