@@ -4622,6 +4622,115 @@ def q97_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q98_jsonld_extract",
+    """
+    WITH e AS (
+      SELECT doc_id, u.k AS k
+      FROM documents, unnest(generate_series(0, doc_id % 2)) AS u(k)
+    ),
+    items AS (
+      SELECT doc_id,
+             (['Article','Product','Organization'])
+               [CAST((doc_id + k) % 3 AS INTEGER) + 1] AS item_type,
+             'n' || CAST(doc_id AS VARCHAR) || '_' || CAST(k AS VARCHAR)
+               AS name,
+             (doc_id * 7 + k) % 50 AS position
+      FROM e
+    )
+    SELECT item_type,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(sum(position) AS BIGINT) AS position_sum,
+           max(name) AS max_name
+    FROM items
+    GROUP BY item_type
+    """,
+    "schema.org JSON-LD structured-data extraction — the metadata-"
+    "mining leg of a web corpus (recipes, products, articles become "
+    "typed records; reference analogue: the GT annotation side-tables "
+    "the detector trains against). Each doc carries synthetic "
+    '<script type="application/ld+json"> blocks built JVM-side from '
+    "doc_id; the parse runs entirely on the markup: regexp_extract_all "
+    "pulls the script bodies, get_json_object reads @type/name/"
+    "position from each block (Jackson, JVM-side — never a Python "
+    "json.loads), one partial-agg shuffle on the ~3-value @type key. "
+    "At 100 TB this is map-only scan work; the tiny type cardinality "
+    "makes the final agg a broadcast-sized result. Oracle predicts "
+    "the parsed aggregate in closed form",
+)
+def q98_jsonld_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    types = F.array(F.lit("Article"), F.lit("Product"), F.lit("Organization"))
+    script = lambda k: F.concat(  # noqa: E731
+        F.lit('<script type="application/ld+json">{"@type":"'),
+        F.element_at(types, ((did + k) % 3).cast("int") + 1),
+        F.lit('","name":"n'),
+        did.cast("string"),
+        F.lit("_"),
+        k.cast("string"),
+        F.lit('","position":'),
+        ((did * 7 + k) % 50).cast("string"),
+        F.lit("}</script>"),
+    )
+    page = F.concat(
+        F.lit("<html><head>"),
+        F.array_join(F.transform(F.sequence(F.lit(0), did % 2), script), ""),
+        F.lit("</head><body></body></html>"),
+    )
+    blocks = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(
+                page.alias("page"),
+                F.lit('<script type="application/ld\\+json">(.*?)</script>'),
+                1,
+            )
+        ).alias("block"),
+    )
+    items = blocks.select(
+        "doc_id",
+        F.get_json_object("block", "$['@type']").alias("item_type"),
+        F.get_json_object("block", "$.name").alias("name"),
+        F.get_json_object("block", "$.position").cast("long").alias("position"),
+    )
+    return items.groupBy("item_type").agg(
+        F.count("*").alias("n_items"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("position").alias("position_sum"),
+        F.max("name").alias("max_name"),
+    )
+
+
+@_q(
+    "q99_bpe_train",
+    None,
+    "full iterative BPE tokenizer training (Sennrich learn_bpe) — "
+    "q97 is literally round 1 of this loop. One corpus pass collapses "
+    "the stream to the distinct-word vocab; 8 merge rounds then run "
+    "over VOCAB rows only (pair partial-agg + 1-row argmax collect + "
+    "pure-JVM F.aggregate fold to re-segment + localCheckpoint to "
+    "keep iterative lineage flat — the connected-components "
+    "discipline). Deterministic merge order via (freq DESC, left, "
+    "right). Not SQL-expressible (iterative argmax-dependent "
+    "re-segmentation); the exact-value check is "
+    "tests/test_bpe.py's pure-Python Sennrich reference, which must "
+    "reproduce the merge table bit-for-bit",
+)
+def q99_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toyocr_spark.operators.bpe import train_bpe, word_vocab
+
+    d = _t(spark, sf_dir, "documents")
+    merges, _seg = train_bpe(word_vocab(d), n_merges=8)
+    rows = [
+        (i + 1, left, right, freq) for i, (left, right, freq) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "rank long, left string, right string, pair_freq long"
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
