@@ -266,3 +266,72 @@ def test_tounicode_wins_over_differences():
         b"/Encoding << /Differences [33 /A /B /C] >> /ToUnicode 6 0 R",
     )
     assert [b.text for b in tokenize_pdf(pdf2)] == [" ".join(paras[0])]
+
+
+def test_truetype_fontfile2_identity():
+    """Embedded-TrueType PDFs with NO ToUnicode and NO Differences —
+    string bytes are subset glyph codes recoverable only through the
+    font program's cmap+post tables — extract the original text
+    exactly, across cmap format 6 (1,0), format 4 (3,1), the symbolic
+    (3,0) 0xF000 convention, and compressed/uncompressed programs.
+    Non-ASCII characters route through custom uniXXXX post names."""
+    from toyocr_spark.extractor import extract
+    from toyocr_spark.extractor.pdf import tokenize_pdf
+    from toyocr_spark.fixtures.genpdf import build_pdf_truetype_font
+
+    paras = [
+        ["The quick brown fox", "jumps over the lazy dog."],
+        ["Café résumé — grüße for 5€,", "digits 0123456789 caps XYZ!?"],
+    ]
+    want = [" ".join(p) for p in paras]
+    for fmt in (6, 4):
+        for symbolic in (False, True):
+            pdf = build_pdf_truetype_font(paras, cmap_format=fmt, symbolic=symbolic)
+            got = [b.text for b in tokenize_pdf(pdf)]
+            assert got == want, (fmt, symbolic, got)
+            # determinism across parses
+            assert [b.text for b in tokenize_pdf(pdf)] == want
+    assert extract(build_pdf_truetype_font(paras)).text == "\n".join(want)
+    got2 = [b.text for b in tokenize_pdf(build_pdf_truetype_font(paras, compress=False))]
+    assert got2 == want
+
+
+def test_tounicode_wins_over_fontfile2():
+    """Precedence: a font shipping BOTH a ToUnicode CMap and a
+    FontFile2 program decodes through the CMap (authoritative)."""
+    from toyocr_spark.extractor.pdf import _font_cmaps, tokenize_pdf
+    from toyocr_spark.fixtures.genpdf import build_pdf_truetype_font
+
+    paras = [["Mapped through which table?"]]
+    pdf = build_pdf_truetype_font(paras)
+    # splice a bogus ToUnicode pointing at the content stream (obj 5 is
+    # not a CMap -> parse fails -> falls through to FontFile2): text ok
+    pdf_bad_cmap = pdf.replace(
+        b"/FontDescriptor 6 0 R", b"/ToUnicode 5 0 R /FontDescriptor 6 0 R"
+    )
+    assert [b.text for b in tokenize_pdf(pdf_bad_cmap)] == [" ".join(paras[0])]
+
+
+def test_truetype_fuzz_is_deterministic_and_total():
+    """Bit-flipped / truncated font programs must never raise and must
+    decode deterministically (the malformed-input discipline every
+    crawl-facing parser in the repo follows)."""
+    import random
+
+    from toyocr_spark.extractor import extract
+    from toyocr_spark.fixtures.genpdf import build_pdf_truetype_font
+
+    paras = [["fuzz target text body", "with two lines present."]]
+    base = build_pdf_truetype_font(paras, compress=False)
+    rng = random.Random(1234)
+    for _ in range(40):
+        b = bytearray(base)
+        for _ in range(rng.randrange(1, 6)):
+            b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        data = bytes(b)
+        r1 = extract(data)
+        r2 = extract(data)
+        assert r1.text == r2.text and r1.spans == r2.spans
+    for cut in (len(base) // 3, len(base) // 2, len(base) - 40):
+        data = base[:cut]
+        assert extract(data).text == extract(data).text

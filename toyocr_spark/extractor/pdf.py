@@ -368,13 +368,187 @@ def _parse_differences(
     return (1, table) if table else None
 
 
+_FONTDESC_RE = re.compile(rb"/FontDescriptor\s+(\d+)\s+\d+\s+R")
+_FONTFILE2_RE = re.compile(rb"/FontFile2\s+(\d+)\s+\d+\s+R")
+
+
+def _u16(b: bytes, i: int) -> int:
+    return (b[i] << 8) | b[i + 1] if i + 1 < len(b) else 0
+
+
+def _ttf_tables(prog: bytes) -> dict[bytes, bytes]:
+    """sfnt table directory: tag -> table bytes. Tolerant of truncated
+    or hostile directories (out-of-range entries are dropped)."""
+    if len(prog) < 12:
+        return {}
+    num = _u16(prog, 4)
+    out: dict[bytes, bytes] = {}
+    for i in range(min(num, 64)):
+        rec = 12 + 16 * i
+        if rec + 16 > len(prog):
+            break
+        off = int.from_bytes(prog[rec + 8 : rec + 12], "big")
+        ln = int.from_bytes(prog[rec + 12 : rec + 16], "big")
+        if off + ln <= len(prog):
+            out[prog[rec : rec + 4]] = prog[off : off + ln]
+    return out
+
+
+def _cmap_gid(sub: bytes, code: int) -> int:
+    """One code-point lookup in a TrueType cmap subtable (formats 0, 4,
+    6 — the simple-font formats). 0 = .notdef / unmapped. Per-lookup
+    work is O(segments) with no table-sized allocation, so hostile
+    length fields cannot amplify."""
+    if len(sub) < 4:
+        return 0
+    fmt = _u16(sub, 0)
+    if fmt == 0:
+        return sub[6 + code] if 0 <= code <= 0xFF and len(sub) >= 262 else 0
+    if fmt == 6:
+        first, count = _u16(sub, 6), _u16(sub, 8)
+        if first <= code < first + count:
+            return _u16(sub, 10 + 2 * (code - first))
+        return 0
+    if fmt == 4:
+        seg_x2 = _u16(sub, 6)
+        end0, start0 = 14, 16 + seg_x2
+        delta0, range0 = 16 + 2 * seg_x2, 16 + 3 * seg_x2
+        for i in range(seg_x2 // 2):
+            end = _u16(sub, end0 + 2 * i)
+            if code > end:
+                continue
+            start = _u16(sub, start0 + 2 * i)
+            if code < start:
+                return 0
+            delta = _u16(sub, delta0 + 2 * i)
+            ro = _u16(sub, range0 + 2 * i)
+            if ro == 0:
+                return (code + delta) & 0xFFFF
+            pos = range0 + 2 * i + ro + 2 * (code - start)
+            gid = _u16(sub, pos)
+            return (gid + delta) & 0xFFFF if gid else 0
+    return 0
+
+
+def _cmap_best_subtable(cmap: bytes) -> tuple[bytes, bool] | None:
+    """(subtable bytes, code_keyed): prefer the code-keyed Macintosh
+    (1,0) / symbolic Windows (3,0) subtables — simple-font codes index
+    them directly — else fall back to a Unicode-keyed (3,1)/(0,x)
+    subtable, where 1-byte codes coincide with Latin-1 code points."""
+    if len(cmap) < 4:
+        return None
+    best: tuple[int, bytes] | None = None  # (rank, subtable) — lower wins
+    for i in range(min(_u16(cmap, 2), 16)):
+        rec = 4 + 8 * i
+        if rec + 8 > len(cmap):
+            break
+        pid, eid = _u16(cmap, rec), _u16(cmap, rec + 2)
+        off = int.from_bytes(cmap[rec + 4 : rec + 8], "big")
+        if off >= len(cmap):
+            continue
+        if (pid, eid) in ((1, 0), (3, 0)):
+            rank = 0
+        elif (pid, eid) == (3, 1) or pid == 0:
+            rank = 1
+        else:
+            continue
+        if best is None or rank < best[0]:
+            best = (rank, cmap[off:])
+    if best is None:
+        return None
+    return best[1], best[0] == 0
+
+
+def _post_gid_chars(post: bytes) -> dict[int, str]:
+    """glyph id -> character from a 'post' format-2.0 table. Standard
+    Macintosh order indices 3..97 are exactly ASCII 32..126 (char =
+    chr(index + 29)); indices >= 258 resolve their Pascal-string names
+    through the Adobe Glyph List conventions (_glyph_char). The
+    non-ASCII block of the standard order (98..257) stays unmapped —
+    real subsetters emit custom names for those."""
+    if len(post) < 34 or int.from_bytes(post[0:4], "big") != 0x00020000:
+        return {}
+    num = _u16(post, 32)
+    if 34 + 2 * num > len(post):
+        return {}
+    names: list[str] = []
+    p = 34 + 2 * num
+    while p < len(post) and len(names) < num:
+        ln = post[p]
+        names.append(post[p + 1 : p + 1 + ln].decode("latin-1"))
+        p += 1 + ln
+    out: dict[int, str] = {}
+    for gid in range(num):
+        idx = _u16(post, 34 + 2 * gid)
+        if 3 <= idx <= 97:
+            out[gid] = chr(idx + 29)
+        elif idx >= 258 and idx - 258 < len(names):
+            ch = _glyph_char(names[idx - 258])
+            if ch is not None:
+                out[gid] = ch
+    return out
+
+
+def _parse_fontfile2(
+    font_obj: bytes, objs: dict[int, bytes]
+) -> tuple[int, dict[int, str]] | None:
+    """Code table recovered from an embedded TrueType program
+    (/FontDescriptor -> /FontFile2) when the font ships neither a
+    /ToUnicode CMap nor a /Differences array: code -> glyph id via the
+    font's own 'cmap' (symbolic fonts checked at code and 0xF000+code),
+    glyph id -> character via the 'post' name table. This is the last
+    metadata-bearing stop before Latin-1 passthrough; fonts whose only
+    mapping is in glyph PROGRAMS (CFF charstrings, TrueType outlines)
+    stay out of scope."""
+    fd = _FONTDESC_RE.search(font_obj)
+    if fd is None:
+        return None
+    desc = objs.get(int(fd.group(1)))
+    if desc is None:
+        return None
+    ff = _FONTFILE2_RE.search(desc)
+    if ff is None:
+        return None
+    prog_obj = objs.get(int(ff.group(1)))
+    if prog_obj is None:
+        return None
+    prog = _object_stream(prog_obj)
+    if prog is None:
+        return None
+    tables = _ttf_tables(prog)
+    cmap, post = tables.get(b"cmap"), tables.get(b"post")
+    if cmap is None or post is None:
+        return None
+    picked = _cmap_best_subtable(cmap)
+    if picked is None:
+        return None
+    sub, code_keyed = picked
+    gid_chars = _post_gid_chars(post)
+    if not gid_chars:
+        return None
+    table: dict[int, str] = {}
+    for code in range(256):
+        gid = _cmap_gid(sub, code)
+        if gid == 0 and code_keyed:
+            gid = _cmap_gid(sub, 0xF000 | code)  # symbolic-font convention
+        ch = gid_chars.get(gid) if gid else None
+        if ch is not None:
+            table[code] = ch
+    return (1, table) if table else None
+
+
 def _font_cmaps(data: bytes) -> dict[bytes, tuple[int, dict[int, str]]]:
     """Resource font name (b"F1") -> code table, for every font
     reachable from a /Resources /Font dict: the /ToUnicode CMap when
     the font has one, else its /Encoding /Differences array resolved
-    through the glyph-name list (ToUnicode wins — it is authoritative
-    where both exist)."""
-    if b"/ToUnicode" not in data and b"/Differences" not in data:
+    through the glyph-name list, else the embedded TrueType program's
+    cmap+post tables (precedence: ToUnicode is authoritative, then
+    Differences, then FontFile2)."""
+    if (
+        b"/ToUnicode" not in data
+        and b"/Differences" not in data
+        and b"/FontFile2" not in data
+    ):
         return {}
     objs = _object_bodies(data)
     out: dict[bytes, tuple[int, dict[int, str]]] = {}
@@ -396,6 +570,8 @@ def _font_cmaps(data: bytes) -> dict[bytes, tuple[int, dict[int, str]]]:
                             out[name] = parsed
                             continue
             parsed = _parse_differences(font_obj, objs)
+            if parsed is None:
+                parsed = _parse_fontfile2(font_obj, objs)
             if parsed is not None:
                 out[name] = parsed
     return out

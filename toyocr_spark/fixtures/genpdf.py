@@ -11,6 +11,7 @@ counterpart of the reference's ICDAR->COCO converter
 
 from __future__ import annotations
 
+import struct
 import zlib
 
 
@@ -242,6 +243,134 @@ def build_pdf_differences_font(
         b"<< /Type /Encoding /BaseEncoding /WinAnsiEncoding /Differences ["
         + " ".join(diff_parts).encode("latin-1")
         + b"] >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets: list[int] = []
+    for i, o in enumerate(objs, 1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + o + b"\nendobj\n"
+    xref_pos = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (
+        len(objs) + 1,
+        xref_pos,
+    )
+    return bytes(out)
+
+
+def _ttf_program(
+    code_to_char: dict[int, str], cmap_format: int = 6, symbolic: bool = False
+) -> bytes:
+    """A minimal-but-real TrueType program carrying just the two tables
+    the extractor's FontFile2 path reads: 'cmap' (code -> glyph id;
+    format 6 on platform (1,0) or format 4 on (3,1)/(3,0)) and 'post'
+    format 2.0 (glyph id -> name; ASCII chars use standard-Macintosh
+    order indices, everything else a custom uniXXXX Pascal string).
+    ``symbolic`` keys the cmap at 0xF000+code under (3,0), the
+    symbolic-font convention."""
+    codes = sorted(code_to_char)
+    gid_of = {c: i + 1 for i, c in enumerate(codes)}
+    key = (lambda c: 0xF000 | c) if symbolic else (lambda c: c)
+
+    if cmap_format == 6:
+        first, last = key(codes[0]), key(codes[-1])
+        gids = [gid_of.get(c) or 0 for c in range(codes[0], codes[-1] + 1)]
+        sub = struct.pack(
+            ">HHHHH", 6, 10 + 2 * len(gids), 0, first, last - first + 1
+        ) + b"".join(struct.pack(">H", g) for g in gids)
+    elif cmap_format == 4:
+        segs = [(key(c), key(c), (gid_of[c] - key(c)) & 0xFFFF) for c in codes]
+        segs.append((0xFFFF, 0xFFFF, 1))
+        n = len(segs)
+        sub = struct.pack(">HHHHHHH", 4, 16 + 8 * n, 0, 2 * n, 0, 0, 0)
+        sub += b"".join(struct.pack(">H", e) for _, e, _ in segs)
+        sub += b"\x00\x00"
+        sub += b"".join(struct.pack(">H", s) for s, _, _ in segs)
+        sub += b"".join(struct.pack(">H", d) for _, _, d in segs)
+        sub += b"\x00\x00" * n  # idRangeOffset: all delta-mapped
+    else:
+        raise ValueError(f"unsupported fixture cmap format {cmap_format}")
+
+    pid, eid = ((3, 0) if symbolic else (1, 0)) if cmap_format == 6 else (
+        (3, 0) if symbolic else (3, 1)
+    )
+    cmap = struct.pack(">HHHHI", 0, 1, pid, eid, 12) + sub
+
+    n_glyphs = len(codes) + 1
+    custom: list[bytes] = []
+    idx = [0]  # gid 0 = .notdef
+    for c in codes:
+        ch = code_to_char[c]
+        if " " <= ch <= "~":
+            idx.append(ord(ch) - 29)  # standard Macintosh order
+        else:
+            idx.append(258 + len(custom))
+            custom.append(f"uni{ord(ch):04X}".encode("latin-1"))
+    post = struct.pack(">IihhIIIII", 0x00020000, 0, 0, 0, 0, 0, 0, 0, 0)
+    post += struct.pack(">H", n_glyphs)
+    post += b"".join(struct.pack(">H", i) for i in idx)
+    post += b"".join(bytes([len(nm)]) + nm for nm in custom)
+
+    tables = [(b"cmap", cmap), (b"post", post)]
+    off = 12 + 16 * len(tables)
+    header = struct.pack(">IHHHH", 0x00010000, len(tables), 32, 1, 16)
+    records, bodies = b"", b""
+    for tag, body in tables:
+        records += tag + struct.pack(">III", 0, off, len(body))
+        bodies += body
+        off += len(body)
+    return header + records + bodies
+
+
+def build_pdf_truetype_font(
+    paragraphs: list[list[str]],
+    compress: bool = True,
+    cmap_format: int = 6,
+    symbolic: bool = False,
+) -> bytes:
+    """A PDF whose embedded TrueType font is the ONLY decode metadata:
+    no /ToUnicode, no /Differences — string bytes are subset glyph
+    codes (ciphertext under Latin-1), recoverable solely through the
+    font program's cmap+post tables. The shape of a subsetted
+    TrueType PDF from any office suite whose writer skips ToUnicode."""
+    all_text = "".join(ln for para in paragraphs for ln in para)
+    _, code_to_char = subset_encode(all_text)
+    char_to_code = {ch: c for c, ch in code_to_char.items()}
+
+    ops: list[str] = []
+    y = 740
+    for para in paragraphs:
+        ops.append(f"BT /F1 11 Tf 13 TL 72 {y} Td")
+        for j, ln in enumerate(para):
+            if j:
+                ops.append("T*")
+            hexes = "".join(f"{char_to_code[ch]:02X}" for ch in ln)
+            ops.append(f"<{hexes}> Tj")
+        ops.append("ET")
+        y -= 13 * (len(para) + 2)
+    content = "\n".join(ops).encode("latin-1")
+    body = zlib.compress(content) if compress else content
+    filt = b" /Filter /FlateDecode" if compress else b""
+
+    ttf = _ttf_program(code_to_char, cmap_format=cmap_format, symbolic=symbolic)
+    ttf_body = zlib.compress(ttf) if compress else ttf
+    objs: list[bytes] = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+        b"<< /Type /Font /Subtype /TrueType /BaseFont /CCCCCC+Remap "
+        b"/FontDescriptor 6 0 R >>",
+        (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 5 0 R /Resources << /Font << /F1 3 0 R >> >> >>"
+        ),
+        b"<< /Length %d%s >>\nstream\n%s\nendstream" % (len(body), filt, body),
+        b"<< /Type /FontDescriptor /FontName /CCCCCC+Remap /Flags %d "
+        b"/FontFile2 7 0 R >>" % (4 if symbolic else 32),
+        b"<< /Length %d /Length1 %d%s >>\nstream\n%s\nendstream"
+        % (len(ttf_body), len(ttf), filt, ttf_body),
     ]
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets: list[int] = []
