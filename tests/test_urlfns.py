@@ -106,3 +106,29 @@ def test_drop_blocked_hosts_suffix_and_case(spark):
     bl = spark.createDataFrame([("example.com",), ("ADS.TRACKER.NET",)], "host string")
     kept = sorted(r["h"] for r in drop_blocked_hosts(df, "h", bl).collect())
     assert kept == ["notexample.com", "safe.org"]
+
+
+def test_surt_key(spark):
+    from pyspark.sql import functions as F
+
+    from toyocr_spark.functions.urlfns import canonicalize_url, surt_key
+
+    urls = [
+        ("https://a.host-1.example/p?x=1",),
+        ("HTTPS://WWW.Host-2.Example:443/Article/9?utm_source=x&b=2#f",),
+        ("https://www.host-3.EXAMPLE:8080/Deep/Path",),
+        ("http://single/",),
+    ]
+    df = spark.createDataFrame(urls, "url string")
+    got = [
+        r[0]
+        for r in df.select(surt_key(canonicalize_url(F.col("url")))).collect()
+    ]
+    assert got == [
+        "example,host-1,a)/p?x=1",
+        "example,host-2)/Article/9?b=2",
+        "example,host-3:8080)/Deep/Path",
+        "single)/",
+    ]
+    # lexicographic SURT order clusters a registrable domain's hosts
+    assert sorted(got)[:2] == ["example,host-1,a)/p?x=1", "example,host-2)/Article/9?b=2"]

@@ -88,6 +88,28 @@ def host_suffixes(host: Column) -> Column:
     )
 
 
+def surt_key(canonical_url: Column) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) key of a
+    CANONICAL url — the Common-Crawl-index key shape: reversed host
+    components joined by commas, a non-default port kept after the
+    host, then ')' + path?query. 'https://a.host-1.example/p?x=1' ->
+    'example,host-1,a)/p?x=1'. Feed canonicalize_url output; the
+    scheme is dropped (http/https collapse to one capture key) and
+    host-order reversal makes a plain lexicographic sort cluster every
+    host and registrable domain contiguously — the property the CDX
+    sort/range-scan layout rides on."""
+    rest = F.substring_index(canonical_url, "://", -1)
+    hostport = F.substring_index(rest, "/", 1)
+    pathq = F.substring(rest, F.length(hostport) + 1, _BIG())
+    host = F.substring_index(hostport, ":", 1)
+    port_part = F.when(
+        F.instr(hostport, ":") > 0,
+        F.concat(F.lit(":"), F.substring_index(hostport, ":", -1)),
+    ).otherwise(F.lit(""))
+    rev = F.array_join(F.reverse(F.split(host, "\\.")), ",")
+    return F.concat(rev, port_part, F.lit(")"), pathq)
+
+
 def drop_blocked_hosts(df, host_col: str, blocklist) -> "DataFrame":  # noqa: F821
     """Survivors of domain-suffix blocklist filtering: rows whose host
     (or any parent domain of it) appears in ``blocklist`` (a DataFrame

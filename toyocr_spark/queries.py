@@ -4731,6 +4731,93 @@ def q99_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q100_cdx_index",
+    f"""
+    WITH raw AS (
+      SELECT doc_id, {_URL_SYNTH_SQL} AS url FROM documents
+    ),
+    s1 AS (SELECT doc_id, split_part(url, '#', 1) AS u FROM raw),
+    s2 AS (SELECT doc_id, u, lower(split_part(u, '://', 1)) AS scheme,
+                  substr(u, length(split_part(u, '://', 1)) + 4) AS rest FROM s1),
+    s3 AS (SELECT *, split_part(rest, '/', 1) AS hostport,
+                  substr(rest, length(split_part(rest, '/', 1)) + 1) AS path_q FROM s2),
+    s4 AS (SELECT *,
+                  CASE WHEN starts_with(lower(split_part(hostport, ':', 1)), 'www.')
+                       THEN substr(lower(split_part(hostport, ':', 1)), 5)
+                       ELSE lower(split_part(hostport, ':', 1)) END AS host,
+                  CASE WHEN contains(hostport, ':') THEN split_part(hostport, ':', 2)
+                       ELSE '' END AS port
+           FROM s3),
+    s5 AS (SELECT *,
+                  CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
+                            OR (scheme = 'http' AND port = '80')
+                       THEN '' ELSE ':' || port END AS port_part,
+                  CASE WHEN split_part(path_q, '?', 1) = '' THEN '/'
+                       ELSE split_part(path_q, '?', 1) END AS path,
+                  CASE WHEN contains(path_q, '?')
+                       THEN substr(path_q, position('?' IN path_q) + 1)
+                       ELSE '' END AS qs
+           FROM s4),
+    s6 AS (SELECT *,
+                  list_sort(list_filter(string_split(qs, '&'),
+                      p -> p != '' AND NOT starts_with(split_part(p, '=', 1), 'utm_')
+                           AND split_part(p, '=', 1) NOT IN ('fbclid','gclid','msclkid','ref_src')
+                  )) AS kept
+           FROM s5),
+    canon AS (SELECT doc_id, host, port_part,
+                     path || CASE WHEN len(kept) > 0
+                                  THEN '?' || array_to_string(kept, '&')
+                                  ELSE '' END AS pathq,
+                     scheme || '://' || host || port_part || path ||
+                     CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
+                          ELSE '' END AS canonical_url
+              FROM s6)
+    SELECT array_to_string(list_reverse(string_split(c.host, '.')), ',')
+             || c.port_part || ')' || c.pathq                      AS surt_key,
+           '202602' || lpad(CAST((d.doc_id % 97) // 24 + 1 AS VARCHAR), 2, '0')
+             || lpad(CAST((d.doc_id % 97) % 24 AS VARCHAR), 2, '0')
+             || '0000'                                             AS ts14,
+           c.canonical_url                                         AS url,
+           md5(d.text)                                             AS digest,
+           CAST(octet_length(encode(d.text)) AS BIGINT)            AS n_bytes
+    FROM canon c JOIN documents d USING (doc_id)
+    """,
+    "CDX capture-index build — the Common-Crawl index artifact that "
+    "makes a petabyte crawl point-addressable: one row per capture "
+    "keyed by the SURT form of the canonical url (reversed host "
+    "components, port kept, scheme dropped) plus 14-digit timestamp, "
+    "content digest, and byte length. Map-only projection (URL canon "
+    "+ SURT are pure Column exprs, digest is md5, no shuffle in the "
+    "index-row build); at 100 TB the sink adds ONE "
+    "repartitionByRange(surt_key) + sortWithinPartitions to emit "
+    "sorted shards and a block-boundary secondary index — a total "
+    "sort of (key, offset) rows, never of page bodies. Lexicographic "
+    "SURT order clusters every host/registrable domain contiguously, "
+    "so host-scoped lookups become range scans",
+)
+def q100_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toyocr_spark.functions.urlfns import canonicalize_url, surt_key
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    canon = canonicalize_url(_url_synth_col())
+    hrs = did % 97
+    ts14 = F.concat(
+        F.lit("202602"),
+        F.lpad((F.floor(hrs / 24) + 1).cast("string"), 2, "0"),
+        F.lpad((hrs % 24).cast("string"), 2, "0"),
+        F.lit("0000"),
+    )
+    return d.select(
+        surt_key(canon).alias("surt_key"),
+        ts14.alias("ts14"),
+        canon.alias("url"),
+        F.md5(F.col("text").cast("binary")).alias("digest"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
