@@ -54,6 +54,16 @@ def main(argv: list[str] | None = None) -> int:
         "--wet-segments", type=int, default=16,
         help="WET segment count (pick ~ corpus_bytes / 1 GB at scale)",
     )
+    ap.add_argument(
+        "--cdx-output", default=None,
+        help="also build the sorted SURT-keyed CDX capture index over "
+        "the input pages under this directory (index shards + "
+        "cluster.idx block boundaries)",
+    )
+    ap.add_argument(
+        "--cdx-shards", type=int, default=8,
+        help="CDX shard count (pick ~ index_rows / 10M at scale)",
+    )
     args = ap.parse_args(argv)
 
     # imports deferred: under spark-submit --py-files the zip only joins
@@ -97,6 +107,12 @@ def main(argv: list[str] | None = None) -> int:
                 segments=args.wet_segments,
             )
         )
+    if args.cdx_output:
+        from toyocr_spark.sources.cdx import write_cdx
+
+        cdx = write_cdx(pages, args.cdx_output, shards=args.cdx_shards)
+        summary["cdx_shards"] = cdx["shards"]
+        summary["cdx_rows"] = cdx["rows"]
     lineage = read_lineage(spark, args.output)
     summary["hot_hosts"] = hot
     summary["lineage_rows"] = lineage.count()
