@@ -98,6 +98,17 @@ def main(argv: list[str] | None = None) -> int:
         "the non-survivors",
     )
     ap.add_argument("--semdedup-threshold", type=float, default=0.40)
+    ap.add_argument(
+        "--bpe-merges", type=int, default=0,
+        help="train a BPE tokenizer ON the curated survivors (N merge "
+        "rounds over the distinct-word vocab — corpus touched once) "
+        "and account tokens under it",
+    )
+    ap.add_argument(
+        "--bpe-artifact", default=None,
+        help="write the learned merge list here (merges.txt format, "
+        "one 'left right' pair per line in learned order)",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -302,6 +313,29 @@ def main(argv: list[str] | None = None) -> int:
     funnel["tokens_total"] = int(
         out.agg(F.sum("n_tokens")).collect()[0][0] or 0
     )
+
+    # 6. tokenizer training on the CURATED corpus (the artifact a
+    #    training run consumes next): one corpus pass builds the word
+    #    vocab, merge rounds iterate over vocab rows only, and the BPE
+    #    token accounting is one broadcast join — see operators/bpe.py
+    if args.bpe_merges > 0:
+        from toyocr_spark.operators.bpe import encode_tokens, train_bpe, word_vocab
+
+        merges, seg = train_bpe(
+            word_vocab(final.select("text")), n_merges=args.bpe_merges
+        )
+        funnel["bpe_merges"] = len(merges)
+        if args.bpe_artifact:
+            with open(args.bpe_artifact, "w") as f:
+                f.write("#version: 0.2\n")
+                for left, right, _freq in merges:
+                    f.write(f"{left} {right}\n")
+        funnel["bpe_tokens_total"] = int(
+            encode_tokens(final.select("doc_id", "text"), seg)
+            .agg(F.sum("n_tokens"))
+            .collect()[0][0]
+            or 0
+        )
 
     print(json.dumps(funnel))
     spark.stop()

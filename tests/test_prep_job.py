@@ -203,3 +203,22 @@ def test_prep_partitioned_output(tmp_path, sf_dir):
         f"SELECT count(*) FROM read_parquet('{out_dir}/lang_pred=*/*.parquet')"
     ).fetchone()[0]
     assert n == funnel["after_near_dedup"]
+
+
+@pytest.mark.slow
+def test_prep_bpe_stage(tmp_path, sf_dir):
+    out_dir = str(tmp_path / "prep_bpe")
+    artifact = str(tmp_path / "merges.txt")
+    funnel = _run(
+        "--documents", f"{sf_dir}/documents.parquet",
+        "--output", out_dir, "--min-punct", "0",
+        "--bpe-merges", "6", "--bpe-artifact", artifact,
+    )
+    assert funnel["bpe_merges"] == 6
+    # BPE merges can only SHRINK the per-word token count vs chars, and
+    # the curated corpus is non-trivial, so accounting must be positive
+    assert 0 < funnel["bpe_tokens_total"]
+    with open(artifact) as f:
+        lines = f.read().splitlines()
+    assert lines[0] == "#version: 0.2"
+    assert len(lines) == 7 and all(len(ln.split(" ")) == 2 for ln in lines[1:])
