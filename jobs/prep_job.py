@@ -99,6 +99,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument("--semdedup-threshold", type=float, default=0.40)
     ap.add_argument(
+        "--phrase-blocklist", default=None,
+        help="file of blocked word sequences (one phrase per line): "
+        "docs containing any are dropped after the quality stage "
+        "(L-gram broadcast join, never a LIKE chain)",
+    )
+    ap.add_argument(
         "--bpe-merges", type=int, default=0,
         help="train a BPE tokenizer ON the curated survivors (N merge "
         "rounds over the distinct-word vocab — corpus touched once) "
@@ -187,6 +193,17 @@ def main(argv: list[str] | None = None) -> int:
             c4_keep.select(F.col("id").alias("doc_id")), "doc_id", "left_semi"
         )
         funnel["after_c4"] = q.count()
+
+    # 1.8 phrase blocklist: the C4 bad-words filter generalized to
+    #     multi-word phrases — docs with any blocked sequence drop out
+    if args.phrase_blocklist:
+        from toyocr_spark.functions.textfns import drop_blocked_phrases
+
+        with open(args.phrase_blocklist) as f:
+            blocked = [ln.strip() for ln in f if ln.strip()]
+        if blocked:
+            q = drop_blocked_phrases(q, "doc_id", "text", blocked)
+            funnel["after_phrase_blocklist"] = q.count()
 
     # 2. language ID (n-gram marker heuristic)
     lang = lang_id_scores(q.select("doc_id", "text"), "text").select(

@@ -727,3 +727,43 @@ def test_robots_rules_parse_and_admission(spark):
         ("b.com", "/y/a"): 0,
         ("c.com", "/private/doc"): 0,
     }
+
+
+def test_phrase_hits_and_drop(spark):
+    from pyspark.sql import functions as F
+
+    from toyocr_spark.functions.textfns import drop_blocked_phrases, phrase_hits
+
+    df = spark.createDataFrame(
+        [
+            (1, "the sort merge join wins"),
+            (2, "Sort  Merge twice: sort merge again"),  # case+whitespace
+            (3, "a batch batch batch storm"),
+            (4, "merge sort is a different phrase"),
+            (5, "so"),  # shorter than any phrase
+        ],
+        "doc_id long, text string",
+    )
+    phrases = ["sort merge", "batch batch batch", "click here"]
+    hits = {
+        (r["id"], r["phrase"]): r["n_hits"]
+        for r in phrase_hits(df, "doc_id", "text", phrases).collect()
+    }
+    assert hits == {
+        (1, "sort merge"): 1,
+        (2, "sort merge"): 2,
+        (3, "batch batch batch"): 1,
+    }
+    kept = sorted(
+        r["doc_id"]
+        for r in drop_blocked_phrases(df, "doc_id", "text", phrases).collect()
+    )
+    assert kept == [4, 5]
+    # phrase table is broadcast: no shuffle Exchange on the corpus side
+    plan = (
+        phrase_hits(df, "doc_id", "text", phrases)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan

@@ -222,3 +222,16 @@ def test_prep_bpe_stage(tmp_path, sf_dir):
         lines = f.read().splitlines()
     assert lines[0] == "#version: 0.2"
     assert len(lines) == 7 and all(len(ln.split(" ")) == 2 for ln in lines[1:])
+
+
+@pytest.mark.slow
+def test_prep_phrase_blocklist_stage(tmp_path, sf_dir):
+    bl = tmp_path / "phrases.txt"
+    bl.write_text("sort merge\nbatch batch batch\n")
+    out_dir = str(tmp_path / "prep_pb")
+    funnel = _run(
+        "--documents", f"{sf_dir}/documents.parquet",
+        "--output", out_dir, "--min-punct", "0",
+        "--phrase-blocklist", str(bl),
+    )
+    assert 0 < funnel["after_phrase_blocklist"] < funnel["after_quality"]

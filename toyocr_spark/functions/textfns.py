@@ -367,3 +367,62 @@ def pii_redact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .alias("n_ips"),
         redacted.alias("redacted"),
     )
+
+
+def phrase_hits(
+    df: DataFrame, id_col: str, text_col: str, phrases: list[str]
+) -> DataFrame:
+    """Multi-phrase occurrence counts: (id, phrase, n_hits) for every
+    doc containing a blocklisted word sequence — the C4 §2.2 "bad
+    words list" shape generalized to multi-word phrases.
+
+    Scale shape: NEVER a LIKE/contains chain (that is rules x corpus
+    regex work with no pushdown). The doc is tokenized once; for each
+    phrase LENGTH present in the list (driver-known, tiny) the token
+    array is zip-with-shifted into L-grams (linear, the q51 bigram
+    trick), and the grams equi-join the broadcast phrase table. Work
+    is corpus-linear in tokens x distinct lengths; adding phrases of
+    an existing length costs nothing on the corpus side.
+
+    Matching is over whitespace-normalized lowercase word sequences —
+    punctuation-adjacent matches are out of scope (same normalization
+    as word_vocab/q97, kept deliberately in lockstep).
+    """
+    spark = df.sparkSession
+    norm = [" ".join(p.lower().split()) for p in phrases]
+    lengths = sorted({len(p.split()) for p in norm if p})
+    ptab = F.broadcast(
+        spark.createDataFrame([(p,) for p in norm if p], "phrase string")
+    )
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.lower(F.col(text_col)), r"\s+").alias("w"),
+    )
+    grams = None
+    for L in lengths:
+        g = toks.select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size("w") - L + 1, F.lit(1))),
+                    lambda i: F.array_join(F.slice("w", i, L), " "),
+                )
+            ).alias("gram"),
+        )
+        grams = g if grams is None else grams.unionByName(g)
+    if grams is None:
+        return spark.createDataFrame([], "id long, phrase string, n_hits long")
+    return (
+        grams.join(ptab, grams["gram"] == ptab["phrase"])
+        .groupBy("id", "phrase")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+def drop_blocked_phrases(
+    df: DataFrame, id_col: str, text_col: str, phrases: list[str]
+) -> DataFrame:
+    """Survivors of phrase-blocklist filtering: docs with at least one
+    phrase_hits row are dropped (broadcast anti-join on the id)."""
+    hits = phrase_hits(df, id_col, text_col, phrases).select("id").distinct()
+    return df.join(hits.withColumnRenamed("id", id_col), id_col, "left_anti")

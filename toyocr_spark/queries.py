@@ -4818,6 +4818,103 @@ def q100_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q101_corpus_stats",
+    """
+    WITH words AS (
+      SELECT lang, lower(w.word) AS word
+      FROM documents,
+           unnest(string_split_regex(text, '\\s+')) AS w(word)
+      WHERE regexp_matches(lower(w.word), '^[a-z]+$')
+        AND length(w.word) >= 2
+    ),
+    vocab AS (
+      SELECT lang, word, CAST(count(*) AS BIGINT) AS freq
+      FROM words GROUP BY lang, word
+    )
+    SELECT lang,
+           CAST(sum(freq) AS BIGINT)                                AS n_tokens,
+           CAST(count(*) AS BIGINT)                                 AS n_types,
+           CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS hapax_types,
+           CAST(sum(length(word) * freq) AS BIGINT)                 AS n_chars,
+           CAST(max(freq) AS BIGINT)                                AS top_freq
+    FROM vocab GROUP BY lang
+    """,
+    "corpus statistics profile (Heaps/Zipf inputs): per-language "
+    "token count, type count, hapax count, character mass, and modal "
+    "frequency — the numbers that size a tokenizer vocabulary and "
+    "detect corpus drift between crawl snapshots. Same two-level "
+    "vocab-collapse shape as q97/q99: the corpus is touched once, the "
+    "second aggregate runs over vocabulary rows (all integer-exact, "
+    "no ratio columns near the driver hash)",
+)
+def q101_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "lang", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("word")
+    ).filter(F.col("word").rlike("^[a-z]+$") & (F.length("word") >= 2))
+    vocab = words.groupBy("lang", "word").agg(F.count("*").alias("freq"))
+    return vocab.groupBy("lang").agg(
+        F.sum("freq").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.sum(F.when(F.col("freq") == 1, 1).otherwise(0)).alias("hapax_types"),
+        F.sum(F.length("word") * F.col("freq")).alias("n_chars"),
+        F.max("freq").alias("top_freq"),
+    )
+
+
+_BLOCK_PHRASES = ["sort merge", "table scan", "batch batch batch", "click here"]
+
+
+@_q(
+    "q102_phrase_blocklist",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             array_to_string(list_slice(w, u.i, u.i + 1), ' ') AS gram
+      FROM toks,
+           unnest(generate_series(1, greatest(len(w) - 1, 1))) AS u(i)
+      UNION ALL
+      SELECT doc_id,
+             array_to_string(list_slice(w, u.i, u.i + 2), ' ') AS gram
+      FROM toks,
+           unnest(generate_series(1, greatest(len(w) - 2, 1))) AS u(i)
+    ),
+    phrases AS (
+      SELECT * FROM (VALUES ('sort merge'), ('table scan'),
+                            ('batch batch batch'), ('click here')) p(phrase)
+    )
+    SELECT g.gram AS phrase,
+           CAST(count(DISTINCT g.doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_hits
+    FROM grams g JOIN phrases p ON g.gram = p.phrase
+    GROUP BY g.gram
+    """,
+    "phrase-blocklist scan (C4 §2.2 'bad words' filter generalized to "
+    "multi-word phrases): per-phrase document and occurrence counts "
+    "over the corpus. NEVER a LIKE chain — the doc is tokenized once "
+    "and zip-with-shifted into L-grams for each phrase length in the "
+    "list (2 and 3 here), which equi-join the broadcast phrase table; "
+    "work is corpus-linear regardless of list size. The survivors "
+    "filter (textfns.drop_blocked_phrases) is the prep_job "
+    "--phrase-blocklist stage; this query is its audit report",
+)
+def q102_phrase_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toyocr_spark.functions.textfns import phrase_hits
+
+    d = _t(spark, sf_dir, "documents")
+    hits = phrase_hits(d, "doc_id", "text", _BLOCK_PHRASES)
+    return hits.groupBy("phrase").agg(
+        F.countDistinct("id").alias("n_docs"),
+        F.sum("n_hits").alias("n_hits"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
