@@ -101,3 +101,36 @@ def test_row_build_is_map_only_and_sink_adds_one_range_exchange(spark, pages_dir
     )
     plan2 = ranged._jdf.queryExecution().executedPlan().toString()
     assert plan2.count("Exchange") == 1 and "rangepartitioning" in plan2
+
+
+def test_merge_cdx_incremental(spark, tmp_path_factory):
+    """Two per-snapshot indexes merge into one sorted index: union of
+    captures, duplicate (key, ts, digest) rows collapsed, spans still
+    sorted + non-overlapping, lookups see both snapshots."""
+    from toyocr_spark.fixtures import write_pages_parquet
+    from toyocr_spark.sources.cdx import merge_cdx
+
+    base = tmp_path_factory.mktemp("cdx_merge")
+    pa_dir, pb_dir = str(base / "pages_a"), str(base / "pages_b")
+    write_pages_parquet(pa_dir, n=60, seed=101)
+    write_pages_parquet(pb_dir, n=60, seed=202)
+    ia, ib, im = str(base / "idx_a"), str(base / "idx_b"), str(base / "idx_m")
+    a_rows = write_cdx(read_pages(spark, pa_dir), ia, shards=2)["rows"]
+    b_rows = write_cdx(read_pages(spark, pb_dir), ib, shards=2)["rows"]
+    summary = merge_cdx(spark, [ia, ib], im, shards=3)
+
+    merged = spark.read.parquet(os.path.join(im, INDEX_DIR))
+    both = spark.read.parquet(os.path.join(ia, INDEX_DIR)).unionByName(
+        spark.read.parquet(os.path.join(ib, INDEX_DIR))
+    )
+    want = both.dropDuplicates(["surt_key", "ts14", "digest"]).count()
+    assert summary["rows"] == merged.count() == want <= a_rows + b_rows
+
+    with open(os.path.join(im, CLUSTER_IDX)) as f:
+        entries = [json.loads(ln) for ln in f if ln.strip()]
+    for a, b in zip(entries, entries[1:]):
+        assert a["last_key"] <= b["first_key"]
+    # merging an index with itself is idempotent on capture identity
+    im2 = str(base / "idx_m2")
+    again = merge_cdx(spark, [im, im], im2, shards=2)
+    assert again["rows"] == want

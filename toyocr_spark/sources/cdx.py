@@ -79,14 +79,24 @@ def write_cdx(
         .write.mode("overwrite")
         .parquet(out_dir)
     )
-    spark = pages.sparkSession
+    lines = _write_cluster_idx(pages.sparkSession, out_dir, path)
+    return {
+        "shards": len(lines),
+        "rows": sum(ln["n_rows"] for ln in lines),
+        "index_dir": out_dir,
+        "cluster_idx": os.path.join(path, CLUSTER_IDX),
+    }
+
+
+def _write_cluster_idx(spark: SparkSession, out_dir: str, path: str) -> list[dict]:
+    """Derive each written shard file's exact (first_key, last_key,
+    n_rows) span and persist `path/cluster.idx`, one sorted JSON line
+    per shard. Post-write derivation (input_file_name group-by) keeps
+    the spans exact even though range partitioning samples
+    probabilistically."""
     spans = (
         spark.read.parquet(out_dir)
-        .select(
-            F.input_file_name().alias("file"),
-            "surt_key",
-            "ts14",
-        )
+        .select(F.input_file_name().alias("file"), "surt_key", "ts14")
         .groupBy("file")
         .agg(
             F.min(F.struct("surt_key", "ts14")).alias("first"),
@@ -110,12 +120,7 @@ def write_cdx(
     with open(os.path.join(path, CLUSTER_IDX), "w") as f:
         for ln in lines:
             f.write(json.dumps(ln, sort_keys=True) + "\n")
-    return {
-        "shards": len(lines),
-        "rows": sum(ln["n_rows"] for ln in lines),
-        "index_dir": out_dir,
-        "cluster_idx": os.path.join(path, CLUSTER_IDX),
-    }
+    return lines
 
 
 def _prune(entries: list[dict], surt_prefix: str) -> list[str]:
@@ -144,3 +149,32 @@ def cdx_lookup(spark: SparkSession, path: str, surt_prefix: str) -> DataFrame:
     return spark.read.parquet(*keep).filter(
         F.col("surt_key").startswith(surt_prefix)
     )
+
+
+def merge_cdx(spark: SparkSession, paths: list[str], out_path: str, shards: int = 8) -> dict:
+    """Incremental index maintenance: merge N existing CDX indexes
+    (e.g. per-crawl-snapshot) into one sorted index. Reading sorted
+    shards is a plain parquet scan; the merge costs exactly ONE
+    range Exchange over (key, digest, length) rows — page bodies are
+    never touched, which is why Common Crawl can republish a merged
+    index per crawl. Duplicate captures (same surt_key, ts14, digest)
+    collapse to one row."""
+    frames = [spark.read.parquet(os.path.join(p, INDEX_DIR)) for p in paths]
+    rows = frames[0]
+    for f in frames[1:]:
+        rows = rows.unionByName(f)
+    rows = rows.dropDuplicates(["surt_key", "ts14", "digest"])
+    out_dir = os.path.join(out_path, INDEX_DIR)
+    (
+        rows.repartitionByRange(shards, "surt_key", "ts14")
+        .sortWithinPartitions("surt_key", "ts14")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    lines = _write_cluster_idx(spark, out_dir, out_path)
+    return {
+        "shards": len(lines),
+        "rows": sum(ln["n_rows"] for ln in lines),
+        "inputs": len(paths),
+        "index_dir": out_dir,
+    }
