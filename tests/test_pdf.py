@@ -335,3 +335,49 @@ def test_truetype_fuzz_is_deterministic_and_total():
     for cut in (len(base) // 3, len(base) // 2, len(base) - 40):
         data = base[:cut]
         assert extract(data).text == extract(data).text
+
+
+def test_cff_fontfile3_identity():
+    """Embedded-CFF (Type1C) PDFs with NO ToUnicode and NO Differences
+    extract the original text exactly: custom Encoding -> gid, charset
+    -> SID, standard-strings ASCII block + custom uniXXXX strings for
+    non-ASCII. Compressed and raw programs both decode."""
+    from toyocr_spark.extractor import extract
+    from toyocr_spark.extractor.pdf import tokenize_pdf
+    from toyocr_spark.fixtures.genpdf import build_pdf_cff_font
+
+    paras = [
+        ["The quick brown fox", "jumps over the lazy dog."],
+        ["Café résumé — grüße for 5€,", "digits 0123456789 caps XYZ!?"],
+    ]
+    want = [" ".join(p) for p in paras]
+    pdf = build_pdf_cff_font(paras)
+    got = [b.text for b in tokenize_pdf(pdf)]
+    assert got == want
+    assert [b.text for b in tokenize_pdf(pdf)] == want  # deterministic
+    assert extract(pdf).text == "\n".join(want)
+    got2 = [b.text for b in tokenize_pdf(build_pdf_cff_font(paras, compress=False))]
+    assert got2 == want
+
+
+def test_cff_fuzz_is_deterministic_and_total():
+    """Bit-flipped / truncated CFF programs never raise and decode
+    deterministically."""
+    import random
+
+    from toyocr_spark.extractor import extract
+    from toyocr_spark.fixtures.genpdf import build_pdf_cff_font
+
+    base = build_pdf_cff_font([["fuzz target text body", "second line here."]],
+                              compress=False)
+    rng = random.Random(4321)
+    for _ in range(40):
+        b = bytearray(base)
+        for _ in range(rng.randrange(1, 6)):
+            b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        data = bytes(b)
+        r1, r2 = extract(data), extract(data)
+        assert r1.text == r2.text and r1.spans == r2.spans
+    for cut in (len(base) // 3, len(base) // 2, len(base) - 40):
+        data = base[:cut]
+        assert extract(data).text == extract(data).text

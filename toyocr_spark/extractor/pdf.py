@@ -537,17 +537,216 @@ def _parse_fontfile2(
     return (1, table) if table else None
 
 
+_FONTFILE3_RE = re.compile(rb"/FontFile3\s+(\d+)\s+\d+\s+R")
+
+
+def _cff_index(data: bytes, pos: int) -> tuple[list[bytes], int]:
+    """One CFF INDEX at `pos`: (items, position after the INDEX).
+    Empty INDEX (count 0) is 2 bytes. Malformed sizes yield ([], end)."""
+    if pos + 2 > len(data):
+        return [], len(data)
+    count = _u16(data, pos)
+    if count == 0:
+        return [], pos + 2
+    off_size = data[pos + 2] if pos + 2 < len(data) else 0
+    if not 1 <= off_size <= 4:
+        return [], len(data)
+    opos = pos + 3
+    offs = []
+    for i in range(count + 1):
+        p = opos + i * off_size
+        if p + off_size > len(data):
+            return [], len(data)
+        offs.append(int.from_bytes(data[p : p + off_size], "big"))
+    base = opos + (count + 1) * off_size - 1
+    items = []
+    for a, b in zip(offs, offs[1:]):
+        if not (1 <= a <= b and base + b <= len(data)):
+            return [], len(data)
+        items.append(data[base + a : base + b])
+    return items, base + offs[-1]
+
+
+def _cff_dict_ints(d: bytes) -> dict[int, int]:
+    """Top DICT: operator -> last integer operand (the offset/value
+    forms the fixture and real subset fonts use). Reals are skipped;
+    escaped (12 x) operators are keyed as 1200+x."""
+    out: dict[int, int] = {}
+    operands: list[int] = []
+    i = 0
+    while i < len(d):
+        b0 = d[i]
+        if 32 <= b0 <= 246:
+            operands.append(b0 - 139)
+            i += 1
+        elif 247 <= b0 <= 250:
+            operands.append((b0 - 247) * 256 + d[i + 1] + 108) if i + 1 < len(d) else None
+            i += 2
+        elif 251 <= b0 <= 254:
+            operands.append(-(b0 - 251) * 256 - d[i + 1] - 108) if i + 1 < len(d) else None
+            i += 2
+        elif b0 == 28:
+            if i + 2 < len(d):
+                v = (d[i + 1] << 8) | d[i + 2]
+                operands.append(v - 0x10000 if v >= 0x8000 else v)
+            i += 3
+        elif b0 == 29:
+            if i + 4 < len(d):
+                operands.append(int.from_bytes(d[i + 1 : i + 5], "big", signed=True))
+            i += 5
+        elif b0 == 30:  # real: nibbles until 0xF terminator
+            i += 1
+            while i < len(d) and d[i] & 0x0F != 0x0F and d[i] >> 4 != 0x0F:
+                i += 1
+            i += 1
+            operands.append(0)
+        elif b0 == 12:
+            if operands:
+                out[1200 + (d[i + 1] if i + 1 < len(d) else 0)] = operands[-1]
+            operands = []
+            i += 2
+        elif b0 <= 21:
+            if operands:
+                out[b0] = operands[-1]
+            operands = []
+            i += 1
+        else:
+            i += 1
+    return out
+
+
+def _cff_sid_char(sid: int, strings: list[bytes]) -> str | None:
+    """SID -> character: the standard-strings ASCII block (SID 1..95
+    is exactly ASCII 32..126, char = chr(sid + 31)); custom strings
+    (SID >= 391) resolve through the glyph-name list. The accented
+    block of the standard strings (96..390) stays unmapped — subset
+    fonts emit custom names for those."""
+    if 1 <= sid <= 95:
+        return chr(sid + 31)
+    if sid >= 391 and sid - 391 < len(strings):
+        return _glyph_char(strings[sid - 391].decode("latin-1"))
+    return None
+
+
+def _parse_fontfile3(
+    font_obj: bytes, objs: dict[int, bytes]
+) -> tuple[int, dict[int, str]] | None:
+    """Code table from an embedded CFF (Type1C) program — /FontFile3:
+    the custom Encoding maps code -> glyph id, the charset maps glyph
+    id -> SID, and SIDs resolve through the standard strings (ASCII
+    block) or the font's String INDEX + glyph-name list. Fonts with a
+    predefined (Standard/Expert) encoding return None — their codes
+    already read correctly through the Latin-1 passthrough."""
+    fd = _FONTDESC_RE.search(font_obj)
+    if fd is None:
+        return None
+    desc = objs.get(int(fd.group(1)))
+    if desc is None:
+        return None
+    ff = _FONTFILE3_RE.search(desc)
+    if ff is None:
+        return None
+    prog_obj = objs.get(int(ff.group(1)))
+    if prog_obj is None:
+        return None
+    cff = _object_stream(prog_obj)
+    if cff is None or len(cff) < 4:
+        return None
+    hdr_size = cff[2]
+    pos = hdr_size
+    _names, pos = _cff_index(cff, pos)  # Name INDEX
+    top_dicts, pos = _cff_index(cff, pos)  # Top DICT INDEX
+    strings, _pos = _cff_index(cff, pos)  # String INDEX
+    if not top_dicts:
+        return None
+    top = _cff_dict_ints(top_dicts[0])
+    charstrings_off = top.get(17)
+    encoding_off = top.get(16, 0)
+    charset_off = top.get(15, 0)
+    if charstrings_off is None or not 0 <= charstrings_off < len(cff):
+        return None
+    glyphs, _ = _cff_index(cff, charstrings_off)
+    n_glyphs = len(glyphs)
+    if n_glyphs == 0:
+        return None
+
+    # charset: gid -> SID (gid 0 is .notdef). Offset 0 = ISOAdobe
+    # (sid == gid); predefined 1/2 approximated the same way.
+    gid_sid = {g: g for g in range(n_glyphs)}
+    if charset_off > 2 and charset_off < len(cff):
+        fmt = cff[charset_off]
+        p = charset_off + 1
+        if fmt == 0:
+            for g in range(1, n_glyphs):
+                if p + 2 > len(cff):
+                    break
+                gid_sid[g] = _u16(cff, p)
+                p += 2
+        elif fmt in (1, 2):
+            step = 3 if fmt == 1 else 4
+            g = 1
+            while g < n_glyphs and p + step <= len(cff):
+                first = _u16(cff, p)
+                n_left = cff[p + 2] if fmt == 1 else _u16(cff, p + 2)
+                for k in range(n_left + 1):
+                    if g >= n_glyphs:
+                        break
+                    gid_sid[g] = first + k
+                    g += 1
+                p += step
+        else:
+            return None
+
+    # encoding: code -> gid. Only CUSTOM encodings matter here.
+    if not 2 < encoding_off < len(cff):
+        return None
+    fmt = cff[encoding_off]
+    code_gid: dict[int, int] = {}
+    p = encoding_off + 1
+    if fmt & 0x7F == 0:
+        n_codes = cff[p] if p < len(cff) else 0
+        for g in range(1, min(n_codes, n_glyphs - 1) + 1):
+            if p + g >= len(cff):
+                break
+            code_gid[cff[p + g]] = g
+    elif fmt & 0x7F == 1:
+        n_ranges = cff[p] if p < len(cff) else 0
+        g = 1
+        q = p + 1
+        for _ in range(n_ranges):
+            if q + 2 > len(cff):
+                break
+            first, n_left = cff[q], cff[q + 1]
+            for k in range(n_left + 1):
+                if g >= n_glyphs:
+                    break
+                code_gid[first + k] = g
+                g += 1
+            q += 2
+    else:
+        return None
+
+    table: dict[int, str] = {}
+    for code, gid in code_gid.items():
+        ch = _cff_sid_char(gid_sid.get(gid, 0), strings)
+        if ch is not None:
+            table[code] = ch
+    return (1, table) if table else None
+
+
 def _font_cmaps(data: bytes) -> dict[bytes, tuple[int, dict[int, str]]]:
     """Resource font name (b"F1") -> code table, for every font
     reachable from a /Resources /Font dict: the /ToUnicode CMap when
     the font has one, else its /Encoding /Differences array resolved
-    through the glyph-name list, else the embedded TrueType program's
-    cmap+post tables (precedence: ToUnicode is authoritative, then
-    Differences, then FontFile2)."""
+    through the glyph-name list, else the embedded font program —
+    TrueType cmap+post (FontFile2) or CFF Encoding+charset+strings
+    (FontFile3/Type1C). Precedence: ToUnicode is authoritative, then
+    Differences, then the font program."""
     if (
         b"/ToUnicode" not in data
         and b"/Differences" not in data
         and b"/FontFile2" not in data
+        and b"/FontFile3" not in data
     ):
         return {}
     objs = _object_bodies(data)
@@ -572,6 +771,8 @@ def _font_cmaps(data: bytes) -> dict[bytes, tuple[int, dict[int, str]]]:
             parsed = _parse_differences(font_obj, objs)
             if parsed is None:
                 parsed = _parse_fontfile2(font_obj, objs)
+            if parsed is None:
+                parsed = _parse_fontfile3(font_obj, objs)
             if parsed is not None:
                 out[name] = parsed
     return out

@@ -387,3 +387,129 @@ def build_pdf_truetype_font(
         xref_pos,
     )
     return bytes(out)
+
+
+def _cff_index_bytes(items: list[bytes]) -> bytes:
+    """Serialize a CFF INDEX (offSize 2 throughout — plenty for
+    fixtures)."""
+    if not items:
+        return struct.pack(">H", 0)
+    out = struct.pack(">HB", len(items), 2)
+    off = 1
+    offs = [off]
+    for it in items:
+        off += len(it)
+        offs.append(off)
+    out += b"".join(struct.pack(">H", o) for o in offs)
+    return out + b"".join(items)
+
+
+def _cff_int5(v: int) -> bytes:
+    """Fixed-width (29 = 32-bit) DICT integer — layout-independent."""
+    return b"\x1d" + struct.pack(">i", v)
+
+
+def _cff_program(code_to_char: dict[int, str]) -> bytes:
+    """A minimal-but-real CFF (Type1C) program: custom Encoding
+    (format 0: code -> gid), charset (format 0: gid -> SID; ASCII
+    chars use the standard-strings block where SID = ord(ch) - 31,
+    everything else a custom uniXXXX string), one endchar CharString
+    per glyph. Exactly the table set the extractor's FontFile3 path
+    reads."""
+    codes = sorted(code_to_char)
+    n_glyphs = len(codes) + 1  # + .notdef
+
+    strings: list[bytes] = []
+    sids: list[int] = []
+    for c in codes:
+        ch = code_to_char[c]
+        if " " <= ch <= "~":
+            sids.append(ord(ch) - 31)
+        else:
+            sids.append(391 + len(strings))
+            strings.append(f"uni{ord(ch):04X}".encode("latin-1"))
+
+    name_ix = _cff_index_bytes([b"ToyOCRSubset"])
+    string_ix = _cff_index_bytes(strings)
+    gsubr_ix = _cff_index_bytes([])
+    encoding = bytes([0, len(codes)]) + bytes(codes)  # format 0
+    charset = b"\x00" + b"".join(struct.pack(">H", s) for s in sids)
+    charstrings_ix = _cff_index_bytes([b"\x0e"] * n_glyphs)  # endchar
+
+    # Top DICT uses fixed-width ints, so its size is known before the
+    # offsets it contains are: charset(15), Encoding(16), CharStrings(17)
+    top_size = 3 * (5 + 1)
+    top_ix_overhead = struct.pack(">HB", 1, 2) + struct.pack(">HH", 1, 1 + top_size)
+    header = bytes([1, 0, 4, 2])
+    pre = len(header) + len(name_ix) + len(top_ix_overhead) + top_size
+    charset_off = pre + len(string_ix) + len(gsubr_ix)
+    encoding_off = charset_off + len(charset)
+    charstrings_off = encoding_off + len(encoding)
+    top = (
+        _cff_int5(charset_off) + b"\x0f"
+        + _cff_int5(encoding_off) + b"\x10"
+        + _cff_int5(charstrings_off) + b"\x11"
+    )
+    return (
+        header + name_ix + top_ix_overhead + top
+        + string_ix + gsubr_ix + charset + encoding + charstrings_ix
+    )
+
+
+def build_pdf_cff_font(paragraphs: list[list[str]], compress: bool = True) -> bytes:
+    """A PDF whose embedded CFF (Type1C) program is the ONLY decode
+    metadata — no ToUnicode, no Differences: string bytes are subset
+    glyph codes recoverable solely through the CFF Encoding + charset
+    + strings chain. The LaTeX/Type1-pipeline shape whose writer
+    skipped ToUnicode."""
+    all_text = "".join(ln for para in paragraphs for ln in para)
+    _, code_to_char = subset_encode(all_text)
+    char_to_code = {ch: c for c, ch in code_to_char.items()}
+
+    ops: list[str] = []
+    y = 740
+    for para in paragraphs:
+        ops.append(f"BT /F1 11 Tf 13 TL 72 {y} Td")
+        for j, ln in enumerate(para):
+            if j:
+                ops.append("T*")
+            hexes = "".join(f"{char_to_code[ch]:02X}" for ch in ln)
+            ops.append(f"<{hexes}> Tj")
+        ops.append("ET")
+        y -= 13 * (len(para) + 2)
+    content = "\n".join(ops).encode("latin-1")
+    body = zlib.compress(content) if compress else content
+    filt = b" /Filter /FlateDecode" if compress else b""
+
+    cff = _cff_program(code_to_char)
+    cff_body = zlib.compress(cff) if compress else cff
+    objs: list[bytes] = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /DDDDDD+Remap "
+        b"/FontDescriptor 6 0 R >>",
+        (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 5 0 R /Resources << /Font << /F1 3 0 R >> >> >>"
+        ),
+        b"<< /Length %d%s >>\nstream\n%s\nendstream" % (len(body), filt, body),
+        b"<< /Type /FontDescriptor /FontName /DDDDDD+Remap /Flags 32 "
+        b"/FontFile3 7 0 R >>",
+        b"<< /Subtype /Type1C /Length %d%s >>\nstream\n%s\nendstream"
+        % (len(cff_body), filt, cff_body),
+    ]
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets: list[int] = []
+    for i, o in enumerate(objs, 1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + o + b"\nendobj\n"
+    xref_pos = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (
+        len(objs) + 1,
+        xref_pos,
+    )
+    return bytes(out)
