@@ -4915,6 +4915,81 @@ def q102_phrase_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q103_intradoc_dedup",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS w FROM documents
+    ),
+    l AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, greatest(CAST((len(w) + 9) // 10 AS INT), 1)),
+               k -> array_to_string(list_slice(w, (k - 1) * 10 + 1, k * 10), ' ')
+             ) AS raw
+      FROM t
+    ),
+    a AS (  -- deterministic augmentation: re-append the first two
+            -- lines so every doc provably exercises the dedup path
+      SELECT doc_id, list_concat(raw, list_slice(raw, 1, 2)) AS lines FROM l
+    )
+    SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_paras,
+           CAST(len(list_filter(
+                  list_transform(generate_series(1, len(lines)),
+                                 i -> list_position(lines, lines[i]) = i),
+                  b -> b)) AS BIGINT) AS n_kept,
+           CAST(list_sum(list_transform(lines, p -> length(p))) AS BIGINT)
+             AS chars_total
+    FROM a
+    ORDER BY doc_id
+    LIMIT 200
+    """,
+    "intra-document repeated-line removal (RefinedWeb's line-level "
+    "in-doc dedup): fixed word-window 'lines' (the corpus-synthetic "
+    "proxy for newline units, same 10-word convention as q48), a line "
+    "survives iff it is the FIRST occurrence within its own doc. The "
+    "entire dedup is array HOFs on one row — split, window transform, "
+    "keep i where array_position(lines, lines[i]) == i — ZERO shuffle "
+    "until the report aggregate; at 100 TB this composes into the "
+    "extraction map stage for free (unlike cross-doc dedup, which is "
+    "inherently a shuffle). The synthetic corpus has no natural "
+    "repeated windows, so each doc's first two lines are "
+    "deterministically re-appended (q88's fixture-augmentation "
+    "precedent) — every doc provably exercises the drop path. Result: "
+    "per-doc kept/total line and char accounting for the first 200 "
+    "docs",
+)
+def q103_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), r"\s+")
+    n_lines = F.greatest(F.floor((F.size(w) + 9) / 10).cast("int"), F.lit(1))
+    raw = F.transform(
+        F.sequence(F.lit(1), n_lines),
+        lambda k: F.array_join(F.slice(w, (k - 1) * 10 + 1, 10), " "),
+    )
+    # deterministic augmentation (q88 precedent): re-append the first
+    # two lines so every doc provably exercises the dedup path
+    lines = F.concat(raw, F.slice(raw, 1, 2))
+    d2 = d.select("doc_id", lines.alias("lines"))
+    kept = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.size("lines")),
+            lambda i: F.array_position(F.col("lines"), F.element_at("lines", i)) == i,
+        ),
+        lambda b: b,
+    )
+    report = d2.select(
+        "doc_id",
+        F.size("lines").cast("long").alias("n_paras"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.aggregate(
+            "lines", F.lit(0).cast("long"), lambda acc, p: acc + F.length(p)
+        ).alias("chars_total"),
+    )
+    return report.orderBy("doc_id").limit(200)
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
