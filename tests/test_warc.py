@@ -150,3 +150,51 @@ def test_wet_segments_deterministic_and_ordered(spark):
     sb = {r["segment"]: bytes(r["wet"]) for r in wet_segments(b, 4).collect()}
     assert sa == sb
     assert sum(r["n_records"] for r in wet_segments(a, 4).collect()) == 40
+
+
+def test_warc_provenance_and_point_fetch(spark, warc_dir, tmp_path):
+    """The point-addressable-crawl loop: read WARC with capture
+    provenance -> build the sorted CDX index carrying
+    (warc_file, warc_offset, warc_length) -> look one host up through
+    cluster.idx -> range-fetch exactly that record from the WARC ->
+    the fetched bytes extract byte-identically to the full pipeline's
+    output for the same url."""
+    from toyocr_spark.extractor import extract
+    from toyocr_spark.sources.cdx import cdx_lookup, write_cdx
+    from toyocr_spark.sources.warc import fetch_warc_record, read_warc_members
+
+    pages = read_warc_members(spark, os.path.join(warc_dir, "*.warc*"))
+    rows = pages.collect()
+    assert len(rows) > 0
+    # provenance is parseable standalone: every record fetches back
+    r0 = rows[0]
+    rec = fetch_warc_record(r0["warc_file"], r0["warc_offset"], r0["warc_length"])
+    assert rec is not None and rec["url"] == r0["url"]
+    assert bytes(rec["html"]) == bytes(r0["html"])
+
+    idx = str(tmp_path / "cdx_prov")
+    write_cdx(
+        pages, idx, shards=2,
+        keep_cols=("warc_file", "warc_offset", "warc_length"),
+    )
+    # probe the first capture's host prefix
+    from toyocr_spark.functions.urlfns import canonicalize_url, surt_key
+    from pyspark.sql import functions as F
+
+    some = (
+        pages.select(surt_key(canonicalize_url(F.col("url"))).alias("k"))
+        .limit(1).collect()[0]["k"]
+    )
+    prefix = some.split(")")[0] + ")"
+    hits = cdx_lookup(spark, idx, prefix).collect()
+    assert hits
+    hit = hits[0]
+    rec2 = fetch_warc_record(hit["warc_file"], hit["warc_offset"], hit["warc_length"])
+    assert rec2 is not None
+    # fetched bytes extract identically to the full-table path
+    direct = extract(bytes(rec2["html"])).text
+    full = {
+        r["url"]: bytes(r["html"])
+        for r in pages.filter(F.col("url") == rec2["url"]).collect()
+    }
+    assert direct == extract(full[rec2["url"]]).text

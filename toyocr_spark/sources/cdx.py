@@ -39,10 +39,14 @@ def cdx_rows(
     url_col: str = "url",
     ts_col: str = "warc_ts",
     content_col: str = "html",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """One index row per capture: (surt_key, ts14, url, digest,
-    n_bytes). Map-only — safe to compose under the range-partitioned
-    sink without an extra shuffle."""
+    n_bytes [, keep_cols...]). Map-only — safe to compose under the
+    range-partitioned sink without an extra shuffle. `keep_cols`
+    passes capture provenance through (e.g. read_warc_members'
+    warc_file/warc_offset/warc_length, which make every index row
+    range-addressable back into its archive file)."""
     canon = canonicalize_url(F.col(url_col))
     return pages.select(
         surt_key(canon).alias("surt_key"),
@@ -52,6 +56,7 @@ def cdx_rows(
         F.octet_length(F.col(content_col).cast("binary"))
         .cast("long")
         .alias("n_bytes"),
+        *[F.col(c) for c in keep_cols],
     )
 
 
@@ -62,6 +67,7 @@ def write_cdx(
     url_col: str = "url",
     ts_col: str = "warc_ts",
     content_col: str = "html",
+    keep_cols: tuple[str, ...] = (),
 ) -> dict:
     """Materialize the sorted index: `path/index/` holds range-
     partitioned, internally-sorted parquet shards; `path/cluster.idx`
@@ -71,7 +77,13 @@ def write_cdx(
     cluster.idx is derived from the WRITTEN files (input_file_name
     group-by), not from a pre-write sample, so it is exact even though
     range partitioning samples probabilistically."""
-    rows = cdx_rows(pages, url_col=url_col, ts_col=ts_col, content_col=content_col)
+    rows = cdx_rows(
+        pages,
+        url_col=url_col,
+        ts_col=ts_col,
+        content_col=content_col,
+        keep_cols=keep_cols,
+    )
     out_dir = os.path.join(path, INDEX_DIR)
     (
         rows.repartitionByRange(shards, "surt_key", "ts14")

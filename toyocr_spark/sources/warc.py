@@ -57,6 +57,7 @@ def parse_warc(raw: bytes, types: tuple[str, ...] = ("response",)) -> list[dict]
         # skip inter-record blank lines
         while raw.startswith(_CRLF, pos):
             pos += 2
+        rec_start = pos
         if not raw.startswith(b"WARC/", pos):
             break
         hdr_end = raw.find(_CRLF + _CRLF, pos)
@@ -100,6 +101,12 @@ def parse_warc(raw: bytes, types: tuple[str, ...] = ("response",)) -> list[dict]
                     "url": headers["warc-target-uri"],
                     "warc_ts": headers.get("warc-date", ""),
                     "html": html,
+                    # provenance in the DECOMPRESSED stream (this parser
+                    # inflates whole files; a compressed-member layout
+                    # would record member offsets instead): enough for
+                    # fetch_warc_record to range-read one record
+                    "offset": rec_start,
+                    "length": pos - rec_start,
                 }
             )
     return out
@@ -140,6 +147,77 @@ def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
         F.lit(None).cast("string").alias("text"),
         F.lit(None).cast("string").alias("lang"),
     )
+
+
+def read_warc_members(spark: SparkSession, path_glob: str) -> DataFrame:
+    """read_warc plus capture provenance: (url, warc_ts, html,
+    warc_file, warc_offset, warc_length) — the columns a CDX index
+    needs to make every capture range-addressable back into its WARC.
+    Offsets are positions in the decompressed record stream (this
+    parser inflates whole files); fetch_warc_record consumes them."""
+    import pyarrow as pa
+
+    files = spark.read.format("binaryFile").load(path_glob).select("path", "content")
+
+    def batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in it:
+            paths = b.column(0).to_pylist()
+            urls: list[str] = []
+            tss: list[str] = []
+            htmls: list[bytes] = []
+            wfiles: list[str] = []
+            offs: list[int] = []
+            lens: list[int] = []
+            for path, content in zip(paths, b.column(1).to_pylist()):
+                for rec in parse_warc(content):
+                    urls.append(rec["url"])
+                    tss.append(rec["warc_ts"])
+                    htmls.append(rec["html"])
+                    wfiles.append(path)
+                    offs.append(rec["offset"])
+                    lens.append(rec["length"])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(urls, pa.string()),
+                    pa.array(tss, pa.string()),
+                    pa.array(htmls, pa.binary()),
+                    pa.array(wfiles, pa.string()),
+                    pa.array(offs, pa.int64()),
+                    pa.array(lens, pa.int64()),
+                ],
+                names=[
+                    "url", "warc_ts_raw", "html",
+                    "warc_file", "warc_offset", "warc_length",
+                ],
+            )
+
+    schema = (
+        "url string, warc_ts_raw string, html binary, "
+        "warc_file string, warc_offset long, warc_length long"
+    )
+    rows = files.mapInArrow(batches, schema)
+    return rows.select(
+        "url",
+        F.to_timestamp(F.col("warc_ts_raw")).alias("warc_ts"),
+        "html",
+        "warc_file",
+        "warc_offset",
+        "warc_length",
+    )
+
+
+def fetch_warc_record(path: str, offset: int, length: int) -> dict | None:
+    """Point fetch: read ONE record's byte range out of a WARC file
+    (gzip files are inflated first — offsets are decompressed-stream
+    positions) and parse just that slice. The consumer side of the
+    CDX provenance columns: a 100 TB crawl is point-addressable
+    without scanning anything but the index."""
+    with open(path.removeprefix("file:"), "rb") as f:
+        raw = f.read()
+    if raw[:2] == b"\x1f\x8b":
+        raw = gzip.decompress(raw)
+    recs = parse_warc(raw[offset : offset + length], types=("response", "conversion"))
+    return recs[0] if recs else None
 
 
 # ------------------------------------------------------ WET export sink
