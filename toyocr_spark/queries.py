@@ -4990,6 +4990,60 @@ def q103_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report.orderBy("doc_id").limit(200)
 
 
+@_q(
+    "q104_lsh_recall",
+    f"""
+    WITH {_CAPPED_SHINGLE_SQL},
+    sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    ),
+    exact AS (
+      SELECT id_a, id_b
+      FROM inter JOIN sz x ON id_a = x.id JOIN sz y ON id_b = y.id
+      WHERE inter * 1.0 / (x.n + y.n - inter) >= 0.1
+    ),
+    sig AS (
+      SELECT id, b AS band, min(md5(CAST(b AS VARCHAR) || '|' || shingle)) AS sig
+      FROM sh0, unnest(generate_series(0, 7)) AS t(b)
+      GROUP BY id, b
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM exact)      AS n_exact,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand)       AS n_candidates,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM exact e JOIN cand c
+              ON e.id_a = c.id_a AND e.id_b = c.id_b)        AS n_matched
+    """,
+    "LSH self-evaluation — candidate recall of the scale path (q15's "
+    "8-band MinHash bucketing) against the exact quadratic baseline "
+    "(q14's capped-shingle Jaccard >= 0.1) on the same corpus slice: "
+    "(n_exact, n_candidates, n_matched) where recall = matched/exact "
+    "and matched/candidates is the verify-stage yield. This is the "
+    "query a pipeline owner runs on a sample BEFORE committing band/"
+    "row parameters to a 100 TB dedup pass; all heavy joins are the "
+    "operators' own plans (capped pair join, band bucket join), the "
+    "three counts reduce to one row",
+)
+def q104_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = char_shingles(_de_docs(spark, sf_dir), "doc_id", "t", 8)
+    exact = jaccard_pairs(
+        sh, min_jaccard=0.1, max_doc_freq=HOT_SHINGLE_DF_CAP
+    ).select("id_a", "id_b")
+    cand = minhash_lsh_candidates(minhash_band_signatures(sh, 8))
+    matched = exact.join(cand, ["id_a", "id_b"], "left_semi")
+    return (
+        exact.agg(F.count("*").alias("n_exact"))
+        .crossJoin(cand.agg(F.count("*").alias("n_candidates")))
+        .crossJoin(matched.agg(F.count("*").alias("n_matched")))
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
