@@ -134,3 +134,33 @@ def test_merge_cdx_incremental(spark, tmp_path_factory):
     im2 = str(base / "idx_m2")
     again = merge_cdx(spark, [im, im], im2, shards=2)
     assert again["rows"] == want
+
+
+def test_index_job_cli(tmp_path, pages_dir):
+    """The spark-submit index driver: build -> merge (duplicate
+    captures collapse) -> lookup through cluster.idx pruning."""
+    import subprocess
+    import sys
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PYTHONPATH=REPO)
+
+    def run(*args):
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "jobs", "index_job.py"), *args],
+            capture_output=True, text=True, timeout=420, env=env,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return json.loads(
+            [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        )
+
+    ia = str(tmp_path / "ia")
+    im = str(tmp_path / "im")
+    built = run("build", "--pages", pages_dir, "--output", ia, "--shards", "2")
+    assert built["rows"] > 0
+    merged = run("merge", "--inputs", f"{ia},{ia}", "--output", im)
+    assert merged["rows"] == built["rows"]  # identical snapshots collapse
+    probe = run("lookup", "--index", im, "--prefix", "example,")
+    assert probe["n_hits"] == built["rows"]  # every capture is *.example
+    assert probe["sample"] and probe["sample"][0]["surt_key"].startswith("example,")
