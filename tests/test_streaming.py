@@ -242,3 +242,46 @@ def test_stream_dedup_matches_batch_survivor_set(spark, tmp_path):
     }
     # the mirrors arrived after their originals: none may survive
     assert not any(r["url"].endswith("?mirror=1") for r in rows)
+
+
+def test_stream_cdx_segments_compact_to_batch_index(spark, stream_input, tmp_path):
+    """Streamed per-micro-batch CDX segments, once compacted, equal the
+    batch-built index over the same pages (same capture set), and the
+    compacted index remains sorted + cluster.idx-pruned."""
+    import json
+
+    from toyocr_spark.sources.cdx import (
+        CLUSTER_IDX, INDEX_DIR, cdx_lookup, write_cdx,
+    )
+    from toyocr_spark.streaming.ingest import compact_cdx, stream_cdx
+
+    idx_stream = str(tmp_path / "cdx_stream")
+    ckpt = str(tmp_path / "ckpt_cdx")
+    stream_cdx(spark, stream_input, idx_stream, ckpt, max_files_per_trigger=1)
+    segs = os.listdir(os.path.join(idx_stream, "segments"))
+    assert len(segs) >= 2  # genuinely incremental
+
+    out = str(tmp_path / "cdx_compact")
+    summary = compact_cdx(spark, idx_stream, out, shards=3)
+
+    batch_idx = str(tmp_path / "cdx_batch")
+    pages = spark.read.schema(PAGES_SCHEMA).parquet(stream_input)
+    write_cdx(pages, batch_idx, shards=3)
+
+    a = spark.read.parquet(os.path.join(out, INDEX_DIR)).select(
+        "surt_key", "ts14", "url", "digest", "n_bytes"
+    )
+    b = spark.read.parquet(os.path.join(batch_idx, INDEX_DIR)).select(
+        "surt_key", "ts14", "url", "digest", "n_bytes"
+    )
+    assert a.count() == summary["rows"] == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    with open(os.path.join(out, CLUSTER_IDX)) as f:
+        entries = [json.loads(ln) for ln in f if ln.strip()]
+    for x, y in zip(entries, entries[1:]):
+        assert x["last_key"] <= y["first_key"]
+    some = a.limit(1).collect()[0]["surt_key"]
+    prefix = some.split(")")[0] + ")"
+    want = a.filter(F.col("surt_key").startswith(prefix)).count()
+    assert cdx_lookup(spark, out, prefix).count() == want > 0

@@ -1,6 +1,8 @@
 from toyocr_spark.streaming.ingest import (  # noqa: F401
+    compact_cdx,
     stateful_host_progress,
     stream_blocklist_extract,
+    stream_cdx,
     stream_dedup,
     stream_extract,
     windowed_page_counts,

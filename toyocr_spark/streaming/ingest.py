@@ -305,3 +305,70 @@ def windowed_page_counts(
             "n_pages",
         )
     )
+
+
+def stream_cdx(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Continuous capture indexing: each micro-batch of arriving pages
+    becomes its own small SORTED CDX segment under
+    ``index_dir/segments/batch=<id>/`` (a complete mini-index: sorted
+    shards + cluster.idx). Segments are immutable and idempotent per
+    batch id (a replayed batch overwrites its own directory), so the
+    stream composes with the WAL exactly like stream_extract.
+
+    Global sort order across segments is NOT maintained online — that
+    is compact_cdx's job (sources.cdx.merge_cdx over the segment list,
+    one range Exchange over index rows). The 100 TB pattern: stream
+    appends segments all day, a scheduled compaction folds them into
+    the published index — identical to how log-structured tables
+    handle sorted layouts.
+    """
+    from toyocr_spark.sources.cdx import write_cdx
+
+    if os.path.isdir(input_dir) and os.path.exists(
+        os.path.join(input_dir, "pages.parquet")
+    ):
+        input_dir = os.path.join(input_dir, "pages*.parquet")
+    reader = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger or 8)
+        .parquet(input_dir)
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write_cdx(
+            batch_df,
+            os.path.join(index_dir, "segments", f"batch={batch_id}"),
+            shards=2,
+        )
+
+    writer = reader.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
+
+
+def compact_cdx(spark: SparkSession, index_dir: str, out_dir: str, shards: int = 8):
+    """Fold every streamed segment into one published sorted index
+    (sources.cdx.merge_cdx semantics: duplicate captures collapse,
+    one range Exchange over index rows)."""
+    import glob as _glob
+
+    from toyocr_spark.sources.cdx import merge_cdx
+
+    segments = sorted(_glob.glob(os.path.join(index_dir, "segments", "batch=*")))
+    if not segments:
+        raise ValueError(f"no CDX segments under {index_dir}")
+    return merge_cdx(spark, segments, out_dir, shards=shards)
