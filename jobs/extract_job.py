@@ -31,7 +31,12 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description="toyocr_spark extraction job")
-    ap.add_argument("--input", required=True, help="pages table path (url, warc_ts, html, text, lang)")
+    ap.add_argument("--input", required=True, help="pages table path (url, warc_ts, html, text, lang) or WARC glob with --input-format warc")
+    ap.add_argument(
+        "--input-format", choices=("pages", "warc"), default="pages",
+        help="'warc' ingests .warc/.warc.gz files directly (responses "
+        "become the html column; PDFs flow through magic dispatch)",
+    )
     ap.add_argument("--output", required=True, help="result directory (resume-safe)")
     ap.add_argument("--n-chunks", type=int, default=64, help="commit-log granularity")
     ap.add_argument("--num-partitions", type=int, default=None, help="shuffle width per chunk (default 2x parallelism)")
@@ -77,7 +82,12 @@ def main(argv: list[str] | None = None) -> int:
     spark = SparkSession.builder.appName("toyocr-extract").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    pages = read_pages(spark, args.input)
+    if args.input_format == "warc":
+        from toyocr_spark.sources.warc import read_warc
+
+        pages = read_warc(spark, args.input)
+    else:
+        pages = read_pages(spark, args.input)
     if args.delta_from:
         pages = delta_pages(
             pages, read_result(spark, args.delta_from), bloom_m_bits=args.delta_bloom_bits

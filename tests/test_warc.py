@@ -198,3 +198,35 @@ def test_warc_provenance_and_point_fetch(spark, warc_dir, tmp_path):
         for r in pages.filter(F.col("url") == rec2["url"]).collect()
     }
     assert direct == extract(full[rec2["url"]]).text
+
+
+def test_extract_job_ingests_warc_directly(tmp_path, warc_dir):
+    """extract_job --input-format warc: the production driver runs the
+    full resume-safe pipeline straight off .warc/.warc.gz files."""
+    import json
+    import subprocess
+    import sys
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PYTHONPATH=REPO)
+    out_dir = str(tmp_path / "warc_extract")
+    out = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "jobs", "extract_job.py"),
+            "--input", os.path.join(warc_dir, "*.warc*"),
+            "--input-format", "warc",
+            "--output", out_dir, "--n-chunks", "2",
+        ],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    summary = json.loads(
+        [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    )
+    from toyocr_spark.sources.warc import parse_warc
+
+    n = 0
+    for fn in os.listdir(warc_dir):
+        with open(os.path.join(warc_dir, fn), "rb") as f:
+            n += len(parse_warc(f.read()))
+    assert summary["rows_extracted"] == n > 0
