@@ -5044,6 +5044,85 @@ def q104_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q105_snapshot_delta",
+    """
+    WITH snap_a AS (
+      SELECT 'h' || CAST(doc_id % 9 AS VARCHAR) AS host,
+             'https://h' || CAST(doc_id % 9 AS VARCHAR) || '.example/p/'
+               || CAST(doc_id AS VARCHAR) AS url,
+             md5(text) AS digest
+      FROM documents WHERE doc_id % 7 <> 0
+    ),
+    snap_b AS (
+      SELECT 'h' || CAST(doc_id % 9 AS VARCHAR) AS host,
+             'https://h' || CAST(doc_id % 9 AS VARCHAR) || '.example/p/'
+               || CAST(doc_id AS VARCHAR) AS url,
+             CASE WHEN doc_id % 5 = 0 THEN md5(text || '!') ELSE md5(text) END
+               AS digest
+      FROM documents WHERE doc_id % 11 <> 0
+    ),
+    j AS (
+      SELECT coalesce(a.host, b.host) AS host,
+             CASE
+               WHEN a.url IS NULL THEN 'added'
+               WHEN b.url IS NULL THEN 'removed'
+               WHEN a.digest <> b.digest THEN 'changed'
+               ELSE 'unchanged'
+             END AS verdict
+      FROM snap_a a FULL OUTER JOIN snap_b b ON a.url = b.url
+    )
+    SELECT host,
+           CAST(sum(CASE WHEN verdict = 'added'     THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+           CAST(sum(CASE WHEN verdict = 'removed'   THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           CAST(sum(CASE WHEN verdict = 'changed'   THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+           CAST(sum(CASE WHEN verdict = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+    FROM j
+    GROUP BY host
+    """,
+    "crawl snapshot delta — the recrawl-diff a scheduler consumes "
+    "(and the CDX-digest consumer: both sides are INDEX rows — url + "
+    "content digest — never page bodies): full outer join of two "
+    "capture sets on url classifies added/removed/changed/unchanged, "
+    "then a per-host partial agg. At 100 TB both inputs are the "
+    "sorted CDX indexes, so the join is a merge of co-sorted shards; "
+    "here the two snapshots are synthesized deterministically from "
+    "documents (B drops doc_id%11, A drops %7, B perturbs %5 digests)",
+)
+def q105_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    host = F.concat(F.lit("h"), (did % 9).cast("string"))
+    url = F.concat(
+        F.lit("https://h"), (did % 9).cast("string"),
+        F.lit(".example/p/"), did.cast("string"),
+    )
+    a = d.filter(did % 7 != 0).select(
+        host.alias("host_a"), url.alias("url"), F.md5("text").alias("digest_a")
+    )
+    b = d.filter(did % 11 != 0).select(
+        host.alias("host_b"),
+        url.alias("url"),
+        F.when(did % 5 == 0, F.md5(F.concat(F.col("text"), F.lit("!"))))
+        .otherwise(F.md5("text"))
+        .alias("digest_b"),
+    )
+    j = a.join(b, "url", "full_outer").select(
+        F.coalesce("host_a", "host_b").alias("host"),
+        F.when(F.col("digest_a").isNull(), "added")
+        .when(F.col("digest_b").isNull(), "removed")
+        .when(F.col("digest_a") != F.col("digest_b"), "changed")
+        .otherwise("unchanged")
+        .alias("verdict"),
+    )
+    return j.groupBy("host").agg(
+        F.sum(F.when(F.col("verdict") == "added", 1).otherwise(0)).alias("n_added"),
+        F.sum(F.when(F.col("verdict") == "removed", 1).otherwise(0)).alias("n_removed"),
+        F.sum(F.when(F.col("verdict") == "changed", 1).otherwise(0)).alias("n_changed"),
+        F.sum(F.when(F.col("verdict") == "unchanged", 1).otherwise(0)).alias("n_unchanged"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
