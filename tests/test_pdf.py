@@ -381,3 +381,39 @@ def test_cff_fuzz_is_deterministic_and_total():
     for cut in (len(base) // 3, len(base) // 2, len(base) - 40):
         data = base[:cut]
         assert extract(data).text == extract(data).text
+
+
+def test_objstm_compressed_font_dict_identity():
+    """PDF 1.5 compressed object streams: the font dict (with its
+    /ToUnicode reference) lives inside a /Type /ObjStm member —
+    reachable only by expanding the stream. Extraction is exact; a
+    top-level object with the same number would win (first-definition
+    discipline); fuzz stays deterministic."""
+    import random
+
+    from toyocr_spark.extractor import extract
+    from toyocr_spark.extractor.pdf import _object_bodies, tokenize_pdf
+    from toyocr_spark.fixtures.genpdf import build_pdf_objstm_font
+
+    paras = [
+        ["The quick brown fox", "jumps over the lazy dog."],
+        ["Compressed object stream", "holds the font dictionary!"],
+    ]
+    want = [" ".join(p) for p in paras]
+    for comp in (True, False):
+        pdf = build_pdf_objstm_font(paras, compress=comp)
+        assert [b.text for b in tokenize_pdf(pdf)] == want, comp
+    pdf = build_pdf_objstm_font(paras)
+    objs = _object_bodies(pdf)
+    assert 8 in objs and b"/ToUnicode 6 0 R" in objs[8]  # expanded member
+    assert 9 in objs and b"Producer" in objs[9]          # multi-member offsets
+
+    base = build_pdf_objstm_font(paras, compress=False)
+    rng = random.Random(77)
+    for _ in range(30):
+        b = bytearray(base)
+        for _ in range(rng.randrange(1, 5)):
+            b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        data = bytes(b)
+        r1, r2 = extract(data), extract(data)
+        assert r1.text == r2.text and r1.spans == r2.spans

@@ -159,16 +159,58 @@ _HEXITEM_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
 _CODESPACE_RE = re.compile(rb"begincodespacerange\s*<([0-9A-Fa-f]+)>", re.S)
 
 
+_OBJSTM_PAIR_RE = re.compile(rb"\s*(\d+)\s+(\d+)")
+
+
 def _object_bodies(data: bytes) -> dict[int, bytes]:
-    """obj number -> raw object bytes (dict + optional stream)."""
+    """obj number -> raw object bytes (dict + optional stream).
+
+    PDF 1.5 compressed object streams (/Type /ObjStm) are expanded
+    one level: their member objects (where modern writers put font
+    dicts, encodings, and ToUnicode CMaps) join the map. Top-level
+    definitions win over ObjStm members, members of earlier streams
+    win over later ones (first definition wins — no xref chasing,
+    same discipline as the top-level scan). Bounded: member count is
+    capped and offsets are validated, so hostile /N values cannot
+    amplify."""
     out: dict[int, bytes] = {}
+    objstms: list[bytes] = []
     for m in _OBJ_RE.finditer(data):
         end = data.find(b"endobj", m.end())
         if end == -1:
             end = len(data)
         num = int(m.group(1))
-        if num not in out:  # first definition wins (no xref chasing)
-            out[num] = data[m.end() : end]
+        body = data[m.end() : end]
+        if num not in out:
+            out[num] = body
+        if b"/ObjStm" in body[: body.find(b"stream") if b"stream" in body else len(body)]:
+            objstms.append(body)
+    for obj in objstms:
+        stream = _object_stream(obj)
+        if stream is None:
+            continue
+        nm = re.search(rb"/N\s+(\d+)", obj)
+        fm = re.search(rb"/First\s+(\d+)", obj)
+        if nm is None or fm is None:
+            continue
+        n, first = min(int(nm.group(1)), 4096), int(fm.group(1))
+        if not 0 <= first <= len(stream):
+            continue
+        pairs: list[tuple[int, int]] = []
+        pos = 0
+        for _ in range(n):
+            pm = _OBJSTM_PAIR_RE.match(stream, pos)
+            if pm is None or pm.start() >= first:
+                break
+            pairs.append((int(pm.group(1)), int(pm.group(2))))
+            pos = pm.end()
+        for i, (num, off) in enumerate(pairs):
+            start = first + off
+            stop = first + pairs[i + 1][1] if i + 1 < len(pairs) else len(stream)
+            if not 0 <= start <= stop <= len(stream):
+                continue
+            if num not in out:
+                out[num] = stream[start:stop]
     return out
 
 
@@ -747,6 +789,7 @@ def _font_cmaps(data: bytes) -> dict[bytes, tuple[int, dict[int, str]]]:
         and b"/Differences" not in data
         and b"/FontFile2" not in data
         and b"/FontFile3" not in data
+        and b"/ObjStm" not in data  # compressed members may hold any of the above
     ):
         return {}
     objs = _object_bodies(data)

@@ -513,3 +513,67 @@ def build_pdf_cff_font(paragraphs: list[list[str]], compress: bool = True) -> by
         xref_pos,
     )
     return bytes(out)
+
+
+def build_pdf_objstm_font(paragraphs: list[list[str]], compress: bool = True) -> bytes:
+    """A PDF 1.5-style document whose FONT DICT lives inside a
+    compressed object stream (/Type /ObjStm) — where every modern
+    writer puts small dicts. The subset-font bytes are ciphertext
+    under Latin-1 and the /ToUnicode reference is reachable only by
+    expanding the ObjStm, so extraction proves the expansion is live.
+    The CMap itself stays a top-level stream (streams cannot nest in
+    an ObjStm, per spec)."""
+    all_text = "".join(ln for para in paragraphs for ln in para)
+    _, code_to_char = subset_encode(all_text)
+    char_to_code = {ch: c for c, ch in code_to_char.items()}
+
+    ops: list[str] = []
+    y = 740
+    for para in paragraphs:
+        ops.append(f"BT /F1 11 Tf 13 TL 72 {y} Td")
+        for j, ln in enumerate(para):
+            if j:
+                ops.append("T*")
+            hexes = "".join(f"{char_to_code[ch]:02X}" for ch in ln)
+            ops.append(f"<{hexes}> Tj")
+        ops.append("ET")
+        y -= 13 * (len(para) + 2)
+    content = "\n".join(ops).encode("latin-1")
+    body = zlib.compress(content) if compress else content
+    filt = b" /Filter /FlateDecode" if compress else b""
+    cmap = _cmap_stream(code_to_char)
+
+    # members 8 (font dict referencing the top-level CMap) and 9 (info)
+    m8 = b"<< /Type /Font /Subtype /TrueType /BaseFont /EEEEEE+Objstm /ToUnicode 6 0 R >>"
+    m9 = b"<< /Producer (toyocr fixture) >>"
+    header = b"8 0 9 %d " % (len(m8) + 1)
+    stm = header + m8 + b" " + m9
+    stm_body = zlib.compress(stm) if compress else stm
+
+    objs: list[bytes] = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+        b"<< /Type /ObjStm /N 2 /First %d /Length %d%s >>\nstream\n%s\nendstream"
+        % (len(header), len(stm_body), filt, stm_body),
+        (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 5 0 R /Resources << /Font << /F1 8 0 R >> >> >>"
+        ),
+        b"<< /Length %d%s >>\nstream\n%s\nendstream" % (len(body), filt, body),
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(cmap), cmap),
+    ]
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: list[int] = []
+    for i, o in enumerate(objs, 1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + o + b"\nendobj\n"
+    xref_pos = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n" % (
+        len(objs) + 1,
+        xref_pos,
+    )
+    return bytes(out)
