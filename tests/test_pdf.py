@@ -417,3 +417,69 @@ def test_objstm_compressed_font_dict_identity():
         data = bytes(b)
         r1, r2 = extract(data), extract(data)
         assert r1.text == r2.text and r1.spans == r2.spans
+
+
+def test_inline_image_bytes_cannot_alias_text_ops():
+    """BI..ID..EI inline-image binary is skipped wholesale: image bytes
+    containing '(' , 'BT' or 'Tj' sequences must not inject text."""
+    import zlib as _zlib
+
+    from toyocr_spark.extractor.pdf import tokenize_pdf
+    from toyocr_spark.fixtures.genpdf import build_pdf, paragraph_ops, text_stream
+
+    evil = b"\x00BT (ghost text) Tj ET\x00\xff(\xfe"
+    ops = (
+        "BT /F1 11 Tf 13 TL 72 740 Td (real text line) Tj ET\n"
+        "BI /W 4 /H 2 /BPC 8 /CS /G ID "
+    ).encode("latin-1") + evil + b" EI\nBT /F1 11 Tf 72 700 Td (second line) Tj ET"
+    pdf = build_pdf([ops], compress=False)
+    got = [b.text for b in tokenize_pdf(pdf)]
+    assert got == ["real text line", "second line"]
+    # compressed path identical
+    got2 = [b.text for b in tokenize_pdf(build_pdf([ops], compress=True))]
+    assert got2 == got
+
+
+def test_pdf_links_extracts_uri_actions():
+    """/URI actions surface as outlinks — top-level annotations and
+    ObjStm members both; escapes unescape through the string reader."""
+    from toyocr_spark.extractor.pdf import pdf_links
+    from toyocr_spark.fixtures.genpdf import (
+        build_pdf, build_pdf_objstm_font, paragraph_ops, text_stream,
+    )
+
+    pdf = build_pdf(
+        [text_stream([paragraph_ops(72, 740, 11, 13, ["hello world"])])],
+        compress=False,
+    )
+    ann = (
+        b"9 0 obj\n<< /Type /Annot /Subtype /Link /A << /S /URI "
+        b"/URI (https://ex.example/a\\(1\\)) >> >>\nendobj\n"
+        b"10 0 obj\n<< /Type /Annot /Subtype /Link /A << /S /URI "
+        b"/URI (https://ex.example/b?x=1&y=2) >> >>\nendobj\n"
+    )
+    idx = pdf.find(b"xref")
+    assert pdf_links(pdf[:idx] + ann + pdf[idx:]) == [
+        "https://ex.example/a(1)",
+        "https://ex.example/b?x=1&y=2",
+    ]
+    assert pdf_links(pdf) == []  # no annotations -> no links
+
+    # a URI inside a COMPRESSED ObjStm member is found only through the
+    # expansion (the raw bytes contain no '/URI' substring)
+    import zlib as _zlib
+
+    member = b"<< /Type /Annot /A << /S /URI /URI (https://objstm.example/z) >> >>"
+    header = b"11 0 "
+    stm = _zlib.compress(header + member)
+    objstm = (
+        b"9 0 obj\n<< /Type /ObjStm /N 1 /First %d /Length %d /Filter /FlateDecode >>\n"
+        b"stream\n%s\nendstream\nendobj\n" % (len(header), len(stm), stm)
+    )
+    idx2 = pdf.find(b"xref")
+    spliced = pdf[:idx2] + objstm + pdf[idx2:]
+    assert b"objstm.example" not in spliced  # only exists inflated
+    assert pdf_links(spliced) == ["https://objstm.example/z"]
+
+    base = build_pdf_objstm_font([["body text here"]], compress=True)
+    assert pdf_links(base) == []  # ObjStm present, no URI members

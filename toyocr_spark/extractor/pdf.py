@@ -982,7 +982,21 @@ def _runs(
                 continue
             op = m.group(0)
             i = m.end()
-            if op == b"BT":
+            if op == b"BI":
+                # inline image: raw binary follows ID up to a
+                # whitespace-delimited EI — skipped wholesale so image
+                # bytes can never alias string/operator syntax
+                j = content.find(b"ID", i)
+                if j == -1:
+                    i = n
+                else:
+                    k = content.find(b"EI", j + 2)
+                    while k != -1 and content[k - 1 : k] not in (
+                        b" ", b"\t", b"\r", b"\n", b"\0",
+                    ):
+                        k = content.find(b"EI", k + 2)
+                    i = n if k == -1 else k + 2
+            elif op == b"BT":
                 lines = []
                 cur = None
                 lx = ly = 0.0
@@ -1093,3 +1107,32 @@ def tokenize_pdf(data: bytes) -> list[Block]:
     for i, b in enumerate(blocks):
         b.ordinal = i
     return blocks
+
+
+_URI_RE = re.compile(rb"/URI\s*\(")
+
+
+def pdf_links(data: bytes) -> list[str]:
+    """Outbound URI actions (/Annots link annotations and any other
+    /URI action) in file order, duplicates preserved — the PDF leg of
+    outlink extraction (q42's html href pass is the twin). Members of
+    compressed object streams are included (a modern writer puts
+    annotation dicts there). Strings are unescaped through the same
+    literal-string reader the text machine uses."""
+    # ObjStm member bytes exist only inflated, so scanning the raw file
+    # plus the inflated members double-counts nothing; identical URIs
+    # may legitimately repeat (two links to the same target)
+    sources = [data]
+    if b"/ObjStm" in data:
+        sources += [
+            body for body in _object_bodies(data).values() if b"stream" not in body
+        ]
+    out: list[str] = []
+    for src in sources:
+        for m in _URI_RE.finditer(src):
+            raw, _end = _lit_string(src, m.end() - 1)
+            try:
+                out.append(raw.decode("utf-8"))
+            except UnicodeDecodeError:
+                out.append(raw.decode("latin-1"))
+    return out
