@@ -132,3 +132,50 @@ def test_surt_key(spark):
     ]
     # lexicographic SURT order clusters a registrable domain's hosts
     assert sorted(got)[:2] == ["example,host-1,a)/p?x=1", "example,host-2)/Article/9?b=2"]
+
+
+def test_mine_outlinks_mixed_html_pdf(spark):
+    """Unified edge mining: HTML hrefs resolve JVM-side, PDF /URI
+    actions surface through the sanctioned Python kernel, fragment
+    links drop, and the union carries both formats."""
+    from pyspark.sql import functions as F
+
+    from toyocr_spark.fixtures.genpdf import build_pdf, paragraph_ops, text_stream
+    from toyocr_spark.functions.linkmine import mine_outlinks
+
+    pdf = build_pdf(
+        [text_stream([paragraph_ops(72, 740, 11, 13, ["a pdf page"])])],
+        compress=False,
+    )
+    ann = (
+        b"9 0 obj\n<< /Type /Annot /Subtype /Link /A << /S /URI "
+        b"/URI (https://cited.example/paper) >> >>\nendobj\n"
+    )
+    i = pdf.find(b"xref")
+    pdf = pdf[:i] + ann + pdf[i:]
+
+    html = (
+        '<html><body><a href="https://ext.example/x">e</a>'
+        '<a href="/root/y">r</a><a href="z.html">rel</a>'
+        '<a href="#top">skip</a></body></html>'
+    )
+    rows = [
+        ("https://site.example/dir/page.html", bytearray(html.encode())),
+        ("https://host.example/doc.pdf", bytearray(pdf)),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = sorted(
+        (r["src_url"], r["target"]) for r in mine_outlinks(df).collect()
+    )
+    assert got == [
+        ("https://host.example/doc.pdf", "https://cited.example/paper"),
+        ("https://site.example/dir/page.html", "https://ext.example/x"),
+        ("https://site.example/dir/page.html", "https://site.example/dir/z.html"),
+        ("https://site.example/dir/page.html", "https://site.example/root/y"),
+    ]
+    # structural contract: the Python kernel sits ONLY under the
+    # PDF-magic filter — the HTML branch is regexp/resolve Column exprs
+    plan = mine_outlinks(df)._jdf.queryExecution().executedPlan().toString()
+    arrow_at = plan.find("MapInArrow")
+    assert arrow_at != -1
+    assert "regexp_extract_all" in plan[:arrow_at] or "regexp_extract_all" in plan

@@ -1,0 +1,89 @@
+"""Unified outlink mining over a mixed HTML/PDF crawl — the edge-list
+feed for the link graph (q44 PageRank), anchor aggregation (q91), and
+frontier seeding (q92).
+
+Split by magic bytes, each format on its fastest path:
+  * HTML rows stay ENTIRELY JVM-side: href extraction is
+    regexp_extract_all, resolution is urlfns.resolve_link Column
+    exprs — no Python touches the dominant format;
+  * PDF rows (a small fraction of any crawl) go through one
+    mapInArrow batch over extractor.pdf.pdf_links — the same
+    sanctioned-kernel shape as extraction itself;
+  * the union is by name, one edge row per (src_url, target).
+
+At 100 TB the html leg is map-only scan work and the pdf leg is
+bounded by the PDF fraction; neither shuffles until the consumer
+aggregates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, functions as F
+
+_HREF_RE = '(?i)href="([^"]+)"'
+
+
+def mine_outlinks(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(src_url, target) edges from every page. `html_col` may be
+    binary (raw capture bytes) or string markup. Fragment-only links
+    drop; relative links resolve against the page (urlfns semantics);
+    PDF /URI actions are absolute by nature and pass through."""
+    from toyocr_spark.functions.urlfns import resolve_link
+
+    col = F.col(html_col)
+    is_bin = dict(pages.dtypes)[html_col] == "binary"
+    magic = (col.substr(1, 5) == F.lit(b"%PDF-")) if is_bin else col.startswith("%PDF-")
+    markup = F.decode(col, "UTF-8") if is_bin else col
+
+    base_root = F.concat(
+        F.substring_index(F.col(url_col), "://", 1),
+        F.lit("://"),
+        F.substring_index(F.substring_index(F.col(url_col), "://", -1), "/", 1),
+    )
+    base_dir = F.regexp_replace(F.col(url_col), "[^/]*$", "")
+    html_edges = (
+        pages.filter(~magic)
+        .select(
+            F.col(url_col).alias("src_url"),
+            base_root.alias("_root"),
+            base_dir.alias("_dir"),
+            F.explode(
+                F.regexp_extract_all(markup.alias("m"), F.lit(_HREF_RE), 1)
+            ).alias("link"),
+        )
+        .select(
+            "src_url",
+            resolve_link(F.col("_root"), F.col("_dir"), F.col("link")).alias("target"),
+        )
+        .filter(F.col("target").isNotNull())
+    )
+
+    def pdf_batches(it: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:  # noqa: F821
+        import pyarrow as pa
+
+        from toyocr_spark.extractor.pdf import pdf_links
+
+        for b in it:
+            srcs: list[str] = []
+            targets: list[str] = []
+            urls = b.column(0).to_pylist()
+            bodies = b.column(1).to_pylist()
+            for u, body in zip(urls, bodies):
+                data = body if isinstance(body, (bytes, bytearray)) else str(body).encode("utf-8", "replace")
+                for t in pdf_links(bytes(data)):
+                    srcs.append(u)
+                    targets.append(t)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(srcs, pa.string()), pa.array(targets, pa.string())],
+                names=["src_url", "target"],
+            )
+
+    pdf_edges = pages.filter(magic).select(
+        F.col(url_col).alias("src_url"), col.alias("body")
+    ).mapInArrow(pdf_batches, "src_url string, target string")
+
+    return html_edges.unionByName(pdf_edges)
