@@ -179,3 +179,27 @@ def test_mine_outlinks_mixed_html_pdf(spark):
     arrow_at = plan.find("MapInArrow")
     assert arrow_at != -1
     assert "regexp_extract_all" in plan[:arrow_at] or "regexp_extract_all" in plan
+
+
+def test_parse_robots_directives(spark):
+    from toyocr_spark.functions.urlfns import parse_robots_directives
+
+    rows = [
+        ("a.example", "User-agent: *\nCrawl-delay: 5\nDisallow: /x\n"
+                      "Sitemap: https://a.example/sm1.xml\n"
+                      "Sitemap: https://a.example/sm2.xml"),
+        ("b.example", "Disallow: /\ncrawl-delay: 2\nCrawl-Delay: 7"),  # case-insensitive, max wins
+        ("c.example", "User-agent: *\nDisallow:"),                     # nothing
+        ("d.example", "Crawl-delay: notanumber"),                      # unparseable -> NULL
+    ]
+    df = spark.createDataFrame(rows, "host string, txt string")
+    got = {
+        r["host"]: (r["crawl_delay"], list(r["sitemaps"]))
+        for r in parse_robots_directives(df, "host", "txt").collect()
+    }
+    assert got == {
+        "a.example": (5, ["https://a.example/sm1.xml", "https://a.example/sm2.xml"]),
+        "b.example": (7, []),
+        "c.example": (None, []),
+        "d.example": (None, []),
+    }

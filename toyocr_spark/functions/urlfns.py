@@ -166,6 +166,29 @@ def parse_robots_rules(robots: "DataFrame", host_col: str, txt_col: str) -> "Dat
     )
 
 
+def parse_robots_directives(
+    robots: "DataFrame", host_col: str, txt_col: str  # noqa: F821
+) -> "DataFrame":
+    """(host, robots_txt) -> (host, crawl_delay, sitemaps): the two
+    non-rule directives a crawler consumes — ``Crawl-delay: N``
+    (politeness pacing per host; the q92 frontier's wave spacing
+    input; missing/unparseable -> NULL, multiple -> the maximum,
+    the conservative reading) and ``Sitemap: <url>`` lines (the q95
+    seeding input). Pure Column exprs: regexp_extract_all over the
+    raw text, no explode needed — one row in, one row out."""
+    txt = F.col(txt_col)
+    delays = F.regexp_extract_all(
+        txt, F.lit("(?im)^Crawl-delay:\\s*(\\d+)\\s*$"), 1
+    )
+    delay = F.array_max(F.transform(delays, lambda d: d.cast("long")))
+    sitemaps = F.regexp_extract_all(txt, F.lit("(?im)^Sitemap:\\s*(\\S+)\\s*$"), 1)
+    return robots.select(
+        F.col(host_col).alias("host"),
+        delay.alias("crawl_delay"),
+        sitemaps.alias("sitemaps"),
+    )
+
+
 def robots_admission(
     urls: "DataFrame", rules: "DataFrame", host_col: str = "host", path_col: str = "path"  # noqa: F821
 ) -> "DataFrame":
