@@ -5123,6 +5123,116 @@ def q105_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q106_template_cluster",
+    """
+    WITH pages AS (
+      SELECT doc_id,
+             '<html><body>' ||
+             CASE WHEN doc_id % 3 = 0
+                  THEN '<nav><ul><li><a></a></li></ul></nav><article><h1></h1><p></p><p></p></article><footer></footer>'
+                  WHEN doc_id % 3 = 1
+                  THEN '<header><h1></h1></header><table><tr><td></td><td></td></tr></table><footer></footer>'
+                  ELSE '<div><div><img></div><p></p></div><aside><a></a></aside>'
+             END ||
+             CASE WHEN doc_id % 7 = 0 THEN '<script></script>' ELSE '' END ||
+             '</body></html>' AS html
+      FROM documents
+    ),
+    tags AS (
+      SELECT doc_id,
+             list_transform(regexp_extract_all(html, '<([a-z0-9]+)', 1), t -> t)
+               AS tag_seq
+      FROM pages
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id AS id,
+             array_to_string(list_slice(tag_seq, u.i, u.i + 3), '>') AS shingle
+      FROM tags, unnest(generate_series(1, greatest(len(tag_seq) - 3, 1))) AS u(i)
+    ),
+    sig AS (
+      SELECT id, b AS band,
+             min(md5(CAST(b AS VARCHAR) || '|' || shingle)) AS sig
+      FROM sh, unnest(generate_series(0, 3)) AS t(b)
+      GROUP BY id, b
+    ),
+    keys AS (
+      SELECT id, array_to_string(list(sig ORDER BY band), '|') AS template_key
+      FROM sig GROUP BY id
+    )
+    SELECT template_key,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(id) AS BIGINT) AS exemplar_id
+    FROM keys
+    GROUP BY template_key
+    """,
+    "DOM-structure template clustering — near-dup by LAYOUT, not "
+    "text: the tag-name sequence (markup parsed JVM-side with "
+    "regexp_extract_all) is shingled into 4-tag structural n-grams, "
+    "MinHash-banded (4 bands, the q15 machinery applied to structure "
+    "tokens), and docs sharing the full band signature collapse into "
+    "one template cluster. This is the reference's layout-analysis "
+    "axis turned into a curation operator: site templates cluster "
+    "across HOSTS (same skeleton, different text), feeding q85's "
+    "strip stage or a diversity sampler. Vocab-bounded: the group key "
+    "is a fixed-width signature, the agg is one partial-agg shuffle. "
+    "Fixture markup derives 3 template families (+a script variant) "
+    "from doc_id in closed form",
+)
+def q106_template_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    body = (
+        F.when(
+            did % 3 == 0,
+            F.lit("<nav><ul><li><a></a></li></ul></nav><article><h1></h1><p></p><p></p></article><footer></footer>"),
+        )
+        .when(
+            did % 3 == 1,
+            F.lit("<header><h1></h1></header><table><tr><td></td><td></td></tr></table><footer></footer>"),
+        )
+        .otherwise(F.lit("<div><div><img></div><p></p></div><aside><a></a></aside>"))
+    )
+    html = F.concat(
+        F.lit("<html><body>"),
+        body,
+        F.when(did % 7 == 0, F.lit("<script></script>")).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    tags = d.select(
+        "doc_id",
+        F.regexp_extract_all(html.alias("h"), F.lit("<([a-z0-9]+)"), 1).alias("tag_seq"),
+    )
+    sh = tags.select(
+        F.col("doc_id").alias("id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("tag_seq") - 3, F.lit(1))),
+                lambda i: F.array_join(F.slice("tag_seq", i, 4), ">"),
+            )
+        ).alias("shingle"),
+    ).distinct()
+    bands = sh.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+        "shingle",
+    )
+    sig = bands.groupBy("id", "band").agg(
+        F.min(
+            F.md5(F.concat(F.col("band").cast("string"), F.lit("|"), F.col("shingle")))
+        ).alias("sig")
+    )
+    keys = sig.groupBy("id").agg(
+        F.array_join(F.array_sort(F.collect_list(F.struct("band", "sig"))).getField("sig"), "|").alias(
+            "template_key"
+        )
+    )
+    return keys.groupBy("template_key").agg(
+        F.count("*").alias("n_docs"),
+        F.min("id").alias("exemplar_id"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
