@@ -780,3 +780,27 @@ def test_gif_decoder_fuzz_deterministic_and_bounded():
         except (ValueError, struct.error, IndexError):
             continue
         assert decode_gif(junk) == first
+
+
+def test_image_neardup_recovers_planted_groups(spark, sf_dir):
+    """q108 semantics, not just engine parity: every planted duplicate
+    pair (same doc_id % 40 group: same picture up to brightness /
+    one perturbed corner cell) must surface, at hamming <= 1."""
+    from toyocr_spark.multimodal import image_dhash, synth_dhash_png
+    from toyocr_spark.operators.dedup import simhash64_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sim = (
+        image_dhash(synth_dhash_png(docs, n_docs=160))
+        .withColumnRenamed("media_id", "id")
+        .select("id", "c0", "c1", "c2", "c3")
+    )
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash64_pairs(sim).collect()}
+    planted = [
+        (a, a + 40 * k)
+        for a in range(40)
+        for k in range(1, 4)
+    ] + [(a + 40 * i, a + 40 * j) for a in range(40) for i in range(1, 4) for j in range(i + 1, 4)]
+    for p in planted:
+        assert p in pairs, f"planted duplicate pair {p} missed"
+        assert pairs[p] <= 1

@@ -1,0 +1,141 @@
+"""PNG unfilter codec + image dHash: round-trip across all five filter
+types, hand-computed known-answer vectors (so an encoder bug cannot
+cancel a decoder bug), fuzz determinism, and the dHash invariances the
+near-dup join relies on (global brightness; single-cell perturbation
+=> hamming <= 1)."""
+
+from __future__ import annotations
+
+import random
+import struct
+import zlib
+
+import pytest
+
+from toyocr_spark.pngcodec import decode_png, encode_png, unfilter
+
+
+def _ramp(w: int, h: int, ch: int) -> bytes:
+    return bytes((x * 31 + y * 57 + c * 11) % 256 for y in range(h) for x in range(w) for c in range(ch))
+
+
+@pytest.mark.parametrize("dims", [(9, 7, 1), (8, 8, 3), (1, 5, 1), (16, 3, 3), (5, 1, 2), (4, 6, 4)])
+@pytest.mark.parametrize("ft", [0, 1, 2, 3, 4, None])
+def test_roundtrip_every_filter(dims, ft):
+    w, h, ch = dims
+    raster = _ramp(w, h, ch)
+    rf = (lambda y: ft) if ft is not None else None  # None => cycle 0..4
+    assert decode_png(encode_png(raster, w, h, ch, row_filter=rf)) == (w, h, ch, raster)
+
+
+def test_unfilter_known_vectors():
+    """Decoder-only known answers, worked by hand from spec §9 formulas
+    (independent of the encoder): 3px 1ch rows through Sub, Up,
+    Average, Paeth."""
+    # row0 Sub: raw = cumulative sums 10, 10+5=15, 15+250=265&255=9
+    # row1 Up:  raw = prev + delta = 11, 17, 12
+    # row2 Avg: raw[i] = delta + (left + up)//2 -> 1+(0+11)//2=6,
+    #           2+(6+17)//2=13, 3+(13+12)//2=15
+    # row3 Paeth: a=left, b=up, c=up-left; p0: pred=b=6 -> 7;
+    #           p1: a=7,b=13,c=6 -> p=14, pa=7,pb=1,pc=8 -> pred=13 -> 15;
+    #           p2: a=15,b=15,c=13 -> p=17, pa=2,pb=2,pc=4 -> pred=a=15 -> 16
+    stream = bytes(
+        [1, 10, 5, 250]
+        + [2, 1, 2, 3]
+        + [3, 1, 2, 3]
+        + [4, 1, 2, 1]
+    )
+    assert unfilter(stream, 3, 4, 1) == bytes([10, 15, 9, 11, 17, 12, 6, 13, 15, 7, 15, 16])
+
+
+def test_unfilter_bpp_respects_channels():
+    """Sub's 'left' neighbour is bpp bytes back, not 1: a 2px 3ch row
+    filtered with Sub must add pixel-sized strides."""
+    # raw row: px0=(1,2,3) px1=(5,7,9); Sub deltas: 1,2,3, 4,5,6
+    stream = bytes([1, 1, 2, 3, 4, 5, 6])
+    assert unfilter(stream, 2, 1, 3) == bytes([1, 2, 3, 5, 7, 9])
+
+
+def test_decode_rejects_unsupported():
+    raster = _ramp(4, 4, 1)
+    good = encode_png(raster, 4, 4, 1)
+    with pytest.raises(ValueError):
+        decode_png(good[:20])
+    # interlace flag set
+    bad = bytearray(good)
+    bad[28] = 1
+    with pytest.raises(ValueError):
+        decode_png(bytes(bad))
+    # bogus filter type inside the stream
+    with pytest.raises(ValueError):
+        unfilter(bytes([9, 0, 0, 0]), 3, 1, 1)
+    # short stream
+    with pytest.raises(ValueError):
+        unfilter(bytes([0, 0]), 3, 1, 1)
+
+
+def test_decoder_fuzz_deterministic_and_bounded():
+    """Bit-flipped PNGs either decode or raise — never hang or decode
+    nondeterministically (same discipline as the JPEG/GIF fuzz tests)."""
+    rng = random.Random(31)
+    base = encode_png(_ramp(17, 11, 3), 17, 11, 3)
+    for _ in range(300):
+        blob = bytearray(base)
+        for _ in range(rng.randint(1, 6)):
+            blob[rng.randrange(len(blob))] = rng.randrange(256)
+        payload = bytes(blob)
+        try:
+            first = decode_png(payload)
+        except (ValueError, struct.error, IndexError, zlib.error, OverflowError, MemoryError):
+            continue
+        assert decode_png(payload) == first
+
+
+def _dhash_of(raster: bytes, w: int, h: int) -> tuple[int, int, int, int]:
+    """Reference dHash over a grayscale raster via the public operator
+    path (single-row local Arrow batch is overkill; recompute with the
+    same cell/compare rules inline)."""
+    xs = [x * w // 8 for x in range(9)]
+    ys = [y * h // 8 for y in range(9)]
+    chunks = [0, 0, 0, 0]
+    for cy in range(8):
+        for cx in range(7):
+            def cell(c):
+                return (
+                    sum(
+                        raster[yy * w + xx]
+                        for yy in range(ys[cy], ys[cy + 1])
+                        for xx in range(xs[c], xs[c + 1])
+                    ),
+                    (ys[cy + 1] - ys[cy]) * (xs[c + 1] - xs[c]),
+                )
+            (sa, aa), (sb, ab) = cell(cx), cell(cx + 1)
+            if sb * aa > sa * ab:
+                j = cy * 7 + cx
+                chunks[j // 14] |= 1 << (j % 14)
+    return tuple(chunks)
+
+
+def test_dhash_brightness_invariance():
+    """Adding one constant to every pixel preserves every adjacent-cell
+    comparison — the property that makes dHash a near-dup key."""
+    rng = random.Random(7)
+    w, h = 24, 16
+    base = [rng.randrange(0, 200) for _ in range(w * h)]
+    h0 = _dhash_of(bytes(base), w, h)
+    for delta in (5, 20, 55):
+        assert _dhash_of(bytes(v + delta for v in base), w, h) == h0
+
+
+def test_dhash_single_cell_perturb_hamming_le_1():
+    """Bumping only the (0,0) cell flips at most the one comparison
+    that touches it in row 0 — the fixture family's planted hamming."""
+    w, h = 16, 16  # 2x2 cells
+    base = bytes((x // 2 * 13 + y // 2 * 29) % 180 for y in range(h) for x in range(w))
+    pert = bytes(
+        min(255, b + 40) if (x < 2 and y < 2) else b
+        for (y, x), b in zip(((y, x) for y in range(h) for x in range(w)), base)
+    )
+    h0, h1 = _dhash_of(base, w, h), _dhash_of(pert, w, h)
+    hamming = sum(bin(a ^ b).count("1") for a, b in zip(h0, h1))
+    assert hamming <= 1

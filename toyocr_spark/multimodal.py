@@ -1196,3 +1196,154 @@ def synth_g711_wav(documents: DataFrame, n_docs: int = 140) -> DataFrame:
         .select("doc_id")
         .mapInArrow(batches, schema)
     )
+
+
+# ----------------------------------------- perceptual hash (image dedup)
+
+
+def _dhash_plan(doc_id: int) -> tuple[int, int, int, int, bool]:
+    """(group, cell_w, cell_h, brightness, perturbed) for the dHash
+    fixture family — shared by the encoder and (in closed form) the
+    q107/q108 oracles. Images in the same group are the same picture
+    up to a global brightness offset (dHash-invariant: adding one
+    constant to every pixel preserves all adjacent comparisons) and,
+    for doc_id % 5 == 4, a +40 bump of the top-left cell only (flips
+    at most the single (0,0)->(1,0) comparison => hamming <= 1)."""
+    g = doc_id % 40
+    cw = 1 + g % 3
+    ch = 1 + g % 2
+    bright = ((doc_id // 40) % 8) * 5  # 0..35; base < 180 so no clipping
+    return g, cw, ch, bright, doc_id % 5 == 4
+
+
+def synth_dhash_png(documents: DataFrame, n_docs: int = 160) -> DataFrame:
+    """documents(doc_id, ...) -> (media_id, payload) of real grayscale
+    PNGs (8x8 grid of cw x ch constant cells), scanline filters cycling
+    through ALL five PNG filter types per row ((doc_id + y) % 5), so
+    decoding these fixtures proves the Sub/Up/Average/Paeth unfilter
+    paths, not just filter-None passthrough.
+
+      cell(cx, cy) = (g*7 + cx*13 + cy*29) % 180 + brightness
+                     (+40 on cell (0,0) when doc_id % 5 == 4)
+
+    — every pixel predictable in closed form without PNG/zlib."""
+    import pyarrow as pa
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from toyocr_spark.pngcodec import encode_png
+
+        for b in it:
+            ids = b.column(0).to_pylist()
+            payloads = []
+            for did in ids:
+                g, cw, ch, bright, pert = _dhash_plan(did)
+                w, h = 8 * cw, 8 * ch
+                raster = bytearray(w * h)
+                for y in range(h):
+                    cy = y // ch
+                    for x in range(w):
+                        cx = x // cw
+                        v = (g * 7 + cx * 13 + cy * 29) % 180 + bright
+                        if pert and cx == 0 and cy == 0:
+                            v += 40
+                        raster[y * w + x] = v
+                payloads.append(
+                    encode_png(bytes(raster), w, h, 1, row_filter=lambda y, d=did: (d + y) % 5)
+                )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), pa.array(payloads, pa.binary())],
+                names=["media_id", "payload"],
+            )
+
+    return (
+        documents.filter(F.col("doc_id") < n_docs)
+        .select("doc_id")
+        .mapInArrow(batches, schema)
+    )
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("c0", T.LongType(), False),
+        T.StructField("c1", T.LongType(), False),
+        T.StructField("c2", T.LongType(), False),
+        T.StructField("c3", T.LongType(), False),
+    ]
+)
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """(media_id, payload PNG) -> 56-bit difference hash over genuinely
+    decoded pixels, as FOUR 14-bit chunk columns c0..c3 (c0 = least
+    significant) — the same chunked-band representation as simhash64,
+    so ``dedup.simhash64_pairs`` performs the banded near-dup join
+    unchanged (pigeonhole: hamming <= 3 of 56 shares >= 1 exact band).
+
+    dHash: partition the raster into an 8x8 cell grid (cell x spans
+    [x*w//8, (x+1)*w//8), channels summed into one luminance mass),
+    bit (y*7 + x) = cell(x+1, y) brighter than cell(x, y). Comparisons
+    cross-multiply by cell pixel counts (sum_b * area_a > sum_a *
+    area_b) so unequal cell sizes at non-multiple-of-8 dims stay
+    integer-exact. Invariant to global brightness shift by
+    construction — the property that makes it a near-dup key rather
+    than a byte hash. Map-only mapInArrow stage; the pairing join
+    shuffles only (band, bucket) keys, never pixels."""
+    import pyarrow as pa
+
+    def batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from toyocr_spark.pngcodec import decode_png
+
+        for b in it:
+            ids = b.column(0)
+            rows = []
+            for p in b.column(1).to_pylist():
+                w, h, chans, raster = decode_png(p)
+                xs = [x * w // 8 for x in range(9)]
+                ys = [y * h // 8 for y in range(9)]
+                sums = [[0] * 8 for _ in range(8)]
+                areas = [[0] * 8 for _ in range(8)]
+                stride = w * chans
+                for cy in range(8):
+                    for cx in range(8):
+                        s = 0
+                        for yy in range(ys[cy], ys[cy + 1]):
+                            base = yy * stride
+                            lo = base + xs[cx] * chans
+                            hi = base + xs[cx + 1] * chans
+                            s += sum(raster[lo:hi])
+                        sums[cy][cx] = s
+                        areas[cy][cx] = (ys[cy + 1] - ys[cy]) * (xs[cx + 1] - xs[cx])
+                chunks = [0, 0, 0, 0]
+                for cy in range(8):
+                    for cx in range(7):
+                        j = cy * 7 + cx
+                        if (
+                            sums[cy][cx + 1] * areas[cy][cx]
+                            > sums[cy][cx] * areas[cy][cx + 1]
+                        ):
+                            chunks[j // 14] |= 1 << (j % 14)
+                rows.append((w, h, chunks))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array([r[0] for r in rows], pa.int32()),
+                    pa.array([r[1] for r in rows], pa.int32()),
+                    *[
+                        pa.array([r[2][j] for r in rows], pa.int64())
+                        for j in range(4)
+                    ],
+                ],
+                names=[f.name for f in DHASH_SCHEMA.fields],
+            )
+
+    return media.select("media_id", "payload").mapInArrow(batches, DHASH_SCHEMA)

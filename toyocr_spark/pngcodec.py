@@ -1,0 +1,188 @@
+"""Pure-stdlib PNG codec: full scanline UNFILTERING (spec §9 filter
+types 0-4: None/Sub/Up/Average/Paeth) on top of the chunk walk that
+``multimodal._parse_png`` already does, plus a fixture encoder that
+applies real per-row filters so round-trip tests exercise every type.
+
+Layering (mirrors gifcodec/jpegcodec): ``multimodal._parse_png`` stays
+the metadata+stream leg (q26's contract: inflated filtered scanline
+stream); ``decode_png`` here is the pixel leg — the raster a downstream
+perceptual-hash / feature-extract operator consumes. Deterministic,
+no PIL, no CRC validation (decode, don't verify).
+
+Scope: 8-bit samples, non-interlaced (Adam7 raises — the fixture
+families are non-interlaced; GIF covers the interlace axis with a real
+four-pass deinterlacer). Reference analogue: the dataset mapper decodes
+image bytes to pixel arrays before augmentation
+(reference data/dataset_mapper.py:151-155).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+MAGIC = b"\x89PNG\r\n\x1a\n"
+
+# color type -> samples per pixel (spec §11.2.2)
+CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_COLOR_TYPE_FOR = {1: 0, 2: 4, 3: 2, 4: 6}  # channels -> color type
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (spec §9.4): nearest of left/up/up-left to the
+    linear estimate a + b - c, ties broken left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def unfilter(stream: bytes, width: int, height: int, channels: int) -> bytes:
+    """Invert the per-scanline filters of an inflated IDAT stream:
+    each scanline is 1 filter-type byte + width*channels sample bytes
+    (8-bit depth). Returns the raw raster, row-major, ``channels``
+    bytes per pixel. Raises ValueError on short streams or unknown
+    filter types (determinism guard — garbage never loops)."""
+    bpp = channels  # bytes per complete pixel at 8-bit depth
+    rowlen = width * bpp
+    need = height * (1 + rowlen)
+    if len(stream) < need:
+        raise ValueError(f"PNG stream short: {len(stream)} < {need}")
+    out = bytearray(height * rowlen)
+    prev_off = -1  # previous row offset in out, -1 = none
+    pos = 0
+    for y in range(height):
+        ft = stream[pos]
+        pos += 1
+        row = stream[pos : pos + rowlen]
+        pos += rowlen
+        off = y * rowlen
+        if ft == 0:  # None
+            out[off : off + rowlen] = row
+        elif ft == 1:  # Sub
+            for i in range(rowlen):
+                a = out[off + i - bpp] if i >= bpp else 0
+                out[off + i] = (row[i] + a) & 0xFF
+        elif ft == 2:  # Up
+            if prev_off < 0:
+                out[off : off + rowlen] = row
+            else:
+                for i in range(rowlen):
+                    out[off + i] = (row[i] + out[prev_off + i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(rowlen):
+                a = out[off + i - bpp] if i >= bpp else 0
+                b = out[prev_off + i] if prev_off >= 0 else 0
+                out[off + i] = (row[i] + ((a + b) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(rowlen):
+                a = out[off + i - bpp] if i >= bpp else 0
+                b = out[prev_off + i] if prev_off >= 0 else 0
+                c = out[prev_off + i - bpp] if (prev_off >= 0 and i >= bpp) else 0
+                out[off + i] = (row[i] + _paeth(a, b, c)) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {ft} at row {y}")
+        prev_off = off
+    return bytes(out)
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
+    """payload -> (width, height, channels, raster): the full pixel
+    decode — chunk walk, IDAT inflate, scanline unfilter. 8-bit
+    non-interlaced only (interlace=1 / other depths raise ValueError:
+    a documented seam, not silent corruption)."""
+    if len(payload) < 33 or payload[:8] != MAGIC or payload[12:16] != b"IHDR":
+        raise ValueError("not a PNG with leading IHDR")
+    width, height = struct.unpack(">II", payload[16:24])
+    depth, color_type, _comp, _filt, interlace = payload[24:29]
+    chans = CHANNELS.get(color_type)
+    if chans is None:
+        raise ValueError(f"PNG color type {color_type}")
+    if depth != 8:
+        raise ValueError(f"PNG bit depth {depth} (only 8 supported)")
+    if interlace != 0:
+        raise ValueError("Adam7-interlaced PNG not supported")
+    if width == 0 or height == 0 or width * height > 1 << 26:
+        raise ValueError(f"PNG dims {width}x{height} out of bounds")
+    pos, idat = 8, []
+    n = len(payload)
+    while pos + 8 <= n:
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        if typ == b"IDAT":
+            idat.append(payload[pos + 8 : pos + 8 + ln])
+        if typ == b"IEND":
+            break
+        pos += 12 + ln
+    stream = zlib.decompress(b"".join(idat))
+    return width, height, chans, unfilter(stream, width, height, chans)
+
+
+# ------------------------------------------------------------- encoder
+
+
+def _filter_row(ft: int, row: bytes, prev: bytes | None, bpp: int) -> bytes:
+    """Apply filter ``ft`` to one raw scanline (the encoder side of
+    ``unfilter`` — exact inverse by construction of the spec formulas)."""
+    n = len(row)
+    out = bytearray(n)
+    if ft == 0:
+        return bytes(row)
+    for i in range(n):
+        a = row[i - bpp] if i >= bpp else 0
+        b = prev[i] if prev is not None else 0
+        c = prev[i - bpp] if (prev is not None and i >= bpp) else 0
+        if ft == 1:
+            pred = a
+        elif ft == 2:
+            pred = b
+        elif ft == 3:
+            pred = (a + b) >> 1
+        elif ft == 4:
+            pred = _paeth(a, b, c)
+        else:
+            raise ValueError(f"filter type {ft}")
+        out[i] = (row[i] - pred) & 0xFF
+    return bytes(out)
+
+
+def encode_png(
+    raster: bytes,
+    width: int,
+    height: int,
+    channels: int,
+    row_filter=None,
+) -> bytes:
+    """Assemble a spec-conformant PNG (CRCs included) from a raw 8-bit
+    raster. ``row_filter(y) -> 0..4`` picks each scanline's filter —
+    default cycles through all five types so a decode round-trip proves
+    every unfilter branch. Fixture-grade (like encode_gif /
+    encode_baseline): deterministic bytes for deterministic input."""
+    bpp = channels
+    rowlen = width * bpp
+    if len(raster) != height * rowlen:
+        raise ValueError(f"raster size {len(raster)} != {height}x{rowlen}")
+    color_type = _COLOR_TYPE_FOR[channels]
+    pick = row_filter if row_filter is not None else (lambda y: y % 5)
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    lines = []
+    prev: bytes | None = None
+    for y in range(height):
+        row = raster[y * rowlen : (y + 1) * rowlen]
+        ft = int(pick(y)) % 5
+        lines.append(bytes([ft]) + _filter_row(ft, row, prev, bpp))
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    comp = zlib.compress(b"".join(lines), 6)
+    return MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", comp) + chunk(b"IEND", b"")

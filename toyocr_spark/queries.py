@@ -5234,6 +5234,124 @@ def q106_template_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# image perceptual-hash dedup (multimodal near-dup over real pixels)
+
+_DHASH_CELLS_SQL = """
+    plan AS (
+      SELECT doc_id,
+             doc_id % 40 AS g,
+             1 + (doc_id % 40) % 3 AS cw,
+             1 + (doc_id % 40) % 2 AS ch,
+             ((doc_id // 40) % 8) * 5 AS bright,
+             doc_id % 5 = 4 AS pert
+      FROM documents WHERE doc_id < 160
+    ),
+    cells AS (
+      SELECT doc_id, cw, ch, u.j AS cx, v.j AS cy,
+             (g * 7 + u.j * 13 + v.j * 29) % 180 + bright
+               + CASE WHEN pert AND u.j = 0 AND v.j = 0 THEN 40 ELSE 0 END AS val
+      FROM plan,
+           unnest(generate_series(0, 7)) AS u(j),
+           unnest(generate_series(0, 7)) AS v(j)
+    ),
+    bits AS (
+      SELECT a.doc_id, a.cy * 7 + a.cx AS j,
+             CASE WHEN b.val > a.val THEN 1 ELSE 0 END AS bit
+      FROM cells a
+      JOIN cells b ON b.doc_id = a.doc_id AND b.cy = a.cy AND b.cx = a.cx + 1
+      WHERE a.cx < 7
+    ),
+    h AS (
+      SELECT p.doc_id AS media_id,
+             CAST(8 * p.cw AS INTEGER) AS width,
+             CAST(8 * p.ch AS INTEGER) AS height,
+             CAST(sum(CASE WHEN j // 14 = 0 THEN bit << (j % 14) ELSE 0 END) AS BIGINT) AS c0,
+             CAST(sum(CASE WHEN j // 14 = 1 THEN bit << (j % 14) ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN j // 14 = 2 THEN bit << (j % 14) ELSE 0 END) AS BIGINT) AS c2,
+             CAST(sum(CASE WHEN j // 14 = 3 THEN bit << (j % 14) ELSE 0 END) AS BIGINT) AS c3
+      FROM plan p JOIN bits ON bits.doc_id = p.doc_id
+      GROUP BY p.doc_id, p.cw, p.ch
+    )
+"""
+
+
+@_q(
+    "q107_image_dhash",
+    f"""
+    WITH {_DHASH_CELLS_SQL}
+    SELECT media_id, width, height, c0, c1, c2, c3 FROM h
+    """,
+    "Perceptual difference-hash over GENUINELY decoded PNG pixels: "
+    "synth_dhash_png writes real grayscale PNGs whose scanline filters "
+    "cycle through all five PNG filter types, image_dhash decodes them "
+    "with the new pure-stdlib unfilter (Sub/Up/Average/Paeth) and "
+    "computes the 56-bit dHash (8x8 cell grid, integer cross-multiplied "
+    "brightness comparisons) as four 14-bit band chunks. The oracle "
+    "regenerates every cell value in closed form — a green row proves "
+    "chunk walk + inflate + unfilter + box average + bit packing. "
+    "Map-only mapInArrow stage, no shuffle. multimodal.image_dhash, "
+    "toyocr_spark/pngcodec.py; reference decodes image bytes to pixel "
+    "arrays the same way (data/dataset_mapper.py:151-155).",
+)
+def q107_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toyocr_spark.multimodal import image_dhash, synth_dhash_png
+
+    media = synth_dhash_png(_t(spark, sf_dir, "documents"), n_docs=160)
+    return image_dhash(media)
+
+
+@_q(
+    "q108_image_neardup",
+    f"""
+    WITH {_DHASH_CELLS_SQL},
+    bands AS (
+      SELECT media_id, 0 AS band, c0 AS bucket FROM h
+      UNION ALL SELECT media_id, 1, c1 FROM h
+      UNION ALL SELECT media_id, 2, c2 FROM h
+      UNION ALL SELECT media_id, 3, c3 FROM h
+    ),
+    cand AS (
+      SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                   AND a.media_id < b.media_id
+    ),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             CAST(bit_count(xor(ha.c0, hb.c0)) + bit_count(xor(ha.c1, hb.c1))
+                + bit_count(xor(ha.c2, hb.c2)) + bit_count(xor(ha.c3, hb.c3))
+               AS INTEGER) AS hamming
+      FROM cand c
+      JOIN h ha ON ha.media_id = c.id_a
+      JOIN h hb ON hb.media_id = c.id_b
+    )
+    SELECT id_a, id_b, hamming FROM scored WHERE hamming <= 3
+    """,
+    "Image near-dup pairing: the dHash chunks ARE the LSH bands, so "
+    "dedup.simhash64_pairs runs unchanged over image hashes (band "
+    "equi-join proposes candidates — pigeonhole-complete for hamming "
+    "<= 3 of 56 — exact bit_count-xor hamming verifies). Same-group "
+    "fixtures differ only by global brightness (hash-invariant, "
+    "hamming 0) or one perturbed corner cell (hamming <= 1), so the "
+    "pairs recover the planted duplicate groups. Scale shape: shuffle "
+    "keys on (band, 14-bit bucket), never on pixel data or pairs — "
+    "the LAION-style image-dedup path. dedup.simhash64_pairs, "
+    "multimodal.image_dhash.",
+)
+def q108_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toyocr_spark.multimodal import image_dhash, synth_dhash_png
+    from toyocr_spark.operators.dedup import simhash64_pairs
+
+    media = synth_dhash_png(_t(spark, sf_dir, "documents"), n_docs=160)
+    sim = (
+        image_dhash(media)
+        .withColumnRenamed("media_id", "id")
+        .select("id", "c0", "c1", "c2", "c3")
+    )
+    return simhash64_pairs(sim, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
 # The driver verifies only the FIRST 50 registry entries per round
