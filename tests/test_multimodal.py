@@ -804,3 +804,27 @@ def test_image_neardup_recovers_planted_groups(spark, sf_dir):
     for p in planted:
         assert p in pairs, f"planted duplicate pair {p} missed"
         assert pairs[p] <= 1
+
+
+def test_audio_neardup_recovers_planted_groups(spark, sf_dir):
+    """q110 semantics: every planted audio duplicate pair (same
+    doc_id % 30 signal at a different gain, possibly one perturbed
+    frame) must surface, at hamming <= 1 (perturbation only ever
+    touches the E0<->E1 comparison)."""
+    from toyocr_spark.multimodal import audio_fingerprint, synth_fp_wav
+    from toyocr_spark.operators.dedup import simhash64_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sim = (
+        audio_fingerprint(synth_fp_wav(docs, n_docs=150))
+        .withColumnRenamed("media_id", "id")
+        .select("id", "c0", "c1", "c2", "c3")
+    )
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash64_pairs(sim).collect()}
+    for a in range(30):
+        members = [a + 30 * k for k in range(5)]
+        for i in range(5):
+            for j in range(i + 1, 5):
+                p = (members[i], members[j])
+                assert p in pairs, f"planted audio pair {p} missed"
+                assert pairs[p] <= 1

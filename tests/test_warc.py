@@ -107,7 +107,7 @@ def test_malformed_http_block_is_skipped():
     assert out[0]["html"] == b"<p>ok</p>"
 
 
-def test_wet_export_round_trip_byte_identity(spark, warc_dir):
+def test_wet_export_round_trip_byte_identity(spark, warc_dir, tmp_path):
     """The WET sink is the inverse of extraction at the byte level:
     export the extraction results as WET conversion segments, parse
     every segment back with the WARC parser, and every url's text
@@ -121,8 +121,10 @@ def test_wet_export_round_trip_byte_identity(spark, warc_dir):
         for r in result.select("url", "extracted_text").collect()
     }
 
-    out1 = os.path.join(warc_dir, "wet1")
-    out2 = os.path.join(warc_dir, "wet2")
+    # NOT inside warc_dir: later tests glob/list that session-scoped
+    # directory as pure WARC input
+    out1 = str(tmp_path / "wet1")
+    out2 = str(tmp_path / "wet2")
     paths1 = write_wet(result, out1, segments=4)
     paths2 = write_wet(result, out2, segments=4)
 
@@ -227,6 +229,8 @@ def test_extract_job_ingests_warc_directly(tmp_path, warc_dir):
 
     n = 0
     for fn in os.listdir(warc_dir):
+        if ".warc" not in fn:  # defensive: count only the WARC inputs
+            continue
         with open(os.path.join(warc_dir, fn), "rb") as f:
             n += len(parse_warc(f.read()))
     assert summary["rows_extracted"] == n > 0

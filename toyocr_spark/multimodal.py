@@ -1347,3 +1347,141 @@ def image_dhash(media: DataFrame) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInArrow(batches, DHASH_SCHEMA)
+
+
+# -------------------------------------- audio fingerprint (audio dedup)
+
+
+def _afp_plan(doc_id: int) -> tuple[int, int, bool]:
+    """(group, amplitude_scale, perturbed) for the audio-fingerprint
+    fixture family — shared by the WAV encoder and (closed-form) the
+    q109/q110 oracles. Same-group docs are the same signal at a
+    different amplitude (fingerprint-invariant: energies scale by m^2,
+    preserving every adjacent comparison); doc_id % 7 == 6 bumps frame
+    0 only (flips at most the single E0<->E1 comparison => hamming
+    <= 1)."""
+    return doc_id % 30, 1 + (doc_id // 30) % 4, doc_id % 7 == 6
+
+
+_AFP_FRAMES = 57  # 57 frames x 8 samples -> 56 adjacent comparisons
+_AFP_FRAME_SAMPLES = 8
+
+
+def synth_fp_wav(documents: DataFrame, n_docs: int = 150) -> DataFrame:
+    """documents(doc_id, ...) -> (media_id, payload) of real 16-bit PCM
+    WAV files, fully determined by doc_id:
+
+      base(j) = ((g*13 + (j*j) % 97) % 201) - 100   (+50 on frame 0
+                when doc_id % 7 == 6), sample(j) = base(j) * m
+
+    456 samples (57 8-sample frames), mono, 8 kHz — every sample
+    predictable in closed form without RIFF parsing."""
+    import pyarrow as pa
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+    n_samp = _AFP_FRAMES * _AFP_FRAME_SAMPLES
+
+    def batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in it:
+            ids = b.column(0).to_pylist()
+            payloads = []
+            for did in ids:
+                g, m, pert = _afp_plan(did)
+                data = bytearray()
+                for j in range(n_samp):
+                    base = ((g * 13 + (j * j) % 97) % 201) - 100
+                    if pert and j < _AFP_FRAME_SAMPLES:
+                        base += 50
+                    data += struct.pack("<h", base * m)
+                fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+                chunks = (
+                    b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(data)) + bytes(data)
+                )
+                payloads.append(
+                    b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+                )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), pa.array(payloads, pa.binary())],
+                names=["media_id", "payload"],
+            )
+
+    return (
+        documents.filter(F.col("doc_id") < n_docs)
+        .select("doc_id")
+        .mapInArrow(batches, schema)
+    )
+
+
+AFP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("c0", T.LongType(), False),
+        T.StructField("c1", T.LongType(), False),
+        T.StructField("c2", T.LongType(), False),
+        T.StructField("c3", T.LongType(), False),
+    ]
+)
+
+
+def audio_fingerprint(media: DataFrame, frame_samples: int = _AFP_FRAME_SAMPLES) -> DataFrame:
+    """(media_id, payload WAV) -> energy-contour fingerprint over
+    GENUINELY decoded PCM (the G.711 legs expand first, so companded
+    audio fingerprints identically to its linear twin): bit f = frame
+    f+1 carries more energy than frame f (integer sum of squares, no
+    floats), first 56 comparisons packed as four 14-bit chunks — the
+    same band layout as image_dhash/simhash64, so
+    ``dedup.simhash64_pairs`` pairs near-duplicate AUDIO unchanged.
+    Amplitude-invariant by construction (energies scale by m^2) — the
+    property that makes it a dedup key across loudness-normalized
+    re-encodes. Map-only mapInArrow; pairing shuffles only (band,
+    bucket) keys."""
+    import array as _array
+
+    import pyarrow as pa
+
+    def batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in it:
+            ids = b.column(0)
+            rows = []
+            for p in b.column(1).to_pylist():
+                kind, _, _, _, body = parse_header(p)
+                if kind != "audio":
+                    rows.append((0, [0, 0, 0, 0]))
+                    continue
+                pcm = _array.array("h")
+                pcm.frombytes(body[: len(body) - (len(body) % 2)])
+                if sys.byteorder == "big":
+                    pcm.byteswap()
+                n_frames = len(pcm) // frame_samples
+                energies = [
+                    sum(
+                        s * s
+                        for s in pcm[f * frame_samples : (f + 1) * frame_samples]
+                    )
+                    for f in range(n_frames)
+                ]
+                chunks = [0, 0, 0, 0]
+                for f in range(min(56, n_frames - 1)):
+                    if energies[f + 1] > energies[f]:
+                        chunks[f // 14] |= 1 << (f % 14)
+                rows.append((n_frames, chunks))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array([r[0] for r in rows], pa.int32()),
+                    *[
+                        pa.array([r[1][j] for r in rows], pa.int64())
+                        for j in range(4)
+                    ],
+                ],
+                names=[f.name for f in AFP_SCHEMA.fields],
+            )
+
+    return media.select("media_id", "payload").mapInArrow(batches, AFP_SCHEMA)

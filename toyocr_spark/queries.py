@@ -5351,6 +5351,114 @@ def q108_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash64_pairs(sim, max_hamming=3)
 
 
+_AFP_HASH_SQL = """
+    plan AS (
+      SELECT doc_id,
+             doc_id % 30 AS g,
+             1 + (doc_id // 30) % 4 AS m,
+             doc_id % 7 = 6 AS pert
+      FROM documents WHERE doc_id < 150
+    ),
+    samples AS (
+      SELECT doc_id, u.j // 8 AS f,
+             (((g * 13 + (u.j * u.j) % 97) % 201) - 100
+               + CASE WHEN pert AND u.j < 8 THEN 50 ELSE 0 END) * m AS s
+      FROM plan, unnest(generate_series(0, 455)) AS u(j)
+    ),
+    frames AS (
+      SELECT doc_id, f, sum(s * s) AS e
+      FROM samples GROUP BY doc_id, f
+    ),
+    bits AS (
+      SELECT a.doc_id, a.f AS j,
+             CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+      FROM frames a JOIN frames b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+      WHERE a.f < 56
+    ),
+    h AS (
+      SELECT doc_id AS media_id,
+             CAST(57 AS INTEGER) AS n_frames,
+             CAST(sum(CASE WHEN j // 14 = 0 THEN bit << (j % 14) ELSE 0 END) AS BIGINT) AS c0,
+             CAST(sum(CASE WHEN j // 14 = 1 THEN bit << (j % 14) ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN j // 14 = 2 THEN bit << (j % 14) ELSE 0 END) AS BIGINT) AS c2,
+             CAST(sum(CASE WHEN j // 14 = 3 THEN bit << (j % 14) ELSE 0 END) AS BIGINT) AS c3
+      FROM bits GROUP BY doc_id
+    )
+"""
+
+
+@_q(
+    "q109_audio_fingerprint",
+    f"""
+    WITH {_AFP_HASH_SQL}
+    SELECT media_id, n_frames, c0, c1, c2, c3 FROM h
+    """,
+    "Energy-contour audio fingerprint over GENUINELY decoded WAV PCM: "
+    "bit f = integer sum-of-squares energy of frame f+1 exceeds frame "
+    "f, 56 comparisons packed as four 14-bit band chunks (the "
+    "image_dhash/simhash64 layout). Amplitude-invariant by "
+    "construction — same-group fixtures differ only by an integer "
+    "gain, so their energies scale by m^2 and every comparison is "
+    "preserved; the oracle regenerates all 456 samples per doc in "
+    "closed form. Map-only mapInArrow, no shuffle. "
+    "multimodal.audio_fingerprint / synth_fp_wav.",
+)
+def q109_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toyocr_spark.multimodal import audio_fingerprint, synth_fp_wav
+
+    media = synth_fp_wav(_t(spark, sf_dir, "documents"), n_docs=150)
+    return audio_fingerprint(media)
+
+
+@_q(
+    "q110_audio_neardup",
+    f"""
+    WITH {_AFP_HASH_SQL},
+    bands AS (
+      SELECT media_id, 0 AS band, c0 AS bucket FROM h
+      UNION ALL SELECT media_id, 1, c1 FROM h
+      UNION ALL SELECT media_id, 2, c2 FROM h
+      UNION ALL SELECT media_id, 3, c3 FROM h
+    ),
+    cand AS (
+      SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                   AND a.media_id < b.media_id
+    ),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             CAST(bit_count(xor(ha.c0, hb.c0)) + bit_count(xor(ha.c1, hb.c1))
+                + bit_count(xor(ha.c2, hb.c2)) + bit_count(xor(ha.c3, hb.c3))
+               AS INTEGER) AS hamming
+      FROM cand c
+      JOIN h ha ON ha.media_id = c.id_a
+      JOIN h hb ON hb.media_id = c.id_b
+    )
+    SELECT id_a, id_b, hamming FROM scored WHERE hamming <= 3
+    """,
+    "Audio near-dup pairing: dedup.simhash64_pairs over audio "
+    "fingerprints — the third consumer of the chunked-band layout "
+    "(text simhash, image dHash, now audio), one pairing operator "
+    "across all three modalities. Same-group fixtures (same signal, "
+    "different gain, or one perturbed frame) surface at hamming <= 1. "
+    "Scale shape: band equi-join on (band, 14-bit bucket), exact "
+    "bit_count verify on candidates only — never all-pairs, never "
+    "PCM bytes through a shuffle.",
+)
+def q110_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toyocr_spark.multimodal import audio_fingerprint, synth_fp_wav
+    from toyocr_spark.operators.dedup import simhash64_pairs
+
+    media = synth_fp_wav(_t(spark, sf_dir, "documents"), n_docs=150)
+    sim = (
+        audio_fingerprint(media)
+        .withColumnRenamed("media_id", "id")
+        .select("id", "c0", "c1", "c2", "c3")
+    )
+    return simhash64_pairs(sim, max_hamming=3)
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
