@@ -61,9 +61,9 @@ def test_decode_rejects_unsupported():
     good = encode_png(raster, 4, 4, 1)
     with pytest.raises(ValueError):
         decode_png(good[:20])
-    # interlace flag set
+    # invalid interlace method (0 and 1 are the only spec values)
     bad = bytearray(good)
-    bad[28] = 1
+    bad[28] = 2
     with pytest.raises(ValueError):
         decode_png(bytes(bad))
     # bogus filter type inside the stream
@@ -139,3 +139,31 @@ def test_dhash_single_cell_perturb_hamming_le_1():
     h0, h1 = _dhash_of(base, w, h), _dhash_of(pert, w, h)
     hamming = sum(bin(a ^ b).count("1") for a, b in zip(h0, h1))
     assert hamming <= 1
+
+
+@pytest.mark.parametrize("dims", [(9, 7, 1), (1, 1, 1), (2, 3, 3), (7, 1, 1), (1, 9, 2), (16, 13, 3), (5, 5, 4)])
+def test_adam7_roundtrip_and_equivalence(dims):
+    """Interlaced encode -> decode reproduces the raster exactly and
+    agrees with the straight-scan decode of the same image — including
+    degenerate dims where several Adam7 passes are empty."""
+    w, h, ch = dims
+    raster = _ramp(w, h, ch)
+    assert decode_png(encode_png(raster, w, h, ch, interlace=True)) == (w, h, ch, raster)
+    assert decode_png(encode_png(raster, w, h, ch, interlace=True)) == decode_png(
+        encode_png(raster, w, h, ch)
+    )
+
+
+def test_adam7_fuzz_deterministic_and_bounded():
+    rng = random.Random(47)
+    base = encode_png(_ramp(13, 9, 3), 13, 9, 3, interlace=True)
+    for _ in range(200):
+        blob = bytearray(base)
+        for _ in range(rng.randint(1, 6)):
+            blob[rng.randrange(len(blob))] = rng.randrange(256)
+        payload = bytes(blob)
+        try:
+            first = decode_png(payload)
+        except (ValueError, struct.error, IndexError, zlib.error, OverflowError, MemoryError):
+            continue
+        assert decode_png(payload) == first

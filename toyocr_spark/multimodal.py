@@ -1255,7 +1255,14 @@ def synth_dhash_png(documents: DataFrame, n_docs: int = 160) -> DataFrame:
                             v += 40
                         raster[y * w + x] = v
                 payloads.append(
-                    encode_png(bytes(raster), w, h, 1, row_filter=lambda y, d=did: (d + y) % 5)
+                    encode_png(
+                        bytes(raster),
+                        w,
+                        h,
+                        1,
+                        row_filter=lambda y, d=did: (d + y) % 5,
+                        interlace=did % 3 == 2,  # Adam7 leg rides the oracle too
+                    )
                 )
             yield pa.RecordBatch.from_arrays(
                 [pa.array(ids, pa.int64()), pa.array(payloads, pa.binary())],

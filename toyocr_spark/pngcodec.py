@@ -89,11 +89,55 @@ def unfilter(stream: bytes, width: int, height: int, channels: int) -> bytes:
     return bytes(out)
 
 
+# Adam7 pass grid: (x0, y0, dx, dy) per pass (spec §8.2)
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _adam7_dims(width: int, height: int) -> list[tuple[int, int, int, int, int, int]]:
+    """(x0, y0, dx, dy, pass_w, pass_h) for each non-empty Adam7 pass."""
+    out = []
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw > 0 and ph > 0:
+            out.append((x0, y0, dx, dy, pw, ph))
+    return out
+
+
+def _decode_adam7(stream: bytes, width: int, height: int, channels: int) -> bytes:
+    """Seven-pass interlaced decode: each pass is an independently
+    filtered sub-image (its own filter-byte column, its own 'previous
+    row' chain), unfiltered then scattered onto the pass grid."""
+    bpp = channels
+    out = bytearray(width * height * bpp)
+    pos = 0
+    for x0, y0, dx, dy, pw, ph in _adam7_dims(width, height):
+        sub_len = ph * (1 + pw * bpp)
+        sub = unfilter(stream[pos : pos + sub_len], pw, ph, channels)
+        pos += sub_len
+        for j in range(ph):
+            y = y0 + j * dy
+            for i in range(pw):
+                x = x0 + i * dx
+                src = (j * pw + i) * bpp
+                dst = (y * width + x) * bpp
+                out[dst : dst + bpp] = sub[src : src + bpp]
+    return bytes(out)
+
+
 def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     """payload -> (width, height, channels, raster): the full pixel
-    decode — chunk walk, IDAT inflate, scanline unfilter. 8-bit
-    non-interlaced only (interlace=1 / other depths raise ValueError:
-    a documented seam, not silent corruption)."""
+    decode — chunk walk, IDAT inflate, scanline unfilter, Adam7
+    deinterlace when the IHDR says so. 8-bit depth only (other depths
+    raise ValueError: a documented seam, not silent corruption)."""
     if len(payload) < 33 or payload[:8] != MAGIC or payload[12:16] != b"IHDR":
         raise ValueError("not a PNG with leading IHDR")
     width, height = struct.unpack(">II", payload[16:24])
@@ -103,8 +147,8 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError(f"PNG color type {color_type}")
     if depth != 8:
         raise ValueError(f"PNG bit depth {depth} (only 8 supported)")
-    if interlace != 0:
-        raise ValueError("Adam7-interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG interlace method {interlace}")
     if width == 0 or height == 0 or width * height > 1 << 26:
         raise ValueError(f"PNG dims {width}x{height} out of bounds")
     pos, idat = 8, []
@@ -118,6 +162,8 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
             break
         pos += 12 + ln
     stream = zlib.decompress(b"".join(idat))
+    if interlace == 1:
+        return width, height, chans, _decode_adam7(stream, width, height, chans)
     return width, height, chans, unfilter(stream, width, height, chans)
 
 
@@ -155,12 +201,15 @@ def encode_png(
     height: int,
     channels: int,
     row_filter=None,
+    interlace: bool = False,
 ) -> bytes:
     """Assemble a spec-conformant PNG (CRCs included) from a raw 8-bit
     raster. ``row_filter(y) -> 0..4`` picks each scanline's filter —
     default cycles through all five types so a decode round-trip proves
-    every unfilter branch. Fixture-grade (like encode_gif /
-    encode_baseline): deterministic bytes for deterministic input."""
+    every unfilter branch. ``interlace=True`` emits the seven Adam7
+    sub-images (each filtered independently, per spec §8.2). Fixture-
+    grade (like encode_gif / encode_baseline): deterministic bytes for
+    deterministic input."""
     bpp = channels
     rowlen = width * bpp
     if len(raster) != height * rowlen:
@@ -176,13 +225,32 @@ def encode_png(
             + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
         )
 
-    lines = []
-    prev: bytes | None = None
-    for y in range(height):
-        row = raster[y * rowlen : (y + 1) * rowlen]
-        ft = int(pick(y)) % 5
-        lines.append(bytes([ft]) + _filter_row(ft, row, prev, bpp))
-        prev = row
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    def filtered_lines(rows: list[bytes]) -> list[bytes]:
+        lines, prev = [], None
+        for y, row in enumerate(rows):
+            ft = int(pick(y)) % 5
+            lines.append(bytes([ft]) + _filter_row(ft, row, prev, bpp))
+            prev = row
+        return lines
+
+    if interlace:
+        lines = []
+        for x0, y0, dx, dy, pw, ph in _adam7_dims(width, height):
+            rows = []
+            for j in range(ph):
+                y = y0 + j * dy
+                row = bytearray(pw * bpp)
+                for i in range(pw):
+                    src = (y * width + (x0 + i * dx)) * bpp
+                    row[i * bpp : (i + 1) * bpp] = raster[src : src + bpp]
+                rows.append(bytes(row))
+            lines.extend(filtered_lines(rows))
+    else:
+        lines = filtered_lines(
+            [raster[y * rowlen : (y + 1) * rowlen] for y in range(height)]
+        )
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, color_type, 0, 0, 1 if interlace else 0
+    )
     comp = zlib.compress(b"".join(lines), 6)
     return MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", comp) + chunk(b"IEND", b"")
