@@ -285,3 +285,66 @@ def test_stream_cdx_segments_compact_to_batch_index(spark, stream_input, tmp_pat
     prefix = some.split(")")[0] + ")"
     want = a.filter(F.col("surt_key").startswith(prefix)).count()
     assert cdx_lookup(spark, out, prefix).count() == want > 0
+
+
+def test_stream_neardup_matches_batch_admission(spark, tmp_path):
+    """Streaming near-dup admission == batch neardup_survivors when
+    arrival order matches id order: exact text mirrors in LATER
+    segments are rejected, the first arrival of each near-dup family
+    survives, and hash-less (empty-text) pages pass through."""
+    import datetime as dt
+
+    from toyocr_spark.operators.dedup import neardup_survivors, simhash64
+    from toyocr_spark.streaming import stream_neardup
+
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    ts = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    base_text = lambda s: " ".join(words[(s * 3 + j) % 10] for j in range(30))  # noqa: E731
+
+    rows_by_seg: list[list[tuple]] = [[], [], []]
+    for seg in range(3):
+        for i in range(6):
+            url = f"{seg:02d}-{i:02d}.example.com/x"
+            text = base_text(seg * 6 + i)
+            rows_by_seg[seg].append((url, ts, b"<html>x</html>", text, "en"))
+    # same-segment exact dup: later url must lose
+    rows_by_seg[0].append(("00-90.example.com/dup", ts, b"<html>x</html>", base_text(0), "en"))
+    # cross-segment mirrors of segment-0 texts: must lose
+    rows_by_seg[2].append(("02-90.example.com/mirror", ts, b"<html>x</html>", base_text(1), "en"))
+    rows_by_seg[2].append(("02-91.example.com/mirror", ts, b"<html>x</html>", base_text(2), "en"))
+    # hash-less page (empty text): must be admitted
+    rows_by_seg[1].append(("01-90.example.com/empty", ts, b"<html>x</html>", "", "en"))
+
+    for seg, rows in enumerate(rows_by_seg):
+        tbl = pa.table(
+            {
+                "url": pa.array([r[0] for r in rows], pa.string()),
+                "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us", tz="UTC")),
+                "html": pa.array([r[2] for r in rows], pa.binary()),
+                "text": pa.array([r[3] for r in rows], pa.string()),
+                "lang": pa.array([r[4] for r in rows], pa.string()),
+            }
+        )
+        path = os.path.join(d, f"segment-{seg}.parquet")
+        pq.write_table(tbl, path)
+        os.utime(path, (1_700_000_000 + seg * 60, 1_700_000_000 + seg * 60))
+
+    out, ckpt, state = (str(tmp_path / n) for n in ("out", "ckpt", "state"))
+    stream_neardup(spark, d, out, ckpt, state)
+    got = {r["url"] for r in _read_stream_result(spark, out).select("url").collect()}
+
+    batch = spark.read.parquet(os.path.join(d, "*.parquet"))
+    sim = simhash64(batch.select("url", "text"), "url", "text", 8)
+    dropped = {
+        r["id"]
+        for r in sim.exceptAll(neardup_survivors(sim)).select("id").collect()
+    }
+    expected = {r["url"] for r in batch.select("url").collect()} - dropped
+
+    assert got == expected
+    assert "00-90.example.com/dup" not in got
+    assert "02-90.example.com/mirror" not in got
+    assert "02-91.example.com/mirror" not in got
+    assert "01-90.example.com/empty" in got

@@ -15,11 +15,13 @@ from toyocr_spark.operators.rangejoin import (
 from toyocr_spark.operators.evalagg import average_precision, global_pr_hmean, pr_hmean
 from toyocr_spark.operators.occupancy import occupancy_projection
 from toyocr_spark.operators.dedup import (
+    banded_neardup_drops,
     char_shingles,
     exact_dedup,
     jaccard_pairs,
     jaccard_for_pairs,
     minhash_lsh_dedup,
+    neardup_survivors,
     simhash16,
     survivors,
 )

@@ -721,3 +721,54 @@ def template_strip(
         F.coalesce(F.col("chars_kept"), F.lit(0)).cast("long").alias("chars_kept"),
         F.coalesce(F.col("text_md5"), F.md5(F.lit(""))).alias("text_md5"),
     )
+
+
+def neardup_survivors(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Greedy-by-id near-dup ADMISSION over any chunked-band hash frame
+    (id, c0..c3) — text simhash, image dHash, or audio fingerprint
+    alike: a row survives iff NO row with a smaller id lies within
+    ``max_hamming``. Monotone (a row's fate depends only on earlier
+    rows, never on their fate), so it parallelizes as pairs + anti-join
+    — unlike greedy independent-set admission, which is inherently
+    sequential. One banded pairing pass, one anti-join on id."""
+    drops = simhash64_pairs(sim, max_hamming).select(F.col("id_b").alias("id"))
+    return sim.join(drops, "id", "left_anti")
+
+
+def banded_neardup_drops(
+    seen: DataFrame, incoming: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Distinct ``incoming`` ids having a banded-hamming neighbour of
+    strictly smaller ``ord`` anywhere in ``seen`` — the incremental
+    (stream-friendly) form of neardup_survivors: ``seen`` is the
+    accumulated hash log, ``incoming`` the new micro-batch, and only
+    (band, bucket) keys ever shuffle. Both frames carry
+    (id, ord, c0..c3); ``ord`` may be any orderable type (long,
+    struct(seq, id), ...) defining arrival order."""
+    band_val = F.expr("stack(4, 0, c0, 1, c1, 2, c2, 3, c3) AS (band, bucket)")
+    a = seen.select(
+        F.col("ord").alias("ord_a"),
+        *[F.col(f"c{j}").alias(f"a{j}") for j in range(4)],
+        band_val,
+    )
+    b = incoming.select(
+        F.col("id").alias("id_b"),
+        F.col("ord").alias("ord_b"),
+        *[F.col(f"c{j}").alias(f"b{j}") for j in range(4)],
+        band_val,
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("ord_a") < F.col("ord_b"))
+        .select("id_b", *[f"a{j}" for j in range(4)], *[f"b{j}" for j in range(4)])
+        .distinct()
+    )
+    ham = None
+    for j in range(4):
+        t = F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"b{j}")))
+        ham = t if ham is None else ham + t
+    return (
+        cand.filter(ham <= max_hamming)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )

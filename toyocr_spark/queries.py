@@ -5459,6 +5459,137 @@ def q110_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash64_pairs(sim, max_hamming=3)
 
 
+@_q(
+    "q111_caption_pairs",
+    f"""
+    WITH {_DHASH_CELLS_SQL},
+    docs AS (
+      SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents WHERE doc_id < 200
+    ),
+    pairs AS (
+      SELECT doc_id,
+             (doc_id * 3 + u.i) % 160 AS media_id,
+             array_to_string(w[u.i * 2 + 1 : u.i * 2 + 2], ' ') AS alt
+      FROM docs, unnest(generate_series(0, doc_id % 3)) AS u(i)
+    ),
+    agg AS (
+      SELECT media_id,
+             CAST(count(*) AS BIGINT) AS n_captions,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(min(doc_id) AS BIGINT) AS first_doc,
+             CAST(sum(length(alt)) AS BIGINT) AS alt_mass
+      FROM pairs GROUP BY media_id
+    )
+    SELECT a.media_id, a.n_captions, a.n_docs, a.first_doc, a.alt_mass,
+           h.c0, h.c1, h.c2, h.c3
+    FROM agg a JOIN h ON h.media_id = a.media_id
+    """,
+    "LAION-style caption<->image pair mining, cross-modal and fully "
+    "oracle-checked: build per-doc <figure><img src alt> markup with "
+    "JVM HOFs, parse it BACK with regexp_extract_all (the extraction "
+    "under test — the oracle computes expected pairs directly from "
+    "the closed form, so a parse slip mismatches), aggregate captions "
+    "per image, then join against image_dhash over genuinely decoded "
+    "PNG pixels so every output row carries the image's perceptual "
+    "hash. Scale shape: caption extraction is map-only, one "
+    "partial-agg shuffle on media_id, and the 160-row hash side "
+    "broadcasts — at corpus scale the img-src join key is the "
+    "url-hash and the hash table is the (much smaller) image index.",
+)
+def q111_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toyocr_spark.multimodal import image_dhash, synth_dhash_png
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    w = F.split(F.col("text"), " ")
+    fig = lambda i: F.concat(  # noqa: E731
+        F.lit('<figure><img src="img/'),
+        F.pmod(F.col("doc_id") * 3 + i, F.lit(160)).cast("string"),
+        F.lit('.png" alt="'),
+        F.array_join(F.slice(w, i * 2 + 1, 2), " "),
+        F.lit('"><figcaption>fig</figcaption></figure>'),
+    )
+    html = F.aggregate(
+        F.transform(F.sequence(F.lit(0), F.pmod(F.col("doc_id"), F.lit(3))), fig),
+        F.lit(""),
+        lambda acc, x: F.concat(acc, x),
+    )
+    docs = d.select("doc_id", html.alias("html"))
+    srcs = F.regexp_extract_all(F.col("html"), F.lit('<img src="img/(\\d+)\\.png"'), 1)
+    alts = F.regexp_extract_all(F.col("html"), F.lit('alt="([^"]*)"'), 1)
+    pairs = (
+        docs.select("doc_id", F.explode(F.arrays_zip(srcs, alts)).alias("p"))
+        .select(
+            "doc_id",
+            F.col("p.0").cast("long").alias("media_id"),
+            F.col("p.1").alias("alt"),
+        )
+    )
+    agg = pairs.groupBy("media_id").agg(
+        F.count("*").alias("n_captions"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+        F.sum(F.length("alt")).alias("alt_mass"),
+    )
+    hashes = image_dhash(synth_dhash_png(_t(spark, sf_dir, "documents"), n_docs=160))
+    return agg.join(
+        F.broadcast(hashes.select("media_id", "c0", "c1", "c2", "c3")), "media_id"
+    ).select(
+        "media_id", "n_captions", "n_docs", "first_doc", "alt_mass",
+        "c0", "c1", "c2", "c3",
+    )
+
+
+@_q(
+    "q112_neardup_admission",
+    f"""
+    WITH {_DHASH_CELLS_SQL},
+    bands AS (
+      SELECT media_id, 0 AS band, c0 AS bucket FROM h
+      UNION ALL SELECT media_id, 1, c1 FROM h
+      UNION ALL SELECT media_id, 2, c2 FROM h
+      UNION ALL SELECT media_id, 3, c3 FROM h
+    ),
+    cand AS (
+      SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                   AND a.media_id < b.media_id
+    ),
+    dropped AS (
+      SELECT DISTINCT c.id_b
+      FROM cand c
+      JOIN h ha ON ha.media_id = c.id_a
+      JOIN h hb ON hb.media_id = c.id_b
+      WHERE bit_count(xor(ha.c0, hb.c0)) + bit_count(xor(ha.c1, hb.c1))
+          + bit_count(xor(ha.c2, hb.c2)) + bit_count(xor(ha.c3, hb.c3)) <= 3
+    )
+    SELECT media_id AS id, c0, c1, c2, c3
+    FROM h
+    WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.id_b = h.media_id)
+    """,
+    "Greedy-by-id near-dup ADMISSION (dedup.neardup_survivors): a row "
+    "survives iff no smaller-id row lies within hamming 3 — the "
+    "monotone admission rule (a row's fate depends only on earlier "
+    "rows, never on their fate), so it parallelizes as banded pairs + "
+    "one anti-join instead of a sequential greedy scan. Run here over "
+    "the image dHash family: each planted duplicate group collapses "
+    "to its smallest id. The streaming twin (stream_neardup) applies "
+    "the same rule in arrival order with the hash log as state.",
+)
+def q112_neardup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toyocr_spark.multimodal import image_dhash, synth_dhash_png
+    from toyocr_spark.operators.dedup import neardup_survivors
+
+    media = synth_dhash_png(_t(spark, sf_dir, "documents"), n_docs=160)
+    sim = (
+        image_dhash(media)
+        .withColumnRenamed("media_id", "id")
+        .select("id", "c0", "c1", "c2", "c3")
+    )
+    return neardup_survivors(sim, max_hamming=3)
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 

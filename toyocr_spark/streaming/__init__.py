@@ -5,5 +5,6 @@ from toyocr_spark.streaming.ingest import (  # noqa: F401
     stream_cdx,
     stream_dedup,
     stream_extract,
+    stream_neardup,
     windowed_page_counts,
 )

@@ -372,3 +372,89 @@ def compact_cdx(spark: SparkSession, index_dir: str, out_dir: str, shards: int =
     if not segments:
         raise ValueError(f"no CDX segments under {index_dir}")
     return merge_cdx(spark, segments, out_dir, shards=shards)
+
+
+def stream_neardup(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    state_dir: str,
+    max_hamming: int = 3,
+    k: int = 8,
+    available_now: bool = True,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming NEAR-dup admission — the incremental twin of
+    dedup.neardup_survivors: a page is admitted iff no page seen
+    EARLIER in the stream (any prior micro-batch, or an earlier row of
+    the same batch, ordered by (batch, url)) lies within
+    ``max_hamming`` of its 64-bit text simhash.
+
+    State is an append-only hash log (state_dir/batch=N: url + four
+    14/16-bit chunk columns — a few dozen bytes per page, never the
+    page itself), exactly the stream_cdx immutable-segment pattern.
+    Each micro-batch runs dedup.banded_neardup_drops(seen, batch):
+    only (band, bucket) keys shuffle, the candidate set is
+    band-collision-sparse, and the batch side is small — the classic
+    incremental-join shape. Replay-safe: a replayed batch id
+    overwrites its own out/ and state/ subdirectories byte-for-byte.
+
+    With id-ordered arrival (segment files sorted by url) the admitted
+    set equals the batch neardup_survivors rule — asserted by
+    tests/test_streaming.py. Out-of-order arrival admits by arrival,
+    the only semantics a non-retracting stream can honour."""
+    import glob as _glob
+
+    from toyocr_spark.operators.dedup import banded_neardup_drops, simhash64
+
+    if os.path.isdir(input_dir) and os.path.exists(
+        os.path.join(input_dir, "pages.parquet")
+    ):
+        input_dir = os.path.join(input_dir, "pages*.parquet")
+    reader = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    state_cols = ["id", "seq", "c0", "c1", "c2", "c3"]
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sim = simhash64(batch_df.select("url", "text"), "url", "text", k)
+        h_batch = (
+            sim.select("id", "c0", "c1", "c2", "c3")
+            .withColumn("seq", F.lit(batch_id).cast("long"))
+            .withColumn("ord", F.struct("seq", "id"))
+        )
+        prior_paths = sorted(_glob.glob(os.path.join(state_dir, "batch=*")))
+        if prior_paths:
+            prior = spark.read.parquet(*prior_paths).withColumn(
+                "ord", F.struct("seq", "id")
+            )
+            seen = prior.select(*state_cols, "ord").unionByName(
+                h_batch.select(*state_cols, "ord")
+            )
+        else:
+            seen = h_batch.select(*state_cols, "ord")
+        drops = banded_neardup_drops(seen, h_batch, max_hamming).withColumnRenamed(
+            "id", "url"
+        )
+        admitted = batch_df.join(F.broadcast(drops), "url", "left_anti")
+        admitted.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+        h_batch.select(*state_cols).write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"batch={batch_id}")
+        )
+
+    writer = (
+        reader.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
