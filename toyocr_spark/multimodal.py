@@ -1492,3 +1492,102 @@ def audio_fingerprint(media: DataFrame, frame_samples: int = _AFP_FRAME_SAMPLES)
             )
 
     return media.select("media_id", "payload").mapInArrow(batches, AFP_SCHEMA)
+
+
+# -------------------------------------------- image metadata harvest
+
+
+META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("fmt", T.StringType(), False),
+        T.StructField("meta_key", T.StringType(), False),
+        T.StructField("meta_value", T.StringType(), False),
+    ]
+)
+
+
+def synth_meta_media(documents: DataFrame, n_docs: int = 180) -> DataFrame:
+    """(media_id, payload): real PNGs carrying tEXt Title/Author chunks
+    (even doc_id) and real baseline JPEGs carrying COM caption segments
+    (odd doc_id) — every metadata string predictable in closed form."""
+    import pyarrow as pa
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from toyocr_spark.jpegcodec import encode_baseline, insert_comments
+        from toyocr_spark.pngcodec import encode_png
+
+        for b in it:
+            ids = b.column(0).to_pylist()
+            payloads = []
+            for did in ids:
+                if did % 2 == 0:
+                    raster = bytes((did + i) % 256 for i in range(16))
+                    payloads.append(
+                        encode_png(
+                            raster, 4, 4, 1,
+                            texts=[
+                                ("Title", f"title-{did}"),
+                                ("Author", f"site-{did % 7}"),
+                            ],
+                        )
+                    )
+                else:
+                    j = encode_baseline(bytes((did + i) % 256 for i in range(64)), 8, 8, 1)
+                    payloads.append(
+                        insert_comments(j, [f"caption-{did}-{did % 13}"])
+                    )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), pa.array(payloads, pa.binary())],
+                names=["media_id", "payload"],
+            )
+
+    return (
+        documents.filter(F.col("doc_id") < n_docs)
+        .select("doc_id")
+        .mapInArrow(batches, schema)
+    )
+
+
+def media_metadata(media: DataFrame) -> DataFrame:
+    """(media_id, payload) -> one row per embedded metadata entry:
+    PNG tEXt chunks as (keyword, text), JPEG COM segments as
+    ('comment', text) — the alt-text/caption/copyright harvest that
+    runs BEFORE any pixel decode (chunk/marker walk only, no inflate,
+    no Huffman: metadata mining over petabytes of images must not pay
+    the pixel cost). Map-only mapInArrow stage."""
+    import pyarrow as pa
+
+    def batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from toyocr_spark.jpegcodec import jpeg_comments
+        from toyocr_spark.pngcodec import MAGIC as PNG_MAGIC
+        from toyocr_spark.pngcodec import text_chunks
+
+        for b in it:
+            ids = b.column(0).to_pylist()
+            rows = []
+            for mid, p in zip(ids, b.column(1).to_pylist()):
+                if p[:8] == PNG_MAGIC:
+                    for k, v in text_chunks(p):
+                        rows.append((mid, "png", k, v))
+                elif p[:2] == b"\xff\xd8":
+                    for c in jpeg_comments(p):
+                        rows.append((mid, "jpeg", "comment", c))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([r[0] for r in rows], pa.int64()),
+                    pa.array([r[1] for r in rows], pa.string()),
+                    pa.array([r[2] for r in rows], pa.string()),
+                    pa.array([r[3] for r in rows], pa.string()),
+                ],
+                names=[f.name for f in META_SCHEMA.fields],
+            )
+
+    return media.select("media_id", "payload").mapInArrow(batches, META_SCHEMA)

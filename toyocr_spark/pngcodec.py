@@ -195,6 +195,35 @@ def _filter_row(ft: int, row: bytes, prev: bytes | None, bpp: int) -> bytes:
     return bytes(out)
 
 
+def text_chunks(payload: bytes) -> list[tuple[str, str]]:
+    """(keyword, text) pairs from every tEXt chunk (spec §11.3.4:
+    Latin-1 keyword, NUL separator, Latin-1 text) — the image-metadata
+    mining leg (title / author / description / copyright live here).
+    Unknown or malformed chunks are skipped, never fatal: metadata
+    harvest must not reject an image the pixel decoder accepts."""
+    if len(payload) < 8 or payload[:8] != MAGIC:
+        raise ValueError("not a PNG")
+    out = []
+    pos, n = 8, len(payload)
+    while pos + 8 <= n:
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        if typ == b"tEXt":
+            data = payload[pos + 8 : pos + 8 + ln]
+            sep = data.find(b"\0")
+            if 0 < sep < 80:  # spec: keyword 1-79 bytes
+                out.append(
+                    (
+                        data[:sep].decode("latin-1"),
+                        data[sep + 1 :].decode("latin-1"),
+                    )
+                )
+        if typ == b"IEND":
+            break
+        pos += 12 + ln
+    return out
+
+
 def encode_png(
     raster: bytes,
     width: int,
@@ -202,6 +231,7 @@ def encode_png(
     channels: int,
     row_filter=None,
     interlace: bool = False,
+    texts: list[tuple[str, str]] | None = None,
 ) -> bytes:
     """Assemble a spec-conformant PNG (CRCs included) from a raw 8-bit
     raster. ``row_filter(y) -> 0..4`` picks each scanline's filter —
@@ -253,4 +283,8 @@ def encode_png(
         ">IIBBBBB", width, height, 8, color_type, 0, 0, 1 if interlace else 0
     )
     comp = zlib.compress(b"".join(lines), 6)
-    return MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", comp) + chunk(b"IEND", b"")
+    text = b"".join(
+        chunk(b"tEXt", k.encode("latin-1") + b"\0" + v.encode("latin-1"))
+        for k, v in (texts or [])
+    )
+    return MAGIC + chunk(b"IHDR", ihdr) + text + chunk(b"IDAT", comp) + chunk(b"IEND", b"")

@@ -5590,6 +5590,38 @@ def q112_neardup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_survivors(sim, max_hamming=3)
 
 
+@_q(
+    "q113_media_metadata",
+    """
+    SELECT doc_id AS media_id, 'png' AS fmt, 'Title' AS meta_key,
+           'title-' || doc_id AS meta_value
+    FROM documents WHERE doc_id < 180 AND doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, 'png', 'Author', 'site-' || (doc_id % 7)
+    FROM documents WHERE doc_id < 180 AND doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, 'jpeg', 'comment',
+           'caption-' || doc_id || '-' || (doc_id % 13)
+    FROM documents WHERE doc_id < 180 AND doc_id % 2 = 1
+    """,
+    "Image metadata harvest: PNG tEXt chunks (Title/Author/...) and "
+    "JPEG COM caption segments mined by a chunk/marker WALK only — no "
+    "inflate, no Huffman: the alt-text/copyright harvest over "
+    "petabytes of images must not pay the pixel cost. Fixtures are "
+    "real files (tEXt chunks between IHDR and IDAT; COM spliced after "
+    "SOI per spec), the oracle states every expected string in closed "
+    "form, so a green row proves the walk finds exactly the planted "
+    "metadata and nothing else. Map-only mapInArrow stage. "
+    "multimodal.media_metadata, pngcodec.text_chunks, "
+    "jpegcodec.jpeg_comments.",
+)
+def q113_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toyocr_spark.multimodal import media_metadata, synth_meta_media
+
+    media = synth_meta_media(_t(spark, sf_dir, "documents"), n_docs=180)
+    return media_metadata(media)
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
