@@ -201,3 +201,60 @@ def test_text_chunks_and_jpeg_comments_robust():
     assert jpeg_comments(j) == ["a", "b2"]
     assert decode_baseline(j)[3] == decode_baseline(encode_baseline(bytes(64), 8, 8, 1))[3]
     assert jpeg_comments(j[:6]) in ([], ["a"], [""])  # truncated: never raises past SOI
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4, 8, 16])
+@pytest.mark.parametrize("interlace", [False, True])
+def test_all_bit_depths_roundtrip(depth, interlace):
+    """Every legal grayscale depth decodes to one byte per sample:
+    16-bit as the high byte of the v*257 expansion (exact round trip),
+    sub-byte scaled to the full 0-255 range."""
+    w, h = 13, 7
+    if depth >= 8:
+        raw = _ramp(w, h, 1)
+        expect = raw
+    else:
+        maxv = (1 << depth) - 1
+        raw = bytes((x + y) % (maxv + 1) for y in range(h) for x in range(w))
+        expect = bytes(v * 255 // maxv for v in raw)
+    got = decode_png(encode_png(raw, w, h, 1, depth=depth, interlace=interlace))
+    assert got == (w, h, 1, expect)
+
+
+def test_palette_indices_stay_raw():
+    """Color type 3: sub-byte samples are PLTE indices — decode must
+    NOT scale them (hand-built depth-2 palette PNG, filter 0 rows)."""
+    import struct as _s
+    import zlib as _z
+
+    def chunk(typ, data):
+        return _s.pack(">I", len(data)) + typ + data + _s.pack(">I", _z.crc32(typ + data) & 0xFFFFFFFF)
+
+    w, h = 5, 3
+    idx = [[0, 1, 2, 3, 1], [3, 3, 0, 0, 2], [1, 0, 1, 0, 1]]
+    rows = b""
+    for r in idx:
+        packed = bytearray((w * 2 + 7) // 8)
+        for i, v in enumerate(r):
+            packed[i // 4] |= v << (8 - 2 - 2 * (i % 4))
+        rows += b"\x00" + bytes(packed)
+    ihdr = _s.pack(">IIBBBBB", w, h, 2, 3, 0, 0, 0)
+    plte = bytes(range(12))  # 4 RGB entries
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", _z.compress(rows))
+        + chunk(b"IEND", b"")
+    )
+    got = decode_png(png)
+    assert got == (w, h, 1, bytes(v for r in idx for v in r))
+
+
+def test_illegal_depth_color_combo_rejected():
+    # depth 2 truecolor is not a spec combination
+    base = encode_png(_ramp(4, 4, 3), 4, 4, 3)
+    bad = bytearray(base)
+    bad[24] = 2  # depth byte
+    with pytest.raises(ValueError):
+        decode_png(bytes(bad))

@@ -41,13 +41,20 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def unfilter(stream: bytes, width: int, height: int, channels: int) -> bytes:
-    """Invert the per-scanline filters of an inflated IDAT stream:
-    each scanline is 1 filter-type byte + width*channels sample bytes
-    (8-bit depth). Returns the raw raster, row-major, ``channels``
-    bytes per pixel. Raises ValueError on short streams or unknown
-    filter types (determinism guard — garbage never loops)."""
-    bpp = channels  # bytes per complete pixel at 8-bit depth
-    rowlen = width * bpp
+    """Invert the per-scanline filters of an inflated IDAT stream at
+    8-bit depth: each scanline is 1 filter-type byte + width*channels
+    sample bytes. Returns the raw raster, row-major, ``channels``
+    bytes per pixel. (Thin wrapper over ``_unfilter_raw``, which also
+    serves the 1/2/4/16-bit paths with their byte-packed strides.)"""
+    return _unfilter_raw(stream, width * channels, height, channels)
+
+
+def _unfilter_raw(stream: bytes, rowlen: int, height: int, bpp: int) -> bytes:
+    """Core scanline unfilter over raw byte geometry: ``rowlen`` data
+    bytes per scanline, filters correlating at a ``bpp``-byte stride
+    (spec: bpp = ceil(depth * channels / 8), floored to 1 for sub-byte
+    depths). Raises ValueError on short streams or unknown filter
+    types (determinism guard — garbage never loops)."""
     need = height * (1 + rowlen)
     if len(stream) < need:
         raise ValueError(f"PNG stream short: {len(stream)} < {need}")
@@ -112,17 +119,62 @@ def _adam7_dims(width: int, height: int) -> list[tuple[int, int, int, int, int, 
     return out
 
 
-def _decode_adam7(stream: bytes, width: int, height: int, channels: int) -> bytes:
+def _decode_rows(
+    stream: bytes,
+    pos: int,
+    width: int,
+    height: int,
+    channels: int,
+    depth: int,
+    scale_gray: bool,
+) -> tuple[bytes, int]:
+    """Unfilter + unpack one (sub-)image starting at ``pos`` of the
+    inflated stream -> (raster at ONE byte per sample, new pos).
+
+    depth 8: passthrough. depth 16: high byte (the spec-sanctioned
+    8-bit rendering of 16-bit samples). depths 1/2/4: MSB-first bit
+    unpack per scanline (rows are bit-padded to a byte boundary);
+    grayscale samples scale to full 8-bit range (v * 255 / (2^d - 1)),
+    palette INDICES stay raw (they index PLTE, scaling would corrupt
+    them — ``scale_gray`` distinguishes the two)."""
+    if depth == 8:
+        rowlen, bpp = width * channels, channels
+    elif depth == 16:
+        rowlen, bpp = width * channels * 2, channels * 2
+    else:  # 1, 2, 4
+        rowlen, bpp = (width * channels * depth + 7) // 8, 1
+    need = height * (1 + rowlen)
+    raw = _unfilter_raw(stream[pos : pos + need], rowlen, height, bpp)
+    pos += need
+    if depth == 8:
+        return raw, pos
+    if depth == 16:
+        return raw[0::2], pos  # big-endian sample pairs -> high bytes
+    spr = width * channels  # samples per row
+    maxval = (1 << depth) - 1
+    out = bytearray(height * spr)
+    mask = maxval
+    for y in range(height):
+        row = raw[y * rowlen : (y + 1) * rowlen]
+        o = y * spr
+        for i in range(spr):
+            bit = i * depth
+            v = (row[bit >> 3] >> (8 - depth - (bit & 7))) & mask
+            out[o + i] = v * 255 // maxval if scale_gray else v
+    return bytes(out), pos
+
+
+def _decode_adam7(
+    stream: bytes, width: int, height: int, channels: int, depth: int, scale_gray: bool
+) -> bytes:
     """Seven-pass interlaced decode: each pass is an independently
     filtered sub-image (its own filter-byte column, its own 'previous
     row' chain), unfiltered then scattered onto the pass grid."""
-    bpp = channels
+    bpp = channels  # one byte per sample after _decode_rows
     out = bytearray(width * height * bpp)
     pos = 0
     for x0, y0, dx, dy, pw, ph in _adam7_dims(width, height):
-        sub_len = ph * (1 + pw * bpp)
-        sub = unfilter(stream[pos : pos + sub_len], pw, ph, channels)
-        pos += sub_len
+        sub, pos = _decode_rows(stream, pos, pw, ph, channels, depth, scale_gray)
         for j in range(ph):
             y = y0 + j * dy
             for i in range(pw):
@@ -136,8 +188,11 @@ def _decode_adam7(stream: bytes, width: int, height: int, channels: int) -> byte
 def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     """payload -> (width, height, channels, raster): the full pixel
     decode — chunk walk, IDAT inflate, scanline unfilter, Adam7
-    deinterlace when the IHDR says so. 8-bit depth only (other depths
-    raise ValueError: a documented seam, not silent corruption)."""
+    deinterlace when the IHDR says so, EVERY spec bit depth. The
+    raster is always one byte per sample: 16-bit samples render as
+    their high byte (the spec-sanctioned 8-bit reduction), 1/2/4-bit
+    grayscale scales to the full 0-255 range, 1/2/4-bit palette
+    indices stay raw (they index PLTE)."""
     if len(payload) < 33 or payload[:8] != MAGIC or payload[12:16] != b"IHDR":
         raise ValueError("not a PNG with leading IHDR")
     width, height = struct.unpack(">II", payload[16:24])
@@ -145,8 +200,10 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
     chans = CHANNELS.get(color_type)
     if chans is None:
         raise ValueError(f"PNG color type {color_type}")
-    if depth != 8:
-        raise ValueError(f"PNG bit depth {depth} (only 8 supported)")
+    # spec §11.2.2 legal (depth, color type) combinations
+    _legal = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 4: (8, 16), 6: (8, 16)}
+    if depth not in _legal[color_type]:
+        raise ValueError(f"PNG bit depth {depth} illegal for color type {color_type}")
     if interlace not in (0, 1):
         raise ValueError(f"PNG interlace method {interlace}")
     if width == 0 or height == 0 or width * height > 1 << 26:
@@ -162,9 +219,12 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
             break
         pos += 12 + ln
     stream = zlib.decompress(b"".join(idat))
+    scale_gray = color_type != 3  # palette indices must stay raw
     if interlace == 1:
-        return width, height, chans, _decode_adam7(stream, width, height, chans)
-    return width, height, chans, unfilter(stream, width, height, chans)
+        raster = _decode_adam7(stream, width, height, chans, depth, scale_gray)
+    else:
+        raster, _ = _decode_rows(stream, 0, width, height, chans, depth, scale_gray)
+    return width, height, chans, raster
 
 
 # ------------------------------------------------------------- encoder
@@ -232,6 +292,7 @@ def encode_png(
     row_filter=None,
     interlace: bool = False,
     texts: list[tuple[str, str]] | None = None,
+    depth: int = 8,
 ) -> bytes:
     """Assemble a spec-conformant PNG (CRCs included) from a raw 8-bit
     raster. ``row_filter(y) -> 0..4`` picks each scanline's filter —
@@ -239,13 +300,39 @@ def encode_png(
     every unfilter branch. ``interlace=True`` emits the seven Adam7
     sub-images (each filtered independently, per spec §8.2). Fixture-
     grade (like encode_gif / encode_baseline): deterministic bytes for
-    deterministic input."""
-    bpp = channels
-    rowlen = width * bpp
-    if len(raster) != height * rowlen:
-        raise ValueError(f"raster size {len(raster)} != {height}x{rowlen}")
+    deterministic input.
+
+    ``depth``: 8 (default) writes samples as-is. 16 writes each input
+    sample v as the big-endian pair (v, v) = v*257 — the exact 16-bit
+    expansion of an 8-bit value, so decode's high-byte reduction
+    round-trips. 1/2/4 (grayscale only) bit-pack RAW samples (each
+    input byte must be < 2**depth); decode returns them scaled to
+    0-255, i.e. v * 255 // (2**depth - 1)."""
+    spr = width * channels  # samples per row (input raster: 1 byte each)
+    if len(raster) != height * spr:
+        raise ValueError(f"raster size {len(raster)} != {height}x{spr}")
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"bit depth {depth}")
+    if depth < 8:
+        if channels != 1:
+            raise ValueError("sub-byte depths are grayscale-only here")
+        if any(v >= 1 << depth for v in raster):
+            raise ValueError(f"sample out of range for depth {depth}")
     color_type = _COLOR_TYPE_FOR[channels]
     pick = row_filter if row_filter is not None else (lambda y: y % 5)
+
+    def pack_row(samples: bytes) -> bytes:
+        if depth == 8:
+            return samples
+        if depth == 16:
+            return b"".join(bytes((v, v)) for v in samples)
+        out = bytearray((len(samples) * depth + 7) // 8)
+        for i, v in enumerate(samples):
+            bit = i * depth
+            out[bit >> 3] |= v << (8 - depth - (bit & 7))
+        return bytes(out)
+
+    bpp = channels * 2 if depth == 16 else (channels if depth == 8 else 1)
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         return (
@@ -269,18 +356,18 @@ def encode_png(
             rows = []
             for j in range(ph):
                 y = y0 + j * dy
-                row = bytearray(pw * bpp)
+                row = bytearray(pw * channels)
                 for i in range(pw):
-                    src = (y * width + (x0 + i * dx)) * bpp
-                    row[i * bpp : (i + 1) * bpp] = raster[src : src + bpp]
-                rows.append(bytes(row))
+                    src = (y * width + (x0 + i * dx)) * channels
+                    row[i * channels : (i + 1) * channels] = raster[src : src + channels]
+                rows.append(pack_row(bytes(row)))
             lines.extend(filtered_lines(rows))
     else:
         lines = filtered_lines(
-            [raster[y * rowlen : (y + 1) * rowlen] for y in range(height)]
+            [pack_row(raster[y * spr : (y + 1) * spr]) for y in range(height)]
         )
     ihdr = struct.pack(
-        ">IIBBBBB", width, height, 8, color_type, 0, 0, 1 if interlace else 0
+        ">IIBBBBB", width, height, depth, color_type, 0, 0, 1 if interlace else 0
     )
     comp = zlib.compress(b"".join(lines), 6)
     text = b"".join(
