@@ -258,3 +258,38 @@ def test_illegal_depth_color_combo_rejected():
     bad[24] = 2  # depth byte
     with pytest.raises(ValueError):
         decode_png(bytes(bad))
+
+
+def test_exif_entries_both_orders_and_fuzz():
+    """EXIF IFD0 harvest: II and MM byte orders, inline SHORT vs
+    offset ASCII, unknown tags skipped; bit-flipped APP1 never raises
+    past the JPEG check and never decodes nondeterministically."""
+    from toyocr_spark.jpegcodec import (
+        build_exif_app1,
+        encode_baseline,
+        exif_entries,
+        insert_app1,
+    )
+
+    j = encode_baseline(bytes(64), 8, 8, 1)
+    for be in (False, True):
+        app1 = build_exif_app1(
+            [(0x0112, 6), (0x010F, "CamCo"), (0x9999, 1), (0x8298, "c 2026 site")],
+            big_endian=be,
+        )
+        got = exif_entries(insert_app1(j, app1))
+        assert got == [("Orientation", "6"), ("Make", "CamCo"), ("Copyright", "c 2026 site")]
+    assert exif_entries(j) == []
+
+    rng = random.Random(59)
+    base = insert_app1(j, build_exif_app1([(0x0112, 3), (0x010F, "CamCo")], big_endian=False))
+    for _ in range(300):
+        blob = bytearray(base)
+        for _ in range(rng.randint(1, 5)):
+            blob[rng.randrange(len(blob))] = rng.randrange(256)
+        payload = bytes(blob)
+        try:
+            first = exif_entries(payload)
+        except ValueError:
+            continue  # SOI itself destroyed
+        assert exif_entries(payload) == first

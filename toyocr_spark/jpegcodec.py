@@ -1246,3 +1246,127 @@ def insert_comments(payload: bytes, comments: list[str]) -> bytes:
         for c in comments
     )
     return payload[:2] + com + payload[2:]
+
+
+# --------------------------------------------------- metadata (EXIF APP1)
+
+# IFD0 tags worth harvesting at corpus scale (names per TIFF 6.0 / EXIF)
+_EXIF_TAGS = {
+    0x010F: "Make",
+    0x0110: "Model",
+    0x0112: "Orientation",
+    0x0132: "DateTime",
+    0x8298: "Copyright",
+}
+
+
+def exif_entries(payload: bytes) -> list[tuple[str, str]]:
+    """(tag_name, value) pairs from the APP1/Exif IFD0 — both byte
+    orders (II little / MM big), SHORT/LONG/ASCII types, inline and
+    offset-stored values, bounds-checked throughout. Unknown tags and
+    malformed structures are skipped, never fatal (same harvest
+    discipline as pngcodec.text_chunks): orientation/camera/copyright
+    mining must not reject an image the pixel decoder accepts."""
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    app1 = None
+    pos, n = 2, len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            break
+        marker = payload[pos + 1]
+        if marker in (0xD9, 0xDA):
+            break
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seg_len,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        if seg_len < 2:
+            break
+        if marker == 0xE1 and payload[pos + 4 : pos + 10] == b"Exif\x00\x00":
+            app1 = payload[pos + 10 : pos + 2 + seg_len]
+            break
+        pos += 2 + seg_len
+    if app1 is None or len(app1) < 8:
+        return []
+    order = app1[:2]
+    if order == b"II":
+        u16 = lambda b, o: struct.unpack_from("<H", b, o)[0]  # noqa: E731
+        u32 = lambda b, o: struct.unpack_from("<I", b, o)[0]  # noqa: E731
+    elif order == b"MM":
+        u16 = lambda b, o: struct.unpack_from(">H", b, o)[0]  # noqa: E731
+        u32 = lambda b, o: struct.unpack_from(">I", b, o)[0]  # noqa: E731
+    else:
+        return []
+    try:
+        if u16(app1, 2) != 42:
+            return []
+        ifd = u32(app1, 4)
+        if ifd + 2 > len(app1):
+            return []
+        count = u16(app1, ifd)
+        out = []
+        for i in range(count):
+            e = ifd + 2 + 12 * i
+            if e + 12 > len(app1):
+                break
+            tag, typ = u16(app1, e), u16(app1, e + 2)
+            cnt = u32(app1, e + 4)
+            name = _EXIF_TAGS.get(tag)
+            if name is None:
+                continue
+            if typ == 3 and cnt == 1:  # SHORT, inline (order-dependent)
+                out.append((name, str(u16(app1, e + 8))))
+            elif typ == 4 and cnt == 1:  # LONG, inline
+                out.append((name, str(u32(app1, e + 8))))
+            elif typ == 2:  # ASCII, NUL-terminated; offset when > 4 bytes
+                if cnt <= 4:
+                    raw = app1[e + 8 : e + 8 + cnt]
+                else:
+                    off = u32(app1, e + 8)
+                    if off + cnt > len(app1):
+                        continue
+                    raw = app1[off : off + cnt]
+                out.append((name, raw.rstrip(b"\x00").decode("latin-1")))
+        return out
+    except (struct.error, IndexError):
+        return []
+
+
+def build_exif_app1(entries: list[tuple[int, object]], big_endian: bool) -> bytes:
+    """Fixture helper: a real APP1/Exif segment with one IFD0 holding
+    ``entries`` = [(tag, int-or-str value), ...] in the given byte
+    order — SHORTs inline, ASCII strings stored past the IFD exactly
+    as cameras write them."""
+    bo = ">" if big_endian else "<"
+    n = len(entries)
+    ifd_off = 8
+    data_off = ifd_off + 2 + 12 * n + 4  # after count + entries + next-IFD
+    body = bytearray()
+    body += b"MM" if big_endian else b"II"
+    body += struct.pack(bo + "H", 42) + struct.pack(bo + "I", ifd_off)
+    body += struct.pack(bo + "H", n)
+    tail = bytearray()
+    for tag, val in entries:
+        if isinstance(val, int):
+            body += struct.pack(bo + "HHI", tag, 3, 1)
+            body += struct.pack(bo + "H", val) + b"\x00\x00"
+        else:
+            raw = val.encode("latin-1") + b"\x00"
+            body += struct.pack(bo + "HHI", tag, 2, len(raw))
+            if len(raw) <= 4:
+                body += raw + b"\x00" * (4 - len(raw))
+            else:
+                body += struct.pack(bo + "I", data_off + len(tail))
+                tail += raw
+    body += struct.pack(bo + "I", 0)  # no next IFD
+    body += tail
+    seg = b"Exif\x00\x00" + bytes(body)
+    return b"\xff\xe1" + struct.pack(">H", len(seg) + 2) + seg
+
+
+def insert_app1(payload: bytes, app1: bytes) -> bytes:
+    """Splice a pre-built APP1 segment directly after SOI."""
+    if len(payload) < 2 or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    return payload[:2] + app1 + payload[2:]

@@ -1521,7 +1521,12 @@ def synth_meta_media(documents: DataFrame, n_docs: int = 180) -> DataFrame:
     )
 
     def batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        from toyocr_spark.jpegcodec import encode_baseline, insert_comments
+        from toyocr_spark.jpegcodec import (
+            build_exif_app1,
+            encode_baseline,
+            insert_app1,
+            insert_comments,
+        )
         from toyocr_spark.pngcodec import encode_png
 
         for b in it:
@@ -1541,9 +1546,13 @@ def synth_meta_media(documents: DataFrame, n_docs: int = 180) -> DataFrame:
                     )
                 else:
                     j = encode_baseline(bytes((did + i) % 256 for i in range(64)), 8, 8, 1)
-                    payloads.append(
-                        insert_comments(j, [f"caption-{did}-{did % 13}"])
+                    j = insert_comments(j, [f"caption-{did}-{did % 13}"])
+                    # real TIFF-structured EXIF, both byte orders live
+                    app1 = build_exif_app1(
+                        [(0x0112, 1 + did % 8), (0x010F, f"cam-{did % 5}")],
+                        big_endian=did % 4 == 1,
                     )
+                    payloads.append(insert_app1(j, app1))
             yield pa.RecordBatch.from_arrays(
                 [pa.array(ids, pa.int64()), pa.array(payloads, pa.binary())],
                 names=["media_id", "payload"],
@@ -1566,7 +1575,7 @@ def media_metadata(media: DataFrame) -> DataFrame:
     import pyarrow as pa
 
     def batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        from toyocr_spark.jpegcodec import jpeg_comments
+        from toyocr_spark.jpegcodec import exif_entries, jpeg_comments
         from toyocr_spark.pngcodec import MAGIC as PNG_MAGIC
         from toyocr_spark.pngcodec import text_chunks
 
@@ -1580,6 +1589,8 @@ def media_metadata(media: DataFrame) -> DataFrame:
                 elif p[:2] == b"\xff\xd8":
                     for c in jpeg_comments(p):
                         rows.append((mid, "jpeg", "comment", c))
+                    for k, v in exif_entries(p):
+                        rows.append((mid, "jpeg", f"exif:{k}", v))
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array([r[0] for r in rows], pa.int64()),

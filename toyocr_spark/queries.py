@@ -5603,17 +5603,23 @@ def q112_neardup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, 'jpeg', 'comment',
            'caption-' || doc_id || '-' || (doc_id % 13)
     FROM documents WHERE doc_id < 180 AND doc_id % 2 = 1
+    UNION ALL
+    SELECT doc_id, 'jpeg', 'exif:Orientation', CAST(1 + doc_id % 8 AS VARCHAR)
+    FROM documents WHERE doc_id < 180 AND doc_id % 2 = 1
+    UNION ALL
+    SELECT doc_id, 'jpeg', 'exif:Make', 'cam-' || (doc_id % 5)
+    FROM documents WHERE doc_id < 180 AND doc_id % 2 = 1
     """,
-    "Image metadata harvest: PNG tEXt chunks (Title/Author/...) and "
-    "JPEG COM caption segments mined by a chunk/marker WALK only — no "
-    "inflate, no Huffman: the alt-text/copyright harvest over "
-    "petabytes of images must not pay the pixel cost. Fixtures are "
-    "real files (tEXt chunks between IHDR and IDAT; COM spliced after "
-    "SOI per spec), the oracle states every expected string in closed "
-    "form, so a green row proves the walk finds exactly the planted "
-    "metadata and nothing else. Map-only mapInArrow stage. "
-    "multimodal.media_metadata, pngcodec.text_chunks, "
-    "jpegcodec.jpeg_comments.",
+    "Image metadata harvest: PNG tEXt chunks (Title/Author/...), JPEG "
+    "COM caption segments, AND real TIFF-structured EXIF IFD0 entries "
+    "(Orientation/Make — both II and MM byte orders live in the "
+    "fixtures) mined by a chunk/marker walk only — no inflate, no "
+    "Huffman: the alt-text/orientation/copyright harvest over "
+    "petabytes of images must not pay the pixel cost. The oracle "
+    "states every expected string in closed form, so a green row "
+    "proves the walk finds exactly the planted metadata and nothing "
+    "else. Map-only mapInArrow stage. multimodal.media_metadata, "
+    "pngcodec.text_chunks, jpegcodec.jpeg_comments/exif_entries.",
 )
 def q113_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     from toyocr_spark.multimodal import media_metadata, synth_meta_media
