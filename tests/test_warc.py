@@ -234,3 +234,58 @@ def test_extract_job_ingests_warc_directly(tmp_path, warc_dir):
         with open(os.path.join(warc_dir, fn), "rb") as f:
             n += len(parse_warc(f.read()))
     assert summary["rows_extracted"] == n > 0
+
+
+def test_http_meta_reader_profiles_every_response(spark, tmp_path):
+    """parse_warc_http_meta sees what parse_warc filters out: redirects,
+    404s, images — status + MIME + body length per response record,
+    with conversion records and header-less bodies handled."""
+    from toyocr_spark.sources.warc import parse_warc_http_meta, read_warc_http_meta
+
+    def rec(url, wtype, body):
+        hdr = (
+            f"WARC/1.0\r\nWARC-Type: {wtype}\r\nWARC-Target-URI: {url}\r\n"
+            f"WARC-Date: 2026-01-01T00:00:00Z\r\nContent-Length: {len(body)}\r\n"
+        ).encode()
+        return hdr + b"\r\n" + body + b"\r\n\r\n"
+
+    raw = b"".join(
+        [
+            rec(
+                "http://a.example/ok", "response",
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n<html>x</html>",
+            ),
+            rec(
+                "http://a.example/moved", "response",
+                b"HTTP/1.1 301 Moved Permanently\r\nLocation: http://b/\r\nContent-Type: text/html\r\n\r\n",
+            ),
+            rec(
+                "http://a.example/gone", "response",
+                b"HTTP/1.1 404 Not Found\r\nContent-Type: text/plain\r\n\r\nnope",
+            ),
+            rec(
+                "http://a.example/logo", "response",
+                b"HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n\r\n\x89PNGxxxx",
+            ),
+            rec("http://a.example/wet", "conversion", b"plain text body"),
+            rec("http://a.example/rawbody", "response", b"no http envelope"),
+        ]
+    )
+    metas = parse_warc_http_meta(raw)
+    assert [(m["url"], m["http_status"], m["content_type"], m["content_length"]) for m in metas] == [
+        ("http://a.example/ok", 200, "text/html", 14),
+        ("http://a.example/moved", 301, "text/html", 0),
+        ("http://a.example/gone", 404, "text/plain", 4),
+        ("http://a.example/logo", 200, "image/png", 8),
+        ("http://a.example/rawbody", 0, "", 16),
+    ]
+    # identical through gzip and through the Spark reader
+    assert parse_warc_http_meta(gzip.compress(raw)) == metas
+    p = str(tmp_path / "health.warc.gz")
+    with open(p, "wb") as f:
+        f.write(gzip.compress(raw))
+    df = read_warc_http_meta(spark, p)
+    rows = {r["url"]: (r["http_status"], r["content_type"]) for r in df.collect()}
+    assert rows["http://a.example/moved"] == (301, "text/html")
+    assert rows["http://a.example/logo"] == (200, "image/png")
+    assert len(rows) == 5

@@ -340,3 +340,113 @@ def write_warc(path: str, records: list[tuple[str, str, bytes]], compress: bool 
         data = gzip.compress(data)
     with open(path, "wb") as f:
         f.write(data)
+
+
+def parse_warc_http_meta(raw: bytes) -> list[dict]:
+    """Crawl-health view of a WARC file: EVERY response record's HTTP
+    envelope — status code, Content-Type (parameters stripped), body
+    length — including the records parse_warc filters out (redirects,
+    404s, images, robots bodies...). Same tolerant record walk, no
+    body decoding at all: health profiling over petabytes of WARC
+    must not pay the content cost."""
+    if raw[:2] == b"\x1f\x8b":
+        raw = gzip.decompress(raw)
+    out: list[dict] = []
+    pos = 0
+    n = len(raw)
+    while pos < n:
+        while raw.startswith(_CRLF, pos):
+            pos += 2
+        if not raw.startswith(b"WARC/", pos):
+            break
+        hdr_end = raw.find(_CRLF + _CRLF, pos)
+        if hdr_end == -1:
+            break
+        headers: dict[str, str] = {}
+        for line in raw[pos:hdr_end].split(_CRLF)[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower().decode("latin-1")] = v.strip().decode("latin-1")
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            break
+        body_start = hdr_end + 4
+        body = raw[body_start : body_start + length]
+        pos = body_start + length
+        if headers.get("warc-type") != "response" or not headers.get(
+            "warc-target-uri"
+        ):
+            continue
+        status, ctype, body_len = 0, "", len(body)
+        if body[:5] == b"HTTP/":
+            he = body.find(_CRLF + _CRLF)
+            if he == -1:
+                continue
+            lines = body[:he].split(_CRLF)
+            parts = lines[0].split(b" ", 2)
+            try:
+                status = int(parts[1]) if len(parts) > 1 else 0
+            except ValueError:
+                status = 0
+            for line in lines[1:]:
+                k, _, v = line.partition(b":")
+                if k.strip().lower() == b"content-type":
+                    ctype = (
+                        v.strip().split(b";", 1)[0].strip().lower().decode("latin-1")
+                    )
+                    break
+            body_len = len(body) - he - 4
+        out.append(
+            {
+                "url": headers["warc-target-uri"],
+                "warc_ts": headers.get("warc-date", ""),
+                "http_status": status,
+                "content_type": ctype,
+                "content_length": body_len,
+            }
+        )
+    return out
+
+
+def read_warc_http_meta(spark: SparkSession, path_glob: str) -> DataFrame:
+    """(url, warc_ts, http_status, content_type, content_length) for
+    every response record — the input to crawl-health reports (status
+    distribution per host, MIME mix, redirect chains). Map-only; one
+    task per file; nothing but the HTTP envelope leaves the reader."""
+    import pyarrow as pa
+
+    files = spark.read.format("binaryFile").load(path_glob).select("path", "content")
+
+    def batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in it:
+            cols: list[list] = [[], [], [], [], []]
+            for content in b.column(1).to_pylist():
+                for rec in parse_warc_http_meta(content):
+                    cols[0].append(rec["url"])
+                    cols[1].append(rec["warc_ts"])
+                    cols[2].append(rec["http_status"])
+                    cols[3].append(rec["content_type"])
+                    cols[4].append(rec["content_length"])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(cols[0], pa.string()),
+                    pa.array(cols[1], pa.string()),
+                    pa.array(cols[2], pa.int32()),
+                    pa.array(cols[3], pa.string()),
+                    pa.array(cols[4], pa.int64()),
+                ],
+                names=["url", "warc_ts_raw", "http_status", "content_type", "content_length"],
+            )
+
+    schema = (
+        "url string, warc_ts_raw string, http_status int, "
+        "content_type string, content_length long"
+    )
+    rows = files.mapInArrow(batches, schema)
+    return rows.select(
+        "url",
+        F.to_timestamp(F.col("warc_ts_raw")).alias("warc_ts"),
+        "http_status",
+        "content_type",
+        "content_length",
+    )
