@@ -196,6 +196,13 @@ def test_relational_queries_have_no_python_nodes(spark, sf_dir):
         "q90_mp4_audio",         # PCM-in-MP4 demux+features kernel (mapInArrow)
         "q93_gif_pixels",        # GIF encode+LZW-decode media kernel (mapInArrow)
         "q94_g711_audio",        # G.711 WAV mux+expand+features kernel (mapInArrow)
+        "q107_image_dhash",      # PNG encode+unfilter+dHash kernel (mapInArrow)
+        "q108_image_neardup",    # dHash kernel feeding the banded pairing
+        "q109_audio_fingerprint",  # WAV mux+PCM energy kernel (mapInArrow)
+        "q110_audio_neardup",    # audio fingerprint kernel feeding the pairing
+        "q111_caption_pairs",    # joins the image_dhash kernel output
+        "q112_neardup_admission",  # dHash kernel feeding the admission anti-join
+        "q113_media_metadata",   # PNG/JPEG metadata-walk kernel (mapInArrow)
     }
     markers = ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas",
                "MapInPandas", "PythonMapInArrow", "MapInArrow")
