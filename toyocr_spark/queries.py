@@ -5628,6 +5628,86 @@ def q113_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_metadata(media)
 
 
+@_q(
+    "q114_bitext_candidates",
+    """
+    WITH fam AS (
+      SELECT doc_id, lang, doc_id % 80 AS f,
+             'https://s' || (doc_id % 80) % 7 || '.example/' || lang
+               || '/' || doc_id AS url
+      FROM documents WHERE doc_id < 240
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.lang AS lang_a, b.lang AS lang_b
+    FROM fam a JOIN fam b ON a.f = b.f AND a.doc_id < b.doc_id
+    """,
+    "CCMatrix-style bitext candidate mining: every page declares its "
+    "translations via <link rel=alternate hreflang href> tags (built "
+    "JVM-side, three-doc families sharing doc_id % 80), the miner "
+    "regexp-parses the alternates back out, resolves each href to its "
+    "target document by url equi-join, and keeps mutual pairs as "
+    "undirected (id_a < id_b) candidates with both languages attached "
+    "— the page-level pairing that precedes sentence alignment in a "
+    "parallel-corpus pipeline. The oracle derives the expected pairs "
+    "from the family closed form, so any parse or join slip "
+    "mismatches. Scale shape: map-only parse, one url equi-join "
+    "(both sides partition on the url hash), distinct on the pair — "
+    "no cross joins, no language table scans.",
+)
+def q114_bitext_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 240)
+    fam = F.pmod(F.col("doc_id"), F.lit(80))
+    url = F.concat(
+        F.lit("https://s"),
+        F.pmod(fam, F.lit(7)).cast("string"),
+        F.lit(".example/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+    )
+    base = d.select("doc_id", "lang", fam.alias("f"), url.alias("url"))
+    # each page links its two family siblings as hreflang alternates
+    sib = base.alias("s").join(
+        base.alias("o"),
+        (F.col("s.f") == F.col("o.f")) & (F.col("s.doc_id") != F.col("o.doc_id")),
+    ).select(
+        F.col("s.doc_id").alias("doc_id"),
+        F.col("s.url").alias("url"),
+        F.concat(
+            F.lit('<link rel="alternate" hreflang="'),
+            F.col("o.lang"),
+            F.lit('" href="'),
+            F.col("o.url"),
+            F.lit('">'),
+        ).alias("tag"),
+    )
+    pages = sib.groupBy("doc_id", "url").agg(
+        F.concat_ws("", F.array_sort(F.collect_list("tag"))).alias("head")
+    )
+    alts = pages.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(
+                F.col("head"), F.lit('href="([^"]+)"'), 1
+            )
+        ).alias("alt_url"),
+    )
+    resolved = alts.join(
+        base.select(F.col("url").alias("alt_url"), F.col("doc_id").alias("alt_id")),
+        "alt_url",
+    )
+    pairs = resolved.select(
+        F.least("doc_id", "alt_id").alias("id_a"),
+        F.greatest("doc_id", "alt_id").alias("id_b"),
+    ).distinct()
+    langs = base.select("doc_id", "lang")
+    return (
+        pairs.join(langs.select(F.col("doc_id").alias("id_a"), F.col("lang").alias("lang_a")), "id_a")
+        .join(langs.select(F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b")), "id_b")
+        .select("id_a", "id_b", "lang_a", "lang_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
