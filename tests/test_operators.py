@@ -767,3 +767,61 @@ def test_phrase_hits_and_drop(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_gale_church_reference_properties():
+    """align_lengths: identical sides give all-1-1 at ~zero cost; a
+    planted 2-1 merge is recovered; beads always tile both sides
+    exactly in order; empty sides produce pure insertion/deletion
+    beads. (Deletion beads are intentionally rare in the published
+    model: match(l, 0) is expensive, so merges win unless a side is
+    empty — faithful Gale-Church.)"""
+    from toyocr_spark.operators.bitext import align_lengths
+
+    a = [50, 70, 40, 60, 80, 30]
+    same = align_lengths(a, a)
+    assert [(s[1], s[3]) for s in same] == [(1, 1)] * 6
+    assert all(s[4] <= 5 for s in same)  # near-zero centi-cost
+
+    b = [52, 69, 101, 82, 29]  # merges a[2]+a[3]
+    beads = align_lengths(a, b)
+    assert [(s[1], s[3]) for s in beads] == [(1, 1), (1, 1), (2, 1), (1, 1), (1, 1)]
+
+    # tiling invariant on a ragged case
+    b2 = [120, 41, 59, 81, 29]
+    beads2 = align_lengths(a, b2)
+    ai = bi = 0
+    for _, al, _, bl, _ in [(s[0], s[1], s[2], s[3], s[4]) for s in beads2]:
+        ai += al
+        bi += bl
+    assert (ai, bi) == (len(a), len(b2))
+
+    assert [(s[1], s[3]) for s in align_lengths([], [5])] == [(0, 1)]
+    assert [(s[1], s[3]) for s in align_lengths([7, 9], [])] == [(1, 0), (1, 0)]
+    assert align_lengths([], []) == []
+
+
+def test_gale_church_beads_spark_kernel(spark):
+    """The mapInArrow kernel reproduces the pure-Python reference
+    bead-for-bead and stays map-only (no Exchange in the plan)."""
+    from toyocr_spark.operators.bitext import align_lengths, gale_church_beads
+
+    rows = [
+        (1, 101, [50, 70, 40, 60, 80, 30], [52, 69, 101, 82, 29]),
+        (2, 102, [30, 30, 30], [31, 29, 30]),
+        (3, 103, [], [40]),
+    ]
+    df = spark.createDataFrame(
+        rows, "id_a long, id_b long, lens_a array<int>, lens_b array<int>"
+    )
+    got = [
+        (r.id_a, r.id_b, r.a_start, r.a_len, r.b_start, r.b_len, r.cost_centi)
+        for r in gale_church_beads(df).orderBy("id_a", "a_start", "b_start").collect()
+    ]
+    want = []
+    for id_a, id_b, la, lb in rows:
+        for s in align_lengths(la, lb):
+            want.append((id_a, id_b, *s))
+    assert got == sorted(want, key=lambda t: (t[0], t[2], t[4]))
+    plan = gale_church_beads(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

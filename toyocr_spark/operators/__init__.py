@@ -14,6 +14,7 @@ from toyocr_spark.operators.rangejoin import (
 )
 from toyocr_spark.operators.evalagg import average_precision, global_pr_hmean, pr_hmean
 from toyocr_spark.operators.occupancy import occupancy_projection
+from toyocr_spark.operators.bitext import align_lengths, gale_church_beads
 from toyocr_spark.operators.dedup import (
     banded_neardup_drops,
     char_shingles,

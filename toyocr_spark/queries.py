@@ -5708,6 +5708,161 @@ def q114_bitext_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q115_table_types",
+    """
+    WITH tables AS (
+      SELECT doc_id, u.k AS tbl,
+             2 + (doc_id + u.k) % 3 AS n_cols,
+             3 + (doc_id + u.k) % 4 AS n_rows
+      FROM documents, unnest(generate_series(0, doc_id % 2)) AS u(k)
+      WHERE doc_id < 150
+    ),
+    cols AS (
+      SELECT doc_id, tbl, n_rows, v.c AS col,
+             (doc_id + tbl + v.c) % 3 AS tcode
+      FROM tables, unnest(generate_series(0, n_cols - 1)) AS v(c)
+    ),
+    cells AS (
+      SELECT doc_id, tbl, col, tcode, w.r AS r
+      FROM cols, unnest(generate_series(0, n_rows - 1)) AS w(r)
+    )
+    SELECT doc_id, tbl, col,
+           CASE tcode WHEN 0 THEN 'int' WHEN 1 THEN 'float' ELSE 'string' END
+             AS inferred_type,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(CASE WHEN tcode = 0 THEN r * 7 + col + doc_id ELSE 0 END)
+             AS BIGINT) AS int_mass
+    FROM cells
+    GROUP BY doc_id, tbl, col, tcode
+    """,
+    "Web-table column TYPE INFERENCE (the WDC-web-tables extraction "
+    "axis): per-doc <table> markup is built with nested JVM HOFs "
+    "(columns typed int / float / string by a closed-form rule), the "
+    "miner regexp-parses tables -> rows -> cells back out and infers "
+    "each column's type from its cells (all-int => int, else "
+    "all-numeric => float, else string) plus the integer mass of int "
+    "columns. The oracle derives expected types and masses from the "
+    "closed form without parsing, so any parse or inference slip "
+    "mismatches. Scale shape: map-only parse + one partial-agg "
+    "shuffle on (doc, table, col); type tests are rlike column "
+    "expressions, no Python.",
+)
+def q115_table_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    tbl = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.pmod(F.col("doc_id"), F.lit(2)))).alias("tbl"),
+    ).select(
+        "doc_id",
+        "tbl",
+        (F.lit(2) + F.pmod(F.col("doc_id") + F.col("tbl"), F.lit(3))).alias("n_cols"),
+        (F.lit(3) + F.pmod(F.col("doc_id") + F.col("tbl"), F.lit(4))).alias("n_rows"),
+    )
+    # build real <table> markup: cell content typed by (doc+tbl+col) % 3
+    cell = lambda r, c: F.concat(  # noqa: E731
+        F.lit("<td>"),
+        F.when(
+            F.pmod(F.col("doc_id") + F.col("tbl") + c, F.lit(3)) == 0,
+            (r * 7 + c + F.col("doc_id")).cast("string"),
+        )
+        .when(
+            F.pmod(F.col("doc_id") + F.col("tbl") + c, F.lit(3)) == 1,
+            F.concat((r * 7 + c).cast("string"), F.lit("."), F.pmod(r + c, F.lit(10)).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("w"), (r + c).cast("string"))),
+        F.lit("</td>"),
+    )
+    row = lambda r: F.concat(  # noqa: E731
+        F.lit("<tr>"),
+        F.aggregate(
+            F.transform(F.sequence(F.lit(0), F.col("n_cols") - 1), lambda c: cell(r, c)),
+            F.lit(""),
+            lambda acc, x: F.concat(acc, x),
+        ),
+        F.lit("</tr>"),
+    )
+    markup = F.concat(
+        F.lit("<table>"),
+        F.aggregate(
+            F.transform(F.sequence(F.lit(0), F.col("n_rows") - 1), row),
+            F.lit(""),
+            lambda acc, x: F.concat(acc, x),
+        ),
+        F.lit("</table>"),
+    )
+    built = tbl.select("doc_id", "tbl", markup.alias("markup"))
+    # parse it back: rows, then cells with positions
+    rows = built.select(
+        "doc_id",
+        "tbl",
+        F.posexplode(
+            F.regexp_extract_all(F.col("markup"), F.lit("<tr>(.*?)</tr>"), 1)
+        ).alias("r", "row_html"),
+    )
+    cells = rows.select(
+        "doc_id",
+        "tbl",
+        "r",
+        F.posexplode(
+            F.regexp_extract_all(F.col("row_html"), F.lit("<td>(.*?)</td>"), 1)
+        ).alias("col", "cell"),
+    )
+    typed = cells.select(
+        "doc_id",
+        "tbl",
+        "col",
+        "cell",
+        F.col("cell").rlike("^[0-9]+$").cast("int").alias("is_int"),
+        F.col("cell").rlike("^[0-9]+(\\.[0-9]+)?$").cast("int").alias("is_num"),
+    )
+    return typed.groupBy("doc_id", "tbl", "col").agg(
+        F.when(F.min("is_int") == 1, F.lit("int"))
+        .when(F.min("is_num") == 1, F.lit("float"))
+        .otherwise(F.lit("string"))
+        .alias("inferred_type"),
+        F.count("*").alias("n_cells"),
+        F.sum(
+            F.when(F.col("is_int") == 1, F.col("cell").cast("long")).otherwise(F.lit(0))
+        ).alias("int_mass"),
+    )
+
+
+@_q(
+    "q116_sentence_align",
+    None,  # DP over log/erfc costs: not SQL-expressible; rows-only driver
+    # check — the exact-value proof is the pure-Python reference
+    # cross-check in tests/test_operators.py (the q99 BPE discipline)
+    "Gale-Church sentence alignment over the q114 bitext families "
+    "(operators/bitext.py): the published length-based DP (penalties "
+    "0/450/230/440, -100*log two-tailed normal match cost) aligns each "
+    "candidate pair's sentence-length sequences into 1-1/2-1/1-2/2-2 "
+    "beads. Sequential within a pair, embarrassingly parallel across "
+    "pairs: one mapInArrow kernel, ZERO shuffle (plan-tested). "
+    "Driver check is rows-only; bead-for-bead exactness vs the "
+    "pure-Python reference is pytest-locked.",
+)
+def q116_sentence_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toyocr_spark.operators.bitext import gale_church_beads
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 160)
+    lens = lambda col: F.transform(  # noqa: E731
+        F.sequence(F.lit(0), F.lit(5) + F.pmod(col, F.lit(4))),
+        lambda i: (F.lit(20) + F.pmod(col * 7 + i * 13, F.lit(40))).cast("int"),
+    )
+    base = d.select("doc_id", lens(F.col("doc_id")).alias("lens"))
+    a = base.filter(F.col("doc_id") < 80).select(
+        F.col("doc_id").alias("id_a"), F.col("lens").alias("lens_a")
+    )
+    b = base.filter(F.col("doc_id") >= 80).select(
+        (F.col("doc_id") - 80).alias("id_a"),
+        F.col("doc_id").alias("id_b"),
+        F.col("lens").alias("lens_b"),
+    )
+    pairs = a.join(b, "id_a").select("id_a", "id_b", "lens_a", "lens_b")
+    return gale_church_beads(pairs)
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
