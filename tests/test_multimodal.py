@@ -828,3 +828,32 @@ def test_audio_neardup_recovers_planted_groups(spark, sf_dir):
                 p = (members[i], members[j])
                 assert p in pairs, f"planted audio pair {p} missed"
                 assert pairs[p] <= 1
+
+
+def test_jpeg_cmyk_and_ycck_decode():
+    """4-component Adobe JPEGs decode to real CMYK rasters: raw planes
+    (transform 0) and YCCK (transform 2 — CMYK through inverted RGB ->
+    YCbCr with K passthrough, the dominant Adobe layout). Smooth
+    gradients round-trip within quantization tolerance; flat blocks
+    exactly; both byte-deterministic."""
+    from toyocr_spark.jpegcodec import decode_baseline, encode_baseline
+
+    w, h = 24, 16
+    cmyk = bytes(
+        v for y in range(h) for x in range(w)
+        for v in ((x * 6) % 200, (y * 8) % 200, ((x + y) * 5) % 200, 40 + ((x * 2 + y) % 100))
+    )
+    for tf, tol in ((0, 2), (2, 4)):
+        jp = encode_baseline(cmyk, w, h, 4, quality=92, cmyk_transform=tf)
+        W, H, C, rast = decode_baseline(jp)
+        assert (W, H, C, len(rast)) == (w, h, 4, w * h * 4)
+        assert max(abs(a - b) for a, b in zip(rast, cmyk)) <= tol, tf
+        assert decode_baseline(jp) == decode_baseline(jp)
+    flat = bytes([120, 60, 200, 30]) * (w * h)
+    _, _, _, r2 = decode_baseline(encode_baseline(flat, w, h, 4, quality=95))
+    assert set(zip(r2[0::4], r2[1::4], r2[2::4], r2[3::4])) == {(120, 60, 200, 30)}
+    # flows through the parse_header contract as a 4-channel image
+    from toyocr_spark.multimodal import parse_header
+
+    kind, W, H, C, body = parse_header(encode_baseline(flat, w, h, 4))
+    assert (kind, W, H, C, len(body)) == ("image", w, h, 4, w * h * 4)

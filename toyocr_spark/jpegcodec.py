@@ -5,12 +5,12 @@ container).
 Decoder scope (``decode_baseline``): baseline sequential DCT (SOF0/
 SOF1) AND progressive DCT (SOF2 — spectral selection, successive
 approximation, EOB-run coding, per spec Annex G), Huffman entropy
-coding, 8-bit precision, grayscale or 3-component YCbCr with
-arbitrary h/v sampling factors (4:4:4, 4:2:2, 4:2:0, ...), restart
-intervals, 16-bit DQT entries, 0xFF00 byte stuffing. Raises
-``ValueError`` on arithmetic-coded / lossless / hierarchical /
-4-component CMYK files — callers fall back to header-only parsing for
-those.
+coding, 8-bit precision, grayscale / 3-component YCbCr / 4-component
+Adobe CMYK+YCCK (APP14 transform flag) with arbitrary h/v sampling
+factors (4:4:4, 4:2:2, 4:2:0, ...), restart intervals, 16-bit DQT
+entries, 0xFF00 byte stuffing. Raises ``ValueError`` on
+arithmetic-coded / lossless / hierarchical files — callers fall back
+to header-only parsing for those.
 
 Everything is deterministic: Huffman decode and dequantization are
 exact integers; the IDCT uses IEEE-double cosine tables evaluated in a
@@ -205,6 +205,7 @@ def _decode_markers(payload: bytes) -> tuple[int, int, int, bytes]:
     huff_dc: dict[int, _Huff] = {}
     huff_ac: dict[int, _Huff] = {}
     restart_interval = 0
+    adobe_transform = None  # APP14 color-transform flag (CMYK vs YCCK)
     frame = None  # (w, h, comps) with comps = [(cid, hs, vs, tq)]
     progressive = False
     coefs = None  # progressive: per-component zigzag coefficient blocks
@@ -246,12 +247,14 @@ def _decode_markers(payload: bytes) -> tuple[int, int, int, bytes]:
                 syms = seg[s + 17 : s + 17 + total]
                 (huff_ac if tc else huff_dc)[th] = _Huff(counts, syms)
                 s += 17 + total
+        elif marker == 0xEE and seg[:5] == b"Adobe" and len(seg) >= 12:
+            adobe_transform = seg[11]  # 0=CMYK/raw, 2=YCCK for 4-comp
         elif marker in _SOF_BASELINE or marker in _SOF_PROGRESSIVE:
             if seg[0] != 8:
                 raise ValueError("JPEG precision != 8 unsupported")
             h, w = struct.unpack(">HH", seg[1:5])
             nc = seg[5]
-            if nc not in (1, 3):
+            if nc not in (1, 3, 4):
                 raise ValueError(f"JPEG with {nc} components unsupported")
             comps = []
             for c in range(nc):
@@ -281,7 +284,7 @@ def _decode_markers(payload: bytes) -> tuple[int, int, int, bytes]:
                 }
                 return _decode_scan(
                     payload, pos + 2 + seg_len, frame, qt, huff_dc,
-                    huff_ac, scan_tabs, restart_interval,
+                    huff_ac, scan_tabs, restart_interval, adobe_transform,
                 )
             ss, se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
             if coefs is None:
@@ -295,11 +298,13 @@ def _decode_markers(payload: bytes) -> tuple[int, int, int, bytes]:
             continue
         pos += 2 + seg_len
     if progressive and scans_seen:
-        return _finish_progressive(frame, qt, coefs)
+        return _finish_progressive(frame, qt, coefs, adobe_transform)
     raise ValueError("JPEG without SOS marker")
 
 
-def _decode_scan(payload, pos, frame, qt, huff_dc, huff_ac, scan_tabs, ri):
+def _decode_scan(
+    payload, pos, frame, qt, huff_dc, huff_ac, scan_tabs, ri, adobe_transform=None
+):
     w, h, comps = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -372,10 +377,10 @@ def _decode_scan(payload, pos, frame, qt, huff_dc, huff_ac, scan_tabs, ri):
                             (mx * hs + bx) * 8, (my * vs + by) * 8,
                         )
             mcu_count += 1
-    return _assemble_raster(w, h, comps, planes, mcus_x, hmax, vmax)
+    return _assemble_raster(w, h, comps, planes, mcus_x, hmax, vmax, adobe_transform)
 
 
-def _assemble_raster(w, h, comps, planes, mcus_x, hmax, vmax):
+def _assemble_raster(w, h, comps, planes, mcus_x, hmax, vmax, transform=None):
     """Component planes -> interleaved raster: nearest-neighbour chroma
     upsample + libjpeg fixed-point YCbCr->RGB (shared by the baseline
     and progressive paths — identical coefficients give identical
@@ -389,6 +394,34 @@ def _assemble_raster(w, h, comps, planes, mcus_x, hmax, vmax):
             row = y * pw
             out[y * w : (y + 1) * w] = plane[row : row + w]
         return w, h, 1, bytes(out)
+    if nc == 4:
+        # Adobe 4-component: YCCK (transform 2) converts through the
+        # same fixed-point YCbCr->RGB then inverts to CMY with K
+        # passing through; transform 0/absent is raw CMYK planes.
+        pws4 = [mcus_x * c[1] * 8 for c in comps]
+        out4 = bytearray(w * h * 4)
+        for y in range(h):
+            rows = [
+                (y * comps[ci][2] // vmax) * pws4[ci] for ci in range(4)
+            ]
+            o = y * w * 4
+            for x in range(w):
+                s = [
+                    planes[ci][rows[ci] + (x * comps[ci][1] // hmax)]
+                    for ci in range(4)
+                ]
+                if transform == 2:
+                    Y, cb, cr, k = s[0], s[1] - 128, s[2] - 128, s[3]
+                    r = Y + ((91881 * cr + 32768) >> 16)
+                    g = Y - ((22554 * cb + 46802 * cr + 32768) >> 16)
+                    b = Y + ((116130 * cb + 32768) >> 16)
+                    r = 0 if r < 0 else 255 if r > 255 else r
+                    g = 0 if g < 0 else 255 if g > 255 else g
+                    b = 0 if b < 0 else 255 if b > 255 else b
+                    s = [255 - r, 255 - g, 255 - b, k]
+                out4[o : o + 4] = bytes(s)
+                o += 4
+        return w, h, 4, bytes(out4)
     out = bytearray(w * h * 3)
     pws = [mcus_x * c[1] * 8 for c in comps]
     yp, cbp, crp = planes
@@ -638,7 +671,7 @@ def _decode_prog_scan(payload, pos, frame, huff_dc, huff_ac, scan_comps,
     return i
 
 
-def _finish_progressive(frame, qt, coefs):
+def _finish_progressive(frame, qt, coefs, transform=None):
     """Dequantize + IDCT the accumulated coefficient store and
     assemble the raster exactly as the sequential path does."""
     w, h, comps = frame
@@ -658,7 +691,7 @@ def _finish_progressive(frame, qt, coefs):
                     nat[z] = block[k] * qtab[z]
                 _idct_block(nat, plane, pw, bx * 8, by * 8)
         planes.append(plane)
-    return _assemble_raster(w, h, comps, planes, mcus_x, hmax, vmax)
+    return _assemble_raster(w, h, comps, planes, mcus_x, hmax, vmax, transform)
 
 
 # --------------------------------------------------------------- encoder
@@ -749,6 +782,7 @@ def _quant_table(quality: int) -> list[int]:
 def _component_planes(
     pixels: bytes, width: int, height: int, ncomp: int,
     sampling: list[tuple[int, int]], hmax: int, vmax: int,
+    cmyk_transform: int = 0,
 ) -> list[tuple[list[int], int, int]]:
     """RGB->YCbCr (libjpeg fixed-point) then per-component planes at
     component resolution (box-filter average over the hmax/hs x
@@ -758,6 +792,23 @@ def _component_planes(
     full: list[list[int]] = []
     if ncomp == 1:
         full.append(list(pixels))
+    elif ncomp == 4:
+        chans = [list(pixels[c::4]) for c in range(4)]
+        if cmyk_transform == 2:  # CMYK -> YCCK via inverted RGB
+            yv, cbv, crv = [], [], []
+            for c, m, yy in zip(chans[0], chans[1], chans[2]):
+                r, g, b = 255 - c, 255 - m, 255 - yy
+                yv.append((19595 * r + 38470 * g + 7471 * b + 32768) >> 16)
+                cbv.append(((-11059 * r - 21709 * g + 32768 * b + 32768) >> 16) + 128)
+                crv.append(((32768 * r - 27439 * g - 5329 * b + 32768) >> 16) + 128)
+            full = [
+                yv,
+                [min(255, max(0, v)) for v in cbv],
+                [min(255, max(0, v)) for v in crv],
+                chans[3],
+            ]
+        else:
+            full = chans
     else:
         yv, cbv, crv = [], [], []
         for i in range(0, len(pixels), 3):
@@ -800,15 +851,20 @@ def encode_baseline(
     quality: int = 75,
     subsample: bool = False,
     restart_interval: int = 0,
+    cmyk_transform: int = 0,
 ) -> bytes:
-    """Encode an interleaved uint8 raster (gray or RGB) as a baseline
-    JPEG. Fixture-grade: correct bitstream, flat Huffman tables.
+    """Encode an interleaved uint8 raster (gray, RGB, or CMYK) as a
+    baseline JPEG. Fixture-grade: correct bitstream, flat Huffman
+    tables. 4-channel input writes an APP14 Adobe marker;
+    ``cmyk_transform=2`` stores YCCK (CMYK through inverted RGB ->
+    YCbCr, K passthrough — the dominant Adobe layout), 0 stores raw
+    CMYK planes.
     ``subsample`` emits 4:2:0 chroma (2x2-averaged half-res Cb/Cr —
     the dominant real-crawl layout); ``restart_interval`` emits DRI +
     RSTn markers every N MCUs. Both exist to exercise the decoder's
     subsampling and restart paths with no external codec."""
-    if channels not in (1, 3):
-        raise ValueError("encode_baseline supports 1 or 3 channels")
+    if channels not in (1, 3, 4):
+        raise ValueError("encode_baseline supports 1, 3, or 4 channels")
     qtab = _quant_table(quality)
 
     dc_counts, dc_syms, dc_codes = _flat_table(list(range(12)), 5)
@@ -826,6 +882,10 @@ def encode_baseline(
     vmax = max(s[1] for s in sampling)
 
     out = bytearray(b"\xff\xd8")
+    if ncomp == 4:
+        # APP14 Adobe: announce the 4-component color layout
+        adobe = b"Adobe" + struct.pack(">HHHB", 100, 0, 0, cmyk_transform)
+        out += b"\xff\xee" + struct.pack(">H", 2 + len(adobe)) + adobe
     # DQT (one table, 8-bit)
     zz_q = bytes(qtab[ZIGZAG[k]] for k in range(64))
     out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz_q
@@ -848,7 +908,9 @@ def encode_baseline(
     sos += b"\x00\x3f\x00"
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
 
-    planes = _component_planes(pixels, width, height, ncomp, sampling, hmax, vmax)
+    planes = _component_planes(
+        pixels, width, height, ncomp, sampling, hmax, vmax, cmyk_transform
+    )
 
     bw = _BitWriter()
     preds = [0] * ncomp

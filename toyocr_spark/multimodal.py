@@ -166,10 +166,11 @@ def _parse_jpeg(payload: bytes) -> tuple[str, int, int, int, bytes]:
        YCbCr->RGB; progressive scans accumulate into a coefficient
        store rendered once at EOI) — body is the decoded interleaved
        raster, deterministic byte-for-byte.
-    2. Arithmetic/lossless/CMYK files fall back to the header parse:
+    2. Arithmetic/lossless files fall back to the header parse:
        marker walk to SOFn for dimensions, body = the entropy-coded
        scan after SOS (the remaining documented seam, alongside MP4
-       sample decode)."""
+       sample decode). 4-component Adobe CMYK/YCCK decodes for real
+       (APP14 transform flag) since round 3."""
     from toyocr_spark.jpegcodec import decode_baseline
 
     try:
