@@ -733,13 +733,14 @@ def test_g711_wav_decodes_to_expanded_pcm(spark):
 
 
 def test_wav_unknown_format_tag_raises():
-    """Format tags beyond PCM/G.711 (e.g. 0x11 IMA ADPCM) are the
-    documented library-bound seam and fail loudly, not silently."""
+    """Format tags beyond PCM/G.711/IMA-ADPCM (e.g. 0x55 MP3-in-WAV)
+    are the documented library-bound seam and fail loudly, not
+    silently."""
     import struct
 
     from toyocr_spark.multimodal import parse_header
 
-    fmt = struct.pack("<HHIIHH", 0x11, 1, 8000, 4000, 1, 4)
+    fmt = struct.pack("<HHIIHH", 0x55, 1, 8000, 4000, 1, 4)
     chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
     chunks += b"data" + struct.pack("<I", 4) + b"\x00\x01\x02\x03"
     wav = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
@@ -857,3 +858,47 @@ def test_jpeg_cmyk_and_ycck_decode():
 
     kind, W, H, C, body = parse_header(encode_baseline(flat, w, h, 4))
     assert (kind, W, H, C, len(body)) == ("image", w, h, 4, w * h * 4)
+
+
+def test_ima_adpcm_wav_decode():
+    """WAVE tag 17 (IMA/DVI ADPCM) expands at parse like the G.711
+    legs: hand-worked known vector for the decoder (independent of the
+    fixture encoder), sine tracking within the adaptive step bound,
+    container integration, and byte determinism."""
+    import array
+    import math
+    import struct as _s
+
+    from toyocr_spark.multimodal import (
+        _ima_adpcm_decode,
+        _ima_adpcm_encode,
+        _parse_wav,
+    )
+
+    # hand-worked: predictor 100, index 10 (step 19), byte 0x83 ->
+    # nibbles (3, 8): +15 -> 115 (index 9, step 17), then -2 -> 113
+    block = _s.pack("<h", 100) + bytes([10, 0, 0x83])
+    got = array.array("h")
+    got.frombytes(_ima_adpcm_decode(block, 5))
+    assert list(got) == [100, 115, 113]
+
+    pcm = [int(8000 * math.sin(i / 5)) for i in range(27)]
+    data, ba = _ima_adpcm_encode(pcm, block_samples=9)
+    dec = array.array("h")
+    dec.frombytes(_ima_adpcm_decode(data, ba))
+    assert len(dec) == len(pcm)
+    assert max(abs(a - b) for a, b in zip(pcm, dec)) < 2000
+    assert _ima_adpcm_decode(data, ba) == _ima_adpcm_decode(data, ba)
+
+    fmt = _s.pack("<HHIIHH", 17, 1, 8000, 0, ba, 4)
+    chunks = (
+        b"fmt " + _s.pack("<I", len(fmt)) + fmt
+        + b"data" + _s.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    wav = b"RIFF" + _s.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    kind, rate, _, ch, body = _parse_wav(wav)
+    assert (kind, rate, ch) == ("audio", 8000, 1)
+    out = array.array("h")
+    out.frombytes(body)
+    assert list(out) == list(dec)

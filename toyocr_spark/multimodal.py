@@ -235,11 +235,102 @@ def _alaw_expand(b: int) -> int:
 
 #: WAVE format tags whose data chunk this parser can expand to linear
 #: int16 (decode-at-parse, like the image legs): 1 = PCM passthrough,
-#: 6 = G.711 A-law, 7 = G.711 mu-law.
+#: 6 = G.711 A-law, 7 = G.711 mu-law, 17 = IMA/DVI ADPCM.
 _G711_TABLES = {
     6: [_alaw_expand(i) for i in range(256)],
     7: [_ulaw_expand(i) for i in range(256)],
 }
+
+# IMA ADPCM tables (IMA "Recommended Practices for Enhancing Digital
+# Audio Compatibility", also RFC 3551 §4.5.1 / multimedia references)
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+_IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _ima_step(sample: int, index: int, nibble: int) -> tuple[int, int]:
+    """One IMA ADPCM decode step: (new_sample, new_index)."""
+    step = _IMA_STEPS[index]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    if nibble & 8:
+        sample -= diff
+    else:
+        sample += diff
+    sample = max(-32768, min(32767, sample))
+    index = max(0, min(88, index + _IMA_INDEX[nibble]))
+    return sample, index
+
+
+def _ima_adpcm_decode(data: bytes, block_align: int) -> bytes:
+    """IMA/DVI ADPCM (WAVE tag 17, mono) -> little-endian int16 PCM.
+    Each block: 4-byte header (int16 predictor = first sample, uint8
+    step index, reserved), then two samples per byte, LOW nibble
+    first. Integer-exact by construction."""
+    if block_align < 5:
+        raise ValueError("IMA ADPCM block align too small")
+    out = bytearray()
+    for base in range(0, len(data) - 3, block_align):
+        block = data[base : base + block_align]
+        (sample,) = struct.unpack_from("<h", block, 0)
+        index = min(88, block[2])
+        out += struct.pack("<h", sample)
+        for by in block[4:]:
+            for nib in (by & 0x0F, by >> 4):
+                sample, index = _ima_step(sample, index, nib)
+                out += struct.pack("<h", sample)
+    return bytes(out)
+
+
+def _ima_adpcm_encode(pcm: list[int], block_samples: int = 505) -> tuple[bytes, int]:
+    """Fixture-grade IMA ADPCM encoder (mono): greedy nibble choice by
+    the published quantizer; returns (data, block_align). Exact
+    inverse relationship with _ima_adpcm_decode is NOT expected
+    (ADPCM is lossy) — the decoder's output is what round-trips
+    deterministically."""
+    if (block_samples - 1) % 2:
+        raise ValueError("block_samples must be odd (header + pairs)")
+    if len(pcm) % block_samples:
+        raise ValueError("fixture encoder wants whole blocks")
+    block_align = 4 + (block_samples - 1) // 2
+    out = bytearray()
+    i = 0
+    while i < len(pcm):
+        chunk = pcm[i : i + block_samples]
+        i += block_samples
+        sample = chunk[0]
+        # block header carries the step index: seed it near the mean
+        # absolute delta so adaptation starts in range (real encoders
+        # do the same — the decoder just follows the header)
+        deltas = [abs(b - a) for a, b in zip(chunk, chunk[1:])] or [7]
+        mean_d = sum(deltas) // len(deltas) or 7
+        index = min(range(89), key=lambda k: abs(_IMA_STEPS[k] - mean_d))
+        out += struct.pack("<h", sample) + bytes([index, 0])
+        nibbles: list[int] = []
+        for target in chunk[1:]:
+            best, best_err = 0, None
+            for nib in range(16):
+                s2, _ = _ima_step(sample, index, nib)
+                err = abs(target - s2)
+                if best_err is None or err < best_err:
+                    best, best_err = nib, err
+            sample, index = _ima_step(sample, index, best)
+            nibbles.append(best)
+        for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
+            out += bytes([lo | (hi << 4)])
+    return bytes(out), block_align
 
 
 def _parse_wav(payload: bytes) -> tuple[str, int, int, int, bytes]:
@@ -252,7 +343,7 @@ def _parse_wav(payload: bytes) -> tuple[str, int, int, int, bytes]:
     if payload[8:12] != b"WAVE":
         raise ValueError("RIFF container that is not WAVE")
     pos, n = 12, len(payload)
-    fmt_tag, rate, chans, body = 1, None, None, None
+    fmt_tag, rate, chans, body, block_align = 1, None, None, None, 0
     while pos + 8 <= n:
         cid = payload[pos : pos + 4]
         (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
@@ -260,6 +351,10 @@ def _parse_wav(payload: bytes) -> tuple[str, int, int, int, bytes]:
             fmt_tag, chans, rate = struct.unpack(
                 "<HHI", payload[pos + 8 : pos + 16]
             )
+            if clen >= 14:
+                (block_align,) = struct.unpack(
+                    "<H", payload[pos + 20 : pos + 22]
+                )
         elif cid == b"data":
             body = payload[pos + 8 : pos + 8 + clen]
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
@@ -271,6 +366,10 @@ def _parse_wav(payload: bytes) -> tuple[str, int, int, int, bytes]:
         for i, by in enumerate(body):
             struct.pack_into("<h", expanded, 2 * i, table[by])
         body = bytes(expanded)
+    elif fmt_tag == 17:  # IMA/DVI ADPCM (mono blocks)
+        if chans != 1:
+            raise ValueError("IMA ADPCM: only mono supported here")
+        body = _ima_adpcm_decode(body, block_align)
     elif fmt_tag != 1:
         raise ValueError(f"WAVE format tag {fmt_tag} needs a codec library")
     return "audio", rate, 0, chans, body
