@@ -254,3 +254,42 @@ def test_prep_simhash_neardup_stage(tmp_path, sf_dir):
 
     n = duckdb.sql(f"select count(*) from '{out_dir}/*.parquet'").fetchone()
     assert n[0] == funnel["after_simhash_neardup"]
+
+
+@pytest.mark.slow
+def test_media_job_neardup_and_metadata(tmp_path, sf_dir):
+    """media_job: the dHash admission drops every planted duplicate
+    (each doc_id % 40 family keeps exactly its smallest id) and the
+    survivor parquet + funnel agree."""
+    import subprocess
+    import sys
+
+    out_dir = str(tmp_path / "media_out")
+    env = dict(os.environ, PYTHONPATH=REPO)
+    out = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "jobs", "media_job.py"),
+            "--synth-from", f"{sf_dir}/documents.parquet",
+            "--output", out_dir,
+        ],
+        capture_output=True, text=True, timeout=420, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    funnel = json.loads(
+        [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    )
+    assert funnel["input"] == 160
+    # 40 families of 4 (brightness shifts / corner perturbation):
+    # exactly the 40 smallest ids survive
+    assert funnel["after_neardup"] == 40
+    import duckdb
+
+    ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"select media_id from '{out_dir}/media/*.parquet' order by 1"
+        ).fetchall()
+    ]
+    assert ids == list(range(40))
+    # synth PNGs carry no tEXt chunks: harvest runs, finds nothing
+    assert funnel["metadata_rows"] == 0

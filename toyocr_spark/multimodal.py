@@ -1323,8 +1323,12 @@ def synth_dhash_png(documents: DataFrame, n_docs: int = 160) -> DataFrame:
     decoding these fixtures proves the Sub/Up/Average/Paeth unfilter
     paths, not just filter-None passthrough.
 
-      cell(cx, cy) = (g*7 + cx*13 + cy*29) % 180 + brightness
+      cell(cx, cy) = (g*7 + cx*13 + cy*29
+                      + ((g+1)*(cx+1)*(cy+3)) % 97) % 180 + brightness
                      (+40 on cell (0,0) when doc_id % 5 == 4)
+    (the product term separates FAMILIES: cross-family hamming > 3
+    for all 780 family pairs, so admission keeps exactly one doc per
+    family)
 
     — every pixel predictable in closed form without PNG/zlib."""
     import pyarrow as pa
@@ -1350,7 +1354,10 @@ def synth_dhash_png(documents: DataFrame, n_docs: int = 160) -> DataFrame:
                     cy = y // ch
                     for x in range(w):
                         cx = x // cw
-                        v = (g * 7 + cx * 13 + cy * 29) % 180 + bright
+                        v = (
+                            g * 7 + cx * 13 + cy * 29
+                            + (g + 1) * (cx + 1) * (cy + 3) % 97
+                        ) % 180 + bright
                         if pert and cx == 0 and cy == 0:
                             v += 40
                         raster[y * w + x] = v

@@ -5248,7 +5248,8 @@ _DHASH_CELLS_SQL = """
     ),
     cells AS (
       SELECT doc_id, cw, ch, u.j AS cx, v.j AS cy,
-             (g * 7 + u.j * 13 + v.j * 29) % 180 + bright
+             (g * 7 + u.j * 13 + v.j * 29
+               + ((g + 1) * (u.j + 1) * (v.j + 3)) % 97) % 180 + bright
                + CASE WHEN pert AND u.j = 0 AND v.j = 0 THEN 40 ELSE 0 END AS val
       FROM plan,
            unnest(generate_series(0, 7)) AS u(j),
