@@ -348,3 +348,68 @@ def test_stream_neardup_matches_batch_admission(spark, tmp_path):
     assert "02-90.example.com/mirror" not in got
     assert "02-91.example.com/mirror" not in got
     assert "01-90.example.com/empty" in got
+
+
+def test_stream_neardup_state_compaction_preserves_admission(spark, tmp_path):
+    """Compacting the hash log into one segment changes file count
+    only: a new micro-batch run over compacted state admits exactly
+    what it would have over the raw per-batch segments."""
+    import datetime as dt
+    import glob
+
+    from toyocr_spark.streaming import compact_neardup_state, stream_neardup
+
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    ts = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+    # per-doc vocabularies: docs are genuinely distinct, mirrors exact
+    text = lambda s: " ".join(f"w{s}x{j}" for j in range(30))  # noqa: E731
+    for seg in range(2):
+        rows = [
+            (f"{seg:02d}-{i:02d}.example.com/x", ts, b"<x>", text(seg * 6 + i), "en")
+            for i in range(6)
+        ]
+        tbl = pa.table(
+            {
+                "url": pa.array([r[0] for r in rows], pa.string()),
+                "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us", tz="UTC")),
+                "html": pa.array([r[2] for r in rows], pa.binary()),
+                "text": pa.array([r[3] for r in rows], pa.string()),
+                "lang": pa.array([r[4] for r in rows], pa.string()),
+            }
+        )
+        path = os.path.join(d, f"segment-{seg}.parquet")
+        pq.write_table(tbl, path)
+        os.utime(path, (1_700_000_000 + seg * 60,) * 2)
+
+    out, ckpt, state = (str(tmp_path / n) for n in ("out", "ckpt", "state"))
+    stream_neardup(spark, d, out, ckpt, state)
+    segs_before = glob.glob(os.path.join(state, "batch=*"))
+    n = compact_neardup_state(spark, state)
+    assert n == 12
+    segs_after = glob.glob(os.path.join(state, "batch=*"))
+    assert [os.path.basename(p) for p in segs_after] == ["batch=-1"]
+    assert len(segs_before) > 1
+
+    # a third segment mirroring segment-0 texts: all rejected, same as
+    # it would be against the raw log
+    rows = [
+        (f"02-{i:02d}.example.com/mirror", ts, b"<x>", text(i), "en")
+        for i in range(6)
+    ]
+    tbl = pa.table(
+        {
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us", tz="UTC")),
+            "html": pa.array([r[2] for r in rows], pa.binary()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+            "lang": pa.array([r[4] for r in rows], pa.string()),
+        }
+    )
+    path = os.path.join(d, "segment-2.parquet")
+    pq.write_table(tbl, path)
+    os.utime(path, (1_700_000_200,) * 2)
+    stream_neardup(spark, d, out, ckpt, state)
+    urls = {r["url"] for r in _read_stream_result(spark, out).select("url").collect()}
+    assert not any(u.endswith("/mirror") for u in urls)
+    assert len(urls) == 12

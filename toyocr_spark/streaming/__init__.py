@@ -1,5 +1,6 @@
 from toyocr_spark.streaming.ingest import (  # noqa: F401
     compact_cdx,
+    compact_neardup_state,
     stateful_host_progress,
     stream_blocklist_extract,
     stream_cdx,

@@ -458,3 +458,32 @@ def stream_neardup(
         q.awaitTermination()
         return q
     return writer.start()
+
+
+def compact_neardup_state(spark: SparkSession, state_dir: str, shards: int = 4) -> int:
+    """Fold the stream_neardup hash log's per-batch segments into one
+    compacted segment (the log-structured pattern, like compact_cdx):
+    arrival order is carried by the stored ``seq`` column, so a
+    compacted log admits IDENTICALLY to the original — only the file
+    count changes. Returns the number of rows compacted. Atomic
+    enough for the single-writer stream: the compacted segment lands
+    as batch=-1 (read like any other), then the source segments are
+    removed."""
+    import glob as _glob
+    import shutil
+
+    paths = sorted(_glob.glob(os.path.join(state_dir, "batch=*")))
+    paths = [p for p in paths if not p.endswith("batch=-1")]
+    if not paths:
+        return 0
+    prior = spark.read.parquet(*(_glob.glob(os.path.join(state_dir, "batch=-1")) + paths))
+    n = prior.count()
+    tmp = os.path.join(state_dir, "_compact_tmp")
+    prior.repartition(shards, "id").write.mode("overwrite").parquet(tmp)
+    target = os.path.join(state_dir, "batch=-1")
+    if os.path.exists(target):
+        shutil.rmtree(target)
+    os.rename(tmp, target)
+    for p in paths:
+        shutil.rmtree(p)
+    return n
