@@ -1,11 +1,12 @@
 #!/usr/bin/env python3
 """Multimodal curation driver — the media-column pipeline in one job.
 
-Chains the engine's media operators the way an image/audio curation run
-would: decode headers (chunk/marker walk) -> perceptual-hash near-dup
-ADMISSION over genuinely decoded pixels -> metadata harvest (tEXt /
-COM / EXIF) -> audio signal features -> parquet survivors + one JSON
-funnel line.
+Chains the engine's media operators the way an image curation run
+would: perceptual-hash near-dup ADMISSION over genuinely decoded
+pixels -> metadata harvest (tEXt / COM / EXIF, walk-only) -> parquet
+survivors + one JSON funnel line. (Audio features live in
+multimodal.audio_features / mp4_audio_features and their queries;
+this driver curates the image axis.)
 
     spark-submit --py-files dist/toyocr_spark.zip jobs/media_job.py \\
         --media <parquet with (media_id, payload)> --output <dir>
@@ -62,19 +63,23 @@ def main(argv: list[str] | None = None) -> int:
     media = media.localCheckpoint()  # reused by every stage below
     funnel["input"] = media.count()
 
-    # 1. perceptual-hash near-dup admission over decoded pixels
+    # 1. perceptual-hash near-dup admission over decoded pixels.
+    #    Anti-join on the DROP set: payloads image_dhash cannot decode
+    #    produce no hash row and pass through (skip, don't reject).
     if args.neardup_hamming >= 0:
-        from toyocr_spark.operators.dedup import neardup_survivors
+        from toyocr_spark.operators.dedup import simhash64_pairs
 
         sim = (
             image_dhash(media)
             .withColumnRenamed("media_id", "id")
             .select("id", "c0", "c1", "c2", "c3")
         )
-        kept = neardup_survivors(sim, max_hamming=args.neardup_hamming)
-        media = media.join(
-            kept.select(F.col("id").alias("media_id")), "media_id", "left_semi"
+        drops = (
+            simhash64_pairs(sim, max_hamming=args.neardup_hamming)
+            .select(F.col("id_b").alias("media_id"))
+            .distinct()
         )
+        media = media.join(drops, "media_id", "left_anti")
         funnel["after_neardup"] = media.count()
 
     # 2. metadata harvest (walk-only: no pixel/PCM decode)

@@ -245,16 +245,21 @@ def main(argv: list[str] | None = None) -> int:
     #     same operator the image/audio families and the streaming
     #     admission twin use.
     if args.simhash_hamming > 0:
-        from toyocr_spark.operators.dedup import neardup_survivors, simhash64
+        from toyocr_spark.operators.dedup import simhash64, simhash64_pairs
 
         sim = simhash64(
             final.select("doc_id", F.substring("text", 1, 512).alias("t")),
             "doc_id", "t", args.shingle,
         )
-        kept = neardup_survivors(sim, max_hamming=args.simhash_hamming)
-        final = final.join(
-            kept.select(F.col("id").alias("doc_id")), "doc_id", "left_semi"
+        # anti-join on the DROP set (not semi-join on survivors): docs
+        # too short to shingle have no hash row and must pass through,
+        # the same semantics the streaming twin pins in its tests
+        drops = (
+            simhash64_pairs(sim, max_hamming=args.simhash_hamming)
+            .select(F.col("id_b").alias("doc_id"))
+            .distinct()
         )
+        final = final.join(drops, "doc_id", "left_anti")
         funnel["after_simhash_neardup"] = final.count()
 
     # 4.5 paragraph-level dedup (CCNet policy): repeated paragraphs keep

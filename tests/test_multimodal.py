@@ -902,3 +902,24 @@ def test_ima_adpcm_wav_decode():
     out = array.array("h")
     out.frombytes(body)
     assert list(out) == list(dec)
+
+
+def test_media_kernels_skip_undecodable_payloads(spark):
+    """Corpus-job robustness: a non-PNG or truncated payload must not
+    fail the dHash kernel (no hash row => admitted downstream), and a
+    2-byte JPEG stub must not fail the metadata harvest."""
+    from toyocr_spark.multimodal import image_dhash, media_metadata
+    from toyocr_spark.pngcodec import encode_png
+
+    good = encode_png(bytes(range(16)), 4, 4, 1)
+    rows = [
+        (1, good),
+        (2, b"\x89PNG\r\n\x1a\n123"),      # truncated PNG
+        (3, b"\xff\xd8"),                  # 2-byte JPEG stub
+        (4, b"totally not an image"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    hashed = image_dhash(df).collect()
+    assert [r["media_id"] for r in hashed] == [1]
+    meta = media_metadata(df).collect()
+    assert meta == []  # nothing harvested, nothing crashed

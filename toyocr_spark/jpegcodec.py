@@ -1269,14 +1269,14 @@ def encode_progressive(
 # ------------------------------------------------- metadata (COM segments)
 
 
-def jpeg_comments(payload: bytes) -> list[str]:
-    """Latin-1 text of every COM (0xFFFE) segment before the first SOS
-    — the JPEG metadata-mining leg (caption/copyright strings ride
-    here; EXIF would be APP1, same walk). Non-fatal by design: a
-    malformed tail simply ends the harvest."""
+def _iter_metadata_segments(payload: bytes):
+    """Yield (marker, segment_bytes) for every sized segment before
+    the first SOS — the shared pre-scan walk for the metadata
+    harvesters (COM, APP1/EXIF). Tolerant: desync, EOI, short lengths
+    simply end the walk. Raises ValueError only when the payload is
+    not a JPEG at all."""
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
-    out = []
     pos, n = 2, len(payload)
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
@@ -1290,12 +1290,22 @@ def jpeg_comments(payload: bytes) -> list[str]:
         (seg_len,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         if seg_len < 2:
             break
-        if marker == 0xFE:
-            out.append(payload[pos + 4 : pos + 2 + seg_len].decode("latin-1"))
+        yield marker, payload[pos + 4 : pos + 2 + seg_len]
         if marker == 0xDA:  # SOS: entropy data follows, stop walking
             break
         pos += 2 + seg_len
-    return out
+
+
+def jpeg_comments(payload: bytes) -> list[str]:
+    """Latin-1 text of every COM (0xFFFE) segment before the first SOS
+    — the JPEG metadata-mining leg (caption/copyright strings ride
+    here). Non-fatal by design: a malformed tail simply ends the
+    harvest."""
+    return [
+        seg.decode("latin-1")
+        for marker, seg in _iter_metadata_segments(payload)
+        if marker == 0xFE
+    ]
 
 
 def insert_comments(payload: bytes, comments: list[str]) -> bytes:
@@ -1329,26 +1339,11 @@ def exif_entries(payload: bytes) -> list[tuple[str, str]]:
     malformed structures are skipped, never fatal (same harvest
     discipline as pngcodec.text_chunks): orientation/camera/copyright
     mining must not reject an image the pixel decoder accepts."""
-    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
-        raise ValueError("not a JPEG")
     app1 = None
-    pos, n = 2, len(payload)
-    while pos + 4 <= n:
-        if payload[pos] != 0xFF:
+    for marker, seg in _iter_metadata_segments(payload):
+        if marker == 0xE1 and seg[:6] == b"Exif\x00\x00":
+            app1 = seg[6:]
             break
-        marker = payload[pos + 1]
-        if marker in (0xD9, 0xDA):
-            break
-        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
-            pos += 2
-            continue
-        (seg_len,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
-        if seg_len < 2:
-            break
-        if marker == 0xE1 and payload[pos + 4 : pos + 10] == b"Exif\x00\x00":
-            app1 = payload[pos + 10 : pos + 2 + seg_len]
-            break
-        pos += 2 + seg_len
     if app1 is None or len(app1) < 8:
         return []
     order = app1[:2]

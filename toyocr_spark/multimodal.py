@@ -1415,13 +1415,24 @@ def image_dhash(media: DataFrame) -> DataFrame:
     import pyarrow as pa
 
     def batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from toyocr_spark.pngcodec import MAGIC as PNG_MAGIC
         from toyocr_spark.pngcodec import decode_png
 
         for b in it:
-            ids = b.column(0)
+            ids = []
             rows = []
-            for p in b.column(1).to_pylist():
-                w, h, chans, raster = decode_png(p)
+            for mid, p in zip(b.column(0).to_pylist(), b.column(1).to_pylist()):
+                # hash only decodable PNGs: non-PNG / truncated payloads
+                # emit NO row (=> no hash => admitted downstream), the
+                # same skip contract as audio_fingerprint — one bad
+                # payload must never fail a corpus job
+                if p[:8] != PNG_MAGIC:
+                    continue
+                try:
+                    w, h, chans, raster = decode_png(p)
+                except Exception:  # zlib/struct/Value: skip, don't fail
+                    continue
+                ids.append(mid)
                 xs = [x * w // 8 for x in range(9)]
                 ys = [y * h // 8 for y in range(9)]
                 sums = [[0] * 8 for _ in range(8)]
@@ -1449,7 +1460,7 @@ def image_dhash(media: DataFrame) -> DataFrame:
                 rows.append((w, h, chunks))
             yield pa.RecordBatch.from_arrays(
                 [
-                    ids,
+                    pa.array(ids, pa.int64()),
                     pa.array([r[0] for r in rows], pa.int32()),
                     pa.array([r[1] for r in rows], pa.int32()),
                     *[
@@ -1694,10 +1705,16 @@ def media_metadata(media: DataFrame) -> DataFrame:
                     for k, v in text_chunks(p):
                         rows.append((mid, "png", k, v))
                 elif p[:2] == b"\xff\xd8":
-                    for c in jpeg_comments(p):
-                        rows.append((mid, "jpeg", "comment", c))
-                    for k, v in exif_entries(p):
-                        rows.append((mid, "jpeg", f"exif:{k}", v))
+                    # truncated-at-2/3-bytes crawls pass the magic
+                    # check but fail the walkers' length guard: skip,
+                    # never fatal (the harvest contract)
+                    try:
+                        for c in jpeg_comments(p):
+                            rows.append((mid, "jpeg", "comment", c))
+                        for k, v in exif_entries(p):
+                            rows.append((mid, "jpeg", f"exif:{k}", v))
+                    except ValueError:
+                        continue
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array([r[0] for r in rows], pa.int64()),

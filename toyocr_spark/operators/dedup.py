@@ -20,7 +20,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Default doc-frequency cap for the shingle self-join skew guard: a
@@ -243,37 +243,47 @@ def simhash64(df: DataFrame, id_col: str, text_col: str, k: int = 8) -> DataFram
     return out.withColumn("simhash", hex_str)
 
 
+def _band_side(sim: DataFrame, suffix: str, extra: list[str] | None = None) -> DataFrame:
+    """Explode a chunked-band hash frame (id, c0..c3[, extras]) into
+    one row per (band, bucket) with the id/chunk columns renamed by
+    ``suffix`` — the shared half of every banded-hamming join (text
+    simhash, image dHash, audio fingerprint all ride it)."""
+    band_val = F.expr("stack(4, 0, c0, 1, c1, 2, c2, 3, c3) AS (band, bucket)")
+    banded = sim.select("id", *(extra or []), "c0", "c1", "c2", "c3", band_val)
+    return banded.select(
+        F.col("id").alias(f"id_{suffix}"),
+        *[F.col(e).alias(f"{e}_{suffix}") for e in (extra or [])],
+        *[F.col(f"c{j}").alias(f"{suffix}{j}") for j in range(4)],
+        "band",
+        "bucket",
+    )
+
+
+def _hamming(prefix_a: str, prefix_b: str) -> Column:
+    """Sum of per-chunk bit_count(xor) — exact hamming between two
+    chunked hashes carried as {prefix}0..{prefix}3 columns."""
+    ham = None
+    for j in range(4):
+        t = F.bit_count(F.col(f"{prefix_a}{j}").bitwiseXOR(F.col(f"{prefix_b}{j}")))
+        ham = t if ham is None else ham + t
+    return ham
+
+
 def simhash64_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Banded near-dup pairing over simhash64 output: equi-join on any
     shared 16-bit chunk (band) proposes candidates — pigeonhole-complete
     for hamming <= 3 of 64 — then exact hamming verifies. Sub-quadratic:
     the shuffle keys on (band, 16-bit bucket), never on pairs."""
-    band_val = F.expr("stack(4, 0, c0, 1, c1, 2, c2, 3, c3) AS (band, bucket)")
-    banded = sim.select("id", "c0", "c1", "c2", "c3", band_val)
-    a = banded.select(
-        F.col("id").alias("id_a"),
-        *[F.col(f"c{j}").alias(f"a{j}") for j in range(4)],
-        "band",
-        "bucket",
-    )
-    b = banded.select(
-        F.col("id").alias("id_b"),
-        *[F.col(f"c{j}").alias(f"b{j}") for j in range(4)],
-        "band",
-        "bucket",
-    )
+    a = _band_side(sim, "a")
+    b = _band_side(sim, "b")
     cand = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", *[f"a{j}" for j in range(4)], *[f"b{j}" for j in range(4)])
         .distinct()
     )
-    ham = None
-    for j in range(4):
-        t = F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"b{j}")))
-        ham = t if ham is None else ham + t
     return (
-        cand.withColumn("hamming", ham.cast("int"))
+        cand.withColumn("hamming", _hamming("a", "b").cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
@@ -745,30 +755,16 @@ def banded_neardup_drops(
     (band, bucket) keys ever shuffle. Both frames carry
     (id, ord, c0..c3); ``ord`` may be any orderable type (long,
     struct(seq, id), ...) defining arrival order."""
-    band_val = F.expr("stack(4, 0, c0, 1, c1, 2, c2, 3, c3) AS (band, bucket)")
-    a = seen.select(
-        F.col("ord").alias("ord_a"),
-        *[F.col(f"c{j}").alias(f"a{j}") for j in range(4)],
-        band_val,
-    )
-    b = incoming.select(
-        F.col("id").alias("id_b"),
-        F.col("ord").alias("ord_b"),
-        *[F.col(f"c{j}").alias(f"b{j}") for j in range(4)],
-        band_val,
-    )
+    a = _band_side(seen, "a", extra=["ord"])
+    b = _band_side(incoming, "b", extra=["ord"])
     cand = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("ord_a") < F.col("ord_b"))
         .select("id_b", *[f"a{j}" for j in range(4)], *[f"b{j}" for j in range(4)])
         .distinct()
     )
-    ham = None
-    for j in range(4):
-        t = F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"b{j}")))
-        ham = t if ham is None else ham + t
     return (
-        cand.filter(ham <= max_hamming)
+        cand.filter(_hamming("a", "b") <= max_hamming)
         .select(F.col("id_b").alias("id"))
         .distinct()
     )

@@ -465,25 +465,34 @@ def compact_neardup_state(spark: SparkSession, state_dir: str, shards: int = 4) 
     compacted segment (the log-structured pattern, like compact_cdx):
     arrival order is carried by the stored ``seq`` column, so a
     compacted log admits IDENTICALLY to the original — only the file
-    count changes. Returns the number of rows compacted. Atomic
-    enough for the single-writer stream: the compacted segment lands
-    as batch=-1 (read like any other), then the source segments are
-    removed."""
+    count changes. Returns the number of rows compacted.
+
+    Crash-safe by construction: the compacted segment lands under a
+    FRESH generation name (batch=-1, then batch=-2, ...) via an atomic
+    rename, and the source segments are removed only afterwards — at
+    every instant the ``batch=*`` glob sees a superset of the log
+    (duplicate hash rows are benign: admission depends on which rows
+    EXIST, and drops are a distinct set). A crash mid-compaction
+    leaves either an invisible temp dir or a visible duplicate,
+    never a data loss window."""
     import glob as _glob
     import shutil
 
-    paths = sorted(_glob.glob(os.path.join(state_dir, "batch=*")))
-    paths = [p for p in paths if not p.endswith("batch=-1")]
-    if not paths:
+    all_paths = sorted(_glob.glob(os.path.join(state_dir, "batch=*")))
+    gens = [
+        int(os.path.basename(p).split("=")[1])
+        for p in all_paths
+    ]
+    sources = [p for p, g in zip(all_paths, gens) if g >= 0]
+    if not sources:
         return 0
-    prior = spark.read.parquet(*(_glob.glob(os.path.join(state_dir, "batch=-1")) + paths))
+    prior = spark.read.parquet(*all_paths).dropDuplicates(["id", "seq"])
     n = prior.count()
     tmp = os.path.join(state_dir, "_compact_tmp")
     prior.repartition(shards, "id").write.mode("overwrite").parquet(tmp)
-    target = os.path.join(state_dir, "batch=-1")
-    if os.path.exists(target):
-        shutil.rmtree(target)
-    os.rename(tmp, target)
-    for p in paths:
-        shutil.rmtree(p)
+    new_gen = min([g for g in gens if g < 0], default=0) - 1
+    os.rename(tmp, os.path.join(state_dir, f"batch={new_gen}"))
+    # new generation is visible: now the old copies may go
+    for p in all_paths:
+        shutil.rmtree(p, ignore_errors=True)
     return n
