@@ -923,3 +923,46 @@ def test_media_kernels_skip_undecodable_payloads(spark):
     assert [r["media_id"] for r in hashed] == [1]
     meta = media_metadata(df).collect()
     assert meta == []  # nothing harvested, nothing crashed
+
+
+def test_adpcm_wav_features_match_decoded_pcm(spark):
+    """audio_features over an IMA-ADPCM WAV equals audio_features over
+    a plain PCM WAV containing the decoder's output — the codec is
+    transparent to every downstream audio operator."""
+    import array
+    import math
+    import struct as _s
+
+    from toyocr_spark.multimodal import (
+        _ima_adpcm_decode,
+        _ima_adpcm_encode,
+        audio_features,
+    )
+
+    pcm_in = [int(6000 * math.sin(i / 4)) for i in range(27)]
+    data, ba = _ima_adpcm_encode(pcm_in, block_samples=9)
+    decoded = array.array("h")
+    decoded.frombytes(_ima_adpcm_decode(data, ba))
+
+    fmt_a = _s.pack("<HHIIHH", 17, 1, 8000, 0, ba, 4)
+    adpcm_wav = (
+        b"RIFF" + _s.pack("<I", 0) + b"WAVE"
+        + b"fmt " + _s.pack("<I", len(fmt_a)) + fmt_a
+        + b"data" + _s.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    pcm_bytes = decoded.tobytes()
+    fmt_p = _s.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    pcm_wav = (
+        b"RIFF" + _s.pack("<I", 0) + b"WAVE"
+        + b"fmt " + _s.pack("<I", len(fmt_p)) + fmt_p
+        + b"data" + _s.pack("<I", len(pcm_bytes)) + pcm_bytes
+    )
+    df = spark.createDataFrame(
+        [(1, adpcm_wav), (2, pcm_wav)], "media_id long, payload binary"
+    )
+    rows = {r["media_id"]: r for r in audio_features(df).collect()}
+    a, p = rows[1], rows[2]
+    assert (a["n_samples"], a["zero_crossings"], a["peak"], a["rms"]) == (
+        p["n_samples"], p["zero_crossings"], p["peak"], p["rms"],
+    )
