@@ -5864,6 +5864,245 @@ def q116_sentence_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gale_church_beads(pairs)
 
 
+@_q(
+    "q117_microdata",
+    """
+    WITH items AS (
+      SELECT doc_id, u.k AS item_idx,
+             CASE WHEN (doc_id + u.k) % 2 = 0 THEN 'Product' ELSE 'Article' END AS item_type,
+             string_split(text, ' ') AS w
+      FROM documents, unnest(generate_series(0, doc_id % 2)) AS u(k)
+      WHERE doc_id < 150
+    )
+    SELECT doc_id, item_idx, item_type, 'name' AS prop_key,
+           CAST(length(array_to_string(w[item_idx * 2 + 1 : item_idx * 2 + 2], ' ')) AS BIGINT) AS prop_len
+    FROM items
+    UNION ALL
+    SELECT doc_id, item_idx, item_type,
+           CASE WHEN item_type = 'Product' THEN 'price' ELSE 'author' END,
+           CAST(CASE WHEN item_type = 'Product'
+                     THEN length(CAST(doc_id * 3 + item_idx AS VARCHAR)) + 3
+                     ELSE length('a' || CAST((doc_id + item_idx) % 9 AS VARCHAR)) END AS BIGINT)
+    FROM items
+    """,
+    "Schema.org MICRODATA extraction (the HTML-attribute twin of "
+    "q98's JSON-LD): itemscope/itemtype blocks built JVM-side, split "
+    "back per item, itemprop spans regexp-harvested per block — one "
+    "scalar row per (doc, item, property) with the value length. "
+    "Oracle derives every expected row from the closed form without "
+    "parsing, so any scope-splitting or prop-extraction slip "
+    "mismatches. Map-only: build + split + regexp are all Column "
+    "expressions, zero shuffle.",
+)
+def q117_microdata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    w = F.split(F.col("text"), " ")
+    item = lambda k: F.concat(  # noqa: E731
+        F.lit('<div itemscope itemtype="https://schema.org/'),
+        F.when(F.pmod(F.col("doc_id") + k, F.lit(2)) == 0, F.lit("Product")).otherwise(
+            F.lit("Article")
+        ),
+        F.lit('"><span itemprop="name">'),
+        F.array_join(F.slice(w, k * 2 + 1, 2), " "),
+        F.lit("</span>"),
+        F.when(
+            F.pmod(F.col("doc_id") + k, F.lit(2)) == 0,
+            F.concat(
+                F.lit('<span itemprop="price">'),
+                (F.col("doc_id") * 3 + k).cast("string"),
+                F.lit(".99</span>"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit('<span itemprop="author">a'),
+                F.pmod(F.col("doc_id") + k, F.lit(9)).cast("string"),
+                F.lit("</span>"),
+            )
+        ),
+        F.lit("</div>"),
+    )
+    html = F.aggregate(
+        F.transform(F.sequence(F.lit(0), F.pmod(F.col("doc_id"), F.lit(2))), item),
+        F.lit(""),
+        lambda acc, x: F.concat(acc, x),
+    )
+    docs = d.select("doc_id", html.alias("html"))
+    blocks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.split(F.col("html"), F.lit("<div itemscope ")),
+                lambda s: F.length(s) > 0,
+            )
+        ).alias("item_idx", "block"),
+    )
+    typed = blocks.select(
+        "doc_id",
+        "item_idx",
+        F.regexp_extract(F.col("block"), 'itemtype="https://schema\\.org/([A-Za-z]+)"', 1).alias(
+            "item_type"
+        ),
+        F.explode(
+            F.arrays_zip(
+                F.regexp_extract_all(F.col("block"), F.lit('itemprop="([a-z]+)"'), 1),
+                F.regexp_extract_all(
+                    F.col("block"), F.lit('itemprop="[a-z]+">([^<]*)</span>'), 1
+                ),
+            )
+        ).alias("p"),
+    )
+    return typed.select(
+        "doc_id",
+        "item_idx",
+        "item_type",
+        F.col("p.0").alias("prop_key"),
+        F.length(F.col("p.1")).cast("long").alias("prop_len"),
+    )
+
+
+@_q(
+    "q118_feed_ingest",
+    """
+    WITH feeds AS (
+      SELECT doc_id, u.k AS item_idx,
+             'https://h' || (doc_id % 9) || '.example/post/' || (doc_id * 10 + u.k) AS link,
+             1 + (doc_id + u.k) % 28 AS pub_day
+      FROM documents, unnest(generate_series(0, 1 + doc_id % 3)) AS u(k)
+      WHERE doc_id < 150
+    )
+    SELECT doc_id, CAST(item_idx AS INTEGER) AS item_idx, link,
+           CAST(pub_day AS INTEGER) AS pub_day
+    FROM feeds
+    """,
+    "RSS feed ingestion (the crawl-seeding twin of q95's sitemaps): "
+    "<rss><channel><item><link>/<pubDate> markup built JVM-side, "
+    "parsed back with regexp_extract_all + arrays_zip + posexplode "
+    "into one row per feed item with the link and publication day — "
+    "the discovery input q92's frontier scheduler consumes. "
+    "Closed-form oracle; map-only, zero shuffle.",
+)
+def q118_feed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    entry = lambda k: F.concat(  # noqa: E731
+        F.lit("<item><link>https://h"),
+        F.pmod(F.col("doc_id"), F.lit(9)).cast("string"),
+        F.lit(".example/post/"),
+        (F.col("doc_id") * 10 + k).cast("string"),
+        F.lit("</link><pubDate>2026-01-"),
+        F.lpad((F.lit(1) + F.pmod(F.col("doc_id") + k, F.lit(28))).cast("string"), 2, "0"),
+        F.lit("</pubDate></item>"),
+    )
+    xml = F.concat(
+        F.lit("<rss><channel>"),
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(1) + F.pmod(F.col("doc_id"), F.lit(3))), entry
+            ),
+            F.lit(""),
+            lambda acc, x: F.concat(acc, x),
+        ),
+        F.lit("</channel></rss>"),
+    )
+    feeds = d.select("doc_id", xml.alias("xml"))
+    items = feeds.select(
+        "doc_id",
+        F.posexplode(
+            F.arrays_zip(
+                F.regexp_extract_all(F.col("xml"), F.lit("<link>([^<]+)</link>"), 1),
+                F.regexp_extract_all(
+                    F.col("xml"), F.lit("<pubDate>2026-01-([0-9]{2})</pubDate>"), 1
+                ),
+            )
+        ).alias("item_idx", "p"),
+    )
+    return items.select(
+        "doc_id",
+        F.col("item_idx").cast("int").alias("item_idx"),
+        F.col("p.0").alias("link"),
+        F.col("p.1").cast("int").alias("pub_day"),
+    )
+
+
+@_q(
+    "q119_dhash_recall",
+    f"""
+    WITH {_DHASH_CELLS_SQL},
+    pairs AS (
+      SELECT a.media_id AS id_a, b.media_id AS id_b,
+             bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
+               + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) AS hamming,
+             CASE WHEN a.c0 = b.c0 OR a.c1 = b.c1 OR a.c2 = b.c2 OR a.c3 = b.c3
+                  THEN 1 ELSE 0 END AS banded
+      FROM h a JOIN h b ON a.media_id < b.media_id
+    )
+    SELECT r.r AS radius,
+           CAST(sum(CASE WHEN hamming <= r.r THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN hamming <= r.r THEN banded ELSE 0 END) AS BIGINT) AS n_banded,
+           CAST(CASE WHEN sum(CASE WHEN hamming <= r.r THEN 1 ELSE 0 END) = 0 THEN 10000
+                ELSE 10000 * sum(CASE WHEN hamming <= r.r THEN banded ELSE 0 END)
+                     // sum(CASE WHEN hamming <= r.r THEN 1 ELSE 0 END) END AS BIGINT)
+             AS recall_bp
+    FROM pairs, unnest(generate_series(1, 6)) AS r(r)
+    GROUP BY r.r
+    """,
+    "Banded-recall self-evaluation for the image dHash family (the "
+    "q104 discipline applied to hamming LSH): exact neighbour pairs "
+    "at radius r vs pairs proposed by the 4x14-bit band join, for "
+    "r = 1..6. Pigeonhole guarantees 10000 basis points through r=3 "
+    "(the operator's radius); r >= 4 quantifies what a wider radius "
+    "would miss — the parameter-tuning table to consult before "
+    "changing the admission threshold. All-pairs is fixture-scale "
+    "only (160 hashes); at corpus scale this runs on a sample, like "
+    "q104. The oracle regenerates hashes in closed form.",
+)
+def q119_dhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toyocr_spark.multimodal import image_dhash, synth_dhash_png
+
+    h = image_dhash(synth_dhash_png(_t(spark, sf_dir, "documents"), n_docs=160))
+    a = h.select(
+        F.col("media_id").alias("id_a"),
+        *[F.col(f"c{j}").alias(f"a{j}") for j in range(4)],
+    )
+    b = h.select(
+        F.col("media_id").alias("id_b"),
+        *[F.col(f"c{j}").alias(f"b{j}") for j in range(4)],
+    )
+    ham = None
+    banded = None
+    for j in range(4):
+        t = F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"b{j}")))
+        ham = t if ham is None else ham + t
+        eq = F.col(f"a{j}") == F.col(f"b{j}")
+        banded = eq if banded is None else banded | eq
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            ham.alias("hamming"),
+            F.when(banded, F.lit(1)).otherwise(F.lit(0)).alias("banded"),
+        )
+    )
+    radii = pairs.crossJoin(
+        F.broadcast(
+            spark.range(1, 7).select(F.col("id").cast("int").alias("radius"))
+        )
+    )
+    agg = radii.groupBy("radius").agg(
+        F.sum(F.when(F.col("hamming") <= F.col("radius"), 1).otherwise(0)).alias("n_exact"),
+        F.sum(
+            F.when(F.col("hamming") <= F.col("radius"), F.col("banded")).otherwise(0)
+        ).alias("n_banded"),
+    )
+    return agg.select(
+        "radius",
+        "n_exact",
+        "n_banded",
+        F.when(F.col("n_exact") == 0, F.lit(10000))
+        .otherwise(F.floor(F.lit(10000) * F.col("n_banded") / F.col("n_exact")))
+        .cast("long")
+        .alias("recall_bp"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
