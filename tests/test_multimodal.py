@@ -966,3 +966,35 @@ def test_adpcm_wav_features_match_decoded_pcm(spark):
     assert (a["n_samples"], a["zero_crossings"], a["peak"], a["rms"]) == (
         p["n_samples"], p["zero_crossings"], p["peak"], p["rms"],
     )
+
+
+def test_parse_header_truncation_contract():
+    """Every truncation of a valid WAV/MP4/PNG payload either parses or
+    raises ValueError/NotImplementedError — never struct.error or
+    IndexError (hostile bytes must reject cleanly in the kernel)."""
+    import struct as _s
+
+    from toyocr_spark.multimodal import parse_header
+
+    fmt = _s.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    chunks = (
+        b"fmt " + _s.pack("<I", len(fmt)) + fmt
+        + b"data" + _s.pack("<I", 100) + bytes(range(100))
+    )
+    wav = b"RIFF" + _s.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    def box(t, d):
+        return _s.pack(">I", len(d) + 8) + t + d
+
+    mp4 = (
+        box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+        + box(b"moov", box(b"trak", box(b"tkhd", b"\x00" * 84)))
+        + box(b"mdat", b"x" * 20)
+    )
+    png = _make_png(9, 5, 0)
+    for payload in (wav, mp4, png):
+        for k in range(2, len(payload)):
+            try:
+                parse_header(payload[:k])
+            except (ValueError, NotImplementedError):
+                continue

@@ -431,7 +431,19 @@ def parse_header(payload: bytes) -> tuple[str, int, int, int, bytes]:
     boxes; per-sample demux lives in demux_samples). The remaining
     (clearly-marked) seam is CODEC decode of demuxed MP4 samples,
     which needs ffmpeg — that falls back to header + raw body, every
-    metadata field still parsed from the real byte layout."""
+    metadata field still parsed from the real byte layout.
+
+    Exception contract: malformed/truncated payloads raise ValueError
+    (struct/index/zlib errors are converted — hostile bytes must
+    reject cleanly, not kill a worker task); only a genuinely unknown
+    container raises NotImplementedError (the documented seam)."""
+    try:
+        return _dispatch_header(payload)
+    except (struct.error, IndexError, zlib.error) as e:
+        raise ValueError(f"malformed media container: {type(e).__name__}") from e
+
+
+def _dispatch_header(payload: bytes) -> tuple[str, int, int, int, bytes]:
     if payload[:8] == _PNG_MAGIC:
         return _parse_png(payload)
     if payload[:4] == b"GIF8":
