@@ -998,3 +998,23 @@ def test_parse_header_truncation_contract():
                 parse_header(payload[:k])
             except (ValueError, NotImplementedError):
                 continue
+
+
+def test_svg_live_format():
+    """SVG parses as a vector image: dims from attributes or viewBox,
+    body = visible text nodes; media_metadata mines title/desc."""
+    from toyocr_spark.multimodal import parse_header
+
+    svg = (
+        b'<?xml version="1.0"?>\n<svg xmlns="http://www.w3.org/2000/svg" '
+        b'width="320" height="200"><title>logo</title>'
+        b"<text>a</text><text>b <tspan>c</tspan></text></svg>"
+    )
+    assert parse_header(svg) == ("image", 320, 200, 0, b"a b c")
+    assert parse_header(b'<svg viewBox="0 0 640 480"><text>vb</text></svg>')[:4] == (
+        "image", 640, 480, 0,
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_header(b"<svg><rect/></svg>")  # no parseable dimensions

@@ -39,6 +39,7 @@ start of the per-record map, here over Arrow record batches.
 
 from __future__ import annotations
 
+import re
 import struct
 import sys
 import zlib
@@ -422,6 +423,37 @@ def _parse_mp4(payload: bytes) -> tuple[str, int, int, int, bytes]:
     return "video", width, height, 3, body
 
 
+_SVG_DIM = re.compile(rb'\b(width|height)="(\d+)(?:px)?"')
+_SVG_VIEWBOX = re.compile(rb'viewBox="[\d.\s-]*?(\d+)\s+(\d+)"\s*')
+_SVG_TEXT = re.compile(rb"<(?:text|tspan)[^>]*>([^<]*)")
+
+
+def _parse_svg(payload: bytes) -> tuple[str, int, int, int, bytes]:
+    """SVG leg: the web's vector-image format, parsed as XML text —
+    dimensions from width/height attributes (viewBox fallback),
+    channels = 0 (vector: no raster planes), body = the utf-8 bytes
+    of the document's visible text nodes (<text>/<tspan>) — the
+    mineable signal an OCR-free pipeline extracts from vector media.
+    No rasterization (that would need a renderer); everything here is
+    the real markup."""
+    head = payload[:4096]
+    tag_at = head.find(b"<svg")
+    if tag_at < 0:
+        raise ValueError("not an SVG")
+    tag_end = head.find(b">", tag_at)
+    tag = head[tag_at : tag_end if tag_end > 0 else len(head)]
+    dims = {m.group(1): int(m.group(2)) for m in _SVG_DIM.finditer(tag)}
+    w, h = dims.get(b"width", 0), dims.get(b"height", 0)
+    if not (w and h):
+        vb = _SVG_VIEWBOX.search(tag)
+        if vb:
+            w, h = int(vb.group(1)), int(vb.group(2))
+    if not (w and h):
+        raise ValueError("SVG without parseable dimensions")
+    text = b" ".join(m.group(1).strip() for m in _SVG_TEXT.finditer(payload))
+    return "image", w, h, 0, text
+
+
 def parse_header(payload: bytes) -> tuple[str, int, int, int, bytes]:
     """Magic-dispatched decode. Live pure-stdlib codecs: FMED (synthetic
     container), PNG (IHDR + inflated IDAT), GIF (full LZW pixel decode
@@ -454,6 +486,9 @@ def _dispatch_header(payload: bytes) -> tuple[str, int, int, int, bytes]:
         return _parse_wav(payload)
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
         return _parse_mp4(payload)
+    probe = payload[:256].lstrip()
+    if probe[:4] == b"<svg" or (probe[:5] == b"<?xml" and b"<svg" in payload[:4096]):
+        return _parse_svg(payload)
     if payload[:4] != MAGIC:
         raise NotImplementedError(
             "unknown media container; live codecs are PNG/GIF/JPEG/WAV/"
@@ -1639,8 +1674,9 @@ META_SCHEMA = T.StructType(
 
 def synth_meta_media(documents: DataFrame, n_docs: int = 180) -> DataFrame:
     """(media_id, payload): real PNGs carrying tEXt Title/Author chunks
-    (even doc_id) and real baseline JPEGs carrying COM caption segments
-    (odd doc_id) — every metadata string predictable in closed form."""
+    (doc_id % 3 == 0), real baseline JPEGs carrying COM captions + EXIF
+    IFD0 (== 1), and real SVGs carrying <title>/<desc> (== 2) — every
+    metadata string predictable in closed form."""
     import pyarrow as pa
 
     schema = T.StructType(
@@ -1663,7 +1699,7 @@ def synth_meta_media(documents: DataFrame, n_docs: int = 180) -> DataFrame:
             ids = b.column(0).to_pylist()
             payloads = []
             for did in ids:
-                if did % 2 == 0:
+                if did % 3 == 0:
                     raster = bytes((did + i) % 256 for i in range(16))
                     payloads.append(
                         encode_png(
@@ -1674,15 +1710,24 @@ def synth_meta_media(documents: DataFrame, n_docs: int = 180) -> DataFrame:
                             ],
                         )
                     )
-                else:
+                elif did % 3 == 1:
                     j = encode_baseline(bytes((did + i) % 256 for i in range(64)), 8, 8, 1)
                     j = insert_comments(j, [f"caption-{did}-{did % 13}"])
                     # real TIFF-structured EXIF, both byte orders live
                     app1 = build_exif_app1(
                         [(0x0112, 1 + did % 8), (0x010F, f"cam-{did % 5}")],
-                        big_endian=did % 4 == 1,
+                        big_endian=did % 2 == 1,
                     )
                     payloads.append(insert_app1(j, app1))
+                else:
+                    payloads.append(
+                        (
+                            f'<svg xmlns="http://www.w3.org/2000/svg" '
+                            f'width="{16 + did % 64}" height="{9 + did % 32}">'
+                            f"<title>svg-{did}</title><desc>d{did % 11}</desc>"
+                            f'<text x="0" y="9">t{did % 5}</text></svg>'
+                        ).encode()
+                    )
             yield pa.RecordBatch.from_arrays(
                 [pa.array(ids, pa.int64()), pa.array(payloads, pa.binary())],
                 names=["media_id", "payload"],
@@ -1727,6 +1772,17 @@ def media_metadata(media: DataFrame) -> DataFrame:
                             rows.append((mid, "jpeg", f"exif:{k}", v))
                     except ValueError:
                         continue
+                elif p[:256].lstrip()[:4] == b"<svg" or (
+                    p[:256].lstrip()[:5] == b"<?xml" and b"<svg" in p[:4096]
+                ):
+                    for key in ("title", "desc"):
+                        m = re.search(
+                            rf"<{key}>([^<]*)</{key}>".encode(), p[:8192]
+                        )
+                        if m:
+                            rows.append(
+                                (mid, "svg", key, m.group(1).decode("utf-8", "replace"))
+                            )
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array([r[0] for r in rows], pa.int64()),

@@ -5596,20 +5596,26 @@ def q112_neardup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id AS media_id, 'png' AS fmt, 'Title' AS meta_key,
            'title-' || doc_id AS meta_value
-    FROM documents WHERE doc_id < 180 AND doc_id % 2 = 0
+    FROM documents WHERE doc_id < 180 AND doc_id % 3 = 0
     UNION ALL
     SELECT doc_id, 'png', 'Author', 'site-' || (doc_id % 7)
-    FROM documents WHERE doc_id < 180 AND doc_id % 2 = 0
+    FROM documents WHERE doc_id < 180 AND doc_id % 3 = 0
     UNION ALL
     SELECT doc_id, 'jpeg', 'comment',
            'caption-' || doc_id || '-' || (doc_id % 13)
-    FROM documents WHERE doc_id < 180 AND doc_id % 2 = 1
+    FROM documents WHERE doc_id < 180 AND doc_id % 3 = 1
     UNION ALL
     SELECT doc_id, 'jpeg', 'exif:Orientation', CAST(1 + doc_id % 8 AS VARCHAR)
-    FROM documents WHERE doc_id < 180 AND doc_id % 2 = 1
+    FROM documents WHERE doc_id < 180 AND doc_id % 3 = 1
     UNION ALL
     SELECT doc_id, 'jpeg', 'exif:Make', 'cam-' || (doc_id % 5)
-    FROM documents WHERE doc_id < 180 AND doc_id % 2 = 1
+    FROM documents WHERE doc_id < 180 AND doc_id % 3 = 1
+    UNION ALL
+    SELECT doc_id, 'svg', 'title', 'svg-' || doc_id
+    FROM documents WHERE doc_id < 180 AND doc_id % 3 = 2
+    UNION ALL
+    SELECT doc_id, 'svg', 'desc', 'd' || (doc_id % 11)
+    FROM documents WHERE doc_id < 180 AND doc_id % 3 = 2
     """,
     "Image metadata harvest: PNG tEXt chunks (Title/Author/...), JPEG "
     "COM caption segments, AND real TIFF-structured EXIF IFD0 entries "
