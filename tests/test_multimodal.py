@@ -1018,3 +1018,37 @@ def test_svg_live_format():
 
     with _pytest.raises(ValueError):
         parse_header(b"<svg><rect/></svg>")  # no parseable dimensions
+
+
+def test_id3_harvest_in_media_metadata(spark):
+    """ID3v2 text frames (both v2.3 plain and v2.4 syncsafe sizes)
+    harvest through media_metadata without touching the audio frames;
+    bit-flipped tags never raise past the magic check."""
+    import random
+
+    from toyocr_spark.multimodal import build_id3, id3_frames, media_metadata
+
+    rows = [
+        (1, build_id3([("title", "Song A"), ("artist", "Band-7")], major=3)),
+        (2, build_id3([("album", "LP"), ("year", "2026")], major=4)),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {(r.media_id, r.meta_key): r.meta_value for r in media_metadata(df).collect()}
+    assert got == {
+        (1, "title"): "Song A",
+        (1, "artist"): "Band-7",
+        (2, "album"): "LP",
+        (2, "year"): "2026",
+    }
+    rng = random.Random(71)
+    base = rows[0][1]
+    for _ in range(300):
+        blob = bytearray(base)
+        for _ in range(rng.randint(1, 5)):
+            blob[rng.randrange(len(blob))] = rng.randrange(256)
+        payload = bytes(blob)
+        try:
+            first = id3_frames(payload)
+        except ValueError:
+            continue
+        assert id3_frames(payload) == first

@@ -1772,6 +1772,12 @@ def media_metadata(media: DataFrame) -> DataFrame:
                             rows.append((mid, "jpeg", f"exif:{k}", v))
                     except ValueError:
                         continue
+                elif p[:3] == b"ID3":
+                    try:
+                        for k, v in id3_frames(p):
+                            rows.append((mid, "mp3", k, v))
+                    except ValueError:
+                        continue
                 elif p[:256].lstrip()[:4] == b"<svg" or (
                     p[:256].lstrip()[:5] == b"<?xml" and b"<svg" in p[:4096]
                 ):
@@ -1794,3 +1800,79 @@ def media_metadata(media: DataFrame) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInArrow(batches, META_SCHEMA)
+
+
+# ------------------------------------------------ ID3v2 (MP3 metadata)
+
+_ID3_TEXT_FRAMES = {
+    b"TIT2": "title",
+    b"TPE1": "artist",
+    b"TALB": "album",
+    b"TYER": "year",
+    b"TDRC": "year",  # v2.4 successor of TYER
+}
+
+
+def _syncsafe(b: bytes) -> int:
+    return (b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3]
+
+
+def id3_frames(payload: bytes) -> list[tuple[str, str]]:
+    """(name, value) pairs from an ID3v2.3/2.4 tag block — the MP3
+    metadata harvest (title/artist/album/year), walk-only: the audio
+    frames after the tag are never touched (MP3 decode itself is the
+    documented library-bound seam; cataloging must not wait for it).
+    Encodings 0 (latin-1) and 3 (utf-8) are decoded; v2.4 syncsafe
+    frame sizes handled. Malformed structures end the walk, never
+    raise past the magic check."""
+    if payload[:3] != b"ID3" or len(payload) < 10:
+        raise ValueError("not an ID3v2 tag")
+    major = payload[3]
+    tag_end = 10 + _syncsafe(payload[6:10])
+    pos = 10
+    out: list[tuple[str, str]] = []
+    n = min(tag_end, len(payload))
+    while pos + 10 <= n:
+        fid = payload[pos : pos + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break  # padding
+        raw_sz = payload[pos + 4 : pos + 8]
+        size = _syncsafe(raw_sz) if major >= 4 else int.from_bytes(raw_sz, "big")
+        if size <= 0 or pos + 10 + size > n:
+            break
+        data = payload[pos + 10 : pos + 10 + size]
+        name = _ID3_TEXT_FRAMES.get(fid)
+        if name and len(data) >= 1:
+            enc = data[0]
+            body = data[1:].split(b"\x00")[0]
+            if enc == 0:
+                out.append((name, body.decode("latin-1")))
+            elif enc == 3:
+                out.append((name, body.decode("utf-8", "replace")))
+        pos += 10 + size
+    return out
+
+
+def build_id3(entries: list[tuple[str, str]], major: int = 3) -> bytes:
+    """Fixture helper: an ID3v2.3 or v2.4 tag block holding the given
+    text frames (latin-1 encoding byte 0), padded to show the padding
+    stop works."""
+    frames = bytearray()
+    rev = {v: k for k, v in _ID3_TEXT_FRAMES.items() if k != b"TDRC"}
+    for name, val in entries:
+        fid = rev[name]
+        data = b"\x00" + val.encode("latin-1")
+        sz = (
+            bytes(
+                [(len(data) >> s) & 0x7F for s in (21, 14, 7, 0)]
+            )
+            if major >= 4
+            else len(data).to_bytes(4, "big")
+        )
+        frames += fid + sz + b"\x00\x00" + data
+    frames += b"\x00" * 16  # padding
+    total = len(frames)
+    hdr = b"ID3" + bytes([major, 0, 0]) + bytes(
+        [(total >> s) & 0x7F for s in (21, 14, 7, 0)]
+    )
+    return hdr + bytes(frames) + b"\xff\xfb\x90\x00" + b"\x00" * 32  # fake mp3 frame
