@@ -1876,3 +1876,95 @@ def build_id3(entries: list[tuple[str, str]], major: int = 3) -> bytes:
         [(total >> s) & 0x7F for s in (21, 14, 7, 0)]
     )
     return hdr + bytes(frames) + b"\xff\xfb\x90\x00" + b"\x00" * 32  # fake mp3 frame
+
+
+def synth_mixed_media(documents: DataFrame, n_docs: int = 180) -> DataFrame:
+    """(media_id, payload) rotating through SIX real container formats
+    on doc_id % 6 — PNG, GIF, baseline JPEG, WAV PCM, MP4, SVG — each
+    with closed-form dimensions and decoded-body length, so ONE oracle
+    can check every parse_header dispatch path at once (q120)."""
+    import pyarrow as pa
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from toyocr_spark.gifcodec import encode_gif
+        from toyocr_spark.jpegcodec import encode_baseline
+        from toyocr_spark.pngcodec import encode_png
+
+        def box(typ: bytes, body: bytes) -> bytes:
+            return struct.pack(">I", len(body) + 8) + typ + body
+
+        for b in it:
+            ids = b.column(0).to_pylist()
+            payloads = []
+            for did in ids:
+                fam = did % 6
+                if fam == 0:  # PNG (body = filtered scanline stream)
+                    w, h = 3 + did % 9, 2 + did % 7
+                    raster = bytes((did + i) % 256 for i in range(w * h))
+                    payloads.append(encode_png(raster, w, h, 1))
+                elif fam == 1:  # GIF (body = decoded index raster)
+                    w, h = 4 + did % 7, 3 + did % 5
+                    idx = bytes((x + y + did) % 4 for y in range(h) for x in range(w))
+                    pal = [((k * 37 + did) % 256,) * 3 for k in range(4)]
+                    payloads.append(encode_gif(idx, w, h, pal))
+                elif fam == 2:  # JPEG (body = decoded gray raster)
+                    w, h = 8 * (1 + did % 2), 8
+                    flat = bytes([20 + did % 200]) * (w * h)
+                    payloads.append(encode_baseline(flat, w, h, 1))
+                elif fam == 3:  # WAV PCM (body = int16 samples)
+                    n = 20 + did % 30
+                    data = b"".join(
+                        struct.pack("<h", ((did * 13 + j * 7) % 200) - 100)
+                        for j in range(n)
+                    )
+                    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+                    chunks = (
+                        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                        + b"data" + struct.pack("<I", len(data)) + data
+                        + (b"\x00" if len(data) & 1 else b"")
+                    )
+                    payloads.append(
+                        b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+                    )
+                elif fam == 4:  # MP4 (body = mdat payload)
+                    w, h = 16 + did % 64, 9 + did % 32
+                    tkhd = (
+                        b"\x00\x00\x00\x07" + b"\x00" * 16 + b"\x00" * 4
+                        + b"\x00" * 8 + b"\x00" * 8
+                        + struct.pack(
+                            ">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+                        )
+                        + struct.pack(">II", w << 16, h << 16)
+                    )
+                    mdat = bytes((did + i) % 256 for i in range(10 + did % 40))
+                    payloads.append(
+                        box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+                        + box(b"moov", box(b"trak", box(b"tkhd", tkhd)))
+                        + box(b"mdat", mdat)
+                    )
+                else:  # SVG (body = visible text nodes)
+                    w, h = 16 + did % 64, 9 + did % 32
+                    payloads.append(
+                        (
+                            f'<svg xmlns="http://www.w3.org/2000/svg" '
+                            f'width="{w}" height="{h}">'
+                            f'<text x="0" y="9">t{did % 5}</text></svg>'
+                        ).encode()
+                    )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), pa.array(payloads, pa.binary())],
+                names=["media_id", "payload"],
+            )
+
+    return (
+        documents.filter(F.col("doc_id") < n_docs)
+        .select("doc_id")
+        .mapInArrow(batches, schema)
+    )

@@ -6109,6 +6109,54 @@ def q119_dhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q120_decode_stats",
+    """
+    SELECT doc_id AS media_id,
+           CASE doc_id % 6 WHEN 3 THEN 'audio' WHEN 4 THEN 'video'
+                ELSE 'image' END AS kind,
+           CAST(CASE doc_id % 6
+                WHEN 0 THEN 3 + doc_id % 9
+                WHEN 1 THEN 4 + doc_id % 7
+                WHEN 2 THEN 8 * (1 + doc_id % 2)
+                WHEN 3 THEN 8000
+                ELSE 16 + doc_id % 64 END AS INTEGER) AS width,
+           CAST(CASE doc_id % 6
+                WHEN 0 THEN 2 + doc_id % 7
+                WHEN 1 THEN 3 + doc_id % 5
+                WHEN 2 THEN 8
+                WHEN 3 THEN 0
+                ELSE 9 + doc_id % 32 END AS INTEGER) AS height,
+           CAST(CASE doc_id % 6
+                WHEN 3 THEN 1 WHEN 4 THEN 3 WHEN 5 THEN 0
+                ELSE 1 END AS INTEGER) AS channels,
+           CAST(CASE doc_id % 6
+                WHEN 0 THEN (2 + doc_id % 7) * (1 + (3 + doc_id % 9))
+                WHEN 1 THEN (4 + doc_id % 7) * (3 + doc_id % 5)
+                WHEN 2 THEN 8 * (1 + doc_id % 2) * 8
+                WHEN 3 THEN 2 * (20 + doc_id % 30)
+                WHEN 4 THEN 10 + doc_id % 40
+                ELSE 2 END AS BIGINT) AS body_len
+    FROM documents WHERE doc_id < 180
+    """,
+    "One oracle over EVERY live container dispatch path: "
+    "synth_mixed_media rotates real PNG / GIF / baseline-JPEG / "
+    "WAV-PCM / MP4 / SVG payloads on doc_id % 6, decode_media runs "
+    "the magic-dispatched parse, and the oracle states each format's "
+    "kind, dimensions, channel count, and decoded-body length in "
+    "closed form (PNG = filtered scanline stream, GIF = LZW-decoded "
+    "index raster, JPEG = Huffman+IDCT gray raster, WAV = int16 PCM "
+    "bytes, MP4 = mdat payload, SVG = visible text nodes). A green "
+    "run certifies all six codec paths in one row-per-file check. "
+    "Map-only mapInArrow, zero shuffle.",
+)
+def q120_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toyocr_spark.multimodal import decode_media, synth_mixed_media
+
+    media = synth_mixed_media(_t(spark, sf_dir, "documents"), n_docs=180)
+    return decode_media(media)
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
