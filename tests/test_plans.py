@@ -206,6 +206,7 @@ def test_relational_queries_have_no_python_nodes(spark, sf_dir):
         "q116_sentence_align",   # Gale-Church DP kernel (mapInArrow, per-pair)
         "q119_dhash_recall",     # dHash kernel feeding the recall sweep
         "q120_decode_stats",     # six-format decode kernel (mapInArrow)
+        "q121_mp4_timing",       # stts/mdhd timing demux kernel (mapInArrow)
     }
     markers = ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas",
                "MapInPandas", "PythonMapInArrow", "MapInArrow")

@@ -810,6 +810,8 @@ def _mux_mp4(
     height: int,
     samples: list[bytes],
     fourcc: bytes = b"rawv",
+    time_delta: int = 1,
+    timescale: int = 0,
 ) -> bytes:
     """Deterministic single-track MP4 with a REAL sample table (ftyp +
     moov[trak[tkhd + mdia[minf[stbl[stsd/stts/stsc/stsz/stco]]]]] +
@@ -841,7 +843,7 @@ def _mux_mp4(
         + struct.pack(">I", 1)
         + box(fourcc, b"\x00" * 8),  # minimal sample entry
     )
-    stts = box(b"stts", b"\x00" * 4 + struct.pack(">III", 1, n, 1))
+    stts = box(b"stts", b"\x00" * 4 + struct.pack(">III", 1, n, time_delta))
     per_chunk = 2
     n_chunks = -(-n // per_chunk) if n else 0
     stsc_entries = [(1, per_chunk, 1)]
@@ -873,7 +875,18 @@ def _mux_mp4(
             + b"".join(struct.pack(">I", o) for o in offsets),
         )
         stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
-        moov = box(b"moov", box(b"trak", box(b"tkhd", tkhd) + box(b"mdia", box(b"minf", stbl))))
+        mdia_body = b""
+        if timescale:
+            # mdhd v0: ctime/mtime, timescale, duration, language pad
+            mdhd = box(
+                b"mdhd",
+                b"\x00" * 4 + b"\x00" * 8
+                + struct.pack(">II", timescale, n * time_delta)
+                + b"\x00" * 4,
+            )
+            mdia_body += mdhd
+        mdia_body += box(b"minf", stbl)
+        moov = box(b"moov", box(b"trak", box(b"tkhd", tkhd) + box(b"mdia", mdia_body)))
         return ftyp + moov
 
     head_len = len(build([0] * n_chunks))
@@ -1958,6 +1971,125 @@ def synth_mixed_media(documents: DataFrame, n_docs: int = 180) -> DataFrame:
                             f'<text x="0" y="9">t{did % 5}</text></svg>'
                         ).encode()
                     )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), pa.array(payloads, pa.binary())],
+                names=["media_id", "payload"],
+            )
+
+    return (
+        documents.filter(F.col("doc_id") < n_docs)
+        .select("doc_id")
+        .mapInArrow(batches, schema)
+    )
+
+
+# ------------------------------------------- MP4 timing (stts + mdhd)
+
+
+def _parse_mp4_timing(payload: bytes) -> tuple[int, list[int]]:
+    """(timescale, per-sample dts list) from the mdhd timescale and the
+    stts time-to-sample run-length table (ISO/IEC 14496-12 §8.6.1.2 /
+    §8.4.2) — the timing half of the demux story: together with the
+    byte ranges from the sample table, every sample is addressable in
+    BOTH dimensions (where in the file, when on the timeline)."""
+    timescale = 0
+    dts: list[int] | None = None
+    for typ, lo, hi in _walk_mp4(payload, 0, len(payload), frozenset({b"mdhd", b"stts"})):
+        if typ == b"mdhd" and not timescale:
+            ver = payload[lo]
+            at = lo + (20 if ver == 1 else 12)
+            if at + 4 <= hi:
+                (timescale,) = struct.unpack(">I", payload[at : at + 4])
+        elif typ == b"stts" and dts is None:
+            (count,) = struct.unpack(">I", payload[lo + 4 : lo + 8])
+            end = lo + 8 + 8 * count
+            if end > hi:
+                raise ValueError("stts table truncated")
+            flat = struct.unpack(f">{2 * count}I", payload[lo + 8 : end])
+            dts = []
+            t = 0
+            for i in range(0, len(flat), 2):
+                n, delta = flat[i], flat[i + 1]
+                for _ in range(n):
+                    dts.append(t)
+                    t += delta
+    if not timescale or dts is None:
+        raise ValueError("MP4 without mdhd timescale or stts table")
+    return timescale, dts
+
+
+TIMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_idx", T.IntegerType(), False),
+        T.StructField("dts", T.LongType(), False),
+        T.StructField("time_ms", T.LongType(), False),
+    ]
+)
+
+
+def mp4_sample_times(media: DataFrame) -> DataFrame:
+    """(media_id, payload) -> one row per sample with its decode
+    timestamp in track ticks (dts) and milliseconds (floor(1000 *
+    dts / timescale)) — what frame-at-time sampling and segment-level
+    seeking consume. Map-only mapInArrow; payloads without a timing
+    table are skipped (same contract as the other media kernels)."""
+    import pyarrow as pa
+
+    def batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in it:
+            rows: list[tuple] = []
+            for mid, p in zip(b.column(0).to_pylist(), b.column(1).to_pylist()):
+                try:
+                    timescale, dts = _parse_mp4_timing(p)
+                except Exception:
+                    continue
+                for j, t in enumerate(dts):
+                    rows.append((mid, j, t, 1000 * t // timescale))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([r[0] for r in rows], pa.int64()),
+                    pa.array([r[1] for r in rows], pa.int32()),
+                    pa.array([r[2] for r in rows], pa.int64()),
+                    pa.array([r[3] for r in rows], pa.int64()),
+                ],
+                names=[f.name for f in TIMES_SCHEMA.fields],
+            )
+
+    return media.select("media_id", "payload").mapInArrow(batches, TIMES_SCHEMA)
+
+
+def synth_timed_mp4(documents: DataFrame, n_docs: int = 150) -> DataFrame:
+    """(media_id, payload): real MP4s whose stts carries a uniform
+    per-doc tick delta (50 + did % 100) at a per-doc mdhd timescale
+    (1000 * (1 + did % 9)) over 2 + did % 5 samples — every timestamp
+    predictable in closed form."""
+    import pyarrow as pa
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in it:
+            ids = b.column(0).to_pylist()
+            payloads = []
+            for did in ids:
+                k = 2 + did % 5
+                samples = [
+                    bytes((did * 7 + j * 11 + i) % 256 for i in range(5 + (did + j) % 9))
+                    for j in range(k)
+                ]
+                payloads.append(
+                    _mux_mp4(
+                        did, 32, 18, samples,
+                        time_delta=50 + did % 100,
+                        timescale=1000 * (1 + did % 9),
+                    )
+                )
             yield pa.RecordBatch.from_arrays(
                 [pa.array(ids, pa.int64()), pa.array(payloads, pa.binary())],
                 names=["media_id", "payload"],

@@ -6157,6 +6157,37 @@ def q120_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(media)
 
 
+@_q(
+    "q121_mp4_timing",
+    """
+    WITH plan AS (
+      SELECT doc_id,
+             50 + doc_id % 100 AS delta,
+             1000 * (1 + doc_id % 9) AS ts
+      FROM documents WHERE doc_id < 150
+    )
+    SELECT doc_id AS media_id,
+           CAST(u.j AS INTEGER) AS sample_idx,
+           CAST(u.j * delta AS BIGINT) AS dts,
+           CAST(1000 * u.j * delta // ts AS BIGINT) AS time_ms
+    FROM plan, unnest(generate_series(0, 1 + doc_id % 5)) AS u(j)
+    """,
+    "MP4 sample TIMING demux (the when-on-the-timeline half of q81's "
+    "where-in-the-file): mdhd timescale + stts run-length "
+    "time-to-sample table resolved to per-sample dts ticks and "
+    "floor-milliseconds — what frame-at-time sampling and segment "
+    "seeking consume. Fixtures carry per-doc tick deltas and "
+    "timescales; the oracle states every timestamp in closed form. "
+    "Map-only mapInArrow, zero shuffle. multimodal.mp4_sample_times / "
+    "_parse_mp4_timing.",
+)
+def q121_mp4_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toyocr_spark.multimodal import mp4_sample_times, synth_timed_mp4
+
+    media = synth_timed_mp4(_t(spark, sf_dir, "documents"), n_docs=150)
+    return mp4_sample_times(media)
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
