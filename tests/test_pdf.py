@@ -483,3 +483,98 @@ def test_pdf_links_extracts_uri_actions():
 
     base = build_pdf_objstm_font([["body text here"]], compress=True)
     assert pdf_links(base) == []  # ObjStm present, no URI members
+
+
+def test_encrypted_pdf_extraction_identity():
+    """Standard-RC4 encrypted fixtures (R2/40, R3/40, R3/128) extract
+    BYTE-IDENTICALLY to their plaintext twins — across the plain
+    fixture class, an embedded-subset-font class (ToUnicode CMap
+    stream must decrypt before it can map), and through the kernel's
+    magic dispatch."""
+    from toyocr_spark.fixtures.genpdf import (
+        build_pdf_subset_font,
+        encrypt_pdf,
+        wrap_words,
+    )
+
+    ops = paragraph_ops(
+        72, 700, 12, 14,
+        wrap_words("the quick brown fox jumps over the lazy dog again", 28),
+    )
+    plain = build_pdf([text_stream([ops])])
+    subset = build_pdf_subset_font(
+        [["encrypted subset font line one", "and line two"]]
+    )
+    for base in (plain, subset):
+        want = [(b.text, b.box) for b in tokenize_pdf(base)]
+        assert want
+        for r, bits in ((2, 40), (3, 40), (3, 128)):
+            enc = encrypt_pdf(base, r=r, length_bits=bits)
+            assert enc != base
+            got = [(b.text, b.box) for b in tokenize_pdf(enc)]
+            assert got == want, (r, bits)
+        # and through the kernel dispatch (extract() takes raw bytes)
+        assert extract(encrypt_pdf(base)).text == extract(base).text
+
+
+def test_unsupported_encryption_is_a_quiet_skip():
+    """AES (V 4) files are out of scope: decrypt_pdf leaves them
+    untouched and extraction yields no text — deterministic, silent,
+    never garbage."""
+    from toyocr_spark.extractor.pdf import decrypt_pdf
+    from toyocr_spark.fixtures.genpdf import encrypt_pdf
+
+    base = build_pdf([text_stream([paragraph_ops(72, 700, 12, 14, ["secret"])])])
+    enc = encrypt_pdf(base, r=3, length_bits=128)
+    aes = enc.replace(b"/V 2 /R 3", b"/V 4 /R 4")
+    assert decrypt_pdf(aes) == aes
+    assert tokenize_pdf(aes) == []
+    assert tokenize_pdf(aes) == tokenize_pdf(aes)
+
+
+def test_encrypted_pdf_fuzz_deterministic():
+    """Bit-flipped encrypted files decode deterministically (possibly
+    to nothing) — the fuzz discipline extended to the decryption
+    pre-pass."""
+    from toyocr_spark.fixtures.genpdf import encrypt_pdf
+
+    base = encrypt_pdf(
+        build_pdf([text_stream([paragraph_ops(72, 700, 12, 14, ["abc def"])])])
+    )
+    rng = random.Random(83)
+    for _ in range(150):
+        blob = bytearray(base)
+        for _ in range(rng.randint(1, 6)):
+            blob[rng.randrange(len(blob))] = rng.randrange(256)
+        payload = bytes(blob)
+        try:
+            first = [(b.text, b.box) for b in tokenize_pdf(payload)]
+        except ValueError:
+            continue
+        assert [(b.text, b.box) for b in tokenize_pdf(payload)] == first
+
+
+def test_pipeline_identity_with_encrypted_pdf_pages(spark, tmp_path):
+    """End-to-end: a corpus whose PDF pages are ~half RC4-encrypted
+    extracts at identity 1.0 through the real Spark pipeline — the
+    decryption pre-pass is transparent to the whole machine."""
+    import os
+
+    from toyocr_spark.fixtures.genpages import write_pages_parquet
+    from toyocr_spark.pipeline import identity_report, run_extraction
+    from toyocr_spark.sources.pages import read_pages
+
+    d = str(tmp_path / "enc_pages")
+    write_pages_parquet(d, n=120, seed=1234, pdf_frac=0.5, encrypt_frac=0.5)
+    # the fixture really does contain encrypted members
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(d, "pages.parquet"), columns=["html"])
+    n_enc = sum(
+        1 for h in tbl.column(0).to_pylist()
+        if h[:5] == b"%PDF-" and b"/Encrypt" in h
+    )
+    assert n_enc >= 10, n_enc
+    pages = read_pages(spark, d)
+    rep = identity_report(run_extraction(pages, num_partitions=4), pages)
+    assert rep.collect()[0]["pass_rate"] == 1.0

@@ -10,6 +10,12 @@ detection/decoding stack once the per-format decode normalizes them
 (/root/reference/data/dataset_mapper.py:140-163).
 
 Scope (documented, deterministic):
+  * standard-security-handler RC4 encryption (V 1/2, R 2/3, the
+    owner-password-only scheme crawl PDFs carry) is decrypted by a
+    byte-preserving pre-pass (streams in place; dict strings are NOT
+    decrypted — the text path reads stream content only); AES and
+    user-password files stay opaque and extract to nothing, a
+    deterministic skip;
   * content streams are located by ``obj .. stream .. endstream``
     scanning with ``/Length`` taken literally when present (indirect
     ``R`` lengths fall back to the endstream scan); ``/FlateDecode``
@@ -28,9 +34,13 @@ Scope (documented, deterministic):
     fonts), else through the font's /Encoding /Differences array
     (glyph names resolved via an Adobe-Glyph-List subset + the
     algorithmic uniXXXX family — the classic pre-Unicode re-encoding
-    shape), else as UTF-16BE when BOM-prefixed, else Latin-1
-    (PDFDocEncoding's printable range); glyph-program (CFF/TrueType
-    cmap table) decoding without either map stays out of scope;
+    shape), else through the embedded font PROGRAM (TrueType
+    FontFile2 cmap+post tables; CFF/Type1C FontFile3
+    Encoding+charset+strings), else as UTF-16BE when BOM-prefixed,
+    else Latin-1 (PDFDocEncoding's printable range); only
+    outline-only fonts carrying no code->text information at all
+    remain out of scope (recovering those is glyph-shape OCR — the
+    model this engine's survey replaces);
   * each content stream is offset to its own vertical band so
     multi-page documents keep page order through the XY-cut (a
     /Contents array splitting ONE page across streams would band
@@ -40,6 +50,7 @@ Scope (documented, deterministic):
 from __future__ import annotations
 
 import re
+import struct
 import zlib
 
 from toyocr_spark.extractor.tokenizer import Block
@@ -75,6 +86,174 @@ _ESCAPES = {
 
 def is_pdf(data: bytes | str | None) -> bool:
     return isinstance(data, (bytes, bytearray)) and data[:5] == PDF_MAGIC
+
+
+# ------------------------------------------- encryption (standard RC4)
+#
+# The standard security handler with RC4 (spec 7.6.3: V 1/2, R 2/3) and
+# the EMPTY user password — how the overwhelming majority of encrypted
+# crawl PDFs are protected (owner-password-only "permissions"
+# encryption). Decryption is a PRE-PASS: RC4 is a stream cipher, so
+# every object's stream decrypts IN PLACE at identical length and the
+# rest of the text machine runs on byte-identical offsets. AES (V >= 4)
+# and user-password-protected files are out of scope: decrypt_pdf
+# leaves them untouched, their streams stay opaque, extraction yields
+# no text — a deterministic skip, never garbage or a crash.
+
+_PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+
+_ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+(\d+)\s+(\d+)\s*R")
+_ID_RE = re.compile(rb"/ID\s*\[\s*(?:<([0-9A-Fa-f]+)>|\(([^)]*)\))")
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    """RC4 (public algorithm; used here to DECRYPT existing archives —
+    a defensive/format-compatibility use, not a recommendation)."""
+    S = list(range(256))
+    j = 0
+    kl = len(key)
+    for i in range(256):
+        j = (j + S[i] + key[i % kl]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for k, b in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out[k] = b ^ S[(S[i] + S[j]) & 0xFF]
+    return bytes(out)
+
+
+def _std_file_key(o: bytes, p: int, id0: bytes, r: int, length_bits: int) -> bytes:
+    """Algorithm 2 (spec 7.6.3.3) with the empty user password."""
+    import hashlib
+
+    n = 5 if r == 2 else max(5, min(16, length_bits // 8))
+    h = hashlib.md5(_PAD + o[:32] + struct.pack("<i", p) + id0).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:n]).digest()
+    return h[:n]
+
+
+def _obj_key(file_key: bytes, num: int, gen: int) -> bytes:
+    """Algorithm 1: the per-object RC4 key."""
+    import hashlib
+
+    h = hashlib.md5(
+        file_key + struct.pack("<i", num)[:3] + struct.pack("<i", gen)[:2]
+    ).digest()
+    return h[: min(len(file_key) + 5, 16)]
+
+
+def _stream_span(obj: bytes) -> tuple[int, int] | None:
+    """(body_start, body_end) of the object's stream, preferring the
+    declared /Length — the one boundary rule shared by the decryptor
+    and the fixture encryptor so they can never disagree."""
+    sk = obj.find(b"stream")
+    if sk == -1:
+        return None
+    body_start = sk + 6
+    if obj[body_start : body_start + 2] == b"\r\n":
+        body_start += 2
+    elif obj[body_start : body_start + 1] == b"\n":
+        body_start += 1
+    m = _LENGTH_RE.search(obj[:sk])
+    if m is not None and body_start + int(m.group(1)) <= len(obj):
+        return body_start, body_start + int(m.group(1))
+    body_end = obj.find(b"endstream", body_start)
+    if body_end == -1:
+        body_end = len(obj)
+    while body_end > body_start and obj[body_end - 1 : body_end] in (b"\n", b"\r"):
+        body_end -= 1
+    return body_start, body_end
+
+
+_FULL_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+
+
+def _encryption_params(data: bytes):
+    """(file_key) when the trailer declares supported standard RC4
+    encryption, else None. Looks at the LAST /Encrypt reference (the
+    live trailer in an incrementally-updated file)."""
+    refs = list(_ENCRYPT_REF_RE.finditer(data))
+    if not refs:
+        return None
+    num, gen = int(refs[-1].group(1)), int(refs[-1].group(2))
+    om = re.search(
+        rb"(?<![0-9])" + str(num).encode() + rb"\s+" + str(gen).encode()
+        + rb"\s+obj\b(.*?)endobj",
+        data,
+        re.DOTALL,
+    )
+    if om is None:
+        return None
+    enc = om.group(1)
+    if b"/Standard" not in enc:
+        return None
+    vm = re.search(rb"/V\s+(\d+)", enc)
+    rm = re.search(rb"/R\s+(\d+)", enc)
+    pm = re.search(rb"/P\s+(-?\d+)", enc)
+    lm = re.search(rb"/Length\s+(\d+)", enc)
+    v = int(vm.group(1)) if vm else 0
+    r = int(rm.group(1)) if rm else 0
+    if v not in (1, 2) or r not in (2, 3) or pm is None:
+        return None  # AES / newer revisions: documented out of scope
+    oim = re.search(rb"/O\s*([(<])", enc)
+    o_val: bytes | None = None
+    if oim is not None:
+        k = oim.start(1)  # both readers take the index OF the opener
+        if enc[k : k + 1] == b"(":
+            o_val, _ = _lit_string(enc, k)
+        else:
+            o_val, _ = _hex_string(enc, k)
+    if o_val is None or len(o_val) < 32:
+        return None
+    ids = list(_ID_RE.finditer(data))
+    if not ids:
+        return None
+    idm = ids[-1]  # the live (last) trailer's ID, same rule as /Encrypt
+    id0 = bytes.fromhex(idm.group(1).decode()) if idm.group(1) else idm.group(2)
+    length_bits = int(lm.group(1)) if lm else 40
+    return _std_file_key(o_val, int(pm.group(1)), id0, r, length_bits), num
+
+
+def decrypt_pdf(data: bytes) -> bytes:
+    """Return the byte-identical-layout plaintext of a standard-RC4
+    encrypted PDF (every object's stream RC4-decrypted in place with
+    its per-object key; the Encrypt dict itself left alone), or the
+    input unchanged when the file is not encrypted or uses an
+    unsupported scheme."""
+    try:
+        params = _encryption_params(data)
+    except Exception:
+        return data
+    if params is None:
+        return data
+    file_key, enc_num = params
+    out = bytearray(data)
+    for m in _FULL_OBJ_RE.finditer(data):
+        num, gen = int(m.group(1)), int(m.group(2))
+        if num == enc_num:
+            continue
+        end = data.find(b"endobj", m.end())
+        if end == -1:
+            end = len(data)
+        obj = data[m.end() : end]
+        span = _stream_span(obj)
+        if span is None:
+            continue
+        lo, hi = m.end() + span[0], m.end() + span[1]
+        out[lo:hi] = _rc4(_obj_key(file_key, num, gen), data[lo:hi])
+    return bytes(out)
 
 
 # ------------------------------------------------------- stream location
@@ -1066,6 +1245,7 @@ def tokenize_pdf(data: bytes) -> list[Block]:
     """Parse a PDF into Blocks in content order; reading_order()'s
     XY-cut then restores layout order exactly as it does for
     absolutely-positioned HTML (the shared layout pass)."""
+    data = decrypt_pdf(data)
     m = _MEDIABOX_RE.search(data)
     page_h = float(m.group(4)) - float(m.group(2)) if m else _DEFAULT_PAGE_H
     if page_h <= 0:
@@ -1119,6 +1299,7 @@ def pdf_links(data: bytes) -> list[str]:
     compressed object streams are included (a modern writer puts
     annotation dicts there). Strings are unescaped through the same
     literal-string reader the text machine uses."""
+    data = decrypt_pdf(data)
     # ObjStm member bytes exist only inflated, so scanning the raw file
     # plus the inflated members double-counts nothing; identical URIs
     # may legitimately repeat (two links to the same target)

@@ -577,3 +577,57 @@ def build_pdf_objstm_font(paragraphs: list[list[str]], compress: bool = True) ->
         xref_pos,
     )
     return bytes(out)
+
+
+def encrypt_pdf(data: bytes, r: int = 3, length_bits: int = 128, p: int = -44) -> bytes:
+    """Encrypt a generated fixture PDF with the standard security
+    handler (RC4, V=1/2, R=2/3) and an EMPTY user password — the
+    owner-password-only "permissions" scheme real crawl PDFs carry.
+    Every object's stream is RC4'd in place with its per-object key
+    (offsets unchanged: stream cipher), then the Encrypt dict, /ID,
+    and a trailing trailer are appended. Uses the extractor's own key
+    derivation and stream-boundary rule so encryptor and decryptor can
+    never disagree about WHERE a stream is — only the spec decides
+    whether the bytes come back identical."""
+    import hashlib
+
+    from toyocr_spark.extractor.pdf import (
+        _FULL_OBJ_RE,
+        _obj_key,
+        _rc4,
+        _std_file_key,
+        _stream_span,
+    )
+
+    assert r in (2, 3)
+    v = 1 if r == 2 else 2
+    if r == 2:
+        length_bits = 40
+    o_entry = bytes(range(32))  # arbitrary: we never validate /O
+    id0 = hashlib.md5(data).digest()
+    file_key = _std_file_key(o_entry, p, id0, r, length_bits)
+
+    out = bytearray(data)
+    max_num = 0
+    for m in _FULL_OBJ_RE.finditer(data):
+        num, gen = int(m.group(1)), int(m.group(2))
+        max_num = max(max_num, num)
+        end = data.find(b"endobj", m.end())
+        if end == -1:
+            end = len(data)
+        span = _stream_span(data[m.end() : end])
+        if span is None:
+            continue
+        lo, hi = m.end() + span[0], m.end() + span[1]
+        out[lo:hi] = _rc4(_obj_key(file_key, num, gen), data[lo:hi])
+
+    enc_num = max_num + 1
+    enc_obj = (
+        f"\n{enc_num} 0 obj\n<< /Filter /Standard /V {v} /R {r} "
+        f"/Length {length_bits} /O <{o_entry.hex()}> /U <{bytes(32).hex()}> "
+        f"/P {p} >>\nendobj\n"
+    ).encode()
+    trailer = (
+        f"trailer\n<< /Encrypt {enc_num} 0 R /ID [<{id0.hex()}> <{id0.hex()}>] >>\n"
+    ).encode()
+    return bytes(out) + enc_obj + trailer
