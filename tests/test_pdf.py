@@ -578,3 +578,18 @@ def test_pipeline_identity_with_encrypted_pdf_pages(spark, tmp_path):
     pages = read_pages(spark, d)
     rep = identity_report(run_extraction(pages, num_partitions=4), pages)
     assert rep.collect()[0]["pass_rate"] == 1.0
+
+
+def test_encrypted_objstm_font_identity():
+    """Encryption x ObjStm interplay: the ObjStm stream decrypts as a
+    whole and its member font dict then reads plaintext (spec: ObjStm
+    members are never separately encrypted) — the ToUnicode chain
+    works end-to-end on an encrypted PDF 1.5-style file."""
+    from toyocr_spark.fixtures.genpdf import build_pdf_objstm_font, encrypt_pdf
+
+    base = build_pdf_objstm_font([["objstm member font line", "second line here"]])
+    want = [(b.text, b.box) for b in tokenize_pdf(base)]
+    assert want and any("objstm member font line" in t for t, _ in want)
+    for r in (2, 3):
+        got = [(b.text, b.box) for b in tokenize_pdf(encrypt_pdf(base, r=r))]
+        assert got == want, r
