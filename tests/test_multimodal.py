@@ -1052,3 +1052,51 @@ def test_id3_harvest_in_media_metadata(spark):
         except ValueError:
             continue
         assert id3_frames(payload) == first
+
+
+def test_review_fix_regressions():
+    """Pinned regressions from the round-3 self-review: SVG attribute
+    boundaries and viewBox dialects, stts run-length amplification
+    guard, ID3 unsynchronisation + extended headers."""
+    import struct as _s
+
+    import pytest as _pytest
+
+    from toyocr_spark.multimodal import (
+        _parse_mp4_timing,
+        build_id3,
+        id3_frames,
+        parse_header,
+    )
+
+    # stroke-width must not parse as width; viewBox fills only missing
+    assert parse_header(
+        b'<svg stroke-width="2" height="100" viewBox="0 0 640 480"><text>a</text></svg>'
+    )[:4] == ("image", 640, 100, 0)
+    assert parse_header(b'<svg viewBox="0,0,640.5,480"><text>a</text></svg>')[:4] == (
+        "image", 640, 480, 0,
+    )
+
+    # hostile stts: one entry claiming 2^32 samples must reject fast
+    def box(t, d):
+        return _s.pack(">I", len(d) + 8) + t + d
+
+    stts = box(b"stts", b"\x00" * 4 + _s.pack(">III", 1, 0xFFFFFFFF, 1))
+    mdhd = box(b"mdhd", b"\x00" * 12 + _s.pack(">II", 1000, 0) + b"\x00" * 4)
+    mp4 = box(b"ftyp", b"isom\x00\x00\x02\x00iso2") + box(
+        b"moov", box(b"trak", box(b"mdia", mdhd + box(b"minf", box(b"stbl", stts))))
+    )
+    with _pytest.raises(ValueError, match="implausibly"):
+        _parse_mp4_timing(mp4)
+
+    # unsynchronised v2.3 tag: FF 00 escapes removed before the walk
+    plain = build_id3([("title", "Song\xff A")], major=3)
+    hdr, body = plain[:10], plain[10:]
+    tag_len = _syncsafe_len = (hdr[6] << 21) | (hdr[7] << 14) | (hdr[8] << 7) | hdr[9]
+    tag, rest = body[:tag_len], body[tag_len:]
+    unsynced = tag.replace(b"\xff", b"\xff\x00")
+    new_len = len(unsynced)
+    new_hdr = hdr[:5] + bytes([hdr[5] | 0x80]) + bytes(
+        [(new_len >> s) & 0x7F for s in (21, 14, 7, 0)]
+    )
+    assert id3_frames(new_hdr + unsynced + rest) == [("title", "Song\xff A")]

@@ -593,3 +593,44 @@ def test_encrypted_objstm_font_identity():
     for r in (2, 3):
         got = [(b.text, b.box) for b in tokenize_pdf(encrypt_pdf(base, r=r))]
         assert got == want, r
+
+
+def test_encrypted_pdf_links_round_trip():
+    """Real encrypted PDFs RC4 their dict strings too: the fixture
+    encryptor now ciphers /URI strings with their object's key (and
+    re-escapes the ciphertext), and pdf_links decrypts them on demand
+    — links from an encrypted file equal the plaintext file's,
+    including an ObjStm-member URI (plaintext inside the decrypted
+    stream, per spec) and an escaped-paren URI."""
+    import zlib as _zlib
+
+    from toyocr_spark.extractor.pdf import pdf_links
+    from toyocr_spark.fixtures.genpdf import encrypt_pdf
+
+    pdf = build_pdf(
+        [text_stream([paragraph_ops(72, 740, 11, 13, ["hello world"])])],
+        compress=False,
+    )
+    ann = (
+        b"9 0 obj\n<< /Type /Annot /Subtype /Link /A << /S /URI "
+        b"/URI (https://ex.example/a\\(1\\)) >> >>\nendobj\n"
+    )
+    member = b"<< /Type /Annot /A << /S /URI /URI (https://objstm.example/z) >> >>"
+    header = b"11 0 "
+    stm = _zlib.compress(header + member)
+    objstm = (
+        b"10 0 obj\n<< /Type /ObjStm /N 1 /First %d /Length %d /Filter /FlateDecode >>\n"
+        b"stream\n%s\nendstream\nendobj\n" % (len(header), len(stm), stm)
+    )
+    idx = pdf.find(b"xref")
+    base = pdf[:idx] + ann + objstm + pdf[idx:]
+    want = pdf_links(base)
+    assert want == ["https://ex.example/a(1)", "https://objstm.example/z"]
+    for r in (2, 3):
+        enc = encrypt_pdf(base, r=r)
+        assert b"https://ex.example" not in enc  # string really ciphered
+        assert pdf_links(enc) == want, r
+        # and text extraction still matches
+        assert [b.text for b in tokenize_pdf(enc)] == [
+            b.text for b in tokenize_pdf(base)
+        ]

@@ -110,7 +110,7 @@ _PAD = bytes(
 )
 
 _ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+(\d+)\s+(\d+)\s*R")
-_ID_RE = re.compile(rb"/ID\s*\[\s*(?:<([0-9A-Fa-f]+)>|\(([^)]*)\))")
+_ID_OPEN_RE = re.compile(rb"/ID\s*\[\s*([<(])")
 
 
 def _rc4(key: bytes, data: bytes) -> bytes:
@@ -145,11 +145,15 @@ def _std_file_key(o: bytes, p: int, id0: bytes, r: int, length_bits: int) -> byt
 
 
 def _obj_key(file_key: bytes, num: int, gen: int) -> bytes:
-    """Algorithm 1: the per-object RC4 key."""
+    """Algorithm 1: the per-object RC4 key (low 3 bytes of the object
+    number, low 2 of the generation — masked, so a hostile digit run
+    parsed as a huge 'object number' can never raise)."""
     import hashlib
 
     h = hashlib.md5(
-        file_key + struct.pack("<i", num)[:3] + struct.pack("<i", gen)[:2]
+        file_key
+        + struct.pack("<I", num & 0xFFFFFFFF)[:3]
+        + struct.pack("<I", gen & 0xFFFFFFFF)[:2]
     ).digest()
     return h[: min(len(file_key) + 5, 16)]
 
@@ -172,7 +176,13 @@ def _stream_span(obj: bytes) -> tuple[int, int] | None:
     body_end = obj.find(b"endstream", body_start)
     if body_end == -1:
         body_end = len(obj)
-    while body_end > body_start and obj[body_end - 1 : body_end] in (b"\n", b"\r"):
+    # spec: ONE EOL precedes endstream — strip exactly one sequence,
+    # never a loop (on the decrypt side extra trailing bytes are
+    # ciphertext that merely HAPPENS to look like \n; a greedy strip
+    # would truncate the span)
+    if obj[body_end - 2 : body_end] == b"\r\n":
+        body_end -= 2
+    elif obj[body_end - 1 : body_end] in (b"\n", b"\r"):
         body_end -= 1
     return body_start, body_end
 
@@ -217,13 +227,23 @@ def _encryption_params(data: bytes):
             o_val, _ = _hex_string(enc, k)
     if o_val is None or len(o_val) < 32:
         return None
-    ids = list(_ID_RE.finditer(data))
+    ids = list(_ID_OPEN_RE.finditer(data))
     if not ids:
         return None
     idm = ids[-1]  # the live (last) trailer's ID, same rule as /Encrypt
-    id0 = bytes.fromhex(idm.group(1).decode()) if idm.group(1) else idm.group(2)
+    at = idm.start(1)
+    if data[at : at + 1] == b"<":
+        id0, _ = _hex_string(data, at)
+    else:  # literal string: full escape handling, embedded ')' included
+        id0, _ = _lit_string(data, at)
     length_bits = int(lm.group(1)) if lm else 40
-    return _std_file_key(o_val, int(pm.group(1)), id0, r, length_bits), num
+    p_val = int(pm.group(1))
+    if p_val > 0x7FFFFFFF:  # writers that store P unsigned
+        p_val -= 1 << 32
+    return _std_file_key(o_val, p_val, id0, r, length_bits), num
+
+
+_DECRYPT_CACHE: dict[int, tuple[bytes, bytes]] = {}
 
 
 def decrypt_pdf(data: bytes) -> bytes:
@@ -231,7 +251,15 @@ def decrypt_pdf(data: bytes) -> bytes:
     encrypted PDF (every object's stream RC4-decrypted in place with
     its per-object key; the Encrypt dict itself left alone), or the
     input unchanged when the file is not encrypted or uses an
-    unsupported scheme."""
+    unsupported scheme. Unencrypted files short-circuit on a substring
+    check; a tiny keyed cache lets text and link extraction over the
+    same encrypted document pay the RC4 pass once."""
+    if b"/Encrypt" not in data:  # the fast path for the whole crawl
+        return data
+    ck = hash(data)
+    hit = _DECRYPT_CACHE.get(ck)
+    if hit is not None and hit[0] == data:
+        return hit[1]
     try:
         params = _encryption_params(data)
     except Exception:
@@ -253,7 +281,35 @@ def decrypt_pdf(data: bytes) -> bytes:
             continue
         lo, hi = m.end() + span[0], m.end() + span[1]
         out[lo:hi] = _rc4(_obj_key(file_key, num, gen), data[lo:hi])
-    return bytes(out)
+    result = bytes(out)
+    if len(_DECRYPT_CACHE) >= 4:  # bounded: a few docs in flight at most
+        _DECRYPT_CACHE.clear()
+    _DECRYPT_CACHE[ck] = (data, result)
+    return result
+
+
+def _decrypt_string_at(data: bytes, pos: int) -> bytes | None:
+    """Decrypt the literal string opening at ``pos`` in the ORIGINAL
+    (encrypted) file using its enclosing object's key — the string
+    half of decryption, applied on demand (the text path never needs
+    it; /URI link harvesting does). None when the file is not
+    encrypted with a supported scheme or no enclosing object exists."""
+    try:
+        params = _encryption_params(data)
+    except Exception:
+        return None
+    if params is None:
+        return None
+    file_key, _ = params
+    enclosing = None
+    for m in _FULL_OBJ_RE.finditer(data, 0, pos):
+        enclosing = m
+    if enclosing is None:
+        return None
+    raw, _ = _lit_string(data, pos)
+    return _rc4(
+        _obj_key(file_key, int(enclosing.group(1)), int(enclosing.group(2))), raw
+    )
 
 
 # ------------------------------------------------------- stream location
@@ -1298,20 +1354,37 @@ def pdf_links(data: bytes) -> list[str]:
     outlink extraction (q42's html href pass is the twin). Members of
     compressed object streams are included (a modern writer puts
     annotation dicts there). Strings are unescaped through the same
-    literal-string reader the text machine uses."""
+    literal-string reader the text machine uses. Encrypted files:
+    ObjStm members arrive plaintext via the stream pre-pass (spec —
+    members are never separately encrypted); TOP-LEVEL /URI strings
+    are RC4'd individually, so they decrypt on demand with their
+    enclosing object's key."""
+    original = data
     data = decrypt_pdf(data)
+    encrypted = data is not original and original is not None
     # ObjStm member bytes exist only inflated, so scanning the raw file
     # plus the inflated members double-counts nothing; identical URIs
     # may legitimately repeat (two links to the same target)
-    sources = [data]
+    sources = [(data, True)]
     if b"/ObjStm" in data:
+        # only TRUE ObjStm members: top-level objects are already
+        # covered by the raw scan (re-adding them double-counted a
+        # top-level URI whenever any ObjStm was present)
+        top_nums = {int(m.group(1)) for m in _OBJ_RE.finditer(data)}
         sources += [
-            body for body in _object_bodies(data).values() if b"stream" not in body
+            (body, False)
+            for num, body in _object_bodies(data).items()
+            if num not in top_nums and b"stream" not in body
         ]
     out: list[str] = []
-    for src in sources:
+    for src, top_level in sources:
         for m in _URI_RE.finditer(src):
             raw, _end = _lit_string(src, m.end() - 1)
+            if encrypted and top_level:
+                dec = _decrypt_string_at(original, m.end() - 1)
+                if dec is None:
+                    continue  # unsupported scheme: skip, never garbage
+                raw = dec
             try:
                 out.append(raw.decode("utf-8"))
             except UnicodeDecodeError:

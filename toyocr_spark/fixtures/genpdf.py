@@ -607,6 +607,9 @@ def encrypt_pdf(data: bytes, r: int = 3, length_bits: int = 128, p: int = -44) -
     id0 = hashlib.md5(data).digest()
     file_key = _std_file_key(o_entry, p, id0, r, length_bits)
 
+    import re as _re2
+    import zlib as _zlib2
+
     out = bytearray(data)
     max_num = 0
     for m in _FULL_OBJ_RE.finditer(data):
@@ -615,11 +618,54 @@ def encrypt_pdf(data: bytes, r: int = 3, length_bits: int = 128, p: int = -44) -
         end = data.find(b"endobj", m.end())
         if end == -1:
             end = len(data)
-        span = _stream_span(data[m.end() : end])
+        obj = data[m.end() : end]
+        span = _stream_span(obj)
         if span is None:
             continue
+        # ObjStm MEMBER numbers must not collide with the Encrypt
+        # object's number either — read them from the plaintext
+        # stream before it gets ciphered
+        if b"/ObjStm" in obj[: span[0]]:
+            body = obj[span[0] : span[1]]
+            if b"/FlateDecode" in obj[: span[0]]:
+                try:
+                    body = _zlib2.decompress(body)
+                except _zlib2.error:
+                    body = b""
+            for pm in _re2.finditer(rb"(\d+)\s+\d+", body[:256]):
+                max_num = max(max_num, int(pm.group(1)))
         lo, hi = m.end() + span[0], m.end() + span[1]
         out[lo:hi] = _rc4(_obj_key(file_key, num, gen), data[lo:hi])
+
+    # strings: real writers RC4 every literal string with its object's
+    # key and re-escape the ciphertext (the text path never reads dict
+    # strings, but /URI link harvesting decrypts them on demand).
+    # Splice in REVERSE so earlier offsets stay valid; only /URI
+    # strings carry link payloads in these fixtures.
+    import re as _re
+
+    uri_hits = []
+    for om in _FULL_OBJ_RE.finditer(data):
+        oend = data.find(b"endobj", om.end())
+        if oend == -1:
+            oend = len(data)
+        span = _stream_span(data[om.end() : oend])
+        dict_end = om.end() + (span[0] if span else (oend - om.end()))
+        for um in _re.finditer(rb"/URI\s*\(", data[om.end() : dict_end]):
+            uri_hits.append(
+                (om.end() + um.end() - 1, int(om.group(1)), int(om.group(2)))
+            )
+    from toyocr_spark.extractor.pdf import _lit_string, _obj_key as _ok
+
+    for pos, onum, ogen in sorted(uri_hits, reverse=True):
+        raw, end = _lit_string(data, pos)
+        cipher = _rc4(_ok(file_key, onum, ogen), raw)
+        esc = (
+            cipher.replace(b"\\", b"\\\\")
+            .replace(b"(", b"\\(")
+            .replace(b")", b"\\)")
+        )
+        out[pos : end] = b"(" + esc + b")"
 
     enc_num = max_num + 1
     enc_obj = (

@@ -423,8 +423,10 @@ def _parse_mp4(payload: bytes) -> tuple[str, int, int, int, bytes]:
     return "video", width, height, 3, body
 
 
-_SVG_DIM = re.compile(rb'\b(width|height)="(\d+)(?:px)?"')
-_SVG_VIEWBOX = re.compile(rb'viewBox="[\d.\s-]*?(\d+)\s+(\d+)"\s*')
+#: attribute must START at a non-name boundary: stroke-width must not
+#: match as width (the '-' would otherwise satisfy \b)
+_SVG_DIM = re.compile(rb'(?<![-\w])(width|height)="(\d+(?:\.\d+)?)(?:px)?"')
+_SVG_VIEWBOX = re.compile(rb'viewBox="([^"]*)"')
 _SVG_TEXT = re.compile(rb"<(?:text|tspan)[^>]*>([^<]*)")
 
 
@@ -442,12 +444,20 @@ def _parse_svg(payload: bytes) -> tuple[str, int, int, int, bytes]:
         raise ValueError("not an SVG")
     tag_end = head.find(b">", tag_at)
     tag = head[tag_at : tag_end if tag_end > 0 else len(head)]
-    dims = {m.group(1): int(m.group(2)) for m in _SVG_DIM.finditer(tag)}
+    dims = {m.group(1): int(float(m.group(2))) for m in _SVG_DIM.finditer(tag)}
     w, h = dims.get(b"width", 0), dims.get(b"height", 0)
     if not (w and h):
         vb = _SVG_VIEWBOX.search(tag)
         if vb:
-            w, h = int(vb.group(1)), int(vb.group(2))
+            # spec: numbers separated by whitespace AND/OR commas,
+            # fractional allowed — take the 3rd/4th as dimensions
+            parts = [p for p in re.split(rb"[\s,]+", vb.group(1).strip()) if p]
+            if len(parts) == 4:
+                try:
+                    w = w or int(float(parts[2]))
+                    h = h or int(float(parts[3]))
+                except ValueError:
+                    pass
     if not (w and h):
         raise ValueError("SVG without parseable dimensions")
     text = b" ".join(m.group(1).strip() for m in _SVG_TEXT.finditer(payload))
@@ -1836,15 +1846,25 @@ def id3_frames(payload: bytes) -> list[tuple[str, str]]:
     frames after the tag are never touched (MP3 decode itself is the
     documented library-bound seam; cataloging must not wait for it).
     Encodings 0 (latin-1) and 3 (utf-8) are decoded; v2.4 syncsafe
-    frame sizes handled. Malformed structures end the walk, never
-    raise past the magic check."""
+    frame sizes, tag-level unsynchronisation (flag 0x80: FF 00 -> FF),
+    and extended headers (flag 0x40, both size conventions) handled.
+    Malformed structures end the walk, never raise past the magic
+    check."""
     if payload[:3] != b"ID3" or len(payload) < 10:
         raise ValueError("not an ID3v2 tag")
     major = payload[3]
+    flags = payload[5]
     tag_end = 10 + _syncsafe(payload[6:10])
-    pos = 10
+    body = payload[10 : min(tag_end, len(payload))]
+    if flags & 0x80:  # tag-level unsynchronisation: 0xFF 00 -> 0xFF
+        body = body.replace(b"\xff\x00", b"\xff")
+    if flags & 0x40 and len(body) >= 4:  # skip the extended header
+        ext = _syncsafe(body[:4]) if major >= 4 else int.from_bytes(body[:4], "big") + 4
+        body = body[ext:] if 0 < ext <= len(body) else body
+    pos = 0
     out: list[tuple[str, str]] = []
-    n = min(tag_end, len(payload))
+    n = len(body)
+    payload = body  # the frame walk below reads the prepared body
     while pos + 10 <= n:
         fid = payload[pos : pos + 4]
         if fid == b"\x00\x00\x00\x00":
@@ -1857,11 +1877,11 @@ def id3_frames(payload: bytes) -> list[tuple[str, str]]:
         name = _ID3_TEXT_FRAMES.get(fid)
         if name and len(data) >= 1:
             enc = data[0]
-            body = data[1:].split(b"\x00")[0]
+            val = data[1:].split(b"\x00")[0]
             if enc == 0:
-                out.append((name, body.decode("latin-1")))
+                out.append((name, val.decode("latin-1")))
             elif enc == 3:
-                out.append((name, body.decode("utf-8", "replace")))
+                out.append((name, val.decode("utf-8", "replace")))
         pos += 10 + size
     return out
 
@@ -2010,6 +2030,12 @@ def _parse_mp4_timing(payload: bytes) -> tuple[int, list[int]]:
             t = 0
             for i in range(0, len(flat), 2):
                 n, delta = flat[i], flat[i + 1]
+                # run-length amplification guard: one 8-byte entry may
+                # claim 2^32 samples — a hostile file must reject, not
+                # OOM the worker (the byte-bounded stsz path has no
+                # such lever)
+                if len(dts) + n > 1 << 21:
+                    raise ValueError("stts declares implausibly many samples")
                 for _ in range(n):
                     dts.append(t)
                     t += delta
