@@ -207,6 +207,7 @@ def test_relational_queries_have_no_python_nodes(spark, sf_dir):
         "q119_dhash_recall",     # dHash kernel feeding the recall sweep
         "q120_decode_stats",     # six-format decode kernel (mapInArrow)
         "q121_mp4_timing",       # stts/mdhd timing demux kernel (mapInArrow)
+        "q122_pdf_encrypted_extract",  # encrypt-synth + extraction kernel
     }
     markers = ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas",
                "MapInPandas", "PythonMapInArrow", "MapInArrow")

@@ -6188,6 +6188,70 @@ def q121_mp4_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mp4_sample_times(media)
 
 
+@_q(
+    "q122_pdf_encrypted_extract",
+    """
+    SELECT 'https://encpdf-' || CAST(doc_id AS VARCHAR) || '.example/doc.pdf' AS url,
+           text AS extracted_text,
+           1 AS n_kept
+    FROM documents
+    """,
+    "DRIVER-CHECKABLE encrypted-PDF extraction: q40's exact one-stream "
+    "document template, standard-RC4 encrypted per row (alternating "
+    "R2/40-bit and R3/128-bit by doc parity) in the synth kernel, then "
+    "run through the ordinary extraction pipeline — the decryption "
+    "pre-pass must recover the text EXACTLY for the oracle identity "
+    "to hold on every row. The real-crawl shape: owner-password-only "
+    "permissions encryption with an empty user password. "
+    "extractor/pdf.py decrypt_pdf; fixtures/genpdf.py encrypt_pdf.",
+)
+def q122_pdf_encrypted_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    from toyocr_spark.pipeline import extract_pages
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("html", T.BinaryType(), False),
+        ]
+    )
+
+    def batches(it):
+        from toyocr_spark.fixtures.genpdf import encrypt_pdf
+
+        for b in it:
+            urls, blobs = [], []
+            for did, text in zip(b.column(0).to_pylist(), b.column(1).to_pylist()):
+                content = f"BT /F1 12 Tf 50 700 Td ({text}) Tj ET"
+                pdf = (
+                    "%PDF-1.4\n"
+                    "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+                    "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+                    "3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                    "/Contents 4 0 R >>\nendobj\n"
+                    f"4 0 obj\n<< /Length {len(content)} >>\nstream\n"
+                    f"{content}\nendstream\nendobj\n"
+                    "trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+                ).encode()
+                r = 2 if did % 2 == 0 else 3
+                blobs.append(encrypt_pdf(pdf, r=r, length_bits=40 if r == 2 else 128))
+                urls.append(f"https://encpdf-{did}.example/doc.pdf")
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()), pa.array(blobs, pa.binary())],
+                names=["url", "html"],
+            )
+
+    pages = d.mapInArrow(batches, schema)
+    out = extract_pages(pages)
+    return out.select(
+        "url", "extracted_text", F.col("n_kept").cast("int").alias("n_kept")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
