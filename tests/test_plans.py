@@ -398,3 +398,22 @@ def test_webtext_parse_queries_plan_shapes(spark, sf_dir):
 
     p97 = _plan(fns["q97_bpe_pairs"](spark, sf_dir))
     assert "TakeOrderedAndProject" in p97, p97[:1500]
+
+
+def test_host_keyed_joins_have_no_broadcast_hint(spark, sf_dir):
+    """Template-strip / host-boilerplate join tables whose row count
+    scales with HOST CARDINALITY (~1e8 hosts in a real crawl; tpl is
+    hosts x furniture digests) — a forced F.broadcast() of either OOMs
+    every executor at 100x. The logical plan must carry no broadcast
+    strategy hint on those joins; AQE may still choose broadcast at
+    runtime when the side is genuinely small (that's fine — it's
+    size-gated, not forced)."""
+    fns = q.queries()
+    for name in ("q85_template_strip", "q79_host_boilerplate"):
+        logical = (
+            fns[name](spark, sf_dir)._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert "strategy=broadcast" not in logical, (
+            f"{name} forces a broadcast of a host-cardinality table:\n"
+            + logical[:1500]
+        )

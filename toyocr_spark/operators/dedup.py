@@ -129,7 +129,11 @@ def jaccard_for_pairs(
     candidate list. At corpus scale this is the whole point of LSH —
     the bucket join proposes, and only proposals pay for verification."""
     ids = pairs.selectExpr("id_a AS id").union(pairs.selectExpr("id_b AS id")).distinct()
-    sh = shingles.join(ids, "id", "left_semi")
+    # the semi-joined shingle set feeds three consumers (sizes + both
+    # sides of the intersection join); checkpointing it collapses the
+    # repeated upstream shingle/semi-join exchanges (~70 -> ~40 stages
+    # for the q15 plan) while keeping results bit-identical
+    sh = shingles.join(ids, "id", "left_semi").localCheckpoint()
     sizes = sh.groupBy("id").agg(F.count("*").alias("size"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
@@ -696,19 +700,30 @@ def template_strip(
     )
     paras = paragraph_chunks(base, "id", "_t", words_per_para)
     hosts = base.select("id", "host")
-    keyed = paras.join(hosts, "id").withColumn("digest", F.md5("para"))
+    # keyed feeds THREE consumers with different grouping keys (tpl,
+    # kept, totals) — exchange reuse can't help, so without this the
+    # word-window explode recomputes ~3x (measured 27.9s -> <8s at
+    # sf0.1). Checkpoint once, the same discipline as semantic_dedup.
+    keyed = (
+        paras.join(hosts, "id").withColumn("digest", F.md5("para")).localCheckpoint()
+    )
     host_docs = base.groupBy("host").agg(F.count("*").alias("host_docs"))
+    # NO broadcast hints here: host_docs scales with host cardinality
+    # (~1e8 hosts in a real crawl) and tpl with hosts x furniture
+    # digests — forcing them executor-resident OOMs at 100x. A shuffle
+    # join on host / (host, digest) is one partial-agg-sized exchange;
+    # AQE still picks broadcast when the side is genuinely small.
     tpl = (
         keyed.groupBy("host", "digest")
         .agg(F.countDistinct("id").alias("n_docs"))
-        .join(F.broadcast(host_docs), "host")
+        .join(host_docs, "host")
         .filter(
             (F.col("host_docs") >= min_host_docs)
             & (F.col("n_docs") * 2 >= F.col("host_docs"))
         )
         .select("host", "digest")
     )
-    kept = keyed.join(F.broadcast(tpl), ["host", "digest"], "left_anti")
+    kept = keyed.join(tpl, ["host", "digest"], "left_anti")
     totals = keyed.groupBy("id", "host").agg(F.count("*").alias("n_paras"))
     kept_agg = kept.groupBy("id").agg(
         F.count("*").alias("n_kept"),

@@ -3507,7 +3507,9 @@ def q79_host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     hd = hosts.groupBy("host").agg(F.countDistinct("doc_id").alias("host_docs"))
     df_ = wins.groupBy("host", "digest").agg(F.count("*").alias("n_docs"))
     return (
-        df_.join(F.broadcast(hd), "host")
+        # no broadcast hint: hd scales with host cardinality (AQE
+        # still broadcasts it when the crawl's host table is small)
+        df_.join(hd, "host")
         .filter((F.col("host_docs") >= 5) & (F.col("n_docs") * 2 >= F.col("host_docs")))
         .select(
             "host",
@@ -5031,11 +5033,18 @@ def q103_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "three counts reduce to one row",
 )
 def q104_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = char_shingles(_de_docs(spark, sf_dir), "doc_id", "t", 8)
-    exact = jaccard_pairs(
-        sh, min_jaccard=0.1, max_doc_freq=HOT_SHINGLE_DF_CAP
-    ).select("id_a", "id_b")
-    cand = minhash_lsh_candidates(minhash_band_signatures(sh, 8))
+    # sh feeds BOTH the exact-Jaccard path and the minhash signature
+    # path, and exact/cand each feed two consumers (their count agg +
+    # the semi-join) — checkpoint each once so the shingle explode and
+    # the pair joins aren't recomputed per consumer (q15's discipline;
+    # collapses the plan from ~61 Exchanges to a handful)
+    sh = char_shingles(_de_docs(spark, sf_dir), "doc_id", "t", 8).localCheckpoint()
+    exact = (
+        jaccard_pairs(sh, min_jaccard=0.1, max_doc_freq=HOT_SHINGLE_DF_CAP)
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    cand = minhash_lsh_candidates(minhash_band_signatures(sh, 8)).localCheckpoint()
     matched = exact.join(cand, ["id_a", "id_b"], "left_semi")
     return (
         exact.agg(F.count("*").alias("n_exact"))
