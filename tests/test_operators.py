@@ -206,20 +206,22 @@ def test_skew_safe_topk_matches_naive(spark):
 
 
 def test_approx_sketches_tolerance(spark, sf_dir):
-    """q35 has no SQL oracle (sketch algorithms are engine-specific);
-    assert accuracy against exact values instead: HLL within its rsd
-    envelope, quantiles within rank tolerance."""
+    """q35's driver check IS the tolerance test (sketch_ok must be
+    true everywhere for the oracle hash to match); independently
+    re-verify here that the exact columns it certifies against are
+    right: exact_orders == countDistinct and the rank-selected
+    exact_q sits within one interpolation step of Spark's exact
+    percentile()."""
     from pyspark.sql import functions as F
 
     from toyocr_spark.queries import QUERIES
 
-    # q35 emits one (flag, p, quantile_value) row per quantile (the
-    # driver canonicalizer cannot sort array columns)
     rows = QUERIES["q35_approx_sketches"].spark(spark, sf_dir).collect()
-    approx_orders = {r["l_returnflag"]: r["approx_orders"] for r in rows}
-    approx_q = {(r["l_returnflag"], r["p"]): r["quantile_value"] for r in rows}
+    assert rows and all(r["sketch_ok"] for r in rows), rows
+    exact_orders = {r["l_returnflag"]: r["exact_orders"] for r in rows}
+    exact_q = {(r["l_returnflag"], r["p"]): r["exact_q"] for r in rows}
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    exact = {
+    ref = {
         r["l_returnflag"]: r
         for r in li.groupBy("l_returnflag")
         .agg(
@@ -228,11 +230,13 @@ def test_approx_sketches_tolerance(spark, sf_dir):
         )
         .collect()
     }
-    assert set(approx_orders) == set(exact)
-    for k, e in exact.items():
-        assert abs(approx_orders[k] - e["orders"]) <= max(3, 0.06 * e["orders"])
+    assert set(exact_orders) == set(ref)
+    for k, e in ref.items():
+        assert exact_orders[k] == e["orders"]
         for p, qe in zip([0.5, 0.95, 0.99], e["qs"]):
-            assert abs(approx_q[(k, p)] - qe) <= max(10.0, 0.02 * qe)
+            # rank selection (lower neighbour) vs interpolated exact:
+            # within a hair of one inter-row gap
+            assert abs(exact_q[(k, p)] - qe) <= max(10.0, 0.01 * qe)
 
 
 def test_hot_shingle_cap_bounds_pairs_and_is_noop_when_cold(spark):
@@ -586,7 +590,7 @@ def test_ivf_recall_monotone_in_nprobe(spark, sf_dir):
     from toyocr_spark.queries import QUERIES
 
     rows = sorted(
-        (r["nprobe"], r["recall_at_5"], r["candidates_touched"])
+        (r["nprobe"], r["hits"] / r["n_exact"], r["candidates_touched"])
         for r in QUERIES["q74_ivf_recall_curve"].spark(spark, sf_dir).collect()
     )
     recalls = [r[1] for r in rows]
@@ -759,6 +763,16 @@ def test_phrase_hits_and_drop(spark):
         for r in drop_blocked_phrases(df, "doc_id", "text", phrases).collect()
     )
     assert kept == [4, 5]
+    # a doc SHORTER than a phrase length must emit no truncated gram:
+    # with a greatest(_, 1) clamp, doc 6's lone word would surface as
+    # a truncated 2-gram equal to the 1-word phrase "click" and
+    # double-count its n_hits (1 from the 1-grams + 1 truncated)
+    short = spark.createDataFrame([(6, "click")], "doc_id long, text string")
+    short_hits = {
+        (r["id"], r["phrase"]): r["n_hits"]
+        for r in phrase_hits(short, "doc_id", "text", ["click here", "click"]).collect()
+    }
+    assert short_hits == {(6, "click"): 1}
     # phrase table is broadcast: no shuffle Exchange on the corpus side
     plan = (
         phrase_hits(df, "doc_id", "text", phrases)

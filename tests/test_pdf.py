@@ -634,3 +634,74 @@ def test_encrypted_pdf_links_round_trip():
         assert [b.text for b in tokenize_pdf(enc)] == [
             b.text for b in tokenize_pdf(base)
         ]
+
+
+def test_rc4_key_derivation_known_answers():
+    """Known-answer lock on Algorithms 2 and 1 (spec 7.6.3.3): the
+    fixture encryptor imports the extractor's key helpers, so the
+    round-trip tests prove self-consistency only — these literals were
+    derived from an INDEPENDENT inline transcription of the spec
+    (md5(PAD + O + P_le_signed + ID0), 50-round R>=3 loop on the first
+    n bytes; per-object key = md5(key + num_le[:3] + gen_le[:2])), so
+    a derivation bug in either helper breaks here even though both
+    sides of the round-trip would agree."""
+    from toyocr_spark.extractor.pdf import _PAD, _obj_key, _std_file_key
+
+    # spec Table-given padding string, byte-for-byte
+    assert _PAD == bytes(
+        [
+            0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+            0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+            0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+            0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+        ]
+    )
+    o = bytes(range(32))
+    p = -44
+    id0 = bytes.fromhex("00112233445566778899aabbccddeeff")
+    assert _std_file_key(o, p, id0, 2, 40).hex() == "701779e058"
+    assert _std_file_key(o, p, id0, 3, 40).hex() == "0d81dd948f"
+    fk = _std_file_key(o, p, id0, 3, 128)
+    assert fk.hex() == "9ccccb67332808399f8ca5c9ecd15ebe"
+    assert _obj_key(fk, 7, 0).hex() == "a5354f6260a9b4454d676c0e33670fd8"
+
+
+def test_bogus_obj_header_inside_ciphertext_cannot_corrupt_streams():
+    """A 'N G obj ... stream' byte pattern occurring INSIDE stream
+    ciphertext must not trigger a second (wrong-key) RC4 pass over an
+    already-decrypted real stream: spans decrypt at most once, first
+    match wins, and headers must start a line."""
+    from toyocr_spark.extractor.pdf import (
+        _FULL_OBJ_RE,
+        _encryption_params,
+        _obj_key,
+        _rc4,
+        _stream_span,
+        decrypt_pdf,
+    )
+    from toyocr_spark.fixtures.genpdf import encrypt_pdf
+
+    ops = paragraph_ops(72, 700, 12, 14, ["guard line one", "guard line two"])
+    enc = encrypt_pdf(build_pdf([text_stream([ops])]), r=3, length_bits=128)
+    file_key, enc_num = _encryption_params(enc)
+    target = None
+    for m in _FULL_OBJ_RE.finditer(enc):
+        num, gen = int(m.group(1)), int(m.group(2))
+        if num == enc_num:
+            continue
+        end = enc.find(b"endobj", m.end())
+        span = _stream_span(enc[m.end() : end if end != -1 else len(enc)])
+        if span is not None:
+            target = (num, gen, m.end() + span[0], m.end() + span[1])
+            break
+    assert target is not None
+    num, gen, lo, hi = target
+    bogus = b"\n9 0 obj\n<< /Length 4 >>\nstream\nXXXX\nendstream\n"
+    assert hi - lo > len(bogus) + 16, "fixture stream too small to splice into"
+    k = lo + 8
+    # overwrite IN PLACE (same length: offsets and /Length stay valid)
+    spliced = enc[:k] + bogus + enc[k + len(bogus) :]
+    got = decrypt_pdf(spliced)
+    # the real stream must be decrypted exactly once, with ITS key —
+    # a wrong-key second pass over the bogus sub-span would differ
+    assert got[lo:hi] == _rc4(_obj_key(file_key, num, gen), spliced[lo:hi])

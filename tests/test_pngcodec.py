@@ -293,3 +293,38 @@ def test_exif_entries_both_orders_and_fuzz():
         except ValueError:
             continue  # SOI itself destroyed
         assert exif_entries(payload) == first
+
+
+def test_idat_zip_bomb_is_bounded_by_declared_geometry():
+    """A hostile IDAT that inflates far beyond the declared raster
+    must not be materialized: decode reads exactly the bytes the IHDR
+    geometry calls for (decompressobj max_length) and the result is
+    identical to the honest encoding."""
+    import tracemalloc
+
+    w = h = 4
+    raster = bytes((x * 7 + 3) % 256 for x in range(w * h))
+    honest = encode_png(raster, w, h, 1)
+    # rebuild the same PNG with 64 MiB of trailing zeros inside IDAT
+    rowbytes = w + 1
+    scanlines = b"".join(
+        b"\x00" + raster[y * w : (y + 1) * w] for y in range(h)
+    )
+    bomb_stream = scanlines + b"\x00" * (64 << 20)
+    bomb_idat = zlib.compress(bomb_stream, 9)
+    # splice: header+IHDR from the honest file, then one IDAT + IEND
+    def _chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + typ
+            + body
+            + struct.pack(">I", zlib.crc32(typ + body))
+        )
+
+    bomb = honest[:33] + _chunk(b"IDAT", bomb_idat) + _chunk(b"IEND", b"")
+    tracemalloc.start()
+    out = decode_png(bomb)
+    _cur, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert out == decode_png(honest)
+    assert peak < 8 << 20, f"zip bomb inflated {peak} bytes"

@@ -268,7 +268,16 @@ def decrypt_pdf(data: bytes) -> bytes:
         return data
     file_key, enc_num = params
     out = bytearray(data)
+    # an 'N G obj' digit pattern can occur INSIDE stream ciphertext; a
+    # bogus match there must never re-cipher part of an already-
+    # decrypted real stream with the wrong key. Two guards: a header
+    # must start a line (real writers emit xref-addressable headers on
+    # their own lines; ciphertext rarely obliges), and spans decrypt
+    # at most once, first (outermost) match wins.
+    last_hi = 0
     for m in _FULL_OBJ_RE.finditer(data):
+        if m.start() > 0 and data[m.start() - 1 : m.start()] not in (b"\n", b"\r"):
+            continue
         num, gen = int(m.group(1)), int(m.group(2))
         if num == enc_num:
             continue
@@ -280,7 +289,10 @@ def decrypt_pdf(data: bytes) -> bytes:
         if span is None:
             continue
         lo, hi = m.end() + span[0], m.end() + span[1]
+        if lo < last_hi:  # overlaps a span already decrypted
+            continue
         out[lo:hi] = _rc4(_obj_key(file_key, num, gen), data[lo:hi])
+        last_hi = hi
     result = bytes(out)
     if len(_DECRYPT_CACHE) >= 4:  # bounded: a few docs in flight at most
         _DECRYPT_CACHE.clear()
@@ -303,6 +315,10 @@ def _decrypt_string_at(data: bytes, pos: int) -> bytes | None:
     file_key, _ = params
     enclosing = None
     for m in _FULL_OBJ_RE.finditer(data, 0, pos):
+        # same line-boundary guard as decrypt_pdf: digit runs inside
+        # ciphertext must not masquerade as the enclosing object
+        if m.start() > 0 and data[m.start() - 1 : m.start()] not in (b"\n", b"\r"):
+            continue
         enclosing = m
     if enclosing is None:
         return None

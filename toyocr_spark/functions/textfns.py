@@ -400,11 +400,14 @@ def phrase_hits(
     )
     grams = None
     for L in lengths:
-        g = toks.select(
+        # docs with fewer than L words emit NO L-grams (a greatest(_, 1)
+        # clamp would emit one TRUNCATED gram, which can equal a shorter
+        # blocklisted phrase and double-count its n_hits)
+        g = toks.filter(F.size("w") >= L).select(
             "id",
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(1), F.greatest(F.size("w") - L + 1, F.lit(1))),
+                    F.sequence(F.lit(1), F.size("w") - L + 1),
                     lambda i: F.array_join(F.slice("w", i, L), " "),
                 )
             ).alias("gram"),

@@ -218,7 +218,18 @@ def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
         if typ == b"IEND":
             break
         pos += 12 + ln
-    stream = zlib.decompress(b"".join(idat))
+    # inflate EXACTLY the bytes the validated IHDR geometry calls for
+    # (filter byte + packed scanline per row, per Adam7 pass when
+    # interlaced): a hostile zip-bomb IDAT on a small declared image
+    # must not allocate beyond the declared raster on a worker
+    if interlace == 1:
+        need = sum(
+            ph * (1 + (pw * chans * depth + 7) // 8)
+            for _x0, _y0, _dx, _dy, pw, ph in _adam7_dims(width, height)
+        )
+    else:
+        need = height * (1 + (width * chans * depth + 7) // 8)
+    stream = zlib.decompressobj().decompress(b"".join(idat), need)
     scale_gray = color_type != 3  # palette indices must stay raw
     if interlace == 1:
         raster = _decode_adam7(stream, width, height, chans, depth, scale_gray)
