@@ -1100,3 +1100,89 @@ def test_review_fix_regressions():
         [(new_len >> s) & 0x7F for s in (21, 14, 7, 0)]
     )
     assert id3_frames(new_hdr + unsynced + rest) == [("title", "Song\xff A")]
+
+
+def test_mp3_frame_walk_known_vector_and_edges():
+    """Hand-worked spec check: MPEG1 Layer III, 128 kbps (index 9),
+    44100 Hz (index 0) -> frame length floor(144*128000/44100) = 417
+    bytes, 1152 samples/frame; 5 frames = floor(5760000/44100) = 130
+    ms. Plus: ID3v2 skip, mid-stream truncation counts only complete
+    frames, incoherent sync stops the chain, bare tags raise."""
+    from toyocr_spark.multimodal import build_id3, build_mp3, mp3_frame_walk
+
+    p = build_mp3(5, 9, 0)
+    assert len(p) == 5 * 417
+    assert mp3_frame_walk(p) == {
+        "version": "1",
+        "layer": 3,
+        "sample_rate": 44100,
+        "channel_mode": "stereo",
+        "n_frames": 5,
+        "duration_ms": 130,
+        "avg_kbps": 128,
+    }
+    # MPEG2: 576 samples/frame, its own bitrate table (index 8 = 64)
+    tagged = build_mp3(7, 8, 1, mpeg1=False, mono=True, id3=[("title", "x")])
+    info = mp3_frame_walk(tagged)
+    assert (info["sample_rate"], info["channel_mode"]) == (24000, "mono")
+    assert info["duration_ms"] == 7 * 576 * 1000 // 24000
+    assert info["avg_kbps"] == 64
+    # truncation: cutting the last frame short keeps the first four
+    assert mp3_frame_walk(p[: 5 * 417 - 1])["n_frames"] == 4
+    # incoherent continuation (different sample rate) stops the chain
+    other = build_mp3(1, 9, 2)
+    assert mp3_frame_walk(p + other)["n_frames"] == 5
+    # a bare ID3 tag (fake truncated frame trailer) has no audio
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mp3_frame_walk(build_id3([("title", "y")]))
+    with _pytest.raises(ValueError):
+        mp3_frame_walk(b"\xff\xe2garbage")  # reserved version bits
+
+
+def test_mp3_frame_walk_fuzz_deterministic():
+    """Hostile bytes: the walker either returns a dict or raises
+    ValueError — never anything else — and is bit-deterministic."""
+    import random
+
+    from toyocr_spark.multimodal import build_mp3, mp3_frame_walk
+
+    rng = random.Random(123987)
+    base = build_mp3(4, 5, 1, mpeg1=True)
+    for trial in range(300):
+        buf = bytearray(base)
+        for _ in range(rng.randrange(1, 6)):
+            buf[rng.randrange(len(buf))] = rng.randrange(256)
+        mutated = bytes(buf)
+
+        def run(b=mutated):
+            try:
+                return ("ok", tuple(sorted(mp3_frame_walk(b).items())))
+            except ValueError as e:
+                return ("err", str(e))
+
+        assert run() == run()
+
+
+def test_media_metadata_unifies_id3_and_frame_walk(spark):
+    """One MP3 payload yields BOTH tag rows and frame-walk rows from
+    media_metadata; a bare (untagged) stream yields frame rows only."""
+    from toyocr_spark.multimodal import build_mp3, media_metadata
+
+    rows = media_metadata(
+        spark.createDataFrame(
+            [
+                (1, build_mp3(5, 9, 0, id3=[("title", "Song A")])),
+                (2, build_mp3(3, 8, 1, mpeg1=False, mono=True)),
+            ],
+            "media_id long, payload binary",
+        )
+    ).collect()
+    got = {(r["media_id"], r["meta_key"]): r["meta_value"] for r in rows}
+    assert got[(1, "title")] == "Song A"
+    assert got[(1, "duration_ms")] == str(5 * 1152 * 1000 // 44100)
+    assert got[(1, "channel_mode")] == "stereo"
+    assert got[(2, "duration_ms")] == str(3 * 576 * 1000 // 24000)
+    assert (2, "title") not in got
+    assert all(r["fmt"] == "mp3" for r in rows)

@@ -499,6 +499,14 @@ def _dispatch_header(payload: bytes) -> tuple[str, int, int, int, bytes]:
     probe = payload[:256].lstrip()
     if probe[:4] == b"<svg" or (probe[:5] == b"<?xml" and b"<svg" in payload[:4096]):
         return _parse_svg(payload)
+    if payload[:3] == b"ID3" or (
+        len(payload) >= 2 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
+    ):
+        # MPEG audio: metadata-level decode (frame-header walk; audio
+        # frames stay the documented library-bound seam, like AAC/AVC
+        # samples inside MP4) — channels from the mode, empty body
+        info = mp3_frame_walk(payload)
+        return ("mp3", 0, 0, 1 if info["channel_mode"] == "mono" else 2, b"")
     if payload[:4] != MAGIC:
         raise NotImplementedError(
             "unknown media container; live codecs are PNG/GIF/JPEG/WAV/"
@@ -1795,12 +1803,26 @@ def media_metadata(media: DataFrame) -> DataFrame:
                             rows.append((mid, "jpeg", f"exif:{k}", v))
                     except ValueError:
                         continue
-                elif p[:3] == b"ID3":
+                elif p[:3] == b"ID3" or (
+                    len(p) >= 2 and p[0] == 0xFF and (p[1] & 0xE0) == 0xE0
+                ):
+                    # unified MP3 harvest: ID3v2 text frames + the
+                    # frame-header walk (duration/bitrate/sample-rate
+                    # without touching audio data); either half may be
+                    # absent (bare streams / tag-only stubs)
+                    if p[:3] == b"ID3":
+                        try:
+                            for k, v in id3_frames(p):
+                                rows.append((mid, "mp3", k, v))
+                        except ValueError:
+                            continue
                     try:
-                        for k, v in id3_frames(p):
-                            rows.append((mid, "mp3", k, v))
+                        info = mp3_frame_walk(p)
                     except ValueError:
                         continue
+                    for k in ("duration_ms", "avg_kbps", "sample_rate", "n_frames"):
+                        rows.append((mid, "mp3", k, str(info[k])))
+                    rows.append((mid, "mp3", "channel_mode", info["channel_mode"]))
                 elif p[:256].lstrip()[:4] == b"<svg" or (
                     p[:256].lstrip()[:5] == b"<?xml" and b"<svg" in p[:4096]
                 ):
@@ -1823,6 +1845,131 @@ def media_metadata(media: DataFrame) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInArrow(batches, META_SCHEMA)
+
+
+# ------------------------------------------- MPEG audio (MP3) headers
+
+# bitrate tables, kbps, indexed 1..14 (0 = free-format, 15 = invalid):
+# rows keyed by (version_group, layer) where version_group is 1 for
+# MPEG1 and 2 for MPEG2/2.5 (they share one table per layer)
+_MP3_BITRATES = {
+    (1, 1): (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (1, 2): (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (1, 3): (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    (2, 1): (32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    (2, 2): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (2, 3): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_RATES = {  # sample-rate tables by version bits (00=2.5, 10=2, 11=1)
+    3: (44100, 48000, 32000),
+    2: (22050, 24000, 16000),
+    0: (11025, 12000, 8000),
+}
+_MP3_MODES = ("stereo", "joint_stereo", "dual_channel", "mono")
+
+
+def mp3_frame_walk(payload: bytes) -> dict:
+    """Duration/bitrate/sample-rate from MPEG audio FRAME HEADERS only
+    — the walk-don't-decode discipline (PNG tEXt / JPEG COM / ID3
+    harvesters): cataloging audio over petabytes must not pay a decode
+    cost, and MP3 audio decode itself is the documented library-bound
+    seam. Skips a leading ID3v2 tag, then walks sync headers: each
+    4-byte header fixes the frame's byte length and sample count in
+    closed form, so the walk is a pointer chase, never entropy work.
+    Stops cleanly at padding/ID3v1/'TAG'/truncation/free-format.
+
+    Returns {version, layer, sample_rate, channel_mode, n_frames,
+    duration_ms, avg_kbps} for the first coherent frame chain
+    (fields from its first frame; VBR streams average kbps).
+    Raises ValueError when no valid frame exists."""
+    pos = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        pos = 10 + _syncsafe(payload[6:10])
+    n = len(payload)
+    first = None
+    n_frames = 0
+    total_samples = 0
+    sum_kbps = 0
+    while pos + 4 <= n:
+        b0, b1, b2, b3 = payload[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            break
+        vbits = (b1 >> 3) & 0x3  # 00=MPEG2.5, 01=reserved, 10=MPEG2, 11=MPEG1
+        lbits = (b1 >> 1) & 0x3  # 01=III, 10=II, 11=I
+        if vbits == 1 or lbits == 0:
+            break
+        version = {3: "1", 2: "2", 0: "2.5"}[vbits]
+        layer = 4 - lbits  # 1/2/3
+        br_idx = (b2 >> 4) & 0xF
+        sr_idx = (b2 >> 2) & 0x3
+        if br_idx in (0, 15) or sr_idx == 3:  # free-format / invalid
+            break
+        vgroup = 1 if vbits == 3 else 2
+        kbps = _MP3_BITRATES[(vgroup, layer)][br_idx - 1]
+        sr = _MP3_RATES[vbits][sr_idx]
+        pad = (b2 >> 1) & 0x1
+        if layer == 1:
+            spf = 384
+            flen = (12000 * kbps // sr + pad) * 4
+        else:
+            # layer II always 1152; layer III halves for MPEG2/2.5
+            spf = 1152 if (layer == 2 or vgroup == 1) else 576
+            flen = (spf // 8) * 1000 * kbps // sr + pad
+        if flen < 4 or pos + flen > n:
+            break  # truncated final frame: count only complete frames
+        if first is None:
+            first = (version, layer, sr, _MP3_MODES[(b3 >> 6) & 0x3])
+        elif (version, layer, sr) != first[:3]:
+            break  # incoherent chain: a sync byte in garbage
+        n_frames += 1
+        total_samples += spf
+        sum_kbps += kbps
+        pos += flen
+    if first is None or n_frames == 0:
+        raise ValueError("no MPEG audio frame")
+    return {
+        "version": first[0],
+        "layer": first[1],
+        "sample_rate": first[2],
+        "channel_mode": first[3],
+        "n_frames": n_frames,
+        "duration_ms": total_samples * 1000 // first[2],
+        "avg_kbps": sum_kbps // n_frames,
+    }
+
+
+def build_mp3(
+    n_frames: int,
+    bitrate_idx: int,
+    sr_idx: int,
+    mpeg1: bool = True,
+    mono: bool = False,
+    id3: list[tuple[str, str]] | None = None,
+) -> bytes:
+    """Fixture helper: a deterministic Layer III MPEG audio stream —
+    n_frames constant-bitrate frames (zero-filled bodies; the walk
+    never reads them), optionally preceded by an ID3v2.3 tag. Frame
+    geometry follows the same published tables the walker uses; the
+    hand-worked known-vector test pins both against the spec."""
+    vbits = 3 if mpeg1 else 2
+    vgroup = 1 if mpeg1 else 2
+    kbps = _MP3_BITRATES[(vgroup, 3)][bitrate_idx - 1]
+    sr = _MP3_RATES[vbits][sr_idx]
+    spf = 1152 if mpeg1 else 576
+    flen = (spf // 8) * 1000 * kbps // sr
+    hdr = bytes(
+        [
+            0xFF,
+            0xE0 | (vbits << 3) | (1 << 1),  # sync + version + layer III
+            (bitrate_idx << 4) | (sr_idx << 2),  # padding 0
+            (0x3 if mono else 0x0) << 6,
+        ]
+    )
+    frame = hdr + b"\x00" * (flen - 4)
+    audio = frame * n_frames
+    if id3 is not None:
+        return build_id3(id3, audio=audio)
+    return audio
 
 
 # ------------------------------------------------ ID3v2 (MP3 metadata)
@@ -1886,10 +2033,13 @@ def id3_frames(payload: bytes) -> list[tuple[str, str]]:
     return out
 
 
-def build_id3(entries: list[tuple[str, str]], major: int = 3) -> bytes:
+def build_id3(
+    entries: list[tuple[str, str]], major: int = 3, audio: bytes | None = None
+) -> bytes:
     """Fixture helper: an ID3v2.3 or v2.4 tag block holding the given
     text frames (latin-1 encoding byte 0), padded to show the padding
-    stop works."""
+    stop works. ``audio`` replaces the default fake-frame trailer with
+    real MPEG frames (build_mp3 composes through here)."""
     frames = bytearray()
     rev = {v: k for k, v in _ID3_TEXT_FRAMES.items() if k != b"TDRC"}
     for name, val in entries:
@@ -1908,6 +2058,8 @@ def build_id3(entries: list[tuple[str, str]], major: int = 3) -> bytes:
     hdr = b"ID3" + bytes([major, 0, 0]) + bytes(
         [(total >> s) & 0x7F for s in (21, 14, 7, 0)]
     )
+    if audio is not None:
+        return hdr + bytes(frames) + audio
     return hdr + bytes(frames) + b"\xff\xfb\x90\x00" + b"\x00" * 32  # fake mp3 frame
 
 

@@ -6419,6 +6419,95 @@ def q122_pdf_encrypted_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q123_mp3_metadata",
+    """
+    WITH p AS (
+      SELECT doc_id AS did,
+             (doc_id % 2 = 0) AS mpeg1,
+             3 + doc_id % 7 AS n_frames,
+             CAST(1 + doc_id % 14 AS INTEGER) AS br_idx,
+             CAST(doc_id % 3 AS INTEGER) AS sr_idx,
+             (doc_id % 5 = 0) AS mono
+      FROM documents WHERE doc_id % 10 = 3
+    ),
+    q AS (
+      SELECT did, n_frames, mono,
+             CASE WHEN mpeg1 THEN [44100, 48000, 32000][sr_idx + 1]
+                  ELSE [22050, 24000, 16000][sr_idx + 1] END AS sr,
+             CASE WHEN mpeg1
+                  THEN [32,40,48,56,64,80,96,112,128,160,192,224,256,320][br_idx]
+                  ELSE [8,16,24,32,40,48,56,64,80,96,112,128,144,160][br_idx]
+             END AS kbps,
+             CASE WHEN mpeg1 THEN 1152 ELSE 576 END AS spf
+      FROM p
+    )
+    SELECT did AS media_id, 'mp3' AS fmt, 'title' AS meta_key,
+           't' || CAST(did % 9 AS VARCHAR) AS meta_value
+    FROM q WHERE did % 4 = 1
+    UNION ALL
+    SELECT did, 'mp3', 'duration_ms',
+           CAST(n_frames * spf * 1000 // sr AS VARCHAR) FROM q
+    UNION ALL
+    SELECT did, 'mp3', 'avg_kbps', CAST(kbps AS VARCHAR) FROM q
+    UNION ALL
+    SELECT did, 'mp3', 'sample_rate', CAST(sr AS VARCHAR) FROM q
+    UNION ALL
+    SELECT did, 'mp3', 'n_frames', CAST(n_frames AS VARCHAR) FROM q
+    UNION ALL
+    SELECT did, 'mp3', 'channel_mode',
+           CASE WHEN mono THEN 'mono' ELSE 'stereo' END FROM q
+    """,
+    "MP3 frame-header walk, driver-checked through the unified "
+    "media_metadata harvest: deterministic Layer-III streams per "
+    "doc_id (MPEG1/MPEG2, every bitrate index, all three sample-rate "
+    "slots, mono/stereo, 25% with a leading ID3v2 tag) walked header "
+    "by header — duration/bitrate/sample-rate/frame-count from the "
+    "published frame-geometry tables WITHOUT touching audio data (the "
+    "walk-don't-decode discipline of the PNG tEXt / JPEG COM / EXIF "
+    "harvesters; MP3 audio decode stays the documented library-bound "
+    "seam). The oracle predicts every (key, value) row in closed "
+    "form. multimodal.mp3_frame_walk / build_mp3.",
+)
+def q123_mp3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    from toyocr_spark.multimodal import media_metadata
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 3).select("doc_id")
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def batches(it):
+        from toyocr_spark.multimodal import build_mp3
+
+        for b in it:
+            ids = b.column(0).to_pylist()
+            payloads = [
+                build_mp3(
+                    3 + i % 7,
+                    1 + i % 14,
+                    i % 3,
+                    mpeg1=i % 2 == 0,
+                    mono=i % 5 == 0,
+                    id3=[("title", f"t{i % 9}")] if i % 4 == 1 else None,
+                )
+                for i in ids
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), pa.array(payloads, pa.binary())],
+                names=["media_id", "payload"],
+            )
+
+    return media_metadata(d.mapInArrow(batches, schema))
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
@@ -6467,14 +6556,15 @@ _DRIVER_PRIORITY: list[str] = [
     "q79_host_boilerplate",
     "q15_minhash_lsh",
     # flagship + sentinels
+    "q123_mp3_metadata",  # new this round (MP3 frame-header walk)
     "q25_extract",
     "q44_pagerank",
     "q45_hash_sample",
-    # veterans (one per family where possible)
+    # veterans (one per family where possible; q17's exact-cosine
+    # baseline is re-proven transitively inside q74's oracle)
     "q01_scan_agg",
     "q08_pr_hmean",
     "q13_dedup_exact",
-    "q17_ann_brute",
     "q32_dedup_clusters",
     "q47_asof_join",
     "q52_bloom_membership",
