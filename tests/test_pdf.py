@@ -518,18 +518,20 @@ def test_encrypted_pdf_extraction_identity():
 
 
 def test_unsupported_encryption_is_a_quiet_skip():
-    """AES (V 4) files are out of scope: decrypt_pdf leaves them
-    untouched and extraction yields no text — deterministic, silent,
-    never garbage."""
+    """Schemes outside the live set (RC4 R2/R3, AESV2 R4) stay out of
+    scope: a V4/R4 header WITHOUT an /AESV2 crypt filter, and V5/R6
+    (AESV3), are left untouched and extraction yields no text —
+    deterministic, silent, never garbage."""
     from toyocr_spark.extractor.pdf import decrypt_pdf
     from toyocr_spark.fixtures.genpdf import encrypt_pdf
 
     base = build_pdf([text_stream([paragraph_ops(72, 700, 12, 14, ["secret"])])])
     enc = encrypt_pdf(base, r=3, length_bits=128)
-    aes = enc.replace(b"/V 2 /R 3", b"/V 4 /R 4")
-    assert decrypt_pdf(aes) == aes
-    assert tokenize_pdf(aes) == []
-    assert tokenize_pdf(aes) == tokenize_pdf(aes)
+    for repl in (b"/V 4 /R 4", b"/V 5 /R 6"):
+        odd = enc.replace(b"/V 2 /R 3", repl)
+        assert decrypt_pdf(odd) == odd
+        assert tokenize_pdf(odd) == []
+        assert tokenize_pdf(odd) == tokenize_pdf(odd)
 
 
 def test_encrypted_pdf_fuzz_deterministic():
@@ -683,7 +685,8 @@ def test_bogus_obj_header_inside_ciphertext_cannot_corrupt_streams():
 
     ops = paragraph_ops(72, 700, 12, 14, ["guard line one", "guard line two"])
     enc = encrypt_pdf(build_pdf([text_stream([ops])]), r=3, length_bits=128)
-    file_key, enc_num = _encryption_params(enc)
+    file_key, enc_num, method = _encryption_params(enc)
+    assert method == "rc4"
     target = None
     for m in _FULL_OBJ_RE.finditer(enc):
         num, gen = int(m.group(1)), int(m.group(2))
@@ -705,3 +708,175 @@ def test_bogus_obj_header_inside_ciphertext_cannot_corrupt_streams():
     # the real stream must be decrypted exactly once, with ITS key —
     # a wrong-key second pass over the bogus sub-span would differ
     assert got[lo:hi] == _rc4(_obj_key(file_key, num, gen), spliced[lo:hi])
+
+
+def test_aes_block_cipher_known_answers():
+    """FIPS-197 appendix + NIST SP800-38A vectors pin the pure-stdlib
+    AES (tables are derived, not typed — a derivation bug breaks
+    here)."""
+    from toyocr_spark.aescipher import (
+        cbc_decrypt,
+        cbc_encrypt,
+        decrypt_block,
+        encrypt_block,
+    )
+
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    cases = [  # FIPS-197 C.1 / C.2 / C.3
+        ("000102030405060708090a0b0c0d0e0f", "69c4e0d86a7b0430d8cdb78070b4c55a"),
+        (
+            "000102030405060708090a0b0c0d0e0f1011121314151617",
+            "dda97ca4864cdfe06eaf70a0ec0d7191",
+        ),
+        (
+            "000102030405060708090a0b0c0d0e0f"
+            "101112131415161718191a1b1c1d1e1f",
+            "8ea2b7ca516745bfeafc49904b496089",
+        ),
+    ]
+    for khex, chex in cases:
+        key = bytes.fromhex(khex)
+        ct = encrypt_block(key, pt)
+        assert ct.hex() == chex
+        assert decrypt_block(key, ct) == pt
+    # FIPS-197 appendix B (distinct key/plaintext pair)
+    assert (
+        encrypt_block(
+            bytes.fromhex("2b7e151628aed2a6abf7158809cf4f3c"),
+            bytes.fromhex("3243f6a8885a308d313198a2e0370734"),
+        ).hex()
+        == "3925841d02dc09fbdc118597196a0b32"
+    )
+    # NIST SP800-38A F.2.1 CBC-AES128 block 1
+    k = bytes.fromhex("2b7e151628aed2a6abf7158809cf4f3c")
+    iv = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    p1 = bytes.fromhex("6bc1bee22e409f96e93d7e117393172a")
+    assert (
+        cbc_encrypt(k, iv, p1)[16:32].hex() == "7649abac8119b246cee98e9b12e9197d"
+    )
+    # round trip with padding at every tail length
+    for n in range(1, 33):
+        msg = bytes(range(n))
+        assert cbc_decrypt(k, cbc_encrypt(k, iv, msg)) == msg
+    # malformed: bad length / corrupt padding reject cleanly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cbc_decrypt(k, b"\x00" * 24)
+    blob = bytearray(cbc_encrypt(k, iv, b"x" * 20))
+    blob[-1] ^= 0xFF
+    with _pytest.raises(ValueError):
+        cbc_decrypt(k, bytes(blob))
+
+
+def test_aes_encrypted_pdf_extraction_identity():
+    """AESV2 (V4/R4) fixtures extract byte-identically to their
+    plaintext twins across the plain, subset-font (ToUnicode CMap
+    stream must decrypt before it can map), and ObjStm classes;
+    /EncryptMetadata false changes the file key and must still round
+    trip; the kernel dispatch (extract over raw bytes) is
+    transparent."""
+    from toyocr_spark.fixtures.genpdf import (
+        build_pdf_objstm_font,
+        build_pdf_subset_font,
+        encrypt_pdf_aes,
+    )
+
+    plain = build_pdf(
+        [text_stream([paragraph_ops(72, 700, 12, 14, ["aes secret", "line two"])])]
+    )
+    subset = build_pdf_subset_font([["aes subset font line one", "and line two"]])
+    objstm = build_pdf_objstm_font([["aes objstm body text"]])
+    for base in (plain, subset, objstm):
+        want = [(b.text, b.box) for b in tokenize_pdf(base)]
+        assert want
+        for kwargs in ({}, {"encrypt_metadata": False}):
+            enc = encrypt_pdf_aes(base, **kwargs)
+            assert enc != base and b"/AESV2" in enc
+            got = [(b.text, b.box) for b in tokenize_pdf(enc)]
+            assert got == want, kwargs
+    assert extract(encrypt_pdf_aes(plain)).text == extract(plain).text
+
+
+def test_aes_encrypted_pdf_links_round_trip():
+    """AES files cipher their dict strings too — and unlike RC4 the
+    decrypt REBUILD shifts offsets, so top-level /URI strings must be
+    located and decrypted against the ORIGINAL bytes (the regression
+    this test pins); ObjStm-member URIs arrive via the decrypted
+    stream."""
+    import zlib as _zlib
+
+    from toyocr_spark.extractor.pdf import pdf_links
+    from toyocr_spark.fixtures.genpdf import encrypt_pdf_aes
+
+    pdf = build_pdf(
+        [text_stream([paragraph_ops(72, 740, 11, 13, ["hello world"])])],
+        compress=False,
+    )
+    ann = (
+        b"9 0 obj\n<< /Type /Annot /Subtype /Link /A << /S /URI "
+        b"/URI (https://ex.example/a\\(1\\)) >> >>\nendobj\n"
+    )
+    member = b"<< /Type /Annot /A << /S /URI /URI (https://objstm.example/z) >> >>"
+    header = b"11 0 "
+    stm = _zlib.compress(header + member)
+    objstm = (
+        b"10 0 obj\n<< /Type /ObjStm /N 1 /First %d /Length %d /Filter /FlateDecode >>\n"
+        b"stream\n%s\nendstream\nendobj\n" % (len(header), len(stm), stm)
+    )
+    idx = pdf.find(b"xref")
+    base = pdf[:idx] + ann + objstm + pdf[idx:]
+    want = pdf_links(base)
+    assert want == ["https://ex.example/a(1)", "https://objstm.example/z"]
+    enc = encrypt_pdf_aes(base)
+    assert b"https://ex.example" not in enc  # string really ciphered
+    assert pdf_links(enc) == want
+    assert [b.text for b in tokenize_pdf(enc)] == [b.text for b in tokenize_pdf(base)]
+
+
+def test_aes_encrypted_pdf_fuzz_deterministic():
+    """Bit-flipped AES files decode deterministically (possibly to
+    nothing): CBC padding/length failures degrade to
+    leave-it-encrypted, never raise past the kernel contract."""
+    from toyocr_spark.fixtures.genpdf import encrypt_pdf_aes
+
+    base = encrypt_pdf_aes(
+        build_pdf([text_stream([paragraph_ops(72, 700, 12, 14, ["abc def"])])])
+    )
+    rng = random.Random(907)
+    for _ in range(60):
+        blob = bytearray(base)
+        for _ in range(rng.randint(1, 6)):
+            blob[rng.randrange(len(blob))] = rng.randrange(256)
+        payload = bytes(blob)
+        try:
+            first = [(b.text, b.box) for b in tokenize_pdf(payload)]
+        except ValueError:
+            continue
+        assert [(b.text, b.box) for b in tokenize_pdf(payload)] == first
+
+
+def test_aes_fast_path_equals_reference_implementation():
+    """The T-table 'equivalent inverse cipher' must agree bit-for-bit
+    with the straightforward per-step reference on random blocks for
+    every key size (the FIPS vectors pin absolute correctness; this
+    pins the OPTIMIZATION against the reference)."""
+    import random as _r
+
+    from toyocr_spark.aescipher import (
+        _dec_schedule,
+        _decrypt_block_fast,
+        _decrypt_block_rk,
+        _round_keys,
+        encrypt_block,
+    )
+
+    rng = _r.Random(42)
+    for klen in (16, 24, 32):
+        key = bytes(rng.randrange(256) for _ in range(klen))
+        rounds = _dec_schedule(key)
+        rks = _round_keys(key)
+        for _ in range(100):
+            blk = bytes(rng.randrange(256) for _ in range(16))
+            assert _decrypt_block_fast(rounds, blk) == _decrypt_block_rk(rks, blk)
+            assert _decrypt_block_fast(rounds, encrypt_block(key, blk)) == blk

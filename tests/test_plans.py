@@ -208,6 +208,8 @@ def test_relational_queries_have_no_python_nodes(spark, sf_dir):
         "q120_decode_stats",     # six-format decode kernel (mapInArrow)
         "q121_mp4_timing",       # stts/mdhd timing demux kernel (mapInArrow)
         "q122_pdf_encrypted_extract",  # encrypt-synth + extraction kernel
+        "q123_mp3_metadata",     # MP3 mux + frame-walk metadata kernel
+        "q125_pdf_aes_extract",  # AES-encrypt-synth + extraction kernel
     }
     markers = ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas",
                "MapInPandas", "PythonMapInArrow", "MapInArrow")
@@ -417,3 +419,47 @@ def test_host_keyed_joins_have_no_broadcast_hint(spark, sf_dir):
             f"{name} forces a broadcast of a host-cardinality table:\n"
             + logical[:1500]
         )
+
+
+def test_zipf_host_salting_bounds_per_task_input(spark, sf_dir):
+    """q124's skew contract, runtime-checked: under the geometric-Zipf
+    host ladder (z0 = half the corpus) the phase-1 salt must spread the
+    hot host across all 16 buckets with no bucket above 2x the even
+    share — per-task input stays ~hot/16 at any corpus size — and the
+    two-phase result must be row-identical to the naive window."""
+    from toyocr_spark.queries import QUERIES, _t, _zipf_host_col
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", _zipf_host_col().alias("host")
+    )
+    counts = {r["host"]: r["n"] for r in d.groupBy("host").agg(F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    hot, hot_n = max(counts.items(), key=lambda kv: kv[1])
+    assert hot_n >= total * 2 // 5, f"fixture not skewed: {counts}"
+
+    # replicate phase 1's shuffle key: (host, pmod(xxhash64(tiebreak), 16))
+    buckets = (
+        d.filter(F.col("host") == hot)
+        .groupBy(F.pmod(F.xxhash64(F.col("doc_id")), F.lit(16)).alias("salt"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    per = [r["n"] for r in buckets]
+    assert len(per) == 16, f"hot host hits only {len(per)} salt buckets"
+    assert max(per) <= 2 * (hot_n // 16 + 1), (hot_n, sorted(per))
+
+    # row identity vs the naive single-reducer window
+    from pyspark.sql import Window
+
+    naive = (
+        d.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("host").orderBy(F.col("n_chars").desc(), "doc_id")
+            ),
+        )
+        .filter(F.col("rk") <= 3)
+        .select("host", "doc_id", "n_chars", "rk")
+    )
+    got = QUERIES["q124_zipf_host_topk"].spark(spark, sf_dir)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))

@@ -132,28 +132,39 @@ def _rc4(key: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
-def _std_file_key(o: bytes, p: int, id0: bytes, r: int, length_bits: int) -> bytes:
-    """Algorithm 2 (spec 7.6.3.3) with the empty user password."""
+def _std_file_key(
+    o: bytes,
+    p: int,
+    id0: bytes,
+    r: int,
+    length_bits: int,
+    encrypt_metadata: bool = True,
+) -> bytes:
+    """Algorithm 2 (spec 7.6.3.3) with the empty user password; R4
+    with /EncryptMetadata false appends ffffffff to the hash input."""
     import hashlib
 
     n = 5 if r == 2 else max(5, min(16, length_bits // 8))
-    h = hashlib.md5(_PAD + o[:32] + struct.pack("<i", p) + id0).digest()
+    tail = b"" if (r < 4 or encrypt_metadata) else b"\xff\xff\xff\xff"
+    h = hashlib.md5(_PAD + o[:32] + struct.pack("<i", p) + id0 + tail).digest()
     if r >= 3:
         for _ in range(50):
             h = hashlib.md5(h[:n]).digest()
     return h[:n]
 
 
-def _obj_key(file_key: bytes, num: int, gen: int) -> bytes:
-    """Algorithm 1: the per-object RC4 key (low 3 bytes of the object
+def _obj_key(file_key: bytes, num: int, gen: int, aes: bool = False) -> bytes:
+    """Algorithm 1: the per-object key (low 3 bytes of the object
     number, low 2 of the generation — masked, so a hostile digit run
-    parsed as a huge 'object number' can never raise)."""
+    parsed as a huge 'object number' can never raise); the AESV2
+    variant additionally salts the hash with the spec's 'sAlT' bytes."""
     import hashlib
 
     h = hashlib.md5(
         file_key
         + struct.pack("<I", num & 0xFFFFFFFF)[:3]
         + struct.pack("<I", gen & 0xFFFFFFFF)[:2]
+        + (b"sAlT" if aes else b"")
     ).digest()
     return h[: min(len(file_key) + 5, 16)]
 
@@ -215,8 +226,18 @@ def _encryption_params(data: bytes):
     lm = re.search(rb"/Length\s+(\d+)", enc)
     v = int(vm.group(1)) if vm else 0
     r = int(rm.group(1)) if rm else 0
-    if v not in (1, 2) or r not in (2, 3) or pm is None:
-        return None  # AES / newer revisions: documented out of scope
+    method = None
+    if v in (1, 2) and r in (2, 3):
+        method = "rc4"
+    elif v == 4 and r == 4 and b"/AESV2" in enc:
+        # V4 crypt-filter scheme with the AESV2 StdCF — streams (and
+        # strings) are AES-128-CBC. V4-with-RC4-CF ("/V2" CFM) would
+        # also be expressible here but is vanishingly rare; V5/R6
+        # (AESV3, SHA-256 derivation) stays the documented newer-
+        # revision seam.
+        method = "aes"
+    if method is None or pm is None:
+        return None  # newer revisions (V5/R6): documented out of scope
     oim = re.search(rb"/O\s*([(<])", enc)
     o_val: bytes | None = None
     if oim is not None:
@@ -236,11 +257,15 @@ def _encryption_params(data: bytes):
         id0, _ = _hex_string(data, at)
     else:  # literal string: full escape handling, embedded ')' included
         id0, _ = _lit_string(data, at)
-    length_bits = int(lm.group(1)) if lm else 40
+    length_bits = int(lm.group(1)) if lm else (128 if method == "aes" else 40)
     p_val = int(pm.group(1))
     if p_val > 0x7FFFFFFF:  # writers that store P unsigned
         p_val -= 1 << 32
-    return _std_file_key(o_val, p_val, id0, r, length_bits), num
+    encrypt_metadata = (
+        re.search(rb"/EncryptMetadata\s+false", enc) is None
+    )  # R4: false appends ffffffff to the Algorithm-2 hash input
+    key = _std_file_key(o_val, p_val, id0, r, length_bits, encrypt_metadata)
+    return key, num, method
 
 
 _DECRYPT_CACHE: dict[int, tuple[bytes, bytes]] = {}
@@ -266,7 +291,13 @@ def decrypt_pdf(data: bytes) -> bytes:
         return data
     if params is None:
         return data
-    file_key, enc_num = params
+    file_key, enc_num, method = params
+    if method == "aes":
+        result = _decrypt_pdf_aes(data, file_key, enc_num)
+        if len(_DECRYPT_CACHE) >= 4:
+            _DECRYPT_CACHE.clear()
+        _DECRYPT_CACHE[ck] = (data, result)
+        return result
     out = bytearray(data)
     # an 'N G obj' digit pattern can occur INSIDE stream ciphertext; a
     # bogus match there must never re-cipher part of an already-
@@ -300,6 +331,59 @@ def decrypt_pdf(data: bytes) -> bytes:
     return result
 
 
+def _decrypt_pdf_aes(data: bytes, file_key: bytes, enc_num: int) -> bytes:
+    """AESV2 (V4/R4) stream decryption. Unlike RC4, AES-CBC is NOT
+    length-preserving (16-byte IV prefix + PKCS#7 padding), so the
+    file is REBUILT segment by segment: each stream body is replaced
+    by its plaintext and the object's direct /Length is rewritten.
+    Offsets shift, which is safe because the whole text machine parses
+    by scanning (obj/stream/endstream keywords), never via the xref.
+    Objects whose /Length is an indirect reference, or whose body
+    fails CBC length/padding validation (hostile bytes), are left
+    encrypted — deterministic garbage-free degradation, never a raise.
+    Pure-Python AES (toyocr_spark.aescipher, FIPS-197-vector-pinned)
+    runs ~1 MB/s/core: acceptable because AESV2 files are a
+    sub-percent crawl slice with KB streams; a production deployment
+    swaps the cbc_decrypt callee for a native codec, nothing else."""
+    from toyocr_spark.aescipher import cbc_decrypt
+
+    parts: list[bytes] = []
+    cursor = 0
+    last_hi = 0
+    for m in _FULL_OBJ_RE.finditer(data):
+        if m.start() > 0 and data[m.start() - 1 : m.start()] not in (b"\n", b"\r"):
+            continue
+        num, gen = int(m.group(1)), int(m.group(2))
+        if num == enc_num:
+            continue
+        end = data.find(b"endobj", m.end())
+        if end == -1:
+            end = len(data)
+        obj = data[m.end() : end]
+        span = _stream_span(obj)
+        if span is None:
+            continue
+        lo, hi = m.end() + span[0], m.end() + span[1]
+        if lo < last_hi:
+            continue
+        try:
+            plain = cbc_decrypt(_obj_key(file_key, num, gen, aes=True), data[lo:hi])
+        except ValueError:
+            continue
+        new_dict, nsub = _LENGTH_RE.subn(
+            b"/Length " + str(len(plain)).encode(), data[m.end() : lo], count=1
+        )
+        if nsub == 0:
+            continue  # indirect /Length: boundary not rewritable here
+        parts.append(data[cursor : m.end()])
+        parts.append(new_dict)
+        parts.append(plain)
+        cursor = hi
+        last_hi = hi
+    parts.append(data[cursor:])
+    return b"".join(parts)
+
+
 def _decrypt_string_at(data: bytes, pos: int) -> bytes | None:
     """Decrypt the literal string opening at ``pos`` in the ORIGINAL
     (encrypted) file using its enclosing object's key — the string
@@ -312,7 +396,7 @@ def _decrypt_string_at(data: bytes, pos: int) -> bytes | None:
         return None
     if params is None:
         return None
-    file_key, _ = params
+    file_key, _, method = params
     enclosing = None
     for m in _FULL_OBJ_RE.finditer(data, 0, pos):
         # same line-boundary guard as decrypt_pdf: digit runs inside
@@ -323,9 +407,15 @@ def _decrypt_string_at(data: bytes, pos: int) -> bytes | None:
     if enclosing is None:
         return None
     raw, _ = _lit_string(data, pos)
-    return _rc4(
-        _obj_key(file_key, int(enclosing.group(1)), int(enclosing.group(2))), raw
-    )
+    num, gen = int(enclosing.group(1)), int(enclosing.group(2))
+    if method == "aes":
+        from toyocr_spark.aescipher import cbc_decrypt
+
+        try:
+            return cbc_decrypt(_obj_key(file_key, num, gen, aes=True), raw)
+        except ValueError:
+            return None  # not a well-formed AES string: caller skips
+    return _rc4(_obj_key(file_key, num, gen), raw)
 
 
 # ------------------------------------------------------- stream location
@@ -1380,8 +1470,14 @@ def pdf_links(data: bytes) -> list[str]:
     encrypted = data is not original and original is not None
     # ObjStm member bytes exist only inflated, so scanning the raw file
     # plus the inflated members double-counts nothing; identical URIs
-    # may legitimately repeat (two links to the same target)
-    sources = [(data, True)]
+    # may legitimately repeat (two links to the same target).
+    # Top-level strings scan the ORIGINAL file: their ciphertext sits
+    # there at valid offsets for the on-demand decrypt — the AES
+    # rebuild SHIFTS offsets (lengths change), so positions found in
+    # the decrypted bytes would dereference the wrong original span
+    # (RC4's in-place pass made the two coincide by luck of length
+    # preservation)
+    sources = [(original, True)]
     if b"/ObjStm" in data:
         # only TRUE ObjStm members: top-level objects are already
         # covered by the raw scan (re-adding them double-counted a

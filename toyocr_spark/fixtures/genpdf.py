@@ -677,3 +677,122 @@ def encrypt_pdf(data: bytes, r: int = 3, length_bits: int = 128, p: int = -44) -
         f"trailer\n<< /Encrypt {enc_num} 0 R /ID [<{id0.hex()}> <{id0.hex()}>] >>\n"
     ).encode()
     return bytes(out) + enc_obj + trailer
+
+
+def encrypt_pdf_aes(
+    data: bytes, p: int = -44, encrypt_metadata: bool = True
+) -> bytes:
+    """Encrypt a generated fixture PDF with the V4/R4 crypt-filter
+    scheme (/StdCF /CFM /AESV2, empty user password): every stream
+    body becomes IV + AES-128-CBC ciphertext with PKCS#7 padding (the
+    declared /Length rewritten — AES is not length-preserving), every
+    /URI literal string is ciphered and re-escaped like real writers
+    do. IVs are deterministic (md5('iv' + num + gen + ID0)) so
+    fixtures are byte-stable. Shares the extractor's key derivation
+    and stream-boundary rule, so only the spec decides whether the
+    bytes come back identical — the AES cipher itself is additionally
+    pinned by FIPS-197 known-answer vectors, and the key derivation by
+    the Algorithm 2/1 known-answer test."""
+    import hashlib
+
+    import re as _re
+
+    from toyocr_spark.aescipher import cbc_encrypt
+    from toyocr_spark.extractor.pdf import (
+        _FULL_OBJ_RE,
+        _LENGTH_RE,
+        _lit_string,
+        _obj_key,
+        _std_file_key,
+        _stream_span,
+    )
+
+    o_entry = bytes(range(32))
+    id0 = hashlib.md5(data).digest()
+    file_key = _std_file_key(o_entry, p, id0, 4, 128, encrypt_metadata)
+
+    def _iv(num: int, gen: int) -> bytes:
+        return hashlib.md5(
+            b"iv" + num.to_bytes(4, "big") + gen.to_bytes(4, "big") + id0
+        ).digest()[:16]
+
+    # pass 1 — strings: cipher /URI literals in place, splicing in
+    # REVERSE so earlier offsets stay valid (stream spans are located
+    # per object afterwards, so the length changes here are harmless)
+    out = bytearray(data)
+    uri_hits = []
+    for om in _FULL_OBJ_RE.finditer(data):
+        oend = data.find(b"endobj", om.end())
+        if oend == -1:
+            oend = len(data)
+        span = _stream_span(data[om.end() : oend])
+        dict_end = om.end() + (span[0] if span else (oend - om.end()))
+        for um in _re.finditer(rb"/URI\s*\(", data[om.end() : dict_end]):
+            uri_hits.append(
+                (om.end() + um.end() - 1, int(om.group(1)), int(om.group(2)))
+            )
+    for pos, onum, ogen in sorted(uri_hits, reverse=True):
+        raw, end = _lit_string(data, pos)
+        cipher = cbc_encrypt(
+            _obj_key(file_key, onum, ogen, aes=True), _iv(onum, ogen), raw
+        )
+        esc = (
+            cipher.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+        )
+        out[pos:end] = b"(" + esc + b")"
+    data = bytes(out)
+
+    # pass 2 — streams: rebuild segment by segment (lengths change)
+    import zlib as _zlib
+
+    parts: list[bytes] = []
+    cursor = 0
+    max_num = 0
+    for m in _FULL_OBJ_RE.finditer(data):
+        num, gen = int(m.group(1)), int(m.group(2))
+        max_num = max(max_num, num)
+        end = data.find(b"endobj", m.end())
+        if end == -1:
+            end = len(data)
+        obj = data[m.end() : end]
+        span = _stream_span(obj)
+        if span is None:
+            continue
+        # ObjStm MEMBER numbers must not collide with the Encrypt
+        # object's number either — read them before ciphering
+        if b"/ObjStm" in obj[: span[0]]:
+            body = obj[span[0] : span[1]]
+            if b"/FlateDecode" in obj[: span[0]]:
+                try:
+                    body = _zlib.decompress(body)
+                except _zlib.error:
+                    body = b""
+            for pm in _re.finditer(rb"(\d+)\s+\d+", body[:256]):
+                max_num = max(max_num, int(pm.group(1)))
+        lo, hi = m.end() + span[0], m.end() + span[1]
+        cipher = cbc_encrypt(
+            _obj_key(file_key, num, gen, aes=True), _iv(num, gen), data[lo:hi]
+        )
+        new_dict, nsub = _LENGTH_RE.subn(
+            b"/Length " + str(len(cipher)).encode(), data[m.end() : lo], count=1
+        )
+        if nsub == 0:
+            continue
+        parts.append(data[cursor : m.end()])
+        parts.append(new_dict)
+        parts.append(cipher)
+        cursor = hi
+    parts.append(data[cursor:])
+
+    enc_num = max_num + 1
+    meta = "" if encrypt_metadata else "/EncryptMetadata false "
+    enc_obj = (
+        f"\n{enc_num} 0 obj\n<< /Filter /Standard /V 4 /R 4 /Length 128 "
+        f"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >> "
+        f"/StmF /StdCF /StrF /StdCF {meta}"
+        f"/O <{o_entry.hex()}> /U <{bytes(32).hex()}> /P {p} >>\nendobj\n"
+    ).encode()
+    trailer = (
+        f"trailer\n<< /Encrypt {enc_num} 0 R /ID [<{id0.hex()}> <{id0.hex()}>] >>\n"
+    ).encode()
+    return b"".join(parts) + enc_obj + trailer

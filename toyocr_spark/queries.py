@@ -6508,6 +6508,131 @@ def q123_mp3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_metadata(d.mapInArrow(batches, schema))
 
 
+@_q(
+    "q125_pdf_aes_extract",
+    """
+    SELECT 'https://aespdf-' || CAST(doc_id AS VARCHAR) || '.example/doc.pdf' AS url,
+           text AS extracted_text,
+           1 AS n_kept
+    FROM documents
+    """,
+    "DRIVER-CHECKABLE AES-encrypted-PDF extraction (q122's RC4 twin): "
+    "the same one-stream document template encrypted per row with the "
+    "V4/R4 /AESV2 crypt-filter scheme (AES-128-CBC streams, IV prefix "
+    "+ PKCS#7, /Length rewritten — NOT length-preserving, so the "
+    "decryptor REBUILDS the file), alternating /EncryptMetadata "
+    "true/false by doc parity (different file keys), then run through "
+    "the ordinary extraction pipeline; the oracle is text identity on "
+    "every row. AES itself is pure-stdlib (toyocr_spark/aescipher.py, "
+    "FIPS-197-vector-pinned, T-table fast path cross-checked against "
+    "the per-step reference). extractor/pdf.py _decrypt_pdf_aes; "
+    "fixtures/genpdf.py encrypt_pdf_aes.",
+)
+def q125_pdf_aes_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    from toyocr_spark.pipeline import extract_pages
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("html", T.BinaryType(), False),
+        ]
+    )
+
+    def batches(it):
+        from toyocr_spark.fixtures.genpdf import encrypt_pdf_aes
+
+        for b in it:
+            urls, blobs = [], []
+            for did, text in zip(b.column(0).to_pylist(), b.column(1).to_pylist()):
+                content = f"BT /F1 12 Tf 50 700 Td ({text}) Tj ET"
+                pdf = (
+                    "%PDF-1.6\n"
+                    "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+                    "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+                    "3 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                    "/Contents 4 0 R >>\nendobj\n"
+                    f"4 0 obj\n<< /Length {len(content)} >>\nstream\n"
+                    f"{content}\nendstream\nendobj\n"
+                    "trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+                ).encode()
+                blobs.append(encrypt_pdf_aes(pdf, encrypt_metadata=did % 2 == 0))
+                urls.append(f"https://aespdf-{did}.example/doc.pdf")
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()), pa.array(blobs, pa.binary())],
+                names=["url", "html"],
+            )
+
+    pages = d.mapInArrow(batches, schema)
+    out = extract_pages(pages)
+    return out.select(
+        "url", "extracted_text", F.col("n_kept").cast("int").alias("n_kept")
+    )
+
+
+# geometric-Zipf host ladder (closed form, integer-exact both engines):
+# host z0 carries 50% of the corpus, z1 25%, ... z9 the tail — the
+# crawl's real key distribution, which the uniform doc_id % k fixtures
+# of q71/q79/q85/q91/q92 never stress
+_ZIPF_CUTS = (512, 768, 896, 960, 992, 1008, 1016, 1020, 1022)
+
+
+def _zipf_host_col() -> "F.Column":
+    m = F.col("doc_id") % 1024
+    rank = F.when(m < _ZIPF_CUTS[0], 0)
+    for i, c in enumerate(_ZIPF_CUTS[1:], start=1):
+        rank = rank.when(m < c, i)
+    rank = rank.otherwise(9)
+    return F.concat(F.lit("z"), rank.cast("string"))
+
+
+_ZIPF_CASE_SQL = (
+    "CASE "
+    + " ".join(f"WHEN m < {c} THEN {i}" for i, c in enumerate(_ZIPF_CUTS))
+    + " ELSE 9 END"
+)
+
+
+@_q(
+    "q124_zipf_host_topk",
+    f"""
+    WITH z AS (SELECT doc_id, n_chars, doc_id % 1024 AS m FROM documents),
+    h AS (
+      SELECT doc_id, n_chars,
+             'z' || CAST({_ZIPF_CASE_SQL} AS VARCHAR) AS host
+      FROM z
+    )
+    SELECT host, doc_id, n_chars, rk FROM (
+      SELECT host, doc_id, n_chars,
+             row_number() OVER (PARTITION BY host
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM h
+    ) WHERE rk <= 3
+    """,
+    "the skew-safe top-K under a GENUINELY Zipf host distribution: a "
+    "geometric ladder keys half the corpus onto one host (the crawl "
+    "shape the uniform doc_id % k fixtures never stress), and the "
+    "two-phase salted rank must still return rows IDENTICAL to the "
+    "naive window — the oracle is the plain window, independent of "
+    "which host is hot. Phase 1 spreads the hot host's rows over 16 "
+    "salt reducers (per-task input bounded at ~hot/16, asserted by a "
+    "runtime test), phase 2 ranks <= K*B survivors per host. "
+    "operators/selection.py skew_safe_topk; SURVEY.md §4 skew handling",
+)
+def q124_zipf_host_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toyocr_spark.operators.selection import skew_safe_topk
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", _zipf_host_col().alias("host")
+    )
+    out = skew_safe_topk(d, ["host"], "n_chars", 3, tiebreak_col="doc_id")
+    return out.select("host", "doc_id", "n_chars", "rk")
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
@@ -6557,6 +6682,8 @@ _DRIVER_PRIORITY: list[str] = [
     "q15_minhash_lsh",
     # flagship + sentinels
     "q123_mp3_metadata",  # new this round (MP3 frame-header walk)
+    "q124_zipf_host_topk",  # new this round (Zipf-host skew stress)
+    "q125_pdf_aes_extract",  # new this round (AESV2 PDF decryption)
     "q25_extract",
     "q44_pagerank",
     "q45_hash_sample",
@@ -6564,14 +6691,12 @@ _DRIVER_PRIORITY: list[str] = [
     # baseline is re-proven transitively inside q74's oracle)
     "q01_scan_agg",
     "q08_pr_hmean",
-    "q13_dedup_exact",
     "q32_dedup_clusters",
     "q47_asof_join",
     "q52_bloom_membership",
     "q53_kmeans_ivf",
     "q54_ann_ivf",
     "q56_dup_spans",
-    "q62_tumbling_windows",
     "q67_decontamination",
     "q68_session_window",
     "q73_dsir_sample",
