@@ -1175,22 +1175,26 @@ def q35_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     ps = [0.5, 0.95, 0.99]
-    agg = li.groupBy("l_returnflag").agg(
+    # percentile_approx must NOT share an aggregate with count_distinct:
+    # the distinct-expand rewrite would key the partial percentile
+    # sketch by (flag, orderkey) — one QuantileSummaries buffer PER
+    # ORDER (measured 16.5s vs 0.5s at sf0.1, and unbounded state at
+    # scale). Two single-pass aggregates + a flag-cardinality join.
+    agg_d = li.groupBy("l_returnflag").agg(
+        F.count_distinct(F.col("l_orderkey")).alias("exact_orders"),
+    )
+    agg_q = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("_approx_orders"),
         F.percentile_approx("l_extendedprice", ps, 10_000).alias("_pq"),
-        F.count_distinct(F.col("l_orderkey")).alias("exact_orders"),
         F.count("*").alias("n"),
+        F.min("l_extendedprice").alias("_lo"),
+        F.max("l_extendedprice").alias("_hi"),
     )
-    # disambiguated column names: exploded and ranked share lineage
-    # (both derive from li), so the join must not reuse li's names
-    ranked = li.select(
-        F.col("l_returnflag").alias("_rf"),
-        F.col("l_extendedprice").alias("_price"),
-    ).withColumn(
-        "_rn", F.row_number().over(Window.partitionBy("_rf").orderBy("_price"))
-    )
+    agg = agg_d.join(
+        agg_q, "l_returnflag"
+    ).localCheckpoint()  # flag-cardinality rows feed 3 consumers below
     p_labels = F.array(*[F.lit(p) for p in ps])
-    exploded = (
+    targets = (
         agg.select(
             "l_returnflag",
             "exact_orders",
@@ -1205,17 +1209,77 @@ def q35_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_trk", (F.floor((F.col("n") - F.lit(1)) * F.col("p")) + 1).cast("long")
         )
     )
-    joined = exploded.join(
-        ranked,
-        (F.col("l_returnflag") == F.col("_rf")) & (F.col("_rn") == F.col("_trk")),
+    # Exact rank-k selection via a value-bucket histogram instead of a
+    # corpus-wide row_number window: a window partitioned by a 3-value
+    # key is 3 tasks over the whole table (and the old plan then
+    # BROADCAST the ranked row-cardinality table — both 100x-killers).
+    # Here: (1) one partial-agg shuffle builds a flag x 256-bucket
+    # histogram; (2) a window over that tiny histogram (<= |flags|*256
+    # rows at ANY corpus size) finds the bucket holding each target
+    # rank; (3) only rows inside target-bearing buckets (expected n/256
+    # per flag; pathological value-skew degrades gracefully to a
+    # flag-sized sort, documented) are ranked. Every join builds the
+    # statistic-sized side.
+    _nb = 256
+    spans = agg.select("l_returnflag", "_lo", "_hi")  # flag-cardinality dim
+    bucketed = (
+        li.select("l_returnflag", F.col("l_extendedprice").alias("_price"))
+        .join(F.broadcast(spans), "l_returnflag")
+        .withColumn(
+            "_b",
+            F.least(
+                F.lit(_nb - 1),
+                F.floor(
+                    (F.col("_price") - F.col("_lo"))
+                    * _nb
+                    / (F.col("_hi") - F.col("_lo") + F.lit(1e-9))
+                ).cast("long"),
+            ),
+        )
+        .select("l_returnflag", "_price", "_b")
+    )
+    hist = bucketed.groupBy("l_returnflag", "_b").agg(F.count("*").alias("_bc"))
+    wb = Window.partitionBy("l_returnflag").orderBy("_b")
+    cum = (
+        hist.withColumn("_cum", F.sum("_bc").over(wb))
+        .withColumn("_prev", F.col("_cum") - F.col("_bc"))
+        .select(
+            F.col("l_returnflag").alias("_rf"), "_b", "_cum", "_prev"
+        )
+    )
+    # locate the bucket containing rank _trk: _prev < _trk <= _cum
+    cells = targets.join(
+        cum,
+        (F.col("l_returnflag") == F.col("_rf"))
+        & (F.col("_trk") > F.col("_prev"))
+        & (F.col("_trk") <= F.col("_cum")),
     ).select(
-        "l_returnflag",
+        F.col("l_returnflag").alias("_crf"),
+        F.col("_b").alias("_cb"),
         "exact_orders",
         "n",
         "p",
-        F.col("_price").alias("exact_q"),
         "_approx_orders",
         "_approx_q",
+        (F.col("_trk") - F.col("_prev")).alias("_rk_in_b"),
+    )
+    w2 = Window.partitionBy("_crf", "_cb", "p").orderBy("_price")
+    joined = (
+        bucketed.join(
+            F.broadcast(cells),
+            (F.col("l_returnflag") == F.col("_crf")) & (F.col("_b") == F.col("_cb")),
+        )
+        .withColumn("_rnb", F.row_number().over(w2))
+        .where(F.col("_rnb") == F.col("_rk_in_b"))
+        .select(
+            "l_returnflag",
+            "exact_orders",
+            "n",
+            "p",
+            F.col("_price").alias("exact_q"),
+            "_approx_orders",
+            "_approx_q",
+        )
     )
     hll_ok = (
         F.abs(F.col("_approx_orders") - F.col("exact_orders"))
