@@ -4,6 +4,7 @@ XY-cut layout ordering, fixture round-trip, and pipeline identity."""
 from __future__ import annotations
 
 import random
+import re
 
 from toyocr_spark.extractor import extract
 from toyocr_spark.extractor.pdf import is_pdf, tokenize_pdf
@@ -518,10 +519,12 @@ def test_encrypted_pdf_extraction_identity():
 
 
 def test_unsupported_encryption_is_a_quiet_skip():
-    """Schemes outside the live set (RC4 R2/R3, AESV2 R4) stay out of
-    scope: a V4/R4 header WITHOUT an /AESV2 crypt filter, and V5/R6
-    (AESV3), are left untouched and extraction yields no text —
-    deterministic, silent, never garbage."""
+    """Schemes outside the live set (RC4 R2/R3, AESV2 R4, AESV3 R6)
+    stay out of scope: a V4/R4 header WITHOUT an /AESV2 crypt filter,
+    and a V5/R6 header WITHOUT an /AESV3 one (or, tested separately,
+    without a valid empty-user-password /U), are left untouched and
+    extraction yields no text — deterministic, silent, never
+    garbage."""
     from toyocr_spark.extractor.pdf import decrypt_pdf
     from toyocr_spark.fixtures.genpdf import encrypt_pdf
 
@@ -871,12 +874,162 @@ def test_aes_fast_path_equals_reference_implementation():
         encrypt_block,
     )
 
+    from toyocr_spark.aescipher import _enc_schedule, _encrypt_block_fast
+
     rng = _r.Random(42)
     for klen in (16, 24, 32):
         key = bytes(rng.randrange(256) for _ in range(klen))
         rounds = _dec_schedule(key)
+        erounds = _enc_schedule(key)
         rks = _round_keys(key)
         for _ in range(100):
             blk = bytes(rng.randrange(256) for _ in range(16))
             assert _decrypt_block_fast(rounds, blk) == _decrypt_block_rk(rks, blk)
             assert _decrypt_block_fast(rounds, encrypt_block(key, blk)) == blk
+            # forward T-tables (the R6-KDF-hot direction) vs reference
+            assert _encrypt_block_fast(erounds, blk) == encrypt_block(key, blk)
+
+
+def test_aes256_hash_2b_matches_independent_transcription():
+    """Algorithm 2.B (the R6 SHA-2 password hash) re-transcribed here
+    from the spec text with a DIFFERENT loop structure — a derivation
+    slip in the extractor would have to be made twice, independently,
+    to pass. The AES and SHA-2 primitives underneath are pinned
+    separately (FIPS-197 vectors; hashlib)."""
+    import hashlib
+
+    from toyocr_spark.aescipher import _round_keys, _encrypt_block_rk
+    from toyocr_spark.extractor.pdf import _hash_2b
+
+    def transcription(pwd, salt, udata):
+        k = hashlib.sha256(pwd + salt + udata).digest()
+        rnd = 0
+        while True:
+            block = pwd + k + udata
+            k1 = block * 64
+            # inline CBC (no library call): key=K[:16], iv=K[16:32]
+            rks = _round_keys(k[:16])
+            prev = k[16:32]
+            e = bytearray()
+            for off in range(0, len(k1), 16):
+                x = bytes(a ^ b for a, b in zip(k1[off : off + 16], prev))
+                prev = _encrypt_block_rk(rks, x)
+                e += prev
+            e = bytes(e)
+            r = e[0]
+            for b in e[1:16]:
+                r += b
+            k = [hashlib.sha256, hashlib.sha384, hashlib.sha512][r % 3](e).digest()
+            rnd += 1
+            if rnd >= 64 and e[len(e) - 1] <= rnd - 32:
+                return k[:32]
+
+    cases = [
+        (b"", b"\x00" * 8, b""),
+        (b"", b"saltsalt", b""),
+        (b"owner", b"12345678", b"U" * 48),
+        (b"\xe2\x82\xac pw", b"\xff" * 8, b""),
+    ]
+    for pwd, salt, udata in cases:
+        assert _hash_2b(pwd, salt, udata) == transcription(pwd, salt, udata)
+
+
+def test_aes256_encrypted_pdf_extraction_identity():
+    """AESV3 (V5/R6) fixtures extract byte-identically to their
+    plaintext twins across the plain, subset-font, and ObjStm classes;
+    /EncryptMetadata plays no role in the R6 key (unlike R4) but both
+    dict variants must parse; the kernel dispatch is transparent."""
+    from toyocr_spark.fixtures.genpdf import (
+        build_pdf_objstm_font,
+        build_pdf_subset_font,
+        encrypt_pdf_aes256,
+    )
+
+    plain = build_pdf(
+        [text_stream([paragraph_ops(72, 700, 12, 14, ["r6 secret", "line two"])])]
+    )
+    subset = build_pdf_subset_font([["r6 subset font line one", "and line two"]])
+    objstm = build_pdf_objstm_font([["r6 objstm body text"]])
+    for base in (plain, subset, objstm):
+        want = [(b.text, b.box) for b in tokenize_pdf(base)]
+        assert want
+        for kwargs in ({}, {"encrypt_metadata": False}):
+            enc = encrypt_pdf_aes256(base, **kwargs)
+            assert enc != base and b"/AESV3" in enc and b"/R 6" in enc
+            got = [(b.text, b.box) for b in tokenize_pdf(enc)]
+            assert got == want, kwargs
+    assert extract(encrypt_pdf_aes256(plain)).text == extract(plain).text
+
+
+def test_aes256_encrypted_pdf_links_round_trip():
+    """R6 ciphers dict strings with the FILE key (no per-object
+    salting); /URI strings must still be located in the ORIGINAL
+    bytes because the CBC rebuild shifts offsets."""
+    import zlib as _zlib
+
+    from toyocr_spark.extractor.pdf import pdf_links
+    from toyocr_spark.fixtures.genpdf import encrypt_pdf_aes256
+
+    pdf = build_pdf(
+        [text_stream([paragraph_ops(72, 740, 11, 13, ["hello world"])])],
+        compress=False,
+    )
+    ann = (
+        b"9 0 obj\n<< /Type /Annot /Subtype /Link /A << /S /URI "
+        b"/URI (https://ex.example/r6\\(2\\)) >> >>\nendobj\n"
+    )
+    member = b"<< /Type /Annot /A << /S /URI /URI (https://objstm.example/r6) >> >>"
+    header = b"11 0 "
+    stm = _zlib.compress(header + member)
+    objstm = (
+        b"10 0 obj\n<< /Type /ObjStm /N 1 /First %d /Length %d /Filter /FlateDecode >>\n"
+        b"stream\n%s\nendstream\nendobj\n" % (len(header), len(stm), stm)
+    )
+    idx = pdf.find(b"xref")
+    base = pdf[:idx] + ann + objstm + pdf[idx:]
+    want = pdf_links(base)
+    assert want == ["https://ex.example/r6(2)", "https://objstm.example/r6"]
+    enc = encrypt_pdf_aes256(base)
+    assert b"https://ex.example" not in enc
+    assert pdf_links(enc) == want
+    assert [b.text for b in tokenize_pdf(enc)] == [b.text for b in tokenize_pdf(base)]
+
+
+def test_aes256_wrong_user_password_is_a_quiet_skip():
+    """A V5/R6 file whose /U validation hash does not match the empty
+    user password (i.e. it genuinely requires a password) is left
+    untouched — deterministic skip, never garbage."""
+    from toyocr_spark.extractor.pdf import decrypt_pdf
+    from toyocr_spark.fixtures.genpdf import encrypt_pdf_aes256
+
+    base = build_pdf([text_stream([paragraph_ops(72, 700, 12, 14, ["secret"])])])
+    enc = encrypt_pdf_aes256(base)
+    # corrupt the validation-hash half of /U (hex in the Encrypt dict)
+    um = re.search(rb"/U <([0-9a-f]{96})>", enc)
+    assert um is not None
+    bad = bytearray(enc)
+    bad[um.start(1)] = ord("0") if enc[um.start(1) : um.start(1) + 1] != b"0" else ord("1")
+    bad = bytes(bad)
+    assert decrypt_pdf(bad) == bad
+    assert tokenize_pdf(bad) == []
+
+
+def test_aes256_encrypted_pdf_fuzz_deterministic():
+    """Bit-flipped R6 files decode deterministically (possibly to
+    nothing) — the fuzz discipline extended to the AESV3 pre-pass."""
+    from toyocr_spark.fixtures.genpdf import encrypt_pdf_aes256
+
+    base = encrypt_pdf_aes256(
+        build_pdf([text_stream([paragraph_ops(72, 700, 12, 14, ["abc def"])])])
+    )
+    rng = random.Random(1209)
+    for _ in range(40):
+        blob = bytearray(base)
+        for _ in range(rng.randint(1, 6)):
+            blob[rng.randrange(len(blob))] = rng.randrange(256)
+        payload = bytes(blob)
+        try:
+            first = [(b.text, b.box) for b in tokenize_pdf(payload)]
+        except ValueError:
+            continue
+        assert [(b.text, b.box) for b in tokenize_pdf(payload)] == first

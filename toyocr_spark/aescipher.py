@@ -235,6 +235,66 @@ def _decrypt_block_fast(rounds: list[list[int]], block: bytes) -> bytes:
     )
 
 
+# ----------------------------------------- fast encrypt (T-tables)
+# The forward twin of the path above: SubBytes + ShiftRows +
+# MixColumns folded into four 256-entry 32-bit tables. Encryption is
+# NOT crawl-hot for content (we decrypt archives), but the R6 password
+# KDF (Algorithm 2.B, extractor/pdf.py _hash_2b) is ~8k block
+# ENCRYPTIONS per hash by design — the per-step reference below
+# remains the cross-check (tests assert agreement on random blocks).
+
+_TE0 = [0] * 256
+_TE1 = [0] * 256
+_TE2 = [0] * 256
+_TE3 = [0] * 256
+for _x in range(256):
+    _sb = _SBOX[_x]
+    _w = (_M2[_sb] << 24) | (_sb << 16) | (_sb << 8) | _M3[_sb]
+    _TE0[_x] = _w
+    _TE1[_x] = ((_w >> 8) | (_w << 24)) & 0xFFFFFFFF
+    _TE2[_x] = ((_w >> 16) | (_w << 16)) & 0xFFFFFFFF
+    _TE3[_x] = ((_w >> 24) | (_w << 8)) & 0xFFFFFFFF
+
+
+def _enc_schedule(key: bytes) -> list[list[int]]:
+    """Encryption round keys as 32-bit words (file order, no mixing)."""
+    w = _expand_key(key)
+    return [
+        [
+            (a << 24) | (b << 16) | (c << 8) | d
+            for a, b, c, d in w[4 * i : 4 * i + 4]
+        ]
+        for i in range(len(w) // 4)
+    ]
+
+
+def _encrypt_block_fast(rounds: list[list[int]], block: bytes) -> bytes:
+    rk = rounds[0]
+    s0 = int.from_bytes(block[0:4], "big") ^ rk[0]
+    s1 = int.from_bytes(block[4:8], "big") ^ rk[1]
+    s2 = int.from_bytes(block[8:12], "big") ^ rk[2]
+    s3 = int.from_bytes(block[12:16], "big") ^ rk[3]
+    te0, te1, te2, te3 = _TE0, _TE1, _TE2, _TE3
+    for rk in rounds[1:-1]:
+        t0 = te0[(s0 >> 24) & 0xFF] ^ te1[(s1 >> 16) & 0xFF] ^ te2[(s2 >> 8) & 0xFF] ^ te3[s3 & 0xFF] ^ rk[0]
+        t1 = te0[(s1 >> 24) & 0xFF] ^ te1[(s2 >> 16) & 0xFF] ^ te2[(s3 >> 8) & 0xFF] ^ te3[s0 & 0xFF] ^ rk[1]
+        t2 = te0[(s2 >> 24) & 0xFF] ^ te1[(s3 >> 16) & 0xFF] ^ te2[(s0 >> 8) & 0xFF] ^ te3[s1 & 0xFF] ^ rk[2]
+        t3 = te0[(s3 >> 24) & 0xFF] ^ te1[(s0 >> 16) & 0xFF] ^ te2[(s1 >> 8) & 0xFF] ^ te3[s2 & 0xFF] ^ rk[3]
+        s0, s1, s2, s3 = t0, t1, t2, t3
+    rk = rounds[-1]
+    sb = _SBOX
+    o0 = ((sb[(s0 >> 24) & 0xFF] << 24) | (sb[(s1 >> 16) & 0xFF] << 16) | (sb[(s2 >> 8) & 0xFF] << 8) | sb[s3 & 0xFF]) ^ rk[0]
+    o1 = ((sb[(s1 >> 24) & 0xFF] << 24) | (sb[(s2 >> 16) & 0xFF] << 16) | (sb[(s3 >> 8) & 0xFF] << 8) | sb[s0 & 0xFF]) ^ rk[1]
+    o2 = ((sb[(s2 >> 24) & 0xFF] << 24) | (sb[(s3 >> 16) & 0xFF] << 16) | (sb[(s0 >> 8) & 0xFF] << 8) | sb[s1 & 0xFF]) ^ rk[2]
+    o3 = ((sb[(s3 >> 24) & 0xFF] << 24) | (sb[(s0 >> 16) & 0xFF] << 16) | (sb[(s1 >> 8) & 0xFF] << 8) | sb[s2 & 0xFF]) ^ rk[3]
+    return (
+        o0.to_bytes(4, "big")
+        + o1.to_bytes(4, "big")
+        + o2.to_bytes(4, "big")
+        + o3.to_bytes(4, "big")
+    )
+
+
 # --------------------------------------------------------------- CBC
 
 
@@ -264,11 +324,43 @@ def cbc_encrypt(key: bytes, iv: bytes, plain: bytes) -> bytes:
         raise ValueError("AES-CBC IV length")
     pad = 16 - len(plain) % 16
     plain = plain + bytes([pad]) * pad
-    rks = _round_keys(key)
+    rounds = _enc_schedule(key)
     out = bytearray(iv)
     prev = iv
     for off in range(0, len(plain), 16):
         blk = bytes(a ^ b for a, b in zip(plain[off : off + 16], prev))
-        prev = _encrypt_block_rk(rks, blk)
+        prev = _encrypt_block_fast(rounds, blk)
         out += prev
+    return bytes(out)
+
+
+def cbc_encrypt_raw(key: bytes, iv: bytes, plain: bytes) -> bytes:
+    """Raw CBC: explicit IV (NOT prepended to the output), NO padding —
+    ``plain`` must already be a multiple of 16. This is the CBC mode
+    the PDF 2.0 R6 key machinery uses: Algorithm 2.B's 64-repetition
+    block is inherently 16-aligned, and /UE //OE hold the 32-byte file
+    key CBC-encrypted with a zero IV and no padding (spec 7.6.4.4.8)."""
+    if len(iv) != 16 or len(plain) % 16 != 0:
+        raise ValueError("raw AES-CBC geometry")
+    rounds = _enc_schedule(key)
+    out = bytearray()
+    prev = iv
+    for off in range(0, len(plain), 16):
+        blk = bytes(a ^ b for a, b in zip(plain[off : off + 16], prev))
+        prev = _encrypt_block_fast(rounds, blk)
+        out += prev
+    return bytes(out)
+
+
+def cbc_decrypt_raw(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """Inverse of cbc_encrypt_raw (explicit IV, no padding strip)."""
+    if len(iv) != 16 or len(data) % 16 != 0 or not data:
+        raise ValueError("raw AES-CBC geometry")
+    rounds = _dec_schedule(key)
+    prev = iv
+    out = bytearray()
+    for off in range(0, len(data), 16):
+        blk = data[off : off + 16]
+        out += bytes(a ^ b for a, b in zip(_decrypt_block_fast(rounds, blk), prev))
+        prev = blk
     return bytes(out)

@@ -88,17 +88,19 @@ def is_pdf(data: bytes | str | None) -> bool:
     return isinstance(data, (bytes, bytearray)) and data[:5] == PDF_MAGIC
 
 
-# ------------------------------------------- encryption (standard RC4)
+# ----------------------------------------------- encryption (standard)
 #
-# The standard security handler with RC4 (spec 7.6.3: V 1/2, R 2/3) and
-# the EMPTY user password — how the overwhelming majority of encrypted
-# crawl PDFs are protected (owner-password-only "permissions"
-# encryption). Decryption is a PRE-PASS: RC4 is a stream cipher, so
-# every object's stream decrypts IN PLACE at identical length and the
-# rest of the text machine runs on byte-identical offsets. AES (V >= 4)
-# and user-password-protected files are out of scope: decrypt_pdf
-# leaves them untouched, their streams stay opaque, extraction yields
-# no text — a deterministic skip, never garbage or a crash.
+# The standard security handler with the EMPTY user password — how the
+# overwhelming majority of encrypted crawl PDFs are protected
+# (owner-password-only "permissions" encryption). All three live
+# revisions decrypt: RC4 (spec 7.6.3: V 1/2, R 2/3) as an in-place
+# PRE-PASS (stream cipher, byte-identical offsets), AESV2 (V4/R4,
+# AES-128-CBC) and AESV3 (V5/R6, AES-256 + SHA-2 Algorithm 2.A/2.B
+# derivation) by REBUILDING the file (CBC is not length-preserving).
+# User-password-protected files and the short-lived pre-standard V5/R5
+# draft are out of scope: decrypt_pdf leaves them untouched, their
+# streams stay opaque, extraction yields no text — a deterministic
+# skip, never garbage or a crash.
 
 _PAD = bytes(
     [
@@ -151,6 +153,60 @@ def _std_file_key(
         for _ in range(50):
             h = hashlib.md5(h[:n]).digest()
     return h[:n]
+
+
+def _hash_2b(pwd: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """Algorithm 2.B (spec 7.6.4.3.4, PDF 2.0 / R6): the SHA-2 based
+    password hash. Start from SHA-256(pwd+salt+udata); each round
+    AES-128-CBC-encrypts 64 repetitions of (pwd+K+udata) with K's
+    first 16 bytes as key and next 16 as IV, picks SHA-256/384/512 by
+    (sum of E's first 16 bytes) mod 3, and stops once at least 64
+    rounds ran AND E's last byte <= round-32. ``udata`` is empty for
+    the user-password hashes and the 48-byte /U for the owner ones."""
+    import hashlib
+
+    from toyocr_spark.aescipher import cbc_encrypt_raw
+
+    k = hashlib.sha256(pwd + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (pwd + k + udata) * 64
+        e = cbc_encrypt_raw(k[:16], k[16:32], k1)
+        digest = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[sum(e[:16]) % 3]
+        k = digest(e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
+_R6_KEY_CACHE: dict[tuple[bytes, bytes], bytes | None] = {}
+
+
+def _r6_file_key(u: bytes, ue: bytes) -> bytes | None:
+    """R6 file key for the EMPTY user password (the owner-password-only
+    permissions scheme crawl PDFs carry): validate /U's hash half with
+    the validation salt, then decrypt /UE with the intermediate key
+    from the key salt (Algorithm 2.A steps b/e; zero IV, no padding).
+    None when validation fails — i.e. the file genuinely requires a
+    user password, which this pipeline deterministically skips."""
+    from toyocr_spark.aescipher import cbc_decrypt_raw
+
+    if len(u) < 48 or len(ue) < 32:
+        return None
+    ck = (u[:48], ue[:32])
+    if ck in _R6_KEY_CACHE:
+        # the KDF is deliberately slow (Algorithm 2.B: ~8k AES block
+        # encryptions); within one document the text pass and every
+        # /URI string decryption re-derive the same key, so memoize.
+        return _R6_KEY_CACHE[ck]
+    if _hash_2b(b"", u[32:40]) != u[:32]:
+        key = None  # non-empty user password: unsupported, skip
+    else:
+        key = cbc_decrypt_raw(_hash_2b(b"", u[40:48]), bytes(16), ue[:32])
+    if len(_R6_KEY_CACHE) >= 64:  # bounded: a few docs in flight at most
+        _R6_KEY_CACHE.clear()
+    _R6_KEY_CACHE[ck] = key
+    return key
 
 
 def _obj_key(file_key: bytes, num: int, gen: int, aes: bool = False) -> bytes:
@@ -226,18 +282,45 @@ def _encryption_params(data: bytes):
     lm = re.search(rb"/Length\s+(\d+)", enc)
     v = int(vm.group(1)) if vm else 0
     r = int(rm.group(1)) if rm else 0
+
+    def _entry_string(name: bytes) -> bytes | None:
+        em = re.search(rb"/" + name + rb"\s*([(<])", enc)
+        if em is None:
+            return None
+        k = em.start(1)
+        if enc[k : k + 1] == b"(":
+            val, _ = _lit_string(enc, k)
+        else:
+            val, _ = _hex_string(enc, k)
+        return val
+
+    if v == 5 and r == 6 and b"/AESV3" in enc:
+        # PDF 2.0 crypt-filter scheme: AES-256-CBC streams/strings,
+        # SHA-2 key derivation (Algorithm 2.A/2.B), and — unlike every
+        # earlier revision — the FILE key used directly for all
+        # objects (no per-object MD5 salting). /O /P /ID play no role
+        # in deriving the empty-user-password key.
+        u_val = _entry_string(b"U")
+        ue_val = _entry_string(b"UE")
+        if u_val is None or ue_val is None:
+            return None
+        key = _r6_file_key(u_val, ue_val)
+        if key is None:
+            return None
+        return key, num, "aes3"
+
     method = None
     if v in (1, 2) and r in (2, 3):
         method = "rc4"
     elif v == 4 and r == 4 and b"/AESV2" in enc:
         # V4 crypt-filter scheme with the AESV2 StdCF — streams (and
         # strings) are AES-128-CBC. V4-with-RC4-CF ("/V2" CFM) would
-        # also be expressible here but is vanishingly rare; V5/R6
-        # (AESV3, SHA-256 derivation) stays the documented newer-
-        # revision seam.
+        # also be expressible here but is vanishingly rare; V5/R5
+        # (the short-lived pre-standard AESV3 draft revision) stays
+        # the one documented out-of-scope encryption revision.
         method = "aes"
     if method is None or pm is None:
-        return None  # newer revisions (V5/R6): documented out of scope
+        return None
     oim = re.search(rb"/O\s*([(<])", enc)
     o_val: bytes | None = None
     if oim is not None:
@@ -292,8 +375,8 @@ def decrypt_pdf(data: bytes) -> bytes:
     if params is None:
         return data
     file_key, enc_num, method = params
-    if method == "aes":
-        result = _decrypt_pdf_aes(data, file_key, enc_num)
+    if method in ("aes", "aes3"):
+        result = _decrypt_pdf_aes(data, file_key, enc_num, obj_salt=method == "aes")
         if len(_DECRYPT_CACHE) >= 4:
             _DECRYPT_CACHE.clear()
         _DECRYPT_CACHE[ck] = (data, result)
@@ -331,8 +414,14 @@ def decrypt_pdf(data: bytes) -> bytes:
     return result
 
 
-def _decrypt_pdf_aes(data: bytes, file_key: bytes, enc_num: int) -> bytes:
-    """AESV2 (V4/R4) stream decryption. Unlike RC4, AES-CBC is NOT
+def _decrypt_pdf_aes(
+    data: bytes, file_key: bytes, enc_num: int, obj_salt: bool = True
+) -> bytes:
+    """AESV2 (V4/R4) and AESV3 (V5/R6) stream decryption — identical
+    CBC stream layout; the only difference is the key (AESV2 salts a
+    per-object MD5 key via Algorithm 1, ``obj_salt=False`` for R6
+    uses the 32-byte file key directly per spec 7.6.4.2).
+    Unlike RC4, AES-CBC is NOT
     length-preserving (16-byte IV prefix + PKCS#7 padding), so the
     file is REBUILT segment by segment: each stream body is replaced
     by its plaintext and the object's direct /Length is rewritten.
@@ -367,7 +456,8 @@ def _decrypt_pdf_aes(data: bytes, file_key: bytes, enc_num: int) -> bytes:
         if lo < last_hi:
             continue
         try:
-            plain = cbc_decrypt(_obj_key(file_key, num, gen, aes=True), data[lo:hi])
+            key = _obj_key(file_key, num, gen, aes=True) if obj_salt else file_key
+            plain = cbc_decrypt(key, data[lo:hi])
         except ValueError:
             continue
         new_dict, nsub = _LENGTH_RE.subn(
@@ -408,11 +498,14 @@ def _decrypt_string_at(data: bytes, pos: int) -> bytes | None:
         return None
     raw, _ = _lit_string(data, pos)
     num, gen = int(enclosing.group(1)), int(enclosing.group(2))
-    if method == "aes":
+    if method in ("aes", "aes3"):
         from toyocr_spark.aescipher import cbc_decrypt
 
+        key = (
+            _obj_key(file_key, num, gen, aes=True) if method == "aes" else file_key
+        )
         try:
-            return cbc_decrypt(_obj_key(file_key, num, gen, aes=True), raw)
+            return cbc_decrypt(key, raw)
         except ValueError:
             return None  # not a well-formed AES string: caller skips
     return _rc4(_obj_key(file_key, num, gen), raw)

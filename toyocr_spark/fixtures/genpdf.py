@@ -796,3 +796,135 @@ def encrypt_pdf_aes(
         f"trailer\n<< /Encrypt {enc_num} 0 R /ID [<{id0.hex()}> <{id0.hex()}>] >>\n"
     ).encode()
     return b"".join(parts) + enc_obj + trailer
+
+
+def encrypt_pdf_aes256(
+    data: bytes, p: int = -4, encrypt_metadata: bool = True
+) -> bytes:
+    """Encrypt a generated fixture PDF with the PDF 2.0 V5/R6 scheme
+    (/StdCF /CFM /AESV3, AES-256-CBC, empty user password): the
+    32-byte file key is random-per-file in real writers but derived
+    deterministically here (SHA-256 of the plaintext) so fixtures are
+    byte-stable; /U //UE //O //OE //Perms are built exactly per
+    Algorithm 8/9/10 (spec 7.6.4.4.6-8) via the extractor's own
+    _hash_2b so a derivation bug cannot silently agree — _hash_2b is
+    ADDITIONALLY pinned by an independent in-test transcription of
+    Algorithm 2.B plus the FIPS-180/197 primitives underneath. Streams
+    and /URI strings cipher with the FILE key directly (no per-object
+    salting in R6), IV deterministic per object."""
+    import hashlib
+
+    import re as _re
+
+    from toyocr_spark.aescipher import cbc_encrypt, cbc_encrypt_raw, encrypt_block
+    from toyocr_spark.extractor.pdf import (
+        _FULL_OBJ_RE,
+        _LENGTH_RE,
+        _hash_2b,
+        _lit_string,
+        _stream_span,
+    )
+
+    id0 = hashlib.md5(data).digest()
+    file_key = hashlib.sha256(b"r6-file-key" + id0).digest()
+    vsalt = hashlib.sha256(b"r6-vsalt" + id0).digest()[:8]
+    ksalt = hashlib.sha256(b"r6-ksalt" + id0).digest()[:8]
+    ovsalt = hashlib.sha256(b"r6-ovsalt" + id0).digest()[:8]
+    oksalt = hashlib.sha256(b"r6-oksalt" + id0).digest()[:8]
+
+    u_entry = _hash_2b(b"", vsalt) + vsalt + ksalt
+    ue_entry = cbc_encrypt_raw(_hash_2b(b"", ksalt), bytes(16), file_key)
+    # owner password also empty; owner hashes take the 48-byte /U as
+    # the trailing udata (Algorithm 2.B's third input)
+    o_entry = _hash_2b(b"", ovsalt, u_entry) + ovsalt + oksalt
+    oe_entry = cbc_encrypt_raw(_hash_2b(b"", oksalt, u_entry), bytes(16), file_key)
+    perms_plain = (
+        (p & 0xFFFFFFFF).to_bytes(4, "little")
+        + b"\xff\xff\xff\xff"
+        + (b"T" if encrypt_metadata else b"F")
+        + b"adb"
+        + hashlib.md5(b"r6-perms" + id0).digest()[:4]
+    )
+    perms_entry = encrypt_block(file_key, perms_plain)  # AES-ECB, one block
+
+    def _iv(num: int, gen: int) -> bytes:
+        return hashlib.md5(
+            b"iv256" + num.to_bytes(4, "big") + gen.to_bytes(4, "big") + id0
+        ).digest()[:16]
+
+    # pass 1 — strings: cipher /URI literals in place (reverse splice)
+    out = bytearray(data)
+    uri_hits = []
+    for om in _FULL_OBJ_RE.finditer(data):
+        oend = data.find(b"endobj", om.end())
+        if oend == -1:
+            oend = len(data)
+        span = _stream_span(data[om.end() : oend])
+        dict_end = om.end() + (span[0] if span else (oend - om.end()))
+        for um in _re.finditer(rb"/URI\s*\(", data[om.end() : dict_end]):
+            uri_hits.append(
+                (om.end() + um.end() - 1, int(om.group(1)), int(om.group(2)))
+            )
+    for pos, onum, ogen in sorted(uri_hits, reverse=True):
+        raw, end = _lit_string(data, pos)
+        cipher = cbc_encrypt(file_key, _iv(onum, ogen), raw)
+        esc = (
+            cipher.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+        )
+        out[pos:end] = b"(" + esc + b")"
+    data = bytes(out)
+
+    # pass 2 — streams: rebuild segment by segment (lengths change)
+    import zlib as _zlib
+
+    parts: list[bytes] = []
+    cursor = 0
+    max_num = 0
+    for m in _FULL_OBJ_RE.finditer(data):
+        num, gen = int(m.group(1)), int(m.group(2))
+        max_num = max(max_num, num)
+        end = data.find(b"endobj", m.end())
+        if end == -1:
+            end = len(data)
+        obj = data[m.end() : end]
+        span = _stream_span(obj)
+        if span is None:
+            continue
+        # ObjStm MEMBER numbers must not collide with the Encrypt
+        # object's number either — read them before ciphering
+        if b"/ObjStm" in obj[: span[0]]:
+            body = obj[span[0] : span[1]]
+            if b"/FlateDecode" in obj[: span[0]]:
+                try:
+                    body = _zlib.decompress(body)
+                except _zlib.error:
+                    body = b""
+            for pm in _re.finditer(rb"(\d+)\s+\d+", body[:256]):
+                max_num = max(max_num, int(pm.group(1)))
+        lo, hi = m.end() + span[0], m.end() + span[1]
+        cipher = cbc_encrypt(file_key, _iv(num, gen), data[lo:hi])
+        new_dict, nsub = _LENGTH_RE.subn(
+            b"/Length " + str(len(cipher)).encode(), data[m.end() : lo], count=1
+        )
+        if nsub == 0:
+            continue
+        parts.append(data[cursor : m.end()])
+        parts.append(new_dict)
+        parts.append(cipher)
+        cursor = hi
+    parts.append(data[cursor:])
+
+    enc_num = max_num + 1
+    meta = "" if encrypt_metadata else "/EncryptMetadata false "
+    enc_obj = (
+        f"\n{enc_num} 0 obj\n<< /Filter /Standard /V 5 /R 6 /Length 256 "
+        f"/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen /Length 32 >> >> "
+        f"/StmF /StdCF /StrF /StdCF {meta}"
+        f"/O <{o_entry.hex()}> /OE <{oe_entry.hex()}> "
+        f"/U <{u_entry.hex()}> /UE <{ue_entry.hex()}> "
+        f"/Perms <{perms_entry.hex()}> /P {p} >>\nendobj\n"
+    ).encode()
+    trailer = (
+        f"trailer\n<< /Encrypt {enc_num} 0 R /ID [<{id0.hex()}> <{id0.hex()}>] >>\n"
+    ).encode()
+    return b"".join(parts) + enc_obj + trailer

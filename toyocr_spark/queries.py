@@ -6579,18 +6579,25 @@ def q123_mp3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
            text AS extracted_text,
            1 AS n_kept
     FROM documents
+    WHERE doc_id % 4 = 0
     """,
     "DRIVER-CHECKABLE AES-encrypted-PDF extraction (q122's RC4 twin): "
     "the same one-stream document template encrypted per row with the "
     "V4/R4 /AESV2 crypt-filter scheme (AES-128-CBC streams, IV prefix "
     "+ PKCS#7, /Length rewritten — NOT length-preserving, so the "
     "decryptor REBUILDS the file), alternating /EncryptMetadata "
-    "true/false by doc parity (different file keys), then run through "
+    "true/false by doc parity (different file keys); docs with "
+    "doc_id % 100 == 0 instead get the PDF 2.0 V5/R6 /AESV3 scheme "
+    "(AES-256, SHA-2 Algorithm 2.A/2.B key derivation, file key used "
+    "directly — the KDF is deliberately slow by spec, hence the "
+    "rare-share mix mirroring real crawl prevalence). All run through "
     "the ordinary extraction pipeline; the oracle is text identity on "
     "every row. AES itself is pure-stdlib (toyocr_spark/aescipher.py, "
-    "FIPS-197-vector-pinned, T-table fast path cross-checked against "
-    "the per-step reference). extractor/pdf.py _decrypt_pdf_aes; "
-    "fixtures/genpdf.py encrypt_pdf_aes.",
+    "FIPS-197-vector-pinned, T-table fast paths in BOTH directions "
+    "cross-checked against the per-step reference; Algorithm 2.B "
+    "pinned by an independent in-test transcription). extractor/"
+    "pdf.py _decrypt_pdf_aes/_r6_file_key/_hash_2b; fixtures/genpdf."
+    "py encrypt_pdf_aes/encrypt_pdf_aes256.",
 )
 def q125_pdf_aes_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow as pa
@@ -6599,7 +6606,11 @@ def q125_pdf_aes_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from toyocr_spark.pipeline import extract_pages
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 4 == 0)
+        .select("doc_id", "text")
+    )
     schema = T.StructType(
         [
             T.StructField("url", T.StringType(), False),
@@ -6608,7 +6619,7 @@ def q125_pdf_aes_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def batches(it):
-        from toyocr_spark.fixtures.genpdf import encrypt_pdf_aes
+        from toyocr_spark.fixtures.genpdf import encrypt_pdf_aes, encrypt_pdf_aes256
 
         for b in it:
             urls, blobs = [], []
@@ -6624,7 +6635,12 @@ def q125_pdf_aes_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"{content}\nendstream\nendobj\n"
                     "trailer\n<< /Root 1 0 R >>\n%%EOF\n"
                 ).encode()
-                blobs.append(encrypt_pdf_aes(pdf, encrypt_metadata=did % 2 == 0))
+                if did % 100 == 0:  # rare-share PDF 2.0 AESV3 (R6) mix
+                    blobs.append(
+                        encrypt_pdf_aes256(pdf, encrypt_metadata=(did // 100) % 2 == 0)
+                    )
+                else:
+                    blobs.append(encrypt_pdf_aes(pdf, encrypt_metadata=did % 2 == 0))
                 urls.append(f"https://aespdf-{did}.example/doc.pdf")
             yield pa.RecordBatch.from_arrays(
                 [pa.array(urls, pa.string()), pa.array(blobs, pa.binary())],
