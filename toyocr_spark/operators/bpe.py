@@ -166,8 +166,10 @@ def encode_tokens(df: DataFrame, seg: DataFrame, text_col: str = "text") -> Data
     """Per-document BPE token count using the trained segmentation.
 
     One corpus pass (word explode, same normalization as word_vocab) +
-    one broadcast join against the segmented vocab — the merge loop
-    never touches the corpus. Words outside the trained vocabulary
+    one equi-join against the segmented vocab (AQE broadcasts it when
+    small; forced broadcast would OOM on a Heaps-law crawl vocab) —
+    the merge loop never touches the corpus. Words outside the trained
+    vocabulary
     fall back to character count + 1 (each char + END_OF_WORD), the
     untrained-segmentation cost.
 
@@ -178,7 +180,13 @@ def encode_tokens(df: DataFrame, seg: DataFrame, text_col: str = "text") -> Data
         *id_cols,
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word"),
     ).filter(F.col("word").rlike("^[a-z]+$") & (F.length("word") >= 2))
-    table = F.broadcast(seg.select("word", F.size("symbols").alias("n_sym")))
+    # no broadcast hint: the segmented vocab is CORPUS-VOCABULARY
+    # cardinality (Heaps-law growth — 10^8+ words at crawl scale), the
+    # same class of table q85/q79 must not force onto executors. AQE
+    # still picks a broadcast join whenever the trained vocab is
+    # genuinely small (every fixture run); at scale the (word) shuffle
+    # is the standard token-stream exchange TF-IDF/BM25 already pay.
+    table = seg.select("word", F.size("symbols").alias("n_sym"))
     joined = words.join(table, "word", "left").select(
         *id_cols,
         F.coalesce(F.col("n_sym"), F.length("word") + 1).alias("n_tok"),

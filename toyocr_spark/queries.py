@@ -4925,9 +4925,66 @@ def q98_jsonld_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_train_oracle_sql(n_merges: int, min_pair_freq: int) -> str:
+    """Mechanically unrolled DuckDB twin of train_bpe: k chained CTE
+    rounds of (pair count -> argmax -> replace-based re-segmentation).
+    Greedy left-to-right non-overlapping merge == non-overlapping SQL
+    replace() over the bracket-wrapped symbol string ('aaa' under
+    ('a','a') -> 'aa','a' in both)."""
+    sql = """
+    WITH vocab AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+            FROM documents)
+      WHERE regexp_full_match(word, '[a-z]+') AND length(word) >= 2
+      GROUP BY word
+    ),
+    seg_0 AS (
+      SELECT freq,
+             '[' || array_to_string(
+                 list_transform(generate_series(1, length(word)),
+                                i -> substr(word, i, 1)), '][')
+                 || '][</w>]' AS s
+      FROM vocab
+    )"""
+    for k in range(1, n_merges + 1):
+        p = k - 1
+        sql += f""",
+    syms_{k} AS (
+      SELECT freq, regexp_extract_all(s, '\\[([^\\]]+)\\]', 1) AS l
+      FROM seg_{p}
+    ),
+    pairs_{k} AS (
+      SELECT l[i] AS lft, l[i+1] AS rgt,
+             CAST(sum(freq) AS BIGINT) AS pair_freq
+      FROM syms_{k}, unnest(generate_series(1, len(l) - 1)) AS t(i)
+      GROUP BY 1, 2
+    ),
+    best_{k} AS (
+      SELECT lft, rgt, pair_freq FROM pairs_{k}
+      WHERE pair_freq >= {min_pair_freq}
+      ORDER BY pair_freq DESC, lft, rgt LIMIT 1
+    ),
+    seg_{k} AS (
+      SELECT freq, replace(s, '[' || b.lft || '][' || b.rgt || ']',
+                              '[' || b.lft || b.rgt || ']') AS s
+      FROM seg_{p}, best_{k} b
+    )"""
+    sql += (
+        "\n    "
+        + "\n    UNION ALL ".join(
+            f'SELECT CAST({k} AS BIGINT) AS rank, lft AS "left", '
+            f'rgt AS "right", pair_freq FROM best_{k}'
+            for k in range(1, n_merges + 1)
+        )
+        + "\n    ORDER BY rank"
+    )
+    return sql
+
+
 @_q(
     "q99_bpe_train",
-    None,
+    _bpe_train_oracle_sql(n_merges=8, min_pair_freq=2),
     "full iterative BPE tokenizer training (Sennrich learn_bpe) — "
     "q97 is literally round 1 of this loop. One corpus pass collapses "
     "the stream to the distinct-word vocab; 8 merge rounds then run "
@@ -4935,10 +4992,14 @@ def q98_jsonld_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pure-JVM F.aggregate fold to re-segment + localCheckpoint to "
     "keep iterative lineage flat — the connected-components "
     "discipline). Deterministic merge order via (freq DESC, left, "
-    "right). Not SQL-expressible (iterative argmax-dependent "
-    "re-segmentation); the exact-value check is "
-    "tests/test_bpe.py's pure-Python Sennrich reference, which must "
-    "reproduce the merge table bit-for-bit",
+    "right). The oracle UNROLLS the 8 argmax-dependent rounds as "
+    "chained CTEs: segmentation as a '[sym][sym]' string, greedy "
+    "left-to-right non-overlapping merge = SQL replace() (same "
+    "semantics — both consume matches as they scan; bracket wrapping "
+    "is unambiguous because symbols never contain brackets), early "
+    "stop = HAVING-filtered 1-row best_k whose emptiness empties "
+    "every later round. Exact-value double-check remains "
+    "tests/test_bpe.py's pure-Python Sennrich reference, bit-for-bit",
 )
 def q99_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from toyocr_spark.operators.bpe import train_bpe, word_vocab
