@@ -908,3 +908,54 @@ def test_pq_adc_search_properties(spark, sf_dir):
         shortlist = {i for _, i in sorted((adc(qid, i), i) for i in vecs if i != qid)[:50]}
         found += exact1 in shortlist
     assert found >= 6, found
+
+
+def test_ivf_pq_composition(spark, sf_dir):
+    """q127: the composed IVF-PQ result must equal 'PQ-ADC ranking
+    restricted to the probed coarse cells' computed independently in
+    pure Python from the collected index artifacts — i.e. the
+    composition adds exactly candidate restriction and nothing else."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from toyocr_spark.operators.kmeans import kmeans_index
+    from toyocr_spark.operators.pq import ivf_pq_topk, pq_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids, assigned, _ = kmeans_index(emb, "vec_id", "embedding", k=8, iters=3)
+    codebook, codes = pq_train(emb, m_sub=8, ksub=16, iters=2, dim=64)
+    q = emb.filter(F.col("vec_id") < 8)
+    out = {
+        (r["query_id"], r["rank"]): (r["item_id"], r["adc_dist"])
+        for r in ivf_pq_topk(
+            q, centroids, assigned, codebook, codes, k=5, nprobe=2
+        ).collect()
+    }
+
+    scale = 1_000_000
+    vecs = {
+        r["vec_id"]: [math.floor(float(x) * scale) for x in r["embedding"]]
+        for r in emb.collect()
+    }
+    cv = {r["cid"]: r["cv"] for r in centroids.collect()}
+    cell = {r["id"]: r["cid"] for r in assigned.collect()}
+    cb = {(r["sub"], r["scid"]): r["scv"] for r in codebook.collect()}
+    cd = {}
+    for r in codes.collect():
+        cd.setdefault(r["id"], {})[r["sub"]] = r["scid"]
+
+    def l2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    def adc(qid, iid):
+        return sum(
+            l2(vecs[qid][s * 8 : s * 8 + 8], cb[(s, cd[iid][s])]) for s in range(8)
+        )
+
+    for qid in range(8):
+        probed = {c for _, c in sorted((l2(vecs[qid], cv[c]), c) for c in cv)[:2]}
+        cands = [i for i in vecs if i != qid and cell[i] in probed]
+        want = sorted((adc(qid, i), i) for i in cands)[:5]
+        got = [out[(qid, r)] for r in range(1, 6) if (qid, r) in out]
+        assert [(i, d) for d, i in want] == got, (qid, got, want)

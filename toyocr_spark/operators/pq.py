@@ -179,3 +179,63 @@ def pq_adc_topk(
         k,
         rank_name="rank",
     ).select("query_id", F.col("rank").cast("long"), "item_id", "adc_dist")
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    centroids: DataFrame,
+    assigned: DataFrame,
+    codebook: DataFrame,
+    codes: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m_sub: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-PQ search — the composed index architecture at 10^12
+    vectors: probe the ``nprobe`` nearest coarse cells (kmeans.py
+    machinery), then ADC-score ONLY the probed cells' members against
+    the per-query distance table. Neither raw corpus vectors nor
+    unprobed cells are touched: candidates = queries x nprobe x
+    (n / k_coarse) expected rows, each scored by m_sub integer adds.
+
+    (query_id, rank, item_id, adc_dist); rank by (adc_dist, item_id),
+    self-matches excluded."""
+    from toyocr_spark.operators.kmeans import ivf_probes
+    from toyocr_spark.operators.selection import topk_per_group
+
+    probes = ivf_probes(queries, centroids, nprobe, id_col, vec_col)
+    members = assigned.select(F.col("id").alias("item_id"), "cid")
+    cand = (
+        F.broadcast(probes)
+        .join(members, "cid")
+        .filter(F.col("item_id") != F.col("query_id"))
+        .select("query_id", "item_id")
+    )
+    sub_dim = dim // m_sub
+    qsub = _subvectors(queries, id_col, vec_col, m_sub, sub_dim).select(
+        F.col("id").alias("query_id"), "sub", F.col("sv").alias("qv")
+    )
+    sdist = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("scv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    table = qsub.join(F.broadcast(codebook), "sub").select(
+        "query_id", "sub", "scid", sdist.alias("sdist")
+    )
+    scored = (
+        cand.join(codes.withColumnRenamed("id", "item_id"), "item_id")
+        .join(F.broadcast(table), ["query_id", "sub", "scid"])
+        .groupBy("query_id", "item_id")
+        .agg(F.sum("sdist").alias("adc_dist"))
+    )
+    return topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("adc_dist").asc(), F.col("item_id").asc()],
+        k,
+        rank_name="rank",
+    ).select("query_id", F.col("rank").cast("long"), "item_id", "adc_dist")

@@ -6504,7 +6504,13 @@ def q122_pdf_encrypted_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from toyocr_spark.pipeline import extract_pages
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        # CPU-bound crypto kernel below: spread over the cores rather
+        # than the file's 1-2 input splits (see q125)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     schema = T.StructType(
         [
             T.StructField("url", T.StringType(), False),
@@ -6648,7 +6654,7 @@ def q123_mp3_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     "+ PKCS#7, /Length rewritten — NOT length-preserving, so the "
     "decryptor REBUILDS the file), alternating /EncryptMetadata "
     "true/false by doc parity (different file keys); docs with "
-    "doc_id % 100 == 0 instead get the PDF 2.0 V5/R6 /AESV3 scheme "
+    "doc_id % 200 == 0 instead get the PDF 2.0 V5/R6 /AESV3 scheme "
     "(AES-256, SHA-2 Algorithm 2.A/2.B key derivation, file key used "
     "directly — the KDF is deliberately slow by spec, hence the "
     "rare-share mix mirroring real crawl prevalence). All run through "
@@ -6671,6 +6677,14 @@ def q125_pdf_aes_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents")
         .where(F.col("doc_id") % 4 == 0)
         .select("doc_id", "text")
+        # the parquet file is small (1-2 input splits) but the kernel
+        # below is CPU-bound crypto — without an explicit repartition
+        # the whole R6 KDF cost lands on one task (measured 76s at
+        # sf0.1). 4x overpartitioning bounds the binomial lumpiness of
+        # the rare expensive R6 docs (max-per-task drops from 4 to ~1,
+        # each ~2s). Same discipline as the extraction pipeline's
+        # pre-kernel salted repartition.
+        .repartition(4 * spark.sparkContext.defaultParallelism)
     )
     schema = T.StructType(
         [
@@ -6696,9 +6710,9 @@ def q125_pdf_aes_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"{content}\nendstream\nendobj\n"
                     "trailer\n<< /Root 1 0 R >>\n%%EOF\n"
                 ).encode()
-                if did % 100 == 0:  # rare-share PDF 2.0 AESV3 (R6) mix
+                if did % 200 == 0:  # rare-share PDF 2.0 AESV3 (R6) mix
                     blobs.append(
-                        encrypt_pdf_aes256(pdf, encrypt_metadata=(did // 100) % 2 == 0)
+                        encrypt_pdf_aes256(pdf, encrypt_metadata=(did // 200) % 2 == 0)
                     )
                 else:
                     blobs.append(encrypt_pdf_aes(pdf, encrypt_metadata=did % 2 == 0))
@@ -6875,6 +6889,115 @@ def q126_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(q, codebook, codes, k=5, m_sub=8, dim=64)
 
 
+@_q(
+    "q127_ivf_pq_search",
+    f"""
+    WITH vd AS (
+      SELECT vec_id, i AS dim,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS val
+      FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+    ),
+    c0 AS (
+      SELECT vec_id AS cid, dim, val AS cval FROM vd
+      WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)
+    ),
+    {_kmeans_round_sql(1)},
+    {_kmeans_round_sql(2)},
+    d3 AS (
+      SELECT vd.vec_id, c.cid,
+             sum((vd.val - c.cval) * (vd.val - c.cval)) AS dist
+      FROM vd JOIN c2 c ON vd.dim = c.dim
+      GROUP BY vd.vec_id, c.cid
+    ),
+    a3 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rk
+        FROM d3)
+      WHERE rk = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS prb
+        FROM d3 WHERE vec_id < 8)
+      WHERE prb <= 2
+    ),
+    svd AS (
+      SELECT vec_id, CAST((dim - 1) // 8 AS INT) AS sub,
+             (dim - 1) % 8 AS sdim, val
+      FROM vd
+    ),
+    pc0 AS (
+      SELECT sub, vec_id AS scid, sdim, val AS cval FROM svd
+      WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),
+    {_pq_round_sql(1)},
+    pd2 AS (
+      SELECT s.vec_id, s.sub, c.scid,
+             sum((s.val - c.cval) * (s.val - c.cval)) AS dist
+      FROM svd s JOIN pc1 c ON s.sub = c.sub AND s.sdim = c.sdim
+      GROUP BY s.vec_id, s.sub, c.scid
+    ),
+    codes AS (
+      SELECT vec_id, sub, scid FROM (
+        SELECT vec_id, sub, scid,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dist ASC, scid ASC) AS rk
+        FROM pd2)
+      WHERE rk = 1
+    ),
+    qtab AS (
+      SELECT vec_id AS query_id, sub, scid, dist AS sdist
+      FROM pd2 WHERE vec_id < 8
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS item_id
+      FROM probes p JOIN a3 a ON p.cid = a.cid
+      WHERE a.vec_id != p.query_id
+    ),
+    adc AS (
+      SELECT c.query_id, c.item_id,
+             CAST(sum(q.sdist) AS BIGINT) AS adc_dist
+      FROM cand c
+      JOIN codes k ON k.vec_id = c.item_id
+      JOIN qtab q ON q.query_id = c.query_id
+                 AND q.sub = k.sub AND q.scid = k.scid
+      GROUP BY c.query_id, c.item_id
+    )
+    SELECT query_id, "rank", item_id, adc_dist FROM (
+      SELECT query_id, item_id, adc_dist,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc_dist ASC, item_id ASC)
+                  AS BIGINT) AS "rank"
+      FROM adc)
+    WHERE "rank" <= 5
+    """,
+    "IVF-PQ search — the two quantizers composed into the actual "
+    "10^12-vector index architecture: probe the nprobe=2 nearest "
+    "coarse cells (q53's trained quantizer, q54's probe logic), then "
+    "ADC-score ONLY the probed cells' members against the per-query "
+    "subspace distance table (q126's codebook/codes). Neither raw "
+    "corpus vectors nor unprobed cells are touched: expected work per "
+    "query = nprobe/k_coarse of the corpus, each candidate costing 8 "
+    "integer adds on a 16-64x-compressed representation. Everything "
+    "integer-exact end to end, so the oracle — q54's coarse CTEs + "
+    "q126's sub-keyed PQ CTEs + a candidate-restricted ADC — matches "
+    "bit-for-bit. operators/pq.py ivf_pq_topk",
+)
+def q127_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toyocr_spark.operators.kmeans import kmeans_index
+    from toyocr_spark.operators.pq import ivf_pq_topk, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids, assigned, _vecs = kmeans_index(emb, "vec_id", "embedding", k=8, iters=3)
+    codebook, codes = pq_train(emb, m_sub=8, ksub=16, iters=2, dim=64)
+    q = emb.filter(F.col("vec_id") < 8)
+    return ivf_pq_topk(
+        q, centroids, assigned, codebook, codes, k=5, nprobe=2, m_sub=8, dim=64
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
@@ -6927,6 +7050,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q124_zipf_host_topk",  # new this round (Zipf-host skew stress)
     "q125_pdf_aes_extract",  # new this round (AESV2+AESV3 PDF decryption)
     "q126_pq_adc_search",  # new this round (product-quantization ANN)
+    "q127_ivf_pq_search",  # new this round (composed IVF-PQ index)
     "q25_extract",
     "q44_pagerank",
     "q45_hash_sample",
@@ -6938,7 +7062,8 @@ _DRIVER_PRIORITY: list[str] = [
     "q47_asof_join",
     "q52_bloom_membership",
     "q53_kmeans_ivf",
-    "q54_ann_ivf",
+    # (q54_ann_ivf rotated out to fit q127, which re-proves its probe
+    # CTEs transitively inside the composed oracle)
     "q56_dup_spans",
     "q67_decontamination",
     "q68_session_window",
