@@ -1033,3 +1033,39 @@ def test_aes256_encrypted_pdf_fuzz_deterministic():
         except ValueError:
             continue
         assert [(b.text, b.box) for b in tokenize_pdf(payload)] == first
+
+
+def test_aes256_r5_draft_revision_identity():
+    """V5/R5 (the pre-ISO Acrobat-9 AESV3 draft): same entry layout
+    and file-key-direct CBC as R6, but a single-SHA-256 KDF — both
+    revisions must extract byte-identically, a corrupted /U must skip
+    quietly, and the two revisions' files must NOT decrypt with each
+    other's derivation (the r parameter is load-bearing)."""
+    from toyocr_spark.extractor.pdf import decrypt_pdf
+    from toyocr_spark.fixtures.genpdf import (
+        build_pdf_subset_font,
+        encrypt_pdf_aes256,
+    )
+
+    plain = build_pdf(
+        [text_stream([paragraph_ops(72, 700, 12, 14, ["r5 secret", "line two"])])]
+    )
+    subset = build_pdf_subset_font([["r5 subset font line one", "and line two"]])
+    for base in (plain, subset):
+        want = [(b.text, b.box) for b in tokenize_pdf(base)]
+        assert want
+        enc = encrypt_pdf_aes256(base, r=5)
+        assert b"/R 5" in enc and b"/AESV3" in enc
+        assert [(b.text, b.box) for b in tokenize_pdf(enc)] == want
+    enc = encrypt_pdf_aes256(plain, r=5)
+    # flipping the declared revision to 6 makes the 2.B validation
+    # fail against R5's single-SHA-256 /U -> quiet skip, not garbage
+    swapped = enc.replace(b"/V 5 /R 5", b"/V 5 /R 6")
+    assert decrypt_pdf(swapped) == swapped
+    assert tokenize_pdf(swapped) == []
+    # corrupted validation hash -> quiet skip
+    um = re.search(rb"/U <([0-9a-f]{96})>", enc)
+    bad = bytearray(enc)
+    bad[um.start(1)] = ord("0") if enc[um.start(1) : um.start(1) + 1] != b"0" else ord("1")
+    bad = bytes(bad)
+    assert decrypt_pdf(bad) == bad and tokenize_pdf(bad) == []

@@ -95,12 +95,12 @@ def is_pdf(data: bytes | str | None) -> bool:
 # (owner-password-only "permissions" encryption). All three live
 # revisions decrypt: RC4 (spec 7.6.3: V 1/2, R 2/3) as an in-place
 # PRE-PASS (stream cipher, byte-identical offsets), AESV2 (V4/R4,
-# AES-128-CBC) and AESV3 (V5/R6, AES-256 + SHA-2 Algorithm 2.A/2.B
-# derivation) by REBUILDING the file (CBC is not length-preserving).
-# User-password-protected files and the short-lived pre-standard V5/R5
-# draft are out of scope: decrypt_pdf leaves them untouched, their
-# streams stay opaque, extraction yields no text — a deterministic
-# skip, never garbage or a crash.
+# AES-128-CBC) and AESV3 (V5 — both R6, ISO 32000-2 SHA-2 Algorithm
+# 2.A/2.B, and R5, the pre-ISO Acrobat-9 draft with a single-SHA-256
+# KDF) by REBUILDING the file (CBC is not length-preserving).
+# User-password-protected files are out of scope: decrypt_pdf leaves
+# them untouched, their streams stay opaque, extraction yields no
+# text — a deterministic skip, never garbage or a crash.
 
 _PAD = bytes(
     [
@@ -179,30 +179,41 @@ def _hash_2b(pwd: bytes, salt: bytes, udata: bytes = b"") -> bytes:
             return k[:32]
 
 
-_R6_KEY_CACHE: dict[tuple[bytes, bytes], bytes | None] = {}
+_R6_KEY_CACHE: dict[tuple[bytes, bytes, int], bytes | None] = {}
 
 
-def _r6_file_key(u: bytes, ue: bytes) -> bytes | None:
-    """R6 file key for the EMPTY user password (the owner-password-only
-    permissions scheme crawl PDFs carry): validate /U's hash half with
-    the validation salt, then decrypt /UE with the intermediate key
-    from the key salt (Algorithm 2.A steps b/e; zero IV, no padding).
-    None when validation fails — i.e. the file genuinely requires a
-    user password, which this pipeline deterministically skips."""
+def _r6_file_key(u: bytes, ue: bytes, r: int = 6) -> bytes | None:
+    """R5/R6 file key for the EMPTY user password (the
+    owner-password-only permissions scheme crawl PDFs carry): validate
+    /U's hash half with the validation salt, then decrypt /UE with the
+    intermediate key from the key salt (Algorithm 2.A steps b/e; zero
+    IV, no padding). R6 (ISO 32000-2) hashes with Algorithm 2.B; R5
+    (the pre-ISO Acrobat-9 draft, ExtensionLevel 3) with a single
+    SHA-256 over the same inputs — the only difference between the two
+    revisions. None when validation fails — i.e. the file genuinely
+    requires a user password, which this pipeline deterministically
+    skips."""
+    import hashlib
+
     from toyocr_spark.aescipher import cbc_decrypt_raw
 
     if len(u) < 48 or len(ue) < 32:
         return None
-    ck = (u[:48], ue[:32])
+    ck = (u[:48], ue[:32], r)
     if ck in _R6_KEY_CACHE:
-        # the KDF is deliberately slow (Algorithm 2.B: ~8k AES block
+        # the R6 KDF is deliberately slow (Algorithm 2.B: ~8k AES block
         # encryptions); within one document the text pass and every
         # /URI string decryption re-derive the same key, so memoize.
         return _R6_KEY_CACHE[ck]
-    if _hash_2b(b"", u[32:40]) != u[:32]:
+    _hash = (
+        _hash_2b
+        if r == 6
+        else (lambda pwd, salt, udata=b"": hashlib.sha256(pwd + salt + udata).digest())
+    )
+    if _hash(b"", u[32:40]) != u[:32]:
         key = None  # non-empty user password: unsupported, skip
     else:
-        key = cbc_decrypt_raw(_hash_2b(b"", u[40:48]), bytes(16), ue[:32])
+        key = cbc_decrypt_raw(_hash(b"", u[40:48]), bytes(16), ue[:32])
     if len(_R6_KEY_CACHE) >= 64:  # bounded: a few docs in flight at most
         _R6_KEY_CACHE.clear()
     _R6_KEY_CACHE[ck] = key
@@ -294,17 +305,18 @@ def _encryption_params(data: bytes):
             val, _ = _hex_string(enc, k)
         return val
 
-    if v == 5 and r == 6 and b"/AESV3" in enc:
-        # PDF 2.0 crypt-filter scheme: AES-256-CBC streams/strings,
-        # SHA-2 key derivation (Algorithm 2.A/2.B), and — unlike every
-        # earlier revision — the FILE key used directly for all
-        # objects (no per-object MD5 salting). /O /P /ID play no role
-        # in deriving the empty-user-password key.
+    if v == 5 and r in (5, 6) and b"/AESV3" in enc:
+        # AES-256 crypt-filter scheme: R6 = PDF 2.0 (Algorithm 2.A/2.B
+        # SHA-2 derivation), R5 = the pre-ISO Acrobat-9 draft (single
+        # SHA-256, same entry layout). Both use the FILE key directly
+        # for all objects — unlike every earlier revision, no
+        # per-object MD5 salting. /O /P /ID play no role in deriving
+        # the empty-user-password key.
         u_val = _entry_string(b"U")
         ue_val = _entry_string(b"UE")
         if u_val is None or ue_val is None:
             return None
-        key = _r6_file_key(u_val, ue_val)
+        key = _r6_file_key(u_val, ue_val, r)
         if key is None:
             return None
         return key, num, "aes3"
@@ -315,9 +327,7 @@ def _encryption_params(data: bytes):
     elif v == 4 and r == 4 and b"/AESV2" in enc:
         # V4 crypt-filter scheme with the AESV2 StdCF — streams (and
         # strings) are AES-128-CBC. V4-with-RC4-CF ("/V2" CFM) would
-        # also be expressible here but is vanishingly rare; V5/R5
-        # (the short-lived pre-standard AESV3 draft revision) stays
-        # the one documented out-of-scope encryption revision.
+        # also be expressible here but is vanishingly rare.
         method = "aes"
     if method is None or pm is None:
         return None

@@ -799,7 +799,7 @@ def encrypt_pdf_aes(
 
 
 def encrypt_pdf_aes256(
-    data: bytes, p: int = -4, encrypt_metadata: bool = True
+    data: bytes, p: int = -4, encrypt_metadata: bool = True, r: int = 6
 ) -> bytes:
     """Encrypt a generated fixture PDF with the PDF 2.0 V5/R6 scheme
     (/StdCF /CFM /AESV3, AES-256-CBC, empty user password): the
@@ -825,8 +825,13 @@ def encrypt_pdf_aes256(
         _stream_span,
     )
 
+    assert r in (5, 6)
     id0 = hashlib.md5(data).digest()
     file_key = hashlib.sha256(b"r6-file-key" + id0).digest()
+    if r == 5:  # pre-ISO draft: single-SHA-256 KDF, same entry layout
+        _hash_2b = lambda pwd, salt, udata=b"": hashlib.sha256(  # noqa: E731
+            pwd + salt + udata
+        ).digest()
     vsalt = hashlib.sha256(b"r6-vsalt" + id0).digest()[:8]
     ksalt = hashlib.sha256(b"r6-ksalt" + id0).digest()[:8]
     ovsalt = hashlib.sha256(b"r6-ovsalt" + id0).digest()[:8]
@@ -917,7 +922,7 @@ def encrypt_pdf_aes256(
     enc_num = max_num + 1
     meta = "" if encrypt_metadata else "/EncryptMetadata false "
     enc_obj = (
-        f"\n{enc_num} 0 obj\n<< /Filter /Standard /V 5 /R 6 /Length 256 "
+        f"\n{enc_num} 0 obj\n<< /Filter /Standard /V 5 /R {r} /Length 256 "
         f"/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen /Length 32 >> >> "
         f"/StmF /StdCF /StrF /StdCF {meta}"
         f"/O <{o_entry.hex()}> /OE <{oe_entry.hex()}> "
