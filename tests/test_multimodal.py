@@ -1186,3 +1186,55 @@ def test_media_metadata_unifies_id3_and_frame_walk(spark):
     assert got[(2, "duration_ms")] == str(3 * 576 * 1000 // 24000)
     assert (2, "title") not in got
     assert all(r["fmt"] == "mp3" for r in rows)
+
+
+def test_jpeg_lossless_decode_byte_identical():
+    """SOF3 lossless JPEG (T.81 Annex H): the decoder must reproduce
+    the encoder's input raster BYTE-IDENTICALLY for every predictor
+    selector (1-7), grayscale and RGB, random and gradient content —
+    exactness is the process's defining property, so any slip in the
+    prediction/extend/modulo arithmetic fails loudly here."""
+    import random
+
+    from toyocr_spark.jpegcodec import decode_baseline, encode_lossless
+
+    rng = random.Random(77)
+    for ch in (1, 3):
+        for pred in range(1, 8):
+            w, h = rng.randint(3, 33), rng.randint(3, 33)
+            px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+            enc = encode_lossless(px, w, h, ch, predictor=pred)
+            assert enc[:2] == b"\xff\xd8" and b"\xff\xc3" in enc[:64]
+            dw, dh, dc, raster = decode_baseline(enc)
+            assert (dw, dh, dc) == (w, h, ch) and raster == px, (ch, pred)
+    # smooth gradient: small diffs, the realistic predictive case
+    w, h = 64, 48
+    px = bytes(((3 * x + 2 * y) // 4) & 0xFF for y in range(h) for x in range(w))
+    assert decode_baseline(encode_lossless(px, w, h, 1, predictor=7))[3] == px
+
+
+def test_jpeg_lossless_fuzz_deterministic():
+    """Bit-flipped lossless files decode deterministically or reject
+    with ValueError — the fuzz discipline every codec carries."""
+    import random
+
+    from toyocr_spark.jpegcodec import decode_baseline, encode_lossless
+
+    rng = random.Random(901)
+    base = encode_lossless(
+        bytes(rng.randrange(256) for _ in range(24 * 18 * 3)), 24, 18, 3
+    )
+    for _ in range(60):
+        blob = bytearray(base)
+        for _ in range(rng.randint(1, 5)):
+            blob[rng.randrange(len(blob))] = rng.randrange(256)
+        payload = bytes(blob)
+        try:
+            first = decode_baseline(payload)
+        except ValueError:
+            try:
+                decode_baseline(payload)
+            except ValueError:
+                continue
+            raise AssertionError("nondeterministic rejection")
+        assert decode_baseline(payload) == first

@@ -4,13 +4,15 @@ container).
 
 Decoder scope (``decode_baseline``): baseline sequential DCT (SOF0/
 SOF1) AND progressive DCT (SOF2 — spectral selection, successive
-approximation, EOB-run coding, per spec Annex G), Huffman entropy
-coding, 8-bit precision, grayscale / 3-component YCbCr / 4-component
+approximation, EOB-run coding, per spec Annex G) AND sequential
+LOSSLESS (SOF3, Annex H — predictive with all 7 selectors, 2-16 bit
+precision, byte-identical reconstruction), Huffman entropy coding,
+8-bit DCT precision, grayscale / 3-component YCbCr / 4-component
 Adobe CMYK+YCCK (APP14 transform flag) with arbitrary h/v sampling
 factors (4:4:4, 4:2:2, 4:2:0, ...), restart intervals, 16-bit DQT
 entries, 0xFF00 byte stuffing. Raises ``ValueError`` on
-arithmetic-coded / lossless / hierarchical files — callers fall back
-to header-only parsing for those.
+arithmetic-coded / hierarchical files — callers fall back to
+header-only parsing for those.
 
 Everything is deterministic: Huffman decode and dequantization are
 exact integers; the IDCT uses IEEE-double cosine tables evaluated in a
@@ -56,7 +58,8 @@ _COS = [
 
 _SOF_BASELINE = {0xC0, 0xC1}
 _SOF_PROGRESSIVE = {0xC2}
-_SOF_UNSUPPORTED = {0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+_SOF_LOSSLESS = {0xC3}  # sequential lossless (predictive, Huffman)
+_SOF_UNSUPPORTED = {0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
 
 
 class _Huff:
@@ -208,6 +211,8 @@ def _decode_markers(payload: bytes) -> tuple[int, int, int, bytes]:
     adobe_transform = None  # APP14 color-transform flag (CMYK vs YCCK)
     frame = None  # (w, h, comps) with comps = [(cid, hs, vs, tq)]
     progressive = False
+    lossless = False
+    precision = 8
     coefs = None  # progressive: per-component zigzag coefficient blocks
     scans_seen = 0
     while pos + 4 <= n:
@@ -220,7 +225,7 @@ def _decode_markers(payload: bytes) -> tuple[int, int, int, bytes]:
             pos += 2
             continue
         if marker in _SOF_UNSUPPORTED or marker in (0xC8, 0xCC):
-            raise ValueError("non-baseline JPEG (arithmetic/lossless)")
+            raise ValueError("non-baseline JPEG (arithmetic/hierarchical)")
         (seg_len,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         seg = payload[pos + 4 : pos + 2 + seg_len]
         if marker == 0xDB:  # DQT
@@ -249,8 +254,17 @@ def _decode_markers(payload: bytes) -> tuple[int, int, int, bytes]:
                 s += 17 + total
         elif marker == 0xEE and seg[:5] == b"Adobe" and len(seg) >= 12:
             adobe_transform = seg[11]  # 0=CMYK/raw, 2=YCCK for 4-comp
-        elif marker in _SOF_BASELINE or marker in _SOF_PROGRESSIVE:
-            if seg[0] != 8:
+        elif (
+            marker in _SOF_BASELINE
+            or marker in _SOF_PROGRESSIVE
+            or marker in _SOF_LOSSLESS
+        ):
+            lossless = marker in _SOF_LOSSLESS
+            precision = seg[0]
+            if lossless:
+                if not (2 <= precision <= 16):
+                    raise ValueError("lossless JPEG precision out of range")
+            elif precision != 8:
                 raise ValueError("JPEG precision != 8 unsupported")
             h, w = struct.unpack(">HH", seg[1:5])
             nc = seg[5]
@@ -278,6 +292,15 @@ def _decode_markers(payload: bytes) -> tuple[int, int, int, bytes]:
                 if cs not in cids:
                     raise ValueError("JPEG scan names unknown component")
                 scan_comps.append((cids.index(cs), tdta >> 4, tdta & 15))
+            if lossless:
+                ss = seg[1 + 2 * ns]  # predictor selection (1-7)
+                al = seg[3 + 2 * ns] & 15  # point transform Pt
+                if restart_interval:
+                    raise ValueError("lossless JPEG with restarts unsupported")
+                return _decode_lossless_scan(
+                    payload, pos + 2 + seg_len, frame, precision,
+                    huff_dc, scan_comps, ss, al,
+                )
             if not progressive:
                 scan_tabs = {
                     cids[ci]: (dt, at) for ci, dt, at in scan_comps
@@ -378,6 +401,87 @@ def _decode_scan(
                         )
             mcu_count += 1
     return _assemble_raster(w, h, comps, planes, mcus_x, hmax, vmax, adobe_transform)
+
+
+def _decode_lossless_scan(
+    payload, data_pos, frame, precision, huff_dc, scan_comps, pred_sel, pt
+):
+    """Sequential lossless JPEG (SOF3, T.81 Annex H): per-sample
+    prediction from causal neighbours (selector 1-7), differences
+    Huffman-coded with DC-style SSSS categories (16 => diff = 32768,
+    no extra bits), arithmetic modulo 2^16. Supported shape: all
+    sampling factors 1 (the layout DNG/medical writers emit; lossless
+    was never subsampled in practice) and a single interleaved scan.
+    Output is scaled to the 8-bit raster contract (>> (P-8) for
+    deeper-than-8-bit samples); components are emitted AS STORED —
+    lossless JPEG mandates no colour transform."""
+    w, h, comps = frame
+    if not (1 <= pred_sel <= 7):
+        raise ValueError("lossless JPEG predictor selector out of range")
+    if any(hs != 1 or vs != 1 for _cid, hs, vs, _tq in comps):
+        raise ValueError("subsampled lossless JPEG unsupported")
+    if len(scan_comps) != len(comps):
+        raise ValueError("partial lossless scans unsupported")
+    nc = len(comps)
+    tabs = []
+    for ci, dt, _at in scan_comps:
+        if dt not in huff_dc:
+            raise ValueError("lossless JPEG scan references missing table")
+        tabs.append((ci, huff_dc[dt]))
+    tabs.sort()  # component order within each sample group
+    reader = _BitReader(payload, data_pos)
+    default = 1 << (precision - pt - 1)
+    prev_row = [[0] * w for _ in range(nc)]
+    cur_row = [[0] * w for _ in range(nc)]
+    out = bytearray(w * h * nc)
+    shift = precision - 8
+    o = 0
+    for y in range(h):
+        for x in range(w):
+            for ci, tab in tabs:
+                s = reader.decode(tab)
+                if s is None:
+                    raise ValueError("lossless JPEG entropy data truncated")
+                if s == 16:
+                    diff = 32768
+                elif s:
+                    vbits = reader.bits(s)
+                    if vbits is None:
+                        raise ValueError("lossless JPEG entropy data truncated")
+                    diff = _extend(vbits, s)
+                else:
+                    diff = 0
+                if y == 0:
+                    pred = cur_row[ci][x - 1] if x else default
+                elif x == 0:
+                    pred = prev_row[ci][0]
+                else:
+                    ra = cur_row[ci][x - 1]
+                    rb = prev_row[ci][x]
+                    rc = prev_row[ci][x - 1]
+                    if pred_sel == 1:
+                        pred = ra
+                    elif pred_sel == 2:
+                        pred = rb
+                    elif pred_sel == 3:
+                        pred = rc
+                    elif pred_sel == 4:
+                        pred = ra + rb - rc
+                    elif pred_sel == 5:
+                        pred = ra + ((rb - rc) >> 1)
+                    elif pred_sel == 6:
+                        pred = rb + ((ra - rc) >> 1)
+                    else:
+                        pred = (ra + rb) >> 1
+                val = (pred + diff) & 0xFFFF
+                cur_row[ci][x] = val
+                sample = val << pt
+                out[o] = (
+                    (sample >> shift) if shift >= 0 else (sample << -shift)
+                ) & 0xFF
+                o += 1
+        prev_row, cur_row = cur_row, prev_row
+    return w, h, nc, bytes(out)
 
 
 def _assemble_raster(w, h, comps, planes, mcus_x, hmax, vmax, transform=None):
@@ -1267,6 +1371,88 @@ def encode_progressive(
 
 
 # ------------------------------------------------- metadata (COM segments)
+
+
+def encode_lossless(
+    pixels: bytes,
+    width: int,
+    height: int,
+    channels: int,
+    predictor: int = 4,
+) -> bytes:
+    """Encode an interleaved uint8 raster as a sequential LOSSLESS
+    JPEG (SOF3, T.81 Annex H): per-sample prediction with the given
+    selector (1-7), differences Huffman-coded with DC-style SSSS
+    categories, components stored as-is (no colour transform — the
+    lossless process defines none). Fixture-grade: flat Huffman table,
+    8-bit precision, no subsampling, single interleaved scan. The
+    decoder must reproduce the input raster BYTE-IDENTICALLY — that is
+    the entire point of the process."""
+    if channels not in (1, 3):
+        raise ValueError("encode_lossless supports 1 or 3 channels")
+    if not (1 <= predictor <= 7):
+        raise ValueError("predictor selector out of range")
+    # 8-bit samples: diffs span [-255, 255] mod 2^16 -> categories 0-8,
+    # but modulo wraparound can land anywhere in 0-16; emit the exact
+    # mod-2^16 diff the decoder will add back, in its true category
+    dc_counts, dc_syms, dc_codes = _flat_table(list(range(17)), 6)
+
+    out = bytearray(b"\xff\xd8")
+    sof = struct.pack(">BHHB", 8, height, width, channels)
+    for c in range(channels):
+        sof += bytes([c + 1, 0x11, 0])
+    out += b"\xff\xc3" + struct.pack(">H", 2 + len(sof)) + sof
+    dht = b"\x00" + bytes(dc_counts) + dc_syms
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    sos = bytes([channels])
+    for c in range(channels):
+        sos += bytes([c + 1, 0x00])
+    sos += bytes([predictor, 0, 0])  # Ss=selector, Se=0, AhAl=0
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    bw = _BitWriter()
+    default = 1 << 7  # precision 8, Pt 0
+    prev_row = [[0] * width for _ in range(channels)]
+    cur_row = [[0] * width for _ in range(channels)]
+    for y in range(height):
+        for x in range(width):
+            for ci in range(channels):
+                val = pixels[(y * width + x) * channels + ci]
+                if y == 0:
+                    pred = cur_row[ci][x - 1] if x else default
+                elif x == 0:
+                    pred = prev_row[ci][0]
+                else:
+                    ra = cur_row[ci][x - 1]
+                    rb = prev_row[ci][x]
+                    rc = prev_row[ci][x - 1]
+                    pred = {
+                        1: ra,
+                        2: rb,
+                        3: rc,
+                        4: ra + rb - rc,
+                        5: ra + ((rb - rc) >> 1),
+                        6: rb + ((ra - rc) >> 1),
+                        7: (ra + rb) >> 1,
+                    }[predictor]
+                cur_row[ci][x] = val
+                diff = (val - pred) & 0xFFFF
+                if diff >= 32768:  # negative branch of the mod-2^16 ring
+                    diff -= 65536
+                if diff == 32768 or diff == -32768:
+                    s16 = 16
+                else:
+                    s16 = _category(diff)
+                length, code = dc_codes[s16]
+                bw.put(code, length)
+                if 0 < s16 < 16:
+                    bits = diff if diff > 0 else diff + (1 << s16) - 1
+                    bw.put(bits & ((1 << s16) - 1), s16)
+        prev_row, cur_row = cur_row, prev_row
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def _iter_metadata_segments(payload: bytes):

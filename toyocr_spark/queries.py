@@ -3477,14 +3477,15 @@ def q75_ivf_persisted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents WHERE doc_id % 10 = 0
     """,
     "JPEG pixel-decode round trip, driver-checked: deterministic rasters "
-    "rendered per doc_id, encoded as baseline-sequential JPEG for odd "
-    "doc_id/10 and PROGRESSIVE (SOF2, spectral-split AC scans) for even "
-    "— both pushed through decode_media's REAL Huffman+IDCT decoder; "
-    "the oracle predicts the decoded dimensions and raster size in "
-    "closed form, so a green row proves both coding modes decode to "
-    "true pixels (w*h*c), not the entropy-coded scan. Pixel-value "
-    "fidelity and seq==prog raster identity are unit-tested "
-    "(test_multimodal)",
+    "rendered per doc_id, encoded by doc_id/10 mod 3 as PROGRESSIVE "
+    "(SOF2, spectral-split AC scans), baseline-sequential (SOF0), or "
+    "LOSSLESS (SOF3, Annex H predictive — selector rotates 1-7) — all "
+    "three pushed through decode_media's REAL decoder; the oracle "
+    "predicts the decoded dimensions and raster size in closed form, "
+    "so a green row proves every coding mode decodes to true pixels "
+    "(w*h*c), not the entropy-coded scan. Pixel-value fidelity, "
+    "seq==prog raster identity, and lossless BYTE-IDENTITY are "
+    "unit-tested (test_multimodal)",
 )
 def q76_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
@@ -3496,7 +3497,11 @@ def q76_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     def encode_batches(it):
         import pyarrow as pa
 
-        from toyocr_spark.jpegcodec import encode_baseline, encode_progressive
+        from toyocr_spark.jpegcodec import (
+            encode_baseline,
+            encode_lossless,
+            encode_progressive,
+        )
 
         for b in it:
             ids = b.column(0).to_pylist()
@@ -3511,14 +3516,19 @@ def q76_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for x in range(w)
                     for ch in range(c)
                 )
-                if (i // 10) % 2 == 0:
+                mode = (i // 10) % 3
+                if mode == 0:
                     payloads.append(
                         encode_progressive(
                             raster, w, h, c, quality=90, spectral_split=int(i % 30)
                         )
                     )
-                else:
+                elif mode == 1:
                     payloads.append(encode_baseline(raster, w, h, c, quality=90))
+                else:
+                    payloads.append(
+                        encode_lossless(raster, w, h, c, predictor=1 + (i // 10) % 7)
+                    )
             yield pa.RecordBatch.from_arrays(
                 [pa.array(ids, pa.int64()), pa.array(payloads, pa.binary())],
                 names=["media_id", "payload"],
