@@ -463,3 +463,24 @@ def test_zipf_host_salting_bounds_per_task_input(spark, sf_dir):
     )
     got = QUERIES["q124_zipf_host_topk"].spark(spark, sf_dir)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
+
+
+def test_pq_persisted_search_plan_has_no_training(spark, sf_dir):
+    """The persisted-PQ search (q128) must be pure search: codebook +
+    code table come from catalog tables (no k-means stage — the
+    inline-trained q126 plan re-shuffles the embeddings per quantizer
+    round, this scans them once for the query subvectors), and the
+    only shuffles aggregate/rank the per-(query, item) candidate
+    sums."""
+    from toyocr_spark.queries import ensure_pq_index
+
+    if ensure_pq_index(spark, sf_dir) is None:
+        import pytest
+
+        pytest.skip("warehouse not writable in this harness")
+    plan = _plan(q.queries()["q128_pq_persisted_search"](spark, sf_dir))
+    assert "toyocr_pq_v1" in plan  # reads the persisted tables
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)#", plan))
+    assert keys and keys <= {"query_id", "item_id"}, keys
+    # queries scanned once + codebook + codes = exactly 3 file scans
+    assert plan.count("FileScan") == 3, plan.count("FileScan")

@@ -239,3 +239,56 @@ def ivf_pq_topk(
         k,
         rank_name="rank",
     ).select("query_id", F.col("rank").cast("long"), "item_id", "adc_dist")
+
+
+def pq_write_index(
+    spark,
+    corpus: DataFrame,
+    table_prefix: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m_sub: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+) -> None:
+    """Train the sub-quantizers ONCE and persist the PQ index — the
+    same train-once/search-many pattern as kmeans.ivf_write_index. A
+    petabyte corpus trains its codebook in one job; every later search
+    reads ``{prefix}_codebook`` (m_sub x ksub rows) and
+    ``{prefix}_codes`` (the 16-64x-compressed corpus representation)
+    and pays ZERO training stages. Codes need no bucketing: search
+    joins them against a BROADCAST per-query distance table, so the
+    scan is map-side however the files are laid out."""
+    codebook, codes = pq_train(corpus, id_col, vec_col, m_sub, ksub, iters, dim)
+    codebook.write.mode("overwrite").format("parquet").saveAsTable(
+        f"{table_prefix}_codebook"
+    )
+    codes.write.mode("overwrite").format("parquet").saveAsTable(
+        f"{table_prefix}_codes"
+    )
+
+
+def pq_persisted_search(
+    spark,
+    queries: DataFrame,
+    table_prefix: str,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m_sub: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """ADC top-k against a persisted PQ index: pure search — the plan
+    scans the query vectors, the codebook, and the code table; no
+    k-means stage exists anywhere (plan-locked by test_plans)."""
+    return pq_adc_topk(
+        queries,
+        spark.table(f"{table_prefix}_codebook"),
+        spark.table(f"{table_prefix}_codes"),
+        k,
+        id_col,
+        vec_col,
+        m_sub,
+        dim,
+    )

@@ -6825,9 +6825,7 @@ def _pq_round_sql(r: int, queries_filter: str = "") -> str:
     )"""
 
 
-@_q(
-    "q126_pq_adc_search",
-    f"""
+_PQ_ADC_SQL = f"""
     WITH vd AS (
       SELECT vec_id, i AS dim,
              CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS val
@@ -6875,7 +6873,12 @@ def _pq_round_sql(r: int, queries_filter: str = "") -> str:
                   AS BIGINT) AS "rank"
       FROM adc)
     WHERE "rank" <= 5
-    """,
+    """
+
+
+@_q(
+    "q126_pq_adc_search",
+    _PQ_ADC_SQL,
     "product-quantization ANN (PQ-ADC, Jegou et al. TPAMI 2011): the "
     "memory-bounded representation at 10^12 vectors — 8 subspaces x "
     "16 sub-centroids trained by the SAME integer-exact Lloyd "
@@ -7008,6 +7011,60 @@ def q127_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_table_prefix(sf_dir: str) -> str:
+    tag = sf_dir.rstrip("/").split("/")[-1].replace(".", "_").replace("-", "_")
+    return f"toyocr_pq_v1_{tag}"
+
+
+def ensure_pq_index(spark: SparkSession, sf_dir: str) -> str | None:
+    """Train-once gate for the persisted PQ index — the ensure_ivf_index
+    discipline verbatim: absent catalog tables are (re)trained
+    bit-deterministically; a warehouse this harness cannot write falls
+    back to an in-session index with identical bytes."""
+    import shutil
+    from urllib.parse import urlparse
+
+    from toyocr_spark.operators.pq import pq_write_index
+
+    prefix = _pq_table_prefix(sf_dir)
+    if not spark.catalog.tableExists(f"{prefix}_codes"):
+        try:
+            wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+            for t in (f"{prefix}_codes", f"{prefix}_codebook"):
+                if not spark.catalog.tableExists(t):
+                    shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+            pq_write_index(spark, _t(spark, sf_dir, "embeddings"), prefix)
+        except Exception:
+            return None
+    return prefix
+
+
+@_q(
+    "q128_pq_persisted_search",
+    _PQ_ADC_SQL,
+    "ADC search against the PERSISTED PQ index — the train-once/"
+    "search-many pattern (q75's discipline on the quantized side): "
+    "pq_write_index saves the codebook (m_sub x ksub rows) and the "
+    "16-64x-compressed code table as catalog tables; the search plan "
+    "then scans queries + codebook + codes and contains ZERO k-means "
+    "stages (plan-locked — the inline-trained q126 re-shuffles the "
+    "corpus per quantizer round, this reads two tables). The trainer "
+    "is bit-deterministic, so the oracle is q126's SQL verbatim: "
+    "retraining in DuckDB reproduces the persisted index exactly. "
+    "operators/pq.py pq_write_index/pq_persisted_search",
+)
+def q128_pq_persisted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toyocr_spark.operators.pq import pq_adc_topk, pq_persisted_search, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    prefix = ensure_pq_index(spark, sf_dir)
+    if prefix is None:  # warehouse not writable: in-session twin
+        codebook, codes = pq_train(emb)
+        return pq_adc_topk(q, codebook.localCheckpoint(), codes.localCheckpoint(), 5)
+    return pq_persisted_search(spark, q, prefix, k=5)
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
@@ -7061,6 +7118,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q125_pdf_aes_extract",  # new this round (AESV2+AESV3 PDF decryption)
     "q126_pq_adc_search",  # new this round (product-quantization ANN)
     "q127_ivf_pq_search",  # new this round (composed IVF-PQ index)
+    "q128_pq_persisted_search",  # new this round (persisted PQ index)
     "q25_extract",
     "q44_pagerank",
     "q45_hash_sample",
@@ -7071,7 +7129,8 @@ _DRIVER_PRIORITY: list[str] = [
     "q32_dedup_clusters",
     "q47_asof_join",
     "q52_bloom_membership",
-    "q53_kmeans_ivf",
+    # (q53_kmeans_ivf rotated out to fit q128 — its coarse-quantizer
+    # CTEs are re-proven transitively inside q127's composed oracle)
     # (q54_ann_ivf rotated out to fit q127, which re-proves its probe
     # CTEs transitively inside the composed oracle)
     "q56_dup_spans",
