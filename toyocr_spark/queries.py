@@ -6999,12 +6999,22 @@ def q126_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bit-for-bit. operators/pq.py ivf_pq_topk",
 )
 def q127_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from toyocr_spark.operators.kmeans import kmeans_index
     from toyocr_spark.operators.pq import ivf_pq_topk, pq_train
 
     emb = _t(spark, sf_dir, "embeddings")
-    centroids, assigned, _vecs = kmeans_index(emb, "vec_id", "embedding", k=8, iters=3)
-    codebook, codes = pq_train(emb, m_sub=8, ksub=16, iters=2, dim=64)
+    # deployment shape: BOTH quantizers come from their persisted
+    # indexes (train-once/search-many); the bit-deterministic trainers
+    # make the oracle identical either way. Fallback twins train
+    # in-session when the warehouse is not writable.
+    centroids, lists = _ivf_tables(spark, sf_dir)
+    assigned = lists.select(F.col("item_id").alias("id"), "cid")
+    pq_prefix = ensure_pq_index(spark, sf_dir)
+    if pq_prefix is not None:
+        codebook = spark.table(f"{pq_prefix}_codebook")
+        codes = spark.table(f"{pq_prefix}_codes")
+    else:
+        codebook, codes = pq_train(emb, m_sub=8, ksub=16, iters=2, dim=64)
+        codebook, codes = codebook.localCheckpoint(), codes.localCheckpoint()
     q = emb.filter(F.col("vec_id") < 8)
     return ivf_pq_topk(
         q, centroids, assigned, codebook, codes, k=5, nprobe=2, m_sub=8, dim=64
