@@ -1213,6 +1213,26 @@ def test_jpeg_lossless_decode_byte_identical():
     assert decode_baseline(encode_lossless(px, w, h, 1, predictor=7))[3] == px
 
 
+def test_jpeg_lossless_scan_order_independent():
+    """A conformant SOF3 file may list SOS components in any order
+    (T.81 places no constraint); the decoder must scatter samples by
+    FRAME index, not scan position — a reordered scan decodes to the
+    exact same raster as the frame-order twin (round-4 ADVICE: the old
+    tabs.sort() silently mis-assigned channels)."""
+    import itertools
+    import random
+
+    from toyocr_spark.jpegcodec import decode_baseline, encode_lossless
+
+    rng = random.Random(4242)
+    w, h = 17, 11
+    px = bytes(rng.randrange(256) for _ in range(w * h * 3))
+    for order in itertools.permutations(range(3)):
+        enc = encode_lossless(px, w, h, 3, predictor=4, scan_order=order)
+        dw, dh, dc, raster = decode_baseline(enc)
+        assert (dw, dh, dc) == (w, h, 3) and raster == px, order
+
+
 def test_jpeg_lossless_fuzz_deterministic():
     """Bit-flipped lossless files decode deterministically or reject
     with ValueError — the fuzz discipline every codec carries."""

@@ -537,6 +537,30 @@ def test_unsupported_encryption_is_a_quiet_skip():
         assert tokenize_pdf(odd) == tokenize_pdf(odd)
 
 
+def test_aes256_identity_stream_filter_is_not_decrypted():
+    """A V5 dict whose /StmF (or /StrF) routes through /Identity keeps
+    streams/strings PLAINTEXT per spec — the decrypt pre-pass must
+    leave the file untouched rather than CBC-'decrypting' plaintext
+    (which silently corrupts any stream whose tail parses as valid
+    PKCS#7 padding). Round-4 ADVICE item: the branch used to key off
+    '/AESV3' appearing anywhere in the dict."""
+    from toyocr_spark.extractor.pdf import decrypt_pdf
+    from toyocr_spark.fixtures.genpdf import encrypt_pdf_aes256
+
+    base = build_pdf([text_stream([paragraph_ops(72, 700, 12, 14, ["secret"])])])
+    enc = encrypt_pdf_aes256(base)
+    assert b"/StmF /StdCF /StrF /StdCF" in enc
+    for odd in (
+        enc.replace(b"/StmF /StdCF", b"/StmF /Identity"),
+        enc.replace(b"/StrF /StdCF", b"/StrF /Identity"),
+        enc.replace(b"/StmF /StdCF /StrF /StdCF ", b""),  # spec default: Identity
+    ):
+        assert decrypt_pdf(odd) == odd
+        assert tokenize_pdf(odd) == tokenize_pdf(odd)  # deterministic skip
+    # the untouched fixture still decrypts (the gate admits StdCF)
+    assert tokenize_pdf(enc) == tokenize_pdf(base)
+
+
 def test_encrypted_pdf_fuzz_deterministic():
     """Bit-flipped encrypted files decode deterministically (possibly
     to nothing) — the fuzz discipline extended to the decryption

@@ -465,6 +465,24 @@ def test_zipf_host_salting_bounds_per_task_input(spark, sf_dir):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
 
 
+def test_pq_index_retrains_when_codebook_alone_is_missing(spark, sf_dir):
+    """Partial cleanup (surviving _codes, dropped _codebook) must
+    trigger a retrain, not a crash on spark.table(_codebook) — the
+    ensure gate checks BOTH tables (round-4 ADVICE item)."""
+    from toyocr_spark.queries import _pq_table_prefix, ensure_pq_index
+
+    if ensure_pq_index(spark, sf_dir) is None:
+        import pytest
+
+        pytest.skip("warehouse not writable in this harness")
+    prefix = _pq_table_prefix(sf_dir)
+    spark.sql(f"DROP TABLE {prefix}_codebook")
+    assert spark.catalog.tableExists(f"{prefix}_codes")
+    assert ensure_pq_index(spark, sf_dir) == prefix
+    assert spark.catalog.tableExists(f"{prefix}_codebook")
+    assert spark.table(f"{prefix}_codebook").count() > 0
+
+
 def test_pq_persisted_search_plan_has_no_training(spark, sf_dir):
     """The persisted-PQ search (q128) must be pure search: codebook +
     code table come from catalog tables (no k-means stage — the

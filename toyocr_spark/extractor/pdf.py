@@ -312,6 +312,18 @@ def _encryption_params(data: bytes):
         # for all objects — unlike every earlier revision, no
         # per-object MD5 salting. /O /P /ID play no role in deriving
         # the empty-user-password key.
+        #
+        # Gate on the stream/string filters actually ROUTING through
+        # the AESV3 StdCF: the spec default for an absent /StmF or
+        # /StrF is /Identity (plaintext), and running plaintext through
+        # CBC would silently corrupt any stream whose tail happens to
+        # parse as valid PKCS#7 padding.
+        stmf = re.search(rb"/StmF\s*/([A-Za-z0-9]+)", enc)
+        strf = re.search(rb"/StrF\s*/([A-Za-z0-9]+)", enc)
+        if stmf is None or stmf.group(1) != b"StdCF":
+            return None
+        if strf is None or strf.group(1) != b"StdCF":
+            return None
         u_val = _entry_string(b"U")
         ue_val = _entry_string(b"UE")
         if u_val is None or ue_val is None:

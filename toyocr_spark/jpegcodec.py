@@ -428,14 +428,16 @@ def _decode_lossless_scan(
         if dt not in huff_dc:
             raise ValueError("lossless JPEG scan references missing table")
         tabs.append((ci, huff_dc[dt]))
-    tabs.sort()  # component order within each sample group
+    # T.81 H.2: the entropy stream interleaves each sample group in SOS
+    # component order, which need not equal frame order — decode in SOS
+    # order and scatter each sample by its FRAME index (a sort here
+    # mis-assigned channels for conformant files with reordered scans)
     reader = _BitReader(payload, data_pos)
     default = 1 << (precision - pt - 1)
     prev_row = [[0] * w for _ in range(nc)]
     cur_row = [[0] * w for _ in range(nc)]
     out = bytearray(w * h * nc)
     shift = precision - 8
-    o = 0
     for y in range(h):
         for x in range(w):
             for ci, tab in tabs:
@@ -476,10 +478,9 @@ def _decode_lossless_scan(
                 val = (pred + diff) & 0xFFFF
                 cur_row[ci][x] = val
                 sample = val << pt
-                out[o] = (
+                out[(y * w + x) * nc + ci] = (
                     (sample >> shift) if shift >= 0 else (sample << -shift)
                 ) & 0xFF
-                o += 1
         prev_row, cur_row = cur_row, prev_row
     return w, h, nc, bytes(out)
 
@@ -1379,6 +1380,7 @@ def encode_lossless(
     height: int,
     channels: int,
     predictor: int = 4,
+    scan_order: tuple[int, ...] | None = None,
 ) -> bytes:
     """Encode an interleaved uint8 raster as a sequential LOSSLESS
     JPEG (SOF3, T.81 Annex H): per-sample prediction with the given
@@ -1392,6 +1394,12 @@ def encode_lossless(
         raise ValueError("encode_lossless supports 1 or 3 channels")
     if not (1 <= predictor <= 7):
         raise ValueError("predictor selector out of range")
+    # T.81 places no ordering constraint on the SOS component list;
+    # scan_order permutes it (and the per-sample-group interleave to
+    # match) to exercise decoders on conformant non-frame-order scans
+    order = tuple(scan_order) if scan_order is not None else tuple(range(channels))
+    if sorted(order) != list(range(channels)):
+        raise ValueError("scan_order must be a permutation of the components")
     # 8-bit samples: diffs span [-255, 255] mod 2^16 -> categories 0-8,
     # but modulo wraparound can land anywhere in 0-16; emit the exact
     # mod-2^16 diff the decoder will add back, in its true category
@@ -1405,7 +1413,7 @@ def encode_lossless(
     dht = b"\x00" + bytes(dc_counts) + dc_syms
     out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
     sos = bytes([channels])
-    for c in range(channels):
+    for c in order:
         sos += bytes([c + 1, 0x00])
     sos += bytes([predictor, 0, 0])  # Ss=selector, Se=0, AhAl=0
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
@@ -1416,7 +1424,7 @@ def encode_lossless(
     cur_row = [[0] * width for _ in range(channels)]
     for y in range(height):
         for x in range(width):
-            for ci in range(channels):
+            for ci in order:
                 val = pixels[(y * width + x) * channels + ci]
                 if y == 0:
                     pred = cur_row[ci][x - 1] if x else default

@@ -7037,7 +7037,12 @@ def ensure_pq_index(spark: SparkSession, sf_dir: str) -> str | None:
     from toyocr_spark.operators.pq import pq_write_index
 
     prefix = _pq_table_prefix(sf_dir)
-    if not spark.catalog.tableExists(f"{prefix}_codes"):
+    # gate on BOTH tables: a surviving _codes with a missing _codebook
+    # (manual drop, partial cleanup) must retrain, not crash the read
+    if not (
+        spark.catalog.tableExists(f"{prefix}_codes")
+        and spark.catalog.tableExists(f"{prefix}_codebook")
+    ):
         try:
             wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
             for t in (f"{prefix}_codes", f"{prefix}_codebook"):
