@@ -841,6 +841,50 @@ def test_gale_church_beads_spark_kernel(spark):
     assert "Exchange" not in plan
 
 
+def test_q116_planted_families_match_closed_form():
+    """THE q116 oracle proof: for every planted pair the pure-Python DP
+    returns exactly the closed-form beads the driver's SQL oracle
+    emits — so the oracle never re-implements the DP (no erfc in
+    DuckDB) yet the driver hash check is a full-value check. Families:
+    0 = equal lengths (all-1-1, cost 0); 1/2 = exact pairwise merges
+    (all-2-1 / all-1-2, penalty-only 23000 centi: delta = 0 ->
+    erfc(0) = 1 -> match cost exactly 0); 3 = one (small,large) <->
+    (large,small) swap pinned between equal anchor runs (a single 2-2
+    at 44000 — the anchors make every shifted pairing strictly more
+    expensive than the swap penalty)."""
+    from toyocr_spark.operators.bitext import align_lengths
+
+    def planted(id_a):
+        fam = id_a % 4
+        anchor = lambda i: 20 + (id_a * 7 + i * 13) % 40  # noqa: E731
+        if fam == 0:
+            n = 5 + id_a % 7
+            la = [anchor(i) for i in range(n)]
+            return la, list(la), [(i, 1, i, 1, 0) for i in range(n)]
+        m = 3 + id_a % 5
+        if fam == 1:
+            la = [15 + (id_a * 5 + i * 11) % 30 for i in range(2 * m)]
+            lb = [la[2 * j] + la[2 * j + 1] for j in range(m)]
+            return la, lb, [(2 * j, 2, j, 1, 23000) for j in range(m)]
+        if fam == 2:
+            lb = [15 + (id_a * 3 + i * 7) % 30 for i in range(2 * m)]
+            la = [lb[2 * j] + lb[2 * j + 1] for j in range(m)]
+            return la, lb, [(j, 1, 2 * j, 2, 23000) for j in range(m)]
+        n_post = 3 + id_a % 3
+        p, q = 8 + id_a % 5, 70 + id_a % 9
+        pre = [anchor(i) for i in range(3)]
+        post = [anchor(3 + i) for i in range(n_post)]
+        la, lb = pre + [p, q] + post, pre + [q, p] + post
+        beads = [(i, 1, i, 1, 0) for i in range(3)]
+        beads.append((3, 2, 3, 2, 44000))
+        beads += [(5 + i, 1, 5 + i, 1, 0) for i in range(n_post)]
+        return la, lb, beads
+
+    for id_a in range(80):
+        la, lb, want = planted(id_a)
+        assert align_lengths(la, lb) == want, id_a
+
+
 def test_pq_adc_search_properties(spark, sf_dir):
     """Product quantization (q126): codebook/codes shapes, ADC identity
     (a candidate's ADC distance == the sum of its 8 per-subspace

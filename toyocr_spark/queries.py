@@ -6139,36 +6139,85 @@ def q115_table_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "q116_sentence_align",
-    None,  # DP over log/erfc costs: not SQL-expressible; rows-only driver
-    # check — the exact-value proof is the pure-Python reference
-    # cross-check in tests/test_operators.py (the q99 BPE discipline)
-    "Gale-Church sentence alignment over the q114 bitext families "
+    """
+    WITH p AS (
+      SELECT doc_id AS id_a, doc_id + 80 AS id_b, doc_id % 4 AS fam,
+             CASE WHEN doc_id % 4 = 0 THEN 5 + doc_id % 7
+                  WHEN doc_id % 4 = 3 THEN 7 + doc_id % 3
+                  ELSE 3 + doc_id % 5 END AS nb
+      FROM documents WHERE doc_id < 80
+    ),
+    b AS (
+      SELECT id_a, id_b, fam, u.j AS j
+      FROM p, unnest(generate_series(0, nb - 1)) AS u(j)
+    )
+    SELECT CAST(id_a AS BIGINT) AS id_a,
+           CAST(id_b AS BIGINT) AS id_b,
+           CAST(CASE WHEN fam = 1 THEN 2 * j
+                     WHEN fam = 3 AND j > 3 THEN j + 1
+                     ELSE j END AS INTEGER) AS a_start,
+           CAST(CASE WHEN fam = 1 OR (fam = 3 AND j = 3) THEN 2
+                     ELSE 1 END AS INTEGER) AS a_len,
+           CAST(CASE WHEN fam = 2 THEN 2 * j
+                     WHEN fam = 3 AND j > 3 THEN j + 1
+                     ELSE j END AS INTEGER) AS b_start,
+           CAST(CASE WHEN fam = 2 OR (fam = 3 AND j = 3) THEN 2
+                     ELSE 1 END AS INTEGER) AS b_len,
+           CAST(CASE WHEN fam = 0 THEN 0
+                     WHEN fam = 3 THEN CASE WHEN j = 3 THEN 44000 ELSE 0 END
+                     ELSE 23000 END AS BIGINT) AS cost_centi
+    FROM b
+    """,
+    "Gale-Church sentence alignment over PLANTED bitext families "
     "(operators/bitext.py): the published length-based DP (penalties "
     "0/450/230/440, -100*log two-tailed normal match cost) aligns each "
-    "candidate pair's sentence-length sequences into 1-1/2-1/1-2/2-2 "
-    "beads. Sequential within a pair, embarrassingly parallel across "
-    "pairs: one mapInArrow kernel, ZERO shuffle (plan-tested). "
-    "Driver check is rows-only; bead-for-bead exactness vs the "
-    "pure-Python reference is pytest-locked.",
+    "pair's sentence-length sequences into 1-1/2-1/1-2/2-2 beads. The "
+    "fixture plants sequences whose unique optimum has a CLOSED FORM "
+    "(the q99-BPE oracle discipline): fam 0 = equal lengths -> all-1-1 "
+    "at cost 0; fam 1/2 = exact pairwise merges -> all-2-1/1-2 at "
+    "penalty-only cost 23000 centi (delta = 0 -> erfc(0) = 1 -> match "
+    "cost exactly 0); fam 3 = one (small,large)<->(large,small) swap "
+    "pinned between equal anchor runs -> a single 2-2 at 44000. The "
+    "oracle emits the planted expectations without re-implementing "
+    "the DP (no erfc needed); optimality of every planted pair vs the "
+    "pure-Python DP is pytest-locked (tests/test_operators.py). "
+    "Sequential within a pair, embarrassingly parallel across pairs: "
+    "one mapInArrow kernel, ZERO shuffle (plan-tested).",
 )
 def q116_sentence_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     from toyocr_spark.operators.bitext import gale_church_beads
 
-    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 160)
-    lens = lambda col: F.transform(  # noqa: E731
-        F.sequence(F.lit(0), F.lit(5) + F.pmod(col, F.lit(4))),
-        lambda i: (F.lit(20) + F.pmod(col * 7 + i * 13, F.lit(40))).cast("int"),
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    did = F.col("doc_id")
+    fam = F.pmod(did, F.lit(4))
+    seq = lambda n: F.sequence(F.lit(0), n - F.lit(1))  # noqa: E731
+    anchor = lambda i: F.lit(20) + F.pmod(did * 7 + i * 13, F.lit(40))  # noqa: E731
+    la1 = lambda i: F.lit(15) + F.pmod(did * 5 + i * 11, F.lit(30))  # noqa: E731
+    lb2 = lambda i: F.lit(15) + F.pmod(did * 3 + i * 7, F.lit(30))  # noqa: E731
+    m = F.lit(3) + F.pmod(did, F.lit(5))
+    f0 = F.transform(seq(F.lit(5) + F.pmod(did, F.lit(7))), anchor)
+    f1a = F.transform(seq(m * 2), la1)
+    f1b = F.transform(seq(m), lambda j: la1(j * 2) + la1(j * 2 + 1))
+    f2b = F.transform(seq(m * 2), lb2)
+    f2a = F.transform(seq(m), lambda j: lb2(j * 2) + lb2(j * 2 + 1))
+    p3 = F.lit(8) + F.pmod(did, F.lit(5))
+    q3 = F.lit(70) + F.pmod(did, F.lit(9))
+    pre = F.transform(seq(F.lit(3)), anchor)
+    post = F.transform(seq(F.lit(3) + F.pmod(did, F.lit(3))), lambda i: anchor(i + 3))
+    f3a = F.concat(pre, F.array(p3, q3), post)
+    f3b = F.concat(pre, F.array(q3, p3), post)
+    lens_a = (
+        F.when(fam == 0, f0).when(fam == 1, f1a).when(fam == 2, f2a).otherwise(f3a)
     )
-    base = d.select("doc_id", lens(F.col("doc_id")).alias("lens"))
-    a = base.filter(F.col("doc_id") < 80).select(
-        F.col("doc_id").alias("id_a"), F.col("lens").alias("lens_a")
+    lens_b = (
+        F.when(fam == 0, f0).when(fam == 1, f1b).when(fam == 2, f2b).otherwise(f3b)
     )
-    b = base.filter(F.col("doc_id") >= 80).select(
-        (F.col("doc_id") - 80).alias("id_a"),
-        F.col("doc_id").alias("id_b"),
-        F.col("lens").alias("lens_b"),
+    pairs = d.select(
+        did.alias("id_a"),
+        (did + 80).alias("id_b"),
+        F.transform(lens_a, lambda x: x.cast("int")).alias("lens_a"),
+        F.transform(lens_b, lambda x: x.cast("int")).alias("lens_b"),
     )
-    pairs = a.join(b, "id_a").select("id_a", "id_b", "lens_a", "lens_b")
     return gale_church_beads(pairs)
 
 
