@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+from toyocr_spark.extractor.docx import is_docx, tokenize_docx
 from toyocr_spark.extractor.layout import reading_order
 from toyocr_spark.extractor.pdf import is_pdf, tokenize_pdf
 from toyocr_spark.extractor.select import select_blocks
@@ -51,10 +52,17 @@ def _run(html: bytes | str | None, selector) -> ExtractResult:
         truncated = True
     # magic-byte format dispatch (the north rule's "HTML boilerplate
     # strip, PDF/layout parse"): PDFs tokenize via the content-stream
-    # machine, everything downstream — XY-cut, scoring, islands — is
-    # shared. Existing HTML behavior is untouched (no HTML page starts
-    # with %PDF-), so the frozen kernel's byte-identity contract holds.
-    blocks = tokenize_pdf(html) if is_pdf(html) else tokenize(html)
+    # machine, .docx containers via the OPC/WordprocessingML walk;
+    # everything downstream — XY-cut, scoring, islands — is shared.
+    # Existing HTML behavior is untouched (no HTML page starts with
+    # %PDF- or PK\x03\x04), so the frozen kernel's byte-identity
+    # contract holds.
+    if is_pdf(html):
+        blocks = tokenize_pdf(html)
+    elif is_docx(html):
+        blocks = tokenize_docx(html)
+    else:
+        blocks = tokenize(html)
     if not blocks:
         return ExtractResult("", (), 0, 0, truncated)
     ordered = reading_order(blocks)

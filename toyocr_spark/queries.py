@@ -7129,82 +7129,150 @@ def q128_pq_persisted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_persisted_search(spark, q, prefix, k=5)
 
 
+@_q(
+    "q129_docx_extract",
+    """
+    SELECT 'https://docx-' || CAST(doc_id AS VARCHAR) || '.example/doc.docx' AS url,
+           'Document number ' || CAST(doc_id AS VARCHAR) || ' overview section'
+             || chr(10) || text AS extracted_text,
+           2 AS n_kept
+    FROM documents
+    """,
+    "DRIVER-CHECKABLE OOXML (.docx) extraction — the q122 discipline "
+    "on the OPC container format: each row's text is packed into a "
+    "real WordprocessingML package (valid zip, [Content_Types].xml, "
+    "rels, document.xml) as heading + body paragraphs, plus three "
+    "boilerplate plants the extractor must drop — a link-dominated "
+    "nav paragraph (link-density rule), and header/footer PARTS "
+    "(structural exclusion: never read). The oracle derives the "
+    "expected text in closed form, so identity fails if the zip walk, "
+    "XML parse, whitespace normalization, hyperlink accounting, or "
+    "part exclusion slips on ANY row. extractor/docx.py; "
+    "fixtures/gendocx.py. Map-only: one pre-kernel repartition, then "
+    "synth + extract in sanctioned Arrow kernels, zero shuffle after.",
+)
+def q129_docx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    from toyocr_spark.pipeline import extract_pages
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        # Python zip/XML synth kernel: spread over the cores rather
+        # than the file's 1-2 input splits (the q122/q125 discipline)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("html", T.BinaryType(), False),
+        ]
+    )
+
+    def batches(it):
+        from toyocr_spark.fixtures.gendocx import build_docx, paragraph
+
+        for b in it:
+            urls, blobs = [], []
+            for did, text in zip(b.column(0).to_pylist(), b.column(1).to_pylist()):
+                body = [
+                    paragraph("Navigation | Home | Search | Archive", link="rId9"),
+                    paragraph(
+                        f"Document number {did} overview section", style="Heading2"
+                    ),
+                    paragraph(text),
+                ]
+                blobs.append(
+                    build_docx(
+                        body_xml=body,
+                        header_text=f"draft header {did} do not extract",
+                        footer_text=f"page {did} of 999",
+                    )
+                )
+                urls.append(f"https://docx-{did}.example/doc.docx")
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()), pa.array(blobs, pa.binary())],
+                names=["url", "html"],
+            )
+
+    pages = d.mapInArrow(batches, schema)
+    out = extract_pages(pages)
+    return out.select(
+        "url", "extracted_text", F.col("n_kept").cast("int").alias("n_kept")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
 # The driver verifies only the FIRST 50 registry entries per round
 # (round 2: list(queries())[:50] == CORRECTNESS_r02 keys exactly), so
-# the registry is served priority-first. Round-4 window: the 25
-# session-7 specs that have never had a driver row (q98-q122, incl.
-# the encrypted-extraction spec q122), every spec whose oracle or
-# plan changed this round (q35/q74 gained real oracles; q85/q79 lost
-# their forced host-cardinality broadcasts; q15 gained the shingle
-# checkpoint), the flagship q25_extract + q44/q45 sentinels, and 17
-# long-green veterans spread across the operator families. Overflow
-# specs (all driver-green in r2/r3 and re-proven locally by
-# tests/test_oracle_parity.py every round) form the tail.
+# the registry is served priority-first. Round-5 window (the VERDICT r4
+# 'oldest-green-first rotation' ask): the new OOXML spec q129, q116
+# (rows-only -> full planted-fixture oracle this round), the flagship
+# q25_extract, then EVERY spec whose last driver row was round 2 (42
+# specs) and the 5 alphabetically-first round-3 veterans. Every
+# overflow spec is driver-green from r3/r4 and re-proven locally each
+# round by tests/test_oracle_parity.py (the exact-value replica).
 _DRIVER_PRIORITY: list[str] = [
-    # never driver-scored (session-7 additions)
-    "q98_jsonld_extract",
-    "q99_bpe_train",
-    "q100_cdx_index",
-    "q101_corpus_stats",
-    "q102_phrase_blocklist",
-    "q103_intradoc_dedup",
-    "q104_lsh_recall",
-    "q105_snapshot_delta",
-    "q106_template_cluster",
-    "q107_image_dhash",
-    "q108_image_neardup",
-    "q109_audio_fingerprint",
-    "q110_audio_neardup",
-    "q111_caption_pairs",
-    "q112_neardup_admission",
-    "q113_media_metadata",
-    "q114_bitext_candidates",
-    "q115_table_types",
-    "q116_sentence_align",
-    "q117_microdata",
-    "q118_feed_ingest",
-    "q119_dhash_recall",
-    "q120_decode_stats",
-    "q121_mp4_timing",
-    "q122_pdf_encrypted_extract",
-    # oracle / plan changed in round 4
-    "q35_approx_sketches",
-    "q74_ivf_recall_curve",
-    "q85_template_strip",
-    "q79_host_boilerplate",
-    "q15_minhash_lsh",
-    # flagship + sentinels
-    "q123_mp3_metadata",  # new this round (MP3 frame-header walk)
-    "q124_zipf_host_topk",  # new this round (Zipf-host skew stress)
-    "q125_pdf_aes_extract",  # new this round (AESV2+AESV3 PDF decryption)
-    "q126_pq_adc_search",  # new this round (product-quantization ANN)
-    "q127_ivf_pq_search",  # new this round (composed IVF-PQ index)
-    "q128_pq_persisted_search",  # new this round (persisted PQ index)
+    # new / changed this round
+    "q129_docx_extract",  # new: OOXML container extraction
+    "q116_sentence_align",  # oracle: rows-only -> planted closed form
+    # flagship
     "q25_extract",
-    "q44_pagerank",
-    "q45_hash_sample",
-    # veterans (one per family where possible; q17's exact-cosine
-    # baseline is re-proven transitively inside q74's oracle)
-    "q01_scan_agg",
-    "q08_pr_hmean",
-    "q32_dedup_clusters",
-    "q47_asof_join",
-    "q52_bloom_membership",
-    # (q53_kmeans_ivf rotated out to fit q128 — its coarse-quantizer
-    # CTEs are re-proven transitively inside q127's composed oracle)
-    # (q54_ann_ivf rotated out to fit q127, which re-proves its probe
-    # CTEs transitively inside the composed oracle)
-    "q56_dup_spans",
-    "q67_decontamination",
-    "q68_session_window",
-    "q73_dsir_sample",
-    "q75_ivf_persisted_search",
-    "q77_semdedup",
-    # (q97_bpe_pairs rotated out to fit q126 — it is literally round 1
-    # of q99_bpe_train, which IS in the window with a full oracle)
+    # last driver row in round 2 (all 42)
+    "q02_topk_per_group",
+    "q03_local_max",
+    "q04_sessions",
+    "q05_overlap_join",
+    "q06_dontcare_anti",
+    "q07_greedy_match",
+    "q09_ap",
+    "q10_occupancy",
+    "q11_region_revenue",
+    "q12_topk_mean",
+    "q13_dedup_exact",
+    "q14_jaccard",
+    "q16_simhash",
+    "q17_ann_brute",
+    "q18_ann_bucketed",
+    "q19_embedding_near_dup",
+    "q20_lang_id",
+    "q21_quality",
+    "q22_token_fingerprint",
+    "q23_json_props",
+    "q24_levenshtein",
+    "q26_media_decode",
+    "q27_media_frames",
+    "q28_class_histogram",
+    "q29_repeat_factor",
+    "q30_gather_sorted",
+    "q31_array_hof_filters",
+    "q33_skew_safe_topk",
+    "q34_string_funcs",
+    "q36_simhash_pairs",
+    "q37_greedy_exact",
+    "q38_simhash64",
+    "q39_simhash64_pairs",
+    "q40_pdf_extract",
+    "q41_url_canonical",
+    "q42_outlinks",
+    "q43_page_metadata",
+    "q46_repetition",
+    "q48_paragraph_dedup",
+    "q49_tfidf_topk",
+    "q50_bm25",
+    "q51_pmi_bigrams",
+    # last driver row in round 3 (5 oldest by name; the other 31
+    # r3/r4-green specs overflow)
+    "q53_kmeans_ivf",
+    "q54_ann_ivf",
+    "q55_unigram_nll",
+    "q57_weighted_sample",
+    "q58_phrase_retrieval",
 ]
 
 
