@@ -181,6 +181,49 @@ def test_mine_outlinks_mixed_html_pdf(spark):
     assert "regexp_extract_all" in plan[:arrow_at] or "regexp_extract_all" in plan
 
 
+def test_mine_outlinks_docx_leg(spark):
+    """OOXML hyperlinks (w:hyperlink/@r:id -> External rels targets)
+    surface as edges through the same sanctioned kernel as PDFs —
+    document order, duplicates preserved, internal anchors skipped."""
+    from toyocr_spark.extractor.docx import docx_links
+    from toyocr_spark.fixtures.gendocx import build_docx, paragraph
+    from toyocr_spark.functions.linkmine import mine_outlinks
+
+    body = [
+        paragraph("see the spec document for details and context", link="rId7"),
+        paragraph("plain body paragraph with no links in it at all, kept text"),
+        '<w:p><w:hyperlink w:anchor="top"><w:r><w:t>internal</w:t></w:r>'
+        "</w:hyperlink></w:p>",
+        paragraph("the spec again cited a second time right here", link="rId7"),
+        paragraph("and one more distinct external reference link", link="rId8"),
+    ]
+    blob = build_docx(
+        body_xml=body,
+        links={
+            "rId7": "https://spec.example/std",
+            "rId8": "https://other.example/ref",
+        },
+    )
+    assert docx_links(blob) == [
+        "https://spec.example/std",
+        "https://spec.example/std",
+        "https://other.example/ref",
+    ]
+    html = '<html><body><a href="https://ext.example/x">e</a></body></html>'
+    rows = [
+        ("https://site.example/p.html", bytearray(html.encode())),
+        ("https://host.example/d.docx", bytearray(blob)),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = sorted((r["src_url"], r["target"]) for r in mine_outlinks(df).collect())
+    assert got == [
+        ("https://host.example/d.docx", "https://other.example/ref"),
+        ("https://host.example/d.docx", "https://spec.example/std"),
+        ("https://host.example/d.docx", "https://spec.example/std"),
+        ("https://site.example/p.html", "https://ext.example/x"),
+    ]
+
+
 def test_parse_robots_directives(spark):
     from toyocr_spark.functions.urlfns import parse_robots_directives
 

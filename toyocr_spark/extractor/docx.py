@@ -107,6 +107,46 @@ def _paragraph_block(p, path: tuple[str, ...]) -> Block | None:
     )
 
 
+_REL_NS = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+_RELS_PART = "word/_rels/document.xml.rels"
+_PKG_REL = "{http://schemas.openxmlformats.org/package/2006/relationships}Relationship"
+
+
+def docx_links(data: bytes) -> list[str]:
+    """Outbound hyperlink targets in document order, duplicates
+    preserved — the .docx leg of outlink mining (pdf_links and q42's
+    href pass are the twins). WordprocessingML splits a link across
+    two parts: w:hyperlink/@r:id occurrences in document.xml give the
+    order, word/_rels/document.xml.rels maps each id to its External
+    target. Internal anchors (w:anchor, no r:id) and non-External
+    relationships are not edges. Malformed containers -> []."""
+    try:
+        with zipfile.ZipFile(io.BytesIO(data)) as zf:
+            xml = zf.read(_DOC_PART)
+            rels_xml = zf.read(_RELS_PART)
+    except Exception:  # noqa: BLE001 — same quiet-skip contract as tokenize_docx
+        return []
+    try:
+        rels_root = ElementTree.fromstring(rels_xml)
+        doc_root = ElementTree.fromstring(xml)
+    except ElementTree.ParseError:
+        return []
+    targets: dict[str, str] = {}
+    for rel in rels_root.iter(_PKG_REL):
+        if rel.get("Type", "").endswith("/hyperlink") and rel.get(
+            "TargetMode"
+        ) == "External":
+            rid, target = rel.get("Id"), rel.get("Target")
+            if rid and target:
+                targets[rid] = target
+    out: list[str] = []
+    for h in doc_root.iter(_W + "hyperlink"):
+        rid = h.get("{%s}id" % _REL_NS)
+        if rid and rid in targets:
+            out.append(targets[rid])
+    return out
+
+
 def tokenize_docx(data: bytes) -> list[Block]:
     """Parse a .docx container into Blocks in document order: body
     paragraphs plus table-cell paragraphs (tag_path marks the table

@@ -43,7 +43,12 @@ _HDR_CT = (
 
 
 def _esc(s: str) -> str:
-    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    return (
+        s.replace("&", "&amp;")
+        .replace("<", "&lt;")
+        .replace(">", "&gt;")
+        .replace('"', "&quot;")  # safe in text nodes, required in attributes
+    )
 
 
 def _run(text: str, bold: bool = False) -> str:
@@ -82,17 +87,26 @@ def build_docx(
     paragraphs: list[str] | None = None,
     header_text: str | None = None,
     footer_text: str | None = None,
+    links: dict[str, str] | None = None,
 ) -> bytes:
     """Assemble a .docx: body_xml = pre-built w:p/w:tbl fragments (the
     paragraph()/table() helpers), or paragraphs = plain strings, one
     w:p each. header_text/footer_text add real header1/footer1 parts
     wired through document.xml.rels + sectPr references — content the
-    extractor must structurally EXCLUDE."""
+    extractor must structurally EXCLUDE. links maps hyperlink
+    relationship ids (the paragraph(link=...) values) to External
+    targets in document.xml.rels — the outlink carrier docx_links
+    mines."""
     frags = list(body_xml or [])
     for p in paragraphs or []:
         frags.append(paragraph(p))
     sect = ""
-    doc_rels: list[str] = []
+    doc_rels: list[str] = [
+        f'<Relationship Id="{rid}" Type="http://schemas.openxmlformats.org/'
+        f'officeDocument/2006/relationships/hyperlink" Target="{_esc(target)}" '
+        f'TargetMode="External"/>'
+        for rid, target in (links or {}).items()
+    ]
     extra_parts: list[tuple[str, str]] = []
     ct_overrides = ""
     refs = ""

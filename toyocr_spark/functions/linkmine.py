@@ -1,18 +1,19 @@
-"""Unified outlink mining over a mixed HTML/PDF crawl — the edge-list
-feed for the link graph (q44 PageRank), anchor aggregation (q91), and
-frontier seeding (q92).
+"""Unified outlink mining over a mixed HTML/PDF/docx crawl — the
+edge-list feed for the link graph (q44 PageRank), anchor aggregation
+(q91), and frontier seeding (q92).
 
 Split by magic bytes, each format on its fastest path:
   * HTML rows stay ENTIRELY JVM-side: href extraction is
     regexp_extract_all, resolution is urlfns.resolve_link Column
     exprs — no Python touches the dominant format;
-  * PDF rows (a small fraction of any crawl) go through one
-    mapInArrow batch over extractor.pdf.pdf_links — the same
-    sanctioned-kernel shape as extraction itself;
+  * PDF and OOXML rows (a small fraction of any crawl) go through one
+    mapInArrow batch dispatching per row to extractor.pdf.pdf_links /
+    extractor.docx.docx_links — the same sanctioned-kernel shape as
+    extraction itself;
   * the union is by name, one edge row per (src_url, target).
 
-At 100 TB the html leg is map-only scan work and the pdf leg is
-bounded by the PDF fraction; neither shuffles until the consumer
+At 100 TB the html leg is map-only scan work and the kernel leg is
+bounded by the PDF+docx fraction; neither shuffles until the consumer
 aggregates.
 """
 
@@ -36,7 +37,15 @@ def mine_outlinks(
 
     col = F.col(html_col)
     is_bin = dict(pages.dtypes)[html_col] == "binary"
-    magic = (col.substr(1, 5) == F.lit(b"%PDF-")) if is_bin else col.startswith("%PDF-")
+    if is_bin:
+        # binary captures: PDFs and OOXML containers both mine inside
+        # the sanctioned kernel; docx exists only as bytes (a zip)
+        magic = (col.substr(1, 5) == F.lit(b"%PDF-")) | (
+            (col.substr(1, 4) == F.lit(b"PK\x03\x04"))
+            & F.contains(col, F.lit(b"word/document.xml"))
+        )
+    else:
+        magic = col.startswith("%PDF-")
     markup = F.decode(col, "UTF-8") if is_bin else col
 
     base_root = F.concat(
@@ -62,9 +71,10 @@ def mine_outlinks(
         .filter(F.col("target").isNotNull())
     )
 
-    def pdf_batches(it: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:  # noqa: F821
+    def doc_batches(it: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:  # noqa: F821
         import pyarrow as pa
 
+        from toyocr_spark.extractor.docx import docx_links, is_docx
         from toyocr_spark.extractor.pdf import pdf_links
 
         for b in it:
@@ -73,8 +83,13 @@ def mine_outlinks(
             urls = b.column(0).to_pylist()
             bodies = b.column(1).to_pylist()
             for u, body in zip(urls, bodies):
-                data = body if isinstance(body, (bytes, bytearray)) else str(body).encode("utf-8", "replace")
-                for t in pdf_links(bytes(data)):
+                data = bytes(
+                    body
+                    if isinstance(body, (bytes, bytearray))
+                    else str(body).encode("utf-8", "replace")
+                )
+                links = docx_links(data) if is_docx(data) else pdf_links(data)
+                for t in links:
                     srcs.append(u)
                     targets.append(t)
             yield pa.RecordBatch.from_arrays(
@@ -82,8 +97,8 @@ def mine_outlinks(
                 names=["src_url", "target"],
             )
 
-    pdf_edges = pages.filter(magic).select(
+    doc_edges = pages.filter(magic).select(
         F.col(url_col).alias("src_url"), col.alias("body")
-    ).mapInArrow(pdf_batches, "src_url string, target string")
+    ).mapInArrow(doc_batches, "src_url string, target string")
 
-    return html_edges.unionByName(pdf_edges)
+    return html_edges.unionByName(doc_edges)
