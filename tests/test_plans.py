@@ -210,6 +210,8 @@ def test_relational_queries_have_no_python_nodes(spark, sf_dir):
         "q122_pdf_encrypted_extract",  # encrypt-synth + extraction kernel
         "q123_mp3_metadata",     # MP3 mux + frame-walk metadata kernel
         "q125_pdf_aes_extract",  # AES-encrypt-synth + extraction kernel
+        "q129_docx_extract",     # OOXML synth + extraction kernel
+        "q130_xlsx_extract",     # SpreadsheetML synth + extraction kernel
     }
     markers = ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas",
                "MapInPandas", "PythonMapInArrow", "MapInArrow")

@@ -22,6 +22,7 @@ from dataclasses import dataclass
 from toyocr_spark.extractor.docx import is_docx, tokenize_docx
 from toyocr_spark.extractor.layout import reading_order
 from toyocr_spark.extractor.pdf import is_pdf, tokenize_pdf
+from toyocr_spark.extractor.xlsx import is_xlsx, tokenize_xlsx
 from toyocr_spark.extractor.select import select_blocks
 from toyocr_spark.extractor.tokenizer import tokenize
 
@@ -52,15 +53,17 @@ def _run(html: bytes | str | None, selector) -> ExtractResult:
         truncated = True
     # magic-byte format dispatch (the north rule's "HTML boilerplate
     # strip, PDF/layout parse"): PDFs tokenize via the content-stream
-    # machine, .docx containers via the OPC/WordprocessingML walk;
-    # everything downstream — XY-cut, scoring, islands — is shared.
-    # Existing HTML behavior is untouched (no HTML page starts with
-    # %PDF- or PK\x03\x04), so the frozen kernel's byte-identity
-    # contract holds.
+    # machine, OOXML containers via the OPC walks (WordprocessingML
+    # .docx, SpreadsheetML .xlsx); everything downstream — XY-cut,
+    # scoring, islands — is shared. Existing HTML behavior is
+    # untouched (no HTML page starts with %PDF- or PK\x03\x04), so
+    # the frozen kernel's byte-identity contract holds.
     if is_pdf(html):
         blocks = tokenize_pdf(html)
     elif is_docx(html):
         blocks = tokenize_docx(html)
+    elif is_xlsx(html):
+        blocks = tokenize_xlsx(html)
     else:
         blocks = tokenize(html)
     if not blocks:

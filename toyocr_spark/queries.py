@@ -7205,6 +7205,77 @@ def q129_docx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q130_xlsx_extract",
+    """
+    SELECT 'https://xlsx-' || CAST(doc_id AS VARCHAR) || '.example/sheet.xlsx' AS url,
+           'section content and notes for this document' || chr(10) ||
+             text || ' ' || CAST(doc_id * 7 AS VARCHAR) AS extracted_text,
+           2 AS n_kept
+    FROM documents
+    """,
+    "DRIVER-CHECKABLE SpreadsheetML (.xlsx) extraction — q129's OPC "
+    "discipline on the workbook format: each row's text is planted as "
+    "a SHARED-STRING cell (t=\"s\" index indirection, the format's "
+    "distinctive wrinkle) in a two-sheet package; a header row "
+    "extracts, a numeric sibling cell joins the text row, and a "
+    "second sheet of short bare-numeral chrome rows must die by "
+    "MIN_CHARS in the shared scorer. Oracle is closed form over "
+    "(doc_id, text), so the zip walk, workbook/rels resolution, "
+    "sharedStrings lookup, row assembly, and scoring must all be "
+    "exact on every row. extractor/xlsx.py; fixtures/genxlsx.py. "
+    "Map-only: pre-kernel repartition then Arrow kernels, zero "
+    "shuffle after.",
+)
+def q130_xlsx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    from toyocr_spark.pipeline import extract_pages
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("html", T.BinaryType(), False),
+        ]
+    )
+
+    def batches(it):
+        from toyocr_spark.fixtures.genxlsx import build_xlsx
+
+        for b in it:
+            urls, blobs = [], []
+            for did, text in zip(b.column(0).to_pylist(), b.column(1).to_pylist()):
+                blobs.append(
+                    build_xlsx(
+                        {
+                            "report": [
+                                ["section content and notes for this document"],
+                                [text, did * 7],
+                            ],
+                            "totals": [[did % 9, did % 7], [1, 2]],
+                        }
+                    )
+                )
+                urls.append(f"https://xlsx-{did}.example/sheet.xlsx")
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()), pa.array(blobs, pa.binary())],
+                names=["url", "html"],
+            )
+
+    pages = d.mapInArrow(batches, schema)
+    out = extract_pages(pages)
+    return out.select(
+        "url", "extracted_text", F.col("n_kept").cast("int").alias("n_kept")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
@@ -7219,7 +7290,8 @@ def q129_docx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round by tests/test_oracle_parity.py (the exact-value replica).
 _DRIVER_PRIORITY: list[str] = [
     # new / changed this round
-    "q129_docx_extract",  # new: OOXML container extraction
+    "q129_docx_extract",  # new: OOXML WordprocessingML extraction
+    "q130_xlsx_extract",  # new: OOXML SpreadsheetML extraction
     "q116_sentence_align",  # oracle: rows-only -> planted closed form
     # flagship
     "q25_extract",
@@ -7266,13 +7338,12 @@ _DRIVER_PRIORITY: list[str] = [
     "q49_tfidf_topk",
     "q50_bm25",
     "q51_pmi_bigrams",
-    # last driver row in round 3 (5 oldest by name; the other 31
-    # r3/r4-green specs overflow)
+    # last driver row in round 3 (4 oldest by name; the other 32
+    # r3/r4-green specs overflow — q58 rotated out to fit q130)
     "q53_kmeans_ivf",
     "q54_ann_ivf",
     "q55_unigram_nll",
     "q57_weighted_sample",
-    "q58_phrase_retrieval",
 ]
 
 
