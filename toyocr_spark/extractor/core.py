@@ -22,6 +22,7 @@ from dataclasses import dataclass
 from toyocr_spark.extractor.docx import is_docx, tokenize_docx
 from toyocr_spark.extractor.layout import reading_order
 from toyocr_spark.extractor.pdf import is_pdf, tokenize_pdf
+from toyocr_spark.extractor.pptx import is_pptx, tokenize_pptx
 from toyocr_spark.extractor.xlsx import is_xlsx, tokenize_xlsx
 from toyocr_spark.extractor.select import select_blocks
 from toyocr_spark.extractor.tokenizer import tokenize
@@ -64,6 +65,8 @@ def _run(html: bytes | str | None, selector) -> ExtractResult:
         blocks = tokenize_docx(html)
     elif is_xlsx(html):
         blocks = tokenize_xlsx(html)
+    elif is_pptx(html):
+        blocks = tokenize_pptx(html)
     else:
         blocks = tokenize(html)
     if not blocks:

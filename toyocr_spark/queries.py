@@ -7276,6 +7276,79 @@ def q130_xlsx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q131_pptx_extract",
+    """
+    SELECT 'https://pptx-' || CAST(doc_id AS VARCHAR) || '.example/deck.pptx' AS url,
+           'Document number ' || CAST(doc_id AS VARCHAR) || ' briefing deck overview'
+             || chr(10) || text AS extracted_text,
+           2 AS n_kept
+    FROM documents
+    """,
+    "DRIVER-CHECKABLE PresentationML (.pptx) extraction — the OOXML "
+    "trio completed (q129 word, q130 xl, this ppt): each row's text "
+    "is planted as a DrawingML body shape under a title placeholder, "
+    "slide parts NAMED IN REVERSE of deck order (slideN.xml holds "
+    "slide 1) so only the sldIdLst id walk extracts correctly, plus a "
+    "speaker-notes part that must be structurally excluded. Closed-"
+    "form oracle over (doc_id, text): the zip walk, sldIdLst/rels "
+    "resolution, a:t run assembly, placeholder typing, and notes "
+    "exclusion must all be exact on every row. extractor/pptx.py; "
+    "fixtures/genpptx.py. Map-only: pre-kernel repartition then Arrow "
+    "kernels, zero shuffle after.",
+)
+def q131_pptx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    from toyocr_spark.pipeline import extract_pages
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("html", T.BinaryType(), False),
+        ]
+    )
+
+    def batches(it):
+        from toyocr_spark.fixtures.genpptx import build_pptx, shape
+
+        for b in it:
+            urls, blobs = [], []
+            for did, text in zip(b.column(0).to_pylist(), b.column(1).to_pylist()):
+                blobs.append(
+                    build_pptx(
+                        slides=[
+                            [
+                                shape(
+                                    [f"Document number {did} briefing deck overview"],
+                                    title=True,
+                                ),
+                                shape([text]),
+                            ]
+                        ],
+                        notes=[f"presenter note {did} never extract"],
+                    )
+                )
+                urls.append(f"https://pptx-{did}.example/deck.pptx")
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()), pa.array(blobs, pa.binary())],
+                names=["url", "html"],
+            )
+
+    pages = d.mapInArrow(batches, schema)
+    out = extract_pages(pages)
+    return out.select(
+        "url", "extracted_text", F.col("n_kept").cast("int").alias("n_kept")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
@@ -7292,6 +7365,7 @@ _DRIVER_PRIORITY: list[str] = [
     # new / changed this round
     "q129_docx_extract",  # new: OOXML WordprocessingML extraction
     "q130_xlsx_extract",  # new: OOXML SpreadsheetML extraction
+    "q131_pptx_extract",  # new: OOXML PresentationML extraction
     "q116_sentence_align",  # oracle: rows-only -> planted closed form
     # flagship
     "q25_extract",
@@ -7338,12 +7412,12 @@ _DRIVER_PRIORITY: list[str] = [
     "q49_tfidf_topk",
     "q50_bm25",
     "q51_pmi_bigrams",
-    # last driver row in round 3 (4 oldest by name; the other 32
-    # r3/r4-green specs overflow — q58 rotated out to fit q130)
+    # last driver row in round 3 (3 oldest by name; the other 33
+    # r3/r4-green specs overflow — q57/q58 rotated out to fit
+    # q130/q131)
     "q53_kmeans_ivf",
     "q54_ann_ivf",
     "q55_unigram_nll",
-    "q57_weighted_sample",
 ]
 
 
