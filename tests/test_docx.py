@@ -133,6 +133,49 @@ def test_docx_extraction_is_deterministic_and_byte_stable():
     assert extract(a) == extract(b)
 
 
+def test_opc_core_properties_round_trip_all_three_formats():
+    """docProps/core.xml is format-independent: ONE harvester serves
+    docx/xlsx/pptx (the q43/q113 metadata-family discipline — read one
+    small zip member, never parse content). Stable key order, XML
+    escapes round-trip, missing part and garbage quiet-skip."""
+    from toyocr_spark.extractor.opc import opc_core_properties
+    from toyocr_spark.fixtures.genpptx import build_pptx, shape
+    from toyocr_spark.fixtures.genxlsx import build_xlsx
+
+    props = {
+        "title": "Quarterly <Report> & Co",
+        "creator": "a. writer",
+        "created": "2024-03-01T10:00:00Z",
+        "revision": "7",
+    }
+    want = [
+        ("title", "Quarterly <Report> & Co"),
+        ("creator", "a. writer"),
+        ("revision", "7"),
+        ("created", "2024-03-01T10:00:00Z"),
+    ]
+    blobs = [
+        build_docx(paragraphs=["body text long enough to be kept ok"], core_props=props),
+        build_xlsx({"s": [["row text long enough to be kept ok"]]}, core_props=props),
+        build_pptx(slides=[[shape(["slide text long enough to be kept"])]], core_props=props),
+    ]
+    for blob in blobs:
+        assert opc_core_properties(blob) == want
+        assert extract(blob).text  # the extra part never disturbs extraction
+    assert opc_core_properties(build_docx(paragraphs=["x" * 50])) == []
+    assert opc_core_properties(b"not a zip at all") == []
+    import random as _r
+
+    rng = _r.Random(31415)
+    base = blobs[0]
+    for _ in range(40):
+        fuzzed = bytearray(base)
+        for _ in range(rng.randint(1, 4)):
+            fuzzed[rng.randrange(len(fuzzed))] = rng.randrange(256)
+        payload = bytes(fuzzed)
+        assert opc_core_properties(payload) == opc_core_properties(payload)
+
+
 def test_docx_through_spark_pipeline(spark):
     """The kernel dispatch is transparent to the pipeline: docx pages
     ride the same mapInArrow extraction as HTML/PDF, byte-identically

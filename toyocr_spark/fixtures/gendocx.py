@@ -88,6 +88,7 @@ def build_docx(
     header_text: str | None = None,
     footer_text: str | None = None,
     links: dict[str, str] | None = None,
+    core_props: dict[str, str] | None = None,
 ) -> bytes:
     """Assemble a .docx: body_xml = pre-built w:p/w:tbl fragments (the
     paragraph()/table() helpers), or paragraphs = plain strings, one
@@ -144,9 +145,16 @@ def build_docx(
         f'<w:document xmlns:w="{_W_NS}" xmlns:r="{_R_NS}">'
         f'<w:body>{"".join(frags)}{sect}</w:body></w:document>'
     )
+    root_rels = _ROOT_RELS
+    if core_props:
+        from toyocr_spark.fixtures.genopc import CORE_CT_OVERRIDE, CORE_REL, core_part
+
+        ct_overrides += CORE_CT_OVERRIDE
+        root_rels = root_rels.replace("</Relationships>", CORE_REL + "</Relationships>")
+        extra_parts.append(core_part(core_props))
     parts: list[tuple[str, str]] = [
         ("[Content_Types].xml", _CONTENT_TYPES.format(overrides=ct_overrides)),
-        ("_rels/.rels", _ROOT_RELS),
+        ("_rels/.rels", root_rels),
         ("word/document.xml", document),
     ]
     if doc_rels:

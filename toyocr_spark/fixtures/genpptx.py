@@ -51,6 +51,7 @@ def shape(paragraphs: list[str], title: bool = False) -> str:
 def build_pptx(
     slides: list[list[str]],
     notes: list[str] | None = None,
+    core_props: dict[str, str] | None = None,
 ) -> bytes:
     """slides: one list of shape-XML fragments (the shape() helper)
     per slide, in DECK order. notes: optional per-slide speaker-notes
@@ -90,6 +91,14 @@ def build_pptx(
         '"application/vnd.openxmlformats-officedocument.presentationml.slide+xml"/>'
         for i in range(n)
     )
+    root_rels = _ROOT_RELS
+    extra_parts: list[tuple[str, str]] = []
+    if core_props:
+        from toyocr_spark.fixtures.genopc import CORE_CT_OVERRIDE, CORE_REL, core_part
+
+        ct_slides += CORE_CT_OVERRIDE
+        root_rels = root_rels.replace("</Relationships>", CORE_REL + "</Relationships>")
+        extra_parts.append(core_part(core_props))
     parts: list[tuple[str, str]] = [
         (
             "[Content_Types].xml",
@@ -102,7 +111,7 @@ def build_pptx(
             'openxmlformats-officedocument.presentationml.presentation.main+xml"/>'
             f"{ct_slides}</Types>",
         ),
-        ("_rels/.rels", _ROOT_RELS),
+        ("_rels/.rels", root_rels),
         ("ppt/presentation.xml", presentation),
         ("ppt/_rels/presentation.xml.rels", pres_rels),
     ]
@@ -117,6 +126,7 @@ def build_pptx(
                 f"<p:cSld><p:spTree>{shape([note])}</p:spTree></p:cSld></p:notes>",
             )
         )
+    parts.extend(extra_parts)
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
         for name, content in parts:

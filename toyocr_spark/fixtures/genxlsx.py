@@ -62,10 +62,14 @@ def _col_ref(idx: int) -> str:
     return out
 
 
-def build_xlsx(sheets: dict[str, list[list[str | int | float]]]) -> bytes:
+def build_xlsx(
+    sheets: dict[str, list[list[str | int | float]]],
+    core_props: dict[str, str] | None = None,
+) -> bytes:
     """sheets: {sheet_name: rows}, each row a list of cells — str cells
     go through sharedStrings (t="s"), numbers inline (<v> lexical form
-    preserved). Sheet order = dict order."""
+    preserved). Sheet order = dict order. core_props plants a
+    docProps/core.xml part."""
     shared: list[str] = []
     shared_idx: dict[str, int] = {}
     sheet_xmls: list[str] = []
@@ -118,22 +122,28 @@ def build_xlsx(sheets: dict[str, list[list[str | int | float]]]) -> bytes:
         + "".join(f'<si><t xml:space="preserve">{_esc(s)}</t></si>' for s in shared)
         + "</sst>"
     )
+    sheet_overrides = "".join(_SHEET_CT.format(i=i + 1) for i in range(len(sheets)))
+    root_rels = _ROOT_RELS
+    extra_parts: list[tuple[str, str]] = []
+    if core_props:
+        from toyocr_spark.fixtures.genopc import CORE_CT_OVERRIDE, CORE_REL, core_part
+
+        sheet_overrides += CORE_CT_OVERRIDE
+        root_rels = root_rels.replace("</Relationships>", CORE_REL + "</Relationships>")
+        extra_parts.append(core_part(core_props))
     parts: list[tuple[str, str]] = [
         (
             "[Content_Types].xml",
-            _CONTENT_TYPES.format(
-                sheet_overrides="".join(
-                    _SHEET_CT.format(i=i + 1) for i in range(len(sheets))
-                )
-            ),
+            _CONTENT_TYPES.format(sheet_overrides=sheet_overrides),
         ),
-        ("_rels/.rels", _ROOT_RELS),
+        ("_rels/.rels", root_rels),
         ("xl/workbook.xml", workbook),
         ("xl/_rels/workbook.xml.rels", wb_rels),
         ("xl/sharedStrings.xml", shared_xml),
     ]
     for i, xml in enumerate(sheet_xmls):
         parts.append((f"xl/worksheets/sheet{i + 1}.xml", xml))
+    parts.extend(extra_parts)
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
         for name, content in parts:

@@ -7349,6 +7349,104 @@ def q131_pptx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q132_ooxml_metadata",
+    """
+    WITH k AS (
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 'docx' WHEN 1 THEN 'xlsx'
+                  ELSE 'pptx' END AS fmt
+      FROM documents
+    )
+    SELECT doc_id, fmt, 'title' AS prop_key,
+           'Doc ' || CAST(doc_id AS VARCHAR) || ' office metadata title' AS prop_val
+    FROM k
+    UNION ALL
+    SELECT doc_id, fmt, 'creator', 'author-' || CAST(doc_id % 13 AS VARCHAR) FROM k
+    UNION ALL
+    SELECT doc_id, fmt, 'keywords', 'crawl,office,k' || CAST(doc_id % 5 AS VARCHAR) FROM k
+    UNION ALL
+    SELECT doc_id, fmt, 'revision', CAST(doc_id % 9 + 1 AS VARCHAR) FROM k
+    """,
+    "OOXML core-properties metadata harvest (docProps/core.xml Dublin "
+    "Core — the office-document leg of the q43/q113 metadata family): "
+    "each row synthesizes one of the THREE package formats by doc "
+    "parity (docx/xlsx/pptx — the part is format-independent, one "
+    "harvester serves the trio) with planted title/creator/keywords/"
+    "revision, then extractor/opc.py reads back ONE small zip member "
+    "(metadata harvest never pays the content parse — the walk-don't-"
+    "decode discipline). Closed-form oracle over doc_id; 4 scalar "
+    "rows per doc. Map-only: pre-kernel repartition then one Arrow "
+    "kernel, zero shuffle after.",
+)
+def q132_ooxml_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("fmt", T.StringType(), False),
+            T.StructField("prop_key", T.StringType(), False),
+            T.StructField("prop_val", T.StringType(), False),
+        ]
+    )
+
+    def batches(it):
+        from toyocr_spark.extractor.opc import opc_core_properties
+        from toyocr_spark.fixtures.gendocx import build_docx
+        from toyocr_spark.fixtures.genpptx import build_pptx, shape
+        from toyocr_spark.fixtures.genxlsx import build_xlsx
+
+        for b in it:
+            ids, fmts, keys, vals = [], [], [], []
+            for did in b.column(0).to_pylist():
+                props = {
+                    "title": f"Doc {did} office metadata title",
+                    "creator": f"author-{did % 13}",
+                    "keywords": f"crawl,office,k{did % 5}",
+                    "revision": f"{did % 9 + 1}",
+                }
+                fmt = ("docx", "xlsx", "pptx")[did % 3]
+                if fmt == "docx":
+                    blob = build_docx(
+                        paragraphs=["office body paragraph placeholder text"],
+                        core_props=props,
+                    )
+                elif fmt == "xlsx":
+                    blob = build_xlsx(
+                        {"s": [["office sheet row placeholder text cell"]]},
+                        core_props=props,
+                    )
+                else:
+                    blob = build_pptx(
+                        slides=[[shape(["office slide paragraph placeholder"])]],
+                        core_props=props,
+                    )
+                for k, v in opc_core_properties(blob):
+                    ids.append(did)
+                    fmts.append(fmt)
+                    keys.append(k)
+                    vals.append(v)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(fmts, pa.string()),
+                    pa.array(keys, pa.string()),
+                    pa.array(vals, pa.string()),
+                ],
+                names=["doc_id", "fmt", "prop_key", "prop_val"],
+            )
+
+    return d.mapInArrow(batches, schema)
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
@@ -7366,6 +7464,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q129_docx_extract",  # new: OOXML WordprocessingML extraction
     "q130_xlsx_extract",  # new: OOXML SpreadsheetML extraction
     "q131_pptx_extract",  # new: OOXML PresentationML extraction
+    "q132_ooxml_metadata",  # new: docProps/core.xml harvest (the trio)
     "q116_sentence_align",  # oracle: rows-only -> planted closed form
     # flagship
     "q25_extract",
@@ -7412,12 +7511,11 @@ _DRIVER_PRIORITY: list[str] = [
     "q49_tfidf_topk",
     "q50_bm25",
     "q51_pmi_bigrams",
-    # last driver row in round 3 (3 oldest by name; the other 33
-    # r3/r4-green specs overflow — q57/q58 rotated out to fit
-    # q130/q131)
+    # last driver row in round 3 (2 oldest by name; the other 34
+    # r3/r4-green specs overflow — q55/q57/q58 rotated out to fit
+    # q130/q131/q132)
     "q53_kmeans_ivf",
     "q54_ann_ivf",
-    "q55_unigram_nll",
 ]
 
 
