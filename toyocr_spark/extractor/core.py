@@ -20,6 +20,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from toyocr_spark.extractor.docx import is_docx, tokenize_docx
+from toyocr_spark.extractor.epub import is_epub, tokenize_epub
 from toyocr_spark.extractor.layout import reading_order
 from toyocr_spark.extractor.pdf import is_pdf, tokenize_pdf
 from toyocr_spark.extractor.pptx import is_pptx, tokenize_pptx
@@ -67,6 +68,8 @@ def _run(html: bytes | str | None, selector) -> ExtractResult:
         blocks = tokenize_xlsx(html)
     elif is_pptx(html):
         blocks = tokenize_pptx(html)
+    elif is_epub(html):
+        blocks = tokenize_epub(html)
     else:
         blocks = tokenize(html)
     if not blocks:

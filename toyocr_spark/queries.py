@@ -7447,6 +7447,76 @@ def q132_ooxml_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInArrow(batches, schema)
 
 
+@_q(
+    "q133_epub_extract",
+    """
+    SELECT 'https://epub-' || CAST(doc_id AS VARCHAR) || '.example/book.epub' AS url,
+           'Document number ' || CAST(doc_id AS VARCHAR) || ' book heading' || chr(10) ||
+           'Document number ' || CAST(doc_id AS VARCHAR) || ' book heading' || chr(10) ||
+             text AS extracted_text,
+           3 AS n_kept
+    FROM documents
+    """,
+    "DRIVER-CHECKABLE EPUB extraction — the container leg that REUSES "
+    "the HTML tokenizer: OCF container.xml -> OPF manifest/spine "
+    "resolve reading order (chapter parts NAMED IN REVERSE, so only "
+    "the spine idref walk reads forwards), each spine document runs "
+    "through the ordinary HTML tokenize(), and the planted EPUB3 nav "
+    "doc (a link list in the spine) must die by the ordinary link-"
+    "density rule — no special case. The chapter contributes its "
+    "<title> block, <h1>, and body paragraph exactly as a standalone "
+    "page would (hence the doubled heading in the closed form). "
+    "extractor/epub.py; fixtures/genepub.py. Map-only: pre-kernel "
+    "repartition then Arrow kernels, zero shuffle after.",
+)
+def q133_epub_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    from toyocr_spark.pipeline import extract_pages
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("html", T.BinaryType(), False),
+        ]
+    )
+
+    def batches(it):
+        from toyocr_spark.fixtures.genepub import build_epub, chapter_html
+
+        for b in it:
+            urls, blobs = [], []
+            for did, text in zip(b.column(0).to_pylist(), b.column(1).to_pylist()):
+                blobs.append(
+                    build_epub(
+                        [
+                            chapter_html(
+                                f"Document number {did} book heading", [text]
+                            )
+                        ],
+                        include_nav=True,
+                    )
+                )
+                urls.append(f"https://epub-{did}.example/book.epub")
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()), pa.array(blobs, pa.binary())],
+                names=["url", "html"],
+            )
+
+    pages = d.mapInArrow(batches, schema)
+    out = extract_pages(pages)
+    return out.select(
+        "url", "extracted_text", F.col("n_kept").cast("int").alias("n_kept")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
@@ -7465,6 +7535,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q130_xlsx_extract",  # new: OOXML SpreadsheetML extraction
     "q131_pptx_extract",  # new: OOXML PresentationML extraction
     "q132_ooxml_metadata",  # new: docProps/core.xml harvest (the trio)
+    "q133_epub_extract",  # new: EPUB spine walk reusing the HTML tokenizer
     "q116_sentence_align",  # oracle: rows-only -> planted closed form
     # flagship
     "q25_extract",
@@ -7511,11 +7582,11 @@ _DRIVER_PRIORITY: list[str] = [
     "q49_tfidf_topk",
     "q50_bm25",
     "q51_pmi_bigrams",
-    # last driver row in round 3 (2 oldest by name; the other 34
-    # r3/r4-green specs overflow — q55/q57/q58 rotated out to fit
-    # q130/q131/q132)
+    # last driver row in round 3 (the oldest by name; the other 35
+    # r3/r4-green specs overflow — q54/q55/q57/q58 rotated out to fit
+    # q130/q131/q132/q133; q54's probe CTEs are re-proven inside
+    # q127's composed oracle every round)
     "q53_kmeans_ivf",
-    "q54_ann_ivf",
 ]
 
 
