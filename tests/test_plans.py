@@ -215,6 +215,7 @@ def test_relational_queries_have_no_python_nodes(spark, sf_dir):
         "q131_pptx_extract",     # PresentationML synth + extraction kernel
         "q132_ooxml_metadata",   # OPC synth + core-properties harvest kernel
         "q133_epub_extract",     # EPUB synth + extraction kernel
+        "q134_rtf_extract",      # RTF synth + extraction kernel
     }
     markers = ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas",
                "MapInPandas", "PythonMapInArrow", "MapInArrow")

@@ -24,6 +24,7 @@ from toyocr_spark.extractor.epub import is_epub, tokenize_epub
 from toyocr_spark.extractor.layout import reading_order
 from toyocr_spark.extractor.pdf import is_pdf, tokenize_pdf
 from toyocr_spark.extractor.pptx import is_pptx, tokenize_pptx
+from toyocr_spark.extractor.rtf import is_rtf, tokenize_rtf
 from toyocr_spark.extractor.xlsx import is_xlsx, tokenize_xlsx
 from toyocr_spark.extractor.select import select_blocks
 from toyocr_spark.extractor.tokenizer import tokenize
@@ -62,6 +63,8 @@ def _run(html: bytes | str | None, selector) -> ExtractResult:
     # the frozen kernel's byte-identity contract holds.
     if is_pdf(html):
         blocks = tokenize_pdf(html)
+    elif is_rtf(html):
+        blocks = tokenize_rtf(html)
     elif is_docx(html):
         blocks = tokenize_docx(html)
     elif is_xlsx(html):

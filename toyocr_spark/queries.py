@@ -7517,6 +7517,82 @@ def q133_epub_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q134_rtf_extract",
+    """
+    SELECT 'https://rtf-' || CAST(doc_id AS VARCHAR) || '.example/doc.rtf' AS url,
+           'Document number ' || CAST(doc_id AS VARCHAR) || ' legacy heading'
+             || chr(10) || text AS extracted_text,
+           2 AS n_kept
+    FROM documents
+    """,
+    "DRIVER-CHECKABLE RTF extraction — the legacy word-processor leg "
+    "of the dispatch: each row's text is planted as a body paragraph "
+    "under an \\fs32 heading (the half-point title rule, the PDF "
+    "14 pt twin), plus three boilerplate plants — a HYPERLINK-field "
+    "nav paragraph (its \\fldrslt text counts as link chars, so the "
+    "shared link-density rule drops it), and {\\header}/{\\footer} "
+    "destinations that are never read. fonttbl/colortbl/stylesheet/"
+    "info chrome must contribute nothing. Closed-form oracle over "
+    "(doc_id, text): the control-word walk, escape families, group "
+    "stack, and destination skipping must be exact on every row. "
+    "extractor/rtf.py; fixtures/genrtf.py. Map-only: pre-kernel "
+    "repartition then Arrow kernels, zero shuffle after.",
+)
+def q134_rtf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    from toyocr_spark.pipeline import extract_pages
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("html", T.BinaryType(), False),
+        ]
+    )
+
+    def batches(it):
+        from toyocr_spark.fixtures.genrtf import build_rtf, paragraph
+
+        for b in it:
+            urls, blobs = [], []
+            for did, text in zip(b.column(0).to_pylist(), b.column(1).to_pylist()):
+                blobs.append(
+                    build_rtf(
+                        body=[
+                            paragraph(
+                                f"Document number {did} legacy heading", fs=32
+                            ),
+                            paragraph(text),
+                            paragraph(
+                                "Home | Products | Contact",
+                                link=f"https://nav-{did}.example/",
+                            ),
+                        ],
+                        header_text=f"draft header {did} never extract",
+                        footer_text=f"page {did} footer",
+                    )
+                )
+                urls.append(f"https://rtf-{did}.example/doc.rtf")
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()), pa.array(blobs, pa.binary())],
+                names=["url", "html"],
+            )
+
+    pages = d.mapInArrow(batches, schema)
+    out = extract_pages(pages)
+    return out.select(
+        "url", "extracted_text", F.col("n_kept").cast("int").alias("n_kept")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
@@ -7536,6 +7612,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q131_pptx_extract",  # new: OOXML PresentationML extraction
     "q132_ooxml_metadata",  # new: docProps/core.xml harvest (the trio)
     "q133_epub_extract",  # new: EPUB spine walk reusing the HTML tokenizer
+    "q134_rtf_extract",  # new: legacy RTF control-word machine
     "q116_sentence_align",  # oracle: rows-only -> planted closed form
     # flagship
     "q25_extract",
@@ -7582,11 +7659,10 @@ _DRIVER_PRIORITY: list[str] = [
     "q49_tfidf_topk",
     "q50_bm25",
     "q51_pmi_bigrams",
-    # last driver row in round 3 (the oldest by name; the other 35
-    # r3/r4-green specs overflow — q54/q55/q57/q58 rotated out to fit
-    # q130/q131/q132/q133; q54's probe CTEs are re-proven inside
-    # q127's composed oracle every round)
-    "q53_kmeans_ivf",
+    # (all r3 veterans rotated out to fit q130-q134: q53's coarse CTEs
+    # and q54's probe CTEs are re-proven inside q127's composed oracle
+    # every round, and every overflow spec is re-proven locally by
+    # tests/test_oracle_parity.py)
 ]
 
 
