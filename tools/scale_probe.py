@@ -30,6 +30,10 @@ PROBES = [
     "q38_simhash64",
     "q56_dup_spans",
     "q124_zipf_host_topk",
+    # round 5: one synth+extract container kernel — map-only, so the
+    # ratio should sit close to the per-row ideal; a super-linear
+    # reading here would mean the kernel leaks state across rows
+    "q129_docx_extract",
 ]
 
 
