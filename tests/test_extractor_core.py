@@ -87,6 +87,44 @@ def test_generator_oracle_agreement():
                 assert extract(p.html).text == p.expected_main, p.url
 
 
+def test_generator_oracle_agreement_office_formats():
+    """The quality gate extended across every dispatch leg: on
+    office/container pages (docx/xlsx/pptx/epub/rtf cycling randomly)
+    the kernel recovers EXACTLY the generator-intended main content —
+    format-native chrome (header/footer/notes parts, nav fields,
+    numeral sheets) all dropped."""
+    for seed in (3, 42):
+        pages = gen_pages(200, seed=seed, office_frac=0.6)
+        offices = [p for p in pages if p.kind == "office"]
+        assert len(offices) > 80  # the mix really exercises the legs
+        for p in pages:
+            if p.expected_main is not None:
+                assert extract(p.html).text == p.expected_main, p.url
+
+
+def test_mixed_format_corpus_pipeline_identity(spark, tmp_path):
+    """End-to-end: a corpus cycling ALL SEVEN formats (HTML article/
+    layout/pathological, PDF incl. encrypted, docx, xlsx, pptx, epub,
+    rtf) through the full resumable pipeline — byte-identity 1.0 and
+    a second run that executes nothing."""
+    from toyocr_spark.fixtures import write_pages_parquet
+    from toyocr_spark.pipeline import identity_report, read_result, resumable_run
+    from toyocr_spark.sources import read_pages
+
+    src = str(tmp_path / "mixed_pages")
+    out = str(tmp_path / "mixed_out")
+    n = write_pages_parquet(
+        src, n=180, seed=1234, office_frac=0.45, pdf_frac=0.1, encrypt_frac=0.5
+    )
+    pages = read_pages(spark, src)
+    first = resumable_run(spark, pages, out, n_chunks=4)
+    assert first["executed"] == [0, 1, 2, 3]
+    rep = identity_report(read_result(spark, out), pages).collect()[0]
+    assert rep["pass_rate"] == 1.0 and rep["n_urls"] == n
+    again = resumable_run(spark, pages, out, n_chunks=4)
+    assert again["executed"] == [] and again["skipped"] == [0, 1, 2, 3]
+
+
 def test_truncation_guard():
     from toyocr_spark.extractor.core import MAX_HTML_BYTES
 

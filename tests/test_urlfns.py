@@ -224,6 +224,49 @@ def test_mine_outlinks_docx_leg(spark):
     ]
 
 
+def test_mine_outlinks_epub_and_ooxml_legs(spark):
+    """EPUB spine documents contribute their ABSOLUTE hrefs (intra-book
+    relatives are navigation, not edges); xlsx/pptx contribute their
+    External hyperlink relationships via the generic OPC rels harvest;
+    zip containers NEVER reach the HTML regexp leg (stored members'
+    raw hrefs would surface as spurious edges)."""
+    from toyocr_spark.extractor.epub import epub_links
+    from toyocr_spark.extractor.opc import opc_hyperlinks
+    from toyocr_spark.fixtures.gendocx import build_docx, paragraph
+    from toyocr_spark.fixtures.genepub import build_epub, chapter_html
+    from toyocr_spark.functions.linkmine import mine_outlinks
+
+    book = build_epub(
+        [
+            chapter_html(
+                "Chapter",
+                [
+                    'See <a href="https://cited.example/a">source A</a> and '
+                    '<a href="other_chapter.xhtml">the appendix</a> for more '
+                    "details about the methodology used in this chapter.",
+                ],
+            )
+        ]
+    )
+    assert epub_links(book) == ["https://cited.example/a"]
+    docx = build_docx(
+        body_xml=[paragraph("see the standard for details here", link="rId7")],
+        links={"rId7": "https://spec.example/std"},
+    )
+    # the generic rels harvest agrees with the document-ordered walk
+    assert opc_hyperlinks(docx) == ["https://spec.example/std"]
+    rows = [
+        ("https://lib.example/book.epub", bytearray(book)),
+        ("https://host.example/d.docx", bytearray(docx)),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = sorted((r["src_url"], r["target"]) for r in mine_outlinks(df).collect())
+    assert got == [
+        ("https://host.example/d.docx", "https://spec.example/std"),
+        ("https://lib.example/book.epub", "https://cited.example/a"),
+    ]
+
+
 def test_parse_robots_directives(spark):
     from toyocr_spark.functions.urlfns import parse_robots_directives
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import io
 import posixpath
+import re
 import zipfile
 from xml.etree import ElementTree
 
@@ -76,6 +77,35 @@ def _spine_parts(zf: zipfile.ZipFile) -> list[str]:
         iid = ref.get("idref")
         if iid and iid in href_by_id and ref.get("linear", "yes") != "no":
             out.append(href_by_id[iid])
+    return out
+
+
+_HREF_RE = re.compile(r'(?i)href="([^"]+)"')
+
+
+def epub_links(data: bytes) -> list[str]:
+    """Outbound ABSOLUTE links (scheme-qualified hrefs) from spine
+    documents in reading order, duplicates preserved — the EPUB leg of
+    outlink mining. Intra-book relative hrefs (nav entries, chapter
+    cross-references) are navigation, not edges, and are skipped;
+    external citations are exactly what the link graph wants from an
+    ebook. Malformed containers -> []."""
+    try:
+        with zipfile.ZipFile(io.BytesIO(data)) as zf:
+            names = set(zf.namelist())
+            parts = [zf.read(p) for p in _spine_parts(zf) if p in names]
+    except Exception:  # noqa: BLE001 — quiet-skip fuzz contract
+        return []
+    out: list[str] = []
+    for body in parts:
+        try:
+            text = body.decode("utf-8")
+        except UnicodeDecodeError:
+            text = body.decode("latin-1")
+        for m in _HREF_RE.finditer(text):
+            href = m.group(1)
+            if "://" in href:
+                out.append(href)
     return out
 
 

@@ -36,6 +36,39 @@ _PROPS: tuple[tuple[str, str], ...] = (
 )
 
 
+_PKG_REL = "{http://schemas.openxmlformats.org/package/2006/relationships}Relationship"
+
+
+def opc_hyperlinks(data: bytes) -> list[str]:
+    """External hyperlink relationship targets from EVERY .rels part,
+    in zip member order then rels-entry order, duplicates preserved —
+    the generic OOXML outlink harvest for formats whose body XML does
+    not carry occurrence order we parse (xlsx cell hyperlinks, pptx
+    click actions); docx uses its document-ordered docx_links instead.
+    Malformed containers -> []."""
+    try:
+        with zipfile.ZipFile(io.BytesIO(data)) as zf:
+            rels_parts = [
+                zf.read(n) for n in zf.namelist() if n.endswith(".rels")
+            ]
+    except Exception:  # noqa: BLE001 — quiet-skip fuzz contract
+        return []
+    out: list[str] = []
+    for xml in rels_parts:
+        try:
+            root = ElementTree.fromstring(xml)
+        except ElementTree.ParseError:
+            continue
+        for rel in root.iter(_PKG_REL):
+            if rel.get("Type", "").endswith("/hyperlink") and rel.get(
+                "TargetMode"
+            ) == "External":
+                target = rel.get("Target")
+                if target:
+                    out.append(target)
+    return out
+
+
 def opc_core_properties(data: bytes) -> list[tuple[str, str]]:
     """(key, value) pairs from docProps/core.xml in stable key order,
     empty/missing properties omitted; [] for malformed containers or

@@ -38,11 +38,19 @@ def mine_outlinks(
     col = F.col(html_col)
     is_bin = dict(pages.dtypes)[html_col] == "binary"
     if is_bin:
-        # binary captures: PDFs and OOXML containers both mine inside
-        # the sanctioned kernel; docx exists only as bytes (a zip)
+        # binary captures: PDFs and every zip-container format (the
+        # OOXML trio + EPUB) mine inside the sanctioned kernel — a zip
+        # must never reach the HTML regexp leg, where stored members'
+        # raw hrefs would surface as spurious wrongly-resolved edges
+        is_zip = col.substr(1, 4) == F.lit(b"PK\x03\x04")
         magic = (col.substr(1, 5) == F.lit(b"%PDF-")) | (
-            (col.substr(1, 4) == F.lit(b"PK\x03\x04"))
-            & F.contains(col, F.lit(b"word/document.xml"))
+            is_zip
+            & (
+                F.contains(col, F.lit(b"word/document.xml"))
+                | F.contains(col, F.lit(b"xl/workbook.xml"))
+                | F.contains(col, F.lit(b"ppt/presentation.xml"))
+                | F.contains(col, F.lit(b"META-INF/container.xml"))
+            )
         )
     else:
         magic = col.startswith("%PDF-")
@@ -75,7 +83,11 @@ def mine_outlinks(
         import pyarrow as pa
 
         from toyocr_spark.extractor.docx import docx_links, is_docx
+        from toyocr_spark.extractor.epub import epub_links, is_epub
+        from toyocr_spark.extractor.opc import opc_hyperlinks
         from toyocr_spark.extractor.pdf import pdf_links
+        from toyocr_spark.extractor.pptx import is_pptx
+        from toyocr_spark.extractor.xlsx import is_xlsx
 
         for b in it:
             srcs: list[str] = []
@@ -88,7 +100,14 @@ def mine_outlinks(
                     if isinstance(body, (bytes, bytearray))
                     else str(body).encode("utf-8", "replace")
                 )
-                links = docx_links(data) if is_docx(data) else pdf_links(data)
+                if is_docx(data):
+                    links = docx_links(data)  # document-occurrence order
+                elif is_epub(data):
+                    links = epub_links(data)  # spine order, absolute only
+                elif is_xlsx(data) or is_pptx(data):
+                    links = opc_hyperlinks(data)  # rels-order harvest
+                else:
+                    links = pdf_links(data)
                 for t in links:
                     srcs.append(u)
                     targets.append(t)
