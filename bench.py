@@ -43,6 +43,7 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.1"
 CORPUS_CACHE = "/tmp/toyocr_bench_corpus"
 REPLICAS = 40  # bench corpus = replicas × documents rows (sf0.1 → 200k pages)
 PDF_REPLICAS = 8  # pdf corpus: replicas × documents rows (sf0.1 → 40k PDFs)
+OFFICE_REPLICAS = 4  # office corpus: replicas x documents rows (sf0.1 -> 20k container docs)
 SECTIONS = 12  # article sections per page → ~8 KB realistic pages
 
 
@@ -168,6 +169,36 @@ def bench_pdf_extraction(spark, sf_dir: str, cpus: int) -> dict:
     }
 
 
+def bench_office_extraction(spark, sf_dir: str, cpus: int) -> dict:
+    """Secondary metric: the container legs of the kernel (docx/xlsx/
+    pptx/epub/rtf cycling evenly) over a synthesized all-office corpus
+    — same protocol as the PDF leg; the headline and scaling stay
+    HTML-only for round-over-round comparability."""
+    from toyocr_spark.bench_corpus import materialize_office_corpus
+    from toyocr_spark.pipeline import run_extraction
+    from toyocr_spark.sources.pages import PAGES_SCHEMA
+
+    path = f"{CORPUS_CACHE}_office_{sf_of(sf_dir)}_r{OFFICE_REPLICAS}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        tmp = path + ".build"
+        materialize_office_corpus(spark, sf_dir, tmp, replicas=OFFICE_REPLICAS)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            os.rename(tmp, path)
+    pages = spark.read.schema(PAGES_SCHEMA).parquet(path)
+    n_docs = pages.count()
+    force(run_extraction(pages.limit(32 * cpus), num_partitions=cpus))  # warm-up
+    wall = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        force(run_extraction(pages, num_partitions=cpus * 2))
+        wall = min(wall, time.perf_counter() - t0)
+    return {
+        "office_docs": n_docs,
+        "extract_office_sec": round(wall, 3),
+        "office_docs_per_sec": round(n_docs / wall, 2),
+    }
+
+
 def run_bench(sf_dir: str, cpus: int, extract_only: bool) -> dict:
     spark = build_spark(cpus)
     try:
@@ -180,6 +211,9 @@ def run_bench(sf_dir: str, cpus: int, extract_only: bool) -> dict:
             pdf = bench_pdf_extraction(spark, sf_dir, cpus)
             ext.update(pdf)
             queries["extract_pdf"] = pdf["extract_pdf_sec"]
+            office = bench_office_extraction(spark, sf_dir, cpus)
+            ext.update(office)
+            queries["extract_office"] = office["extract_office_sec"]
         queries["extract"] = ext["extract_sec"]
         total = round(sum(queries.values()), 3)
         return {

@@ -166,3 +166,107 @@ def materialize_corpus(
     synth_pages(spark, sf_dir, replicas, sections).repartition(128).write.mode(
         "overwrite"
     ).parquet(out_path)
+
+
+def synth_office_pages(
+    spark: SparkSession, sf_dir: str, replicas: int = 4, paragraphs: int = 4
+) -> DataFrame:
+    """Office twin of synth_pdf_pages: every page is a REAL container
+    document cycling the five non-HTML/PDF dispatch legs (docx, xlsx,
+    pptx, epub, rtf) with a heading, ``paragraphs`` body paragraphs,
+    and each format's native chrome. Zip assembly cannot be a Column
+    expression, so synthesis runs in one Arrow kernel — the
+    materialized-corpus cache keeps it out of every timed window,
+    matching the HTML/PDF benches."""
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    d = d.withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))))
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("warc_ts", T.TimestampType(), False),
+            T.StructField("html", T.BinaryType(), False),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("lang", T.StringType(), True),
+        ]
+    )
+
+    def batches(it):
+        from datetime import datetime, timezone
+
+        from toyocr_spark.fixtures import gendocx, genepub, genpptx, genrtf, genxlsx
+
+        ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
+        for b in it:
+            urls, blobs, langs = [], [], []
+            for did, text, lang, rep in zip(
+                b.column(0).to_pylist(),
+                b.column(1).to_pylist(),
+                b.column(2).to_pylist(),
+                b.column(3).to_pylist(),
+            ):
+                fmt = ("docx", "xlsx", "pptx", "epub", "rtf")[(did + rep) % 5]
+                title = f"Synthesized bench document {did} part {rep}"
+                paras = [text] * paragraphs
+                if fmt == "docx":
+                    body = [gendocx.paragraph(title, style="Heading1")]
+                    body += [gendocx.paragraph(p) for p in paras]
+                    blob = gendocx.build_docx(
+                        body_xml=body,
+                        header_text="bench header chrome",
+                        footer_text="bench footer chrome",
+                    )
+                elif fmt == "xlsx":
+                    blob = genxlsx.build_xlsx(
+                        {"report": [[title], *[[p] for p in paras]]}
+                    )
+                elif fmt == "pptx":
+                    blob = genpptx.build_pptx(
+                        slides=[
+                            [
+                                genpptx.shape([title], title=True),
+                                genpptx.shape(paras),
+                            ]
+                        ],
+                        notes=["bench note chrome"],
+                    )
+                elif fmt == "epub":
+                    blob = genepub.build_epub([genepub.chapter_html(title, paras)])
+                else:
+                    blob = genrtf.build_rtf(
+                        body=[
+                            genrtf.paragraph(title, fs=32),
+                            *[genrtf.paragraph(p) for p in paras],
+                        ],
+                        header_text="bench header chrome",
+                        footer_text="bench footer chrome",
+                    )
+                urls.append(f"https://host-{did % 40}.example/{fmt}/{did}/{rep}")
+                blobs.append(blob)
+                langs.append(lang)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(urls, pa.string()),
+                    pa.array([ts] * len(urls), pa.timestamp("us", tz="UTC")),
+                    pa.array(blobs, pa.binary()),
+                    pa.array([None] * len(urls), pa.string()),
+                    pa.array(langs, pa.string()),
+                ],
+                names=["url", "warc_ts", "html", "text", "lang"],
+            )
+
+    return d.mapInArrow(batches, schema)
+
+
+def materialize_office_corpus(
+    spark: SparkSession, sf_dir: str, out_path: str, replicas: int = 4, paragraphs: int = 4
+) -> None:
+    synth_office_pages(spark, sf_dir, replicas, paragraphs).repartition(64).write.mode(
+        "overwrite"
+    ).parquet(out_path)
