@@ -1059,6 +1059,44 @@ def test_aes256_encrypted_pdf_fuzz_deterministic():
         assert [(b.text, b.box) for b in tokenize_pdf(payload)] == first
 
 
+def test_aesv3_file_key_known_answer_literals():
+    """Algorithm 2.A (U validation + UE decryption -> file key) pinned
+    by FROZEN hex literals for BOTH AESV3 revisions. The literals were
+    generated once from a spec transcription using only hashlib and the
+    FIPS-197-pinned AES primitive (inline CBC) — neither genpdf's
+    encryptor nor the extractor's _hash_2b/_r6_file_key touched them,
+    so a derivation slip shared between encryptor and decoder (they
+    share _hash_2b by design) cannot silently agree past this test.
+    Inputs: empty user password, validation salt 0123456789abcdef, key
+    salt fedcba9876543210, file key = bytes(range(32))."""
+    from toyocr_spark.extractor.pdf import _R6_KEY_CACHE, _r6_file_key
+
+    key = bytes.fromhex(
+        "000102030405060708090a0b0c0d0e0f101112131415161718191a1b1c1d1e1f"
+    )
+    vectors = {
+        5: (
+            "55c53f5d490297900cefa825d0c8e8e9532ee8a118abe7d8570762cd38be9818"
+            "0123456789abcdeffedcba9876543210",
+            "a0141494e6cf47f9c77c2030f510cb0313acce7484dc5e0b07e95ae55f9164b0",
+        ),
+        6: (
+            "1e500e81ef817eb3becc79aa210ae9a4b51cab5b51d1cc3772d51b1e8807af57"
+            "0123456789abcdeffedcba9876543210",
+            "ac249286b235bfe185c5d7b8bbe05c600a3518beedf0befb05f1716733439d01",
+        ),
+    }
+    _R6_KEY_CACHE.clear()
+    for r, (u_hex, ue_hex) in vectors.items():
+        u, ue = bytes.fromhex(u_hex), bytes.fromhex(ue_hex)
+        assert _r6_file_key(u, ue, r) == key, f"R{r} KDF drifted"
+        # the revision parameter is load-bearing: hashing an R5 /U with
+        # the R6 KDF (or vice versa) must fail validation, not derive
+        _R6_KEY_CACHE.clear()
+        assert _r6_file_key(u, ue, 11 - r) is None
+        _R6_KEY_CACHE.clear()
+
+
 def test_aes256_r5_draft_revision_identity():
     """V5/R5 (the pre-ISO Acrobat-9 AESV3 draft): same entry layout
     and file-key-direct CBC as R6, but a single-SHA-256 KDF — both
