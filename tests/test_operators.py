@@ -1003,3 +1003,26 @@ def test_ivf_pq_composition(spark, sf_dir):
         want = sorted((adc(qid, i), i) for i in cands)[:5]
         got = [out[(qid, r)] for r in range(1, 6) if (qid, r) in out]
         assert [(i, d) for d, i in want] == got, (qid, got, want)
+
+
+def test_semantic_dedup_precomputed_assignment_matches_inline(spark, sf_dir):
+    """The production entry point (assigned= from a persisted offline
+    index) must be pure routing: handing semantic_dedup the inline
+    trainer's OWN assignment reproduces the inline result exactly, and
+    a bounded-cell bucket assignment is accepted as-is (every cid in
+    the output is the one supplied)."""
+    from toyocr_spark.operators.dedup import semantic_dedup
+    from toyocr_spark.operators.kmeans import kmeans_fit
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    inline = semantic_dedup(emb, threshold=0.40)
+    pre = kmeans_fit(emb, "vec_id", "embedding", k=8, iters=3)
+    routed = semantic_dedup(emb, threshold=0.40, assigned=pre)
+    assert sorted(map(tuple, inline.collect())) == sorted(map(tuple, routed.collect()))
+
+    buckets = emb.select(
+        F.col("vec_id").alias("id"), F.pmod("vec_id", F.lit(16)).alias("cid")
+    )
+    out = semantic_dedup(emb, threshold=0.40, assigned=buckets).collect()
+    assert len(out) == emb.count()
+    assert all(r["cid"] == r["vec_id"] % 16 for r in out)

@@ -618,6 +618,7 @@ def semantic_dedup(
     n_clusters: int = 8,
     iters: int = 3,
     threshold: float = 0.40,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication"): embedding-space
@@ -633,11 +634,22 @@ def semantic_dedup(
     keeping within-cell pairing near-linear — never an all-pairs join.
     The assignment is materialized once (localCheckpoint here; a
     persisted table in production — see kmeans.ivf_write_index) so the
-    self-join cannot re-run the trainer per side."""
+    self-join cannot re-run the trainer per side.
+
+    ``assigned`` (columns id, cid) skips the inline trainer and dedups
+    over a PRECOMPUTED cell assignment — the production entry point:
+    exact inline assignment costs Θ(N·k), so with k grown ∝ N to keep
+    cells bounded the trainer, not the pairing, becomes the quadratic
+    term. At scale the assignment comes from a persisted index trained
+    offline on a sample (the q75/q127 train-once/search-many
+    discipline, with hierarchical/ANN centroid probing making it
+    ~N·log k); this operator then stays linear in rows — evidenced by
+    tools/scale_probe.py's bounded-cells row."""
     from toyocr_spark.operators.kmeans import kmeans_fit
     from toyocr_spark.operators.similarity import _as_double, cosine
 
-    assigned = kmeans_fit(emb, id_col, vec_col, k=n_clusters, iters=iters)
+    if assigned is None:
+        assigned = kmeans_fit(emb, id_col, vec_col, k=n_clusters, iters=iters)
     v = emb.select(F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v"))
     m = (
         assigned.select(F.col("id").alias("vec_id"), "cid")
