@@ -84,3 +84,39 @@ def test_rtf_through_spark_pipeline(spark):
     got = {r.url: r.extracted_text for r in extract_pages(pages.repartition(3)).collect()}
     assert len(got) == 6
     assert all(v == "One legacy paragraph long enough to keep." for v in got.values())
+
+
+def test_rtf_links_mines_absolute_hyperlink_fields():
+    """rtf_links: HYPERLINK field targets in document order, duplicates
+    preserved; \\l bookmarks and local paths (no scheme) are navigation,
+    not edges; RTF escapes inside the literal decode; quoted and bare
+    targets both parse."""
+    from toyocr_spark.extractor.rtf import rtf_links
+    from toyocr_spark.fixtures.genrtf import build_rtf, paragraph
+
+    doc = build_rtf(
+        body=[
+            paragraph("see the spec", link="https://spec.example/a"),
+            # bookmark switch: intra-document, never an edge
+            "{\\pard {\\field{\\*\\fldinst HYPERLINK \\l \"sec1\"}"
+            "{\\fldrslt Section One}}\\par}",
+            # local file target: no scheme, dropped
+            '{\\pard {\\field{\\*\\fldinst HYPERLINK "notes.doc"}'
+            "{\\fldrslt the notes}}\\par}",
+            # bare (unquoted) target, duplicates preserved
+            "{\\pard {\\field{\\*\\fldinst HYPERLINK https://spec.example/a}"
+            "{\\fldrslt again}}\\par}",
+            # escaped braces + cp1252 hex escape inside the literal
+            '{\\pard {\\field{\\*\\fldinst HYPERLINK "https://ex.example/'
+            "\\{q\\}/caf\\'e9\"}{\\fldrslt cafe}}\\par}",
+        ]
+    )
+    assert rtf_links(doc) == [
+        "https://spec.example/a",
+        "https://spec.example/a",
+        "https://ex.example/{q}/café",
+    ]
+    assert rtf_links(b"not rtf at all") == []
+    # determinism on truncation (the fuzz contract every walker keeps)
+    for cut in (10, len(doc) // 2, len(doc) - 3):
+        assert rtf_links(doc[:cut]) == rtf_links(doc[:cut])

@@ -289,3 +289,36 @@ def test_parse_robots_directives(spark):
         "c.example": (None, []),
         "d.example": (None, []),
     }
+
+
+def test_mine_outlinks_rtf_and_pptx_legs(spark):
+    """The RTF field harvest and the pptx rels harvest ride the same
+    kernel dispatch: an RTF page must never reach the HTML regexp leg
+    (its field instructions carry no href= but must still mine), and a
+    pptx hyperlink rel surfaces through opc_hyperlinks."""
+    from toyocr_spark.extractor.rtf import rtf_links
+    from toyocr_spark.fixtures.genpptx import build_pptx, shape
+    from toyocr_spark.fixtures.genrtf import build_rtf, paragraph
+    from toyocr_spark.functions.linkmine import mine_outlinks
+
+    rtf = build_rtf(
+        body=[
+            paragraph("body text for the page goes here"),
+            paragraph("nav", link="https://nav.example/home"),
+        ]
+    )
+    assert rtf_links(rtf) == ["https://nav.example/home"]
+    deck = build_pptx(
+        slides=[[shape(["Deck Title"], title=True), shape(["deck body"])]],
+        links={"rIdH1": "https://deck.example/cited"},
+    )
+    rows = [
+        ("https://host.example/old.rtf", bytearray(rtf)),
+        ("https://host.example/deck.pptx", bytearray(deck)),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = sorted((r["src_url"], r["target"]) for r in mine_outlinks(df).collect())
+    assert got == [
+        ("https://host.example/deck.pptx", "https://deck.example/cited"),
+        ("https://host.example/old.rtf", "https://nav.example/home"),
+    ]

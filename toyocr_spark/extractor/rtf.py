@@ -251,3 +251,79 @@ def tokenize_rtf(data: bytes) -> list[Block]:
     for idx, b in enumerate(blocks):
         b.ordinal = idx
     return blocks
+
+
+def _unescape_field(raw: bytes) -> str:
+    """Decode the RTF escapes a field-instruction literal can carry
+    (\\\\, \\{, \\}, \\'hh) into text; anything else backslashed is a
+    control word and ends the literal upstream."""
+    out: list[str] = []
+    i, n = 0, len(raw)
+    while i < n:
+        c = raw[i]
+        if c == 0x5C and i + 1 < n:
+            nxt = raw[i + 1]
+            if nxt in (0x5C, 0x7B, 0x7D):
+                out.append(chr(nxt))
+                i += 2
+                continue
+            if nxt == 0x27 and i + 3 < n:
+                try:
+                    out.append(bytes([int(raw[i + 2 : i + 4], 16)]).decode("cp1252", "replace"))
+                except ValueError:
+                    pass
+                i += 4
+                continue
+        out.append(chr(c) if c < 128 else bytes([c]).decode("cp1252", "replace"))
+        i += 1
+    return "".join(out)
+
+
+def rtf_links(data: bytes) -> list[str]:
+    """Outlink targets from {\\*\\fldinst HYPERLINK ...} fields, in
+    document order, duplicates preserved (the docx_links contract).
+    ABSOLUTE targets only — \\l bookmark switches and local file paths
+    are intra-document navigation, not crawl edges (the epub_links
+    rationale). Quoted and bare-token targets both parse; RTF escapes
+    inside the literal decode via cp1252."""
+    if not is_rtf(data):
+        return []
+    links: list[str] = []
+    i, n = 0, len(data)
+    while True:
+        i = data.find(b"\\fldinst", i)
+        if i == -1:
+            break
+        # balanced-brace span of the destination (escape-aware)
+        depth, m = 1, i + 8
+        while m < n and depth:
+            c = data[m]
+            if c == 0x7B:
+                depth += 1
+            elif c == 0x7D:
+                depth -= 1
+            elif c == 0x5C:
+                m += 1
+            m += 1
+        span = data[i + 8 : m]
+        i = m
+        h = span.find(b"HYPERLINK")
+        if h == -1:
+            continue
+        j = h + 9
+        while j < len(span) and span[j : j + 1] in (b" ", b"\t"):
+            j += 1
+        if span[j : j + 2] == b"\\l":
+            continue  # bookmark: intra-document
+        if span[j : j + 1] == b'"':
+            end = span.find(b'"', j + 1)
+            raw = span[j + 1 : end if end != -1 else len(span)]
+        else:
+            end = j
+            while end < len(span) and span[end] not in b' \t{}\\"':
+                end += 1
+            raw = span[j:end]
+        target = _unescape_field(raw).strip()
+        if "://" in target:
+            links.append(target)
+    return links

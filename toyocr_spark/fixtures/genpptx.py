@@ -52,11 +52,14 @@ def build_pptx(
     slides: list[list[str]],
     notes: list[str] | None = None,
     core_props: dict[str, str] | None = None,
+    links: dict[str, str] | None = None,
 ) -> bytes:
     """slides: one list of shape-XML fragments (the shape() helper)
     per slide, in DECK order. notes: optional per-slide speaker-notes
     text (shorter than slides is fine) — content the extractor must
-    structurally exclude."""
+    structurally exclude. links maps relationship ids to External
+    hyperlink targets planted in the FIRST deck slide's rels part
+    (how a:hlinkClick actions resolve) — the opc_hyperlinks carrier."""
     n = len(slides)
     slide_xmls = []
     for shapes in slides:
@@ -117,6 +120,23 @@ def build_pptx(
     ]
     for i, xml in enumerate(slide_xmls):
         parts.append((part_of[i], xml))
+    if links:
+        slide_part = part_of[0].rsplit("/", 1)[-1]  # deck slide 1's part
+        parts.append(
+            (
+                f"ppt/slides/_rels/{slide_part}.rels",
+                '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+                '<Relationships xmlns="http://schemas.openxmlformats.org/'
+                'package/2006/relationships">'
+                + "".join(
+                    f'<Relationship Id="{rid}" Type="http://schemas.'
+                    "openxmlformats.org/officeDocument/2006/relationships/"
+                    f'hyperlink" Target="{_esc(target)}" TargetMode="External"/>'
+                    for rid, target in links.items()
+                )
+                + "</Relationships>",
+            )
+        )
     for i, note in enumerate(notes or []):
         parts.append(
             (

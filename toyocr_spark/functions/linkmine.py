@@ -43,17 +43,21 @@ def mine_outlinks(
         # must never reach the HTML regexp leg, where stored members'
         # raw hrefs would surface as spurious wrongly-resolved edges
         is_zip = col.substr(1, 4) == F.lit(b"PK\x03\x04")
-        magic = (col.substr(1, 5) == F.lit(b"%PDF-")) | (
-            is_zip
-            & (
-                F.contains(col, F.lit(b"word/document.xml"))
-                | F.contains(col, F.lit(b"xl/workbook.xml"))
-                | F.contains(col, F.lit(b"ppt/presentation.xml"))
-                | F.contains(col, F.lit(b"META-INF/container.xml"))
+        magic = (
+            (col.substr(1, 5) == F.lit(b"%PDF-"))
+            | (col.substr(1, 5) == F.lit(b"{\\rtf"))
+            | (
+                is_zip
+                & (
+                    F.contains(col, F.lit(b"word/document.xml"))
+                    | F.contains(col, F.lit(b"xl/workbook.xml"))
+                    | F.contains(col, F.lit(b"ppt/presentation.xml"))
+                    | F.contains(col, F.lit(b"META-INF/container.xml"))
+                )
             )
         )
     else:
-        magic = col.startswith("%PDF-")
+        magic = col.startswith("%PDF-") | col.startswith("{\\rtf")
     markup = F.decode(col, "UTF-8") if is_bin else col
 
     base_root = F.concat(
@@ -87,6 +91,7 @@ def mine_outlinks(
         from toyocr_spark.extractor.opc import opc_hyperlinks
         from toyocr_spark.extractor.pdf import pdf_links
         from toyocr_spark.extractor.pptx import is_pptx
+        from toyocr_spark.extractor.rtf import is_rtf, rtf_links
         from toyocr_spark.extractor.xlsx import is_xlsx
 
         for b in it:
@@ -106,6 +111,8 @@ def mine_outlinks(
                     links = epub_links(data)  # spine order, absolute only
                 elif is_xlsx(data) or is_pptx(data):
                     links = opc_hyperlinks(data)  # rels-order harvest
+                elif is_rtf(data):
+                    links = rtf_links(data)  # field order, absolute only
                 else:
                     links = pdf_links(data)
                 for t in links:

@@ -7593,6 +7593,136 @@ def q134_rtf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q135_outlink_mining",
+    """
+    WITH e AS (
+      SELECT doc_id, CAST(doc_id AS VARCHAR) AS d,
+             CASE CAST(doc_id % 5 AS INTEGER)
+               WHEN 0 THEN 'dir/page.html' WHEN 1 THEN 'doc.pdf'
+               WHEN 2 THEN 'd.docx' WHEN 3 THEN 'old.rtf'
+               ELSE 'deck.pptx' END AS leaf
+      FROM documents
+    ),
+    edges AS (
+      SELECT 'https://mix-' || d || '.example/' || leaf AS src_url,
+             CASE CAST(doc_id % 5 AS INTEGER)
+               WHEN 0 THEN ['https://out-' || d || '.example/a',
+                            'https://mix-' || d || '.example/dir/sub/x.html']
+               WHEN 1 THEN ['https://cite-' || d || '.example/paper']
+               WHEN 2 THEN ['https://ref-' || d || '.example/std']
+               WHEN 3 THEN ['https://nav-' || d || '.example/']
+               ELSE ['https://deck-' || d || '.example/link'] END AS targets
+      FROM e
+    )
+    SELECT src_url, unnest(targets) AS target FROM edges
+    """,
+    "DRIVER-CHECKABLE unified outlink mining — ONE edge extractor over "
+    "a five-format crawl (HTML / PDF / docx / RTF / pptx by doc_id "
+    "parity), every planted link known in closed form. The HTML leg "
+    "stays entirely JVM-side (regexp + resolve_link Column exprs: one "
+    "absolute href, one relative that must resolve against the page "
+    "dir, one fragment that must drop); the four binary formats route "
+    "by magic bytes through the sanctioned kernel (pdf_links /URI "
+    "actions, docx_links rel-resolved hyperlinks, rtf_links HYPERLINK "
+    "fields with a bookmark and a local path that must NOT mine, "
+    "opc_hyperlinks pptx rels). functions/linkmine.py. Reference "
+    "analogue: the byte -> array dispatch seam every format leg "
+    "shares (/root/reference/data/dataset_mapper.py:151-155). Scale "
+    "shape: map-only on both legs — the regexp scan dominates (HTML "
+    "dominates any crawl) and the kernel leg is bounded by the "
+    "binary-format fraction; no shuffle until a consumer aggregates.",
+)
+def q135_outlink_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    from toyocr_spark.functions.linkmine import mine_outlinks
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("html", T.BinaryType(), False),
+        ]
+    )
+
+    def batches(it):
+        from toyocr_spark.fixtures.gendocx import build_docx
+        from toyocr_spark.fixtures.gendocx import paragraph as dpara
+        from toyocr_spark.fixtures.genpdf import build_pdf, paragraph_ops, text_stream
+        from toyocr_spark.fixtures.genpptx import build_pptx, shape
+        from toyocr_spark.fixtures.genrtf import build_rtf
+        from toyocr_spark.fixtures.genrtf import paragraph as rpara
+
+        for b in it:
+            urls, blobs = [], []
+            for did, text in zip(b.column(0).to_pylist(), b.column(1).to_pylist()):
+                fmt = did % 5
+                base = f"https://mix-{did}.example"
+                if fmt == 0:
+                    url = f"{base}/dir/page.html"
+                    blob = (
+                        "<html><body>"
+                        f'<a href="https://out-{did}.example/a">abs</a>'
+                        '<a href="sub/x.html">rel</a>'
+                        '<a href="#top">frag</a>'
+                        f"<p>{text[:80]}</p></body></html>"
+                    ).encode()
+                elif fmt == 1:
+                    url = f"{base}/doc.pdf"
+                    pdf = build_pdf(
+                        [text_stream([paragraph_ops(72, 740, 11, 13, [text[:40]])])],
+                        compress=False,
+                    )
+                    ann = (
+                        b"9 0 obj\n<< /Type /Annot /Subtype /Link /A "
+                        b"<< /S /URI /URI (https://cite-%d.example/paper) >> "
+                        b">>\nendobj\n" % did
+                    )
+                    i = pdf.find(b"xref")
+                    blob = pdf[:i] + ann + pdf[i:]
+                elif fmt == 2:
+                    url = f"{base}/d.docx"
+                    blob = build_docx(
+                        body_xml=[dpara(text[:60], link="rId7")],
+                        links={"rId7": f"https://ref-{did}.example/std"},
+                    )
+                elif fmt == 3:
+                    url = f"{base}/old.rtf"
+                    blob = build_rtf(
+                        body=[
+                            rpara(text[:60]),
+                            rpara("site nav", link=f"https://nav-{did}.example/"),
+                            # intra-document navigation: never edges
+                            "{\\pard {\\field{\\*\\fldinst HYPERLINK \\l "
+                            '"sec1"}{\\fldrslt Section}}\\par}',
+                            '{\\pard {\\field{\\*\\fldinst HYPERLINK "notes.doc"}'
+                            "{\\fldrslt local}}\\par}",
+                        ]
+                    )
+                else:
+                    url = f"{base}/deck.pptx"
+                    blob = build_pptx(
+                        slides=[[shape([text[:60]])]],
+                        links={"rIdH1": f"https://deck-{did}.example/link"},
+                    )
+                urls.append(url)
+                blobs.append(blob)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()), pa.array(blobs, pa.binary())],
+                names=["url", "html"],
+            )
+
+    pages = d.mapInArrow(batches, schema)
+    return mine_outlinks(pages)
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
@@ -7613,6 +7743,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q132_ooxml_metadata",  # new: docProps/core.xml harvest (the trio)
     "q133_epub_extract",  # new: EPUB spine walk reusing the HTML tokenizer
     "q134_rtf_extract",  # new: legacy RTF control-word machine
+    "q135_outlink_mining",  # new: unified five-format edge extractor
     "q116_sentence_align",  # oracle: rows-only -> planted closed form
     # flagship
     "q25_extract",
@@ -7658,7 +7789,8 @@ _DRIVER_PRIORITY: list[str] = [
     "q48_paragraph_dedup",
     "q49_tfidf_topk",
     "q50_bm25",
-    "q51_pmi_bigrams",
+    # (q51 rotated out to fit q135: r2 hash-green, re-proven locally
+    # every round like all overflow)
     # (all r3 veterans rotated out to fit q130-q134: q53's coarse CTEs
     # and q54's probe CTEs are re-proven inside q127's composed oracle
     # every round, and every overflow spec is re-proven locally by
