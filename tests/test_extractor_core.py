@@ -105,8 +105,9 @@ def test_generator_oracle_agreement_office_formats():
 def test_mixed_format_corpus_pipeline_identity(spark, tmp_path):
     """End-to-end: a corpus cycling ALL SEVEN formats (HTML article/
     layout/pathological, PDF incl. encrypted, docx, xlsx, pptx, epub,
-    rtf) through the full resumable pipeline — byte-identity 1.0 and
-    a second run that executes nothing."""
+    rtf), a third of it behind gzip transfer-encoding envelopes,
+    through the full resumable pipeline — byte-identity 1.0 and a
+    second run that executes nothing."""
     from toyocr_spark.fixtures import write_pages_parquet
     from toyocr_spark.pipeline import identity_report, read_result, resumable_run
     from toyocr_spark.sources import read_pages
@@ -114,7 +115,13 @@ def test_mixed_format_corpus_pipeline_identity(spark, tmp_path):
     src = str(tmp_path / "mixed_pages")
     out = str(tmp_path / "mixed_out")
     n = write_pages_parquet(
-        src, n=180, seed=1234, office_frac=0.45, pdf_frac=0.1, encrypt_frac=0.5
+        src,
+        n=180,
+        seed=1234,
+        office_frac=0.45,
+        pdf_frac=0.1,
+        encrypt_frac=0.5,
+        gzip_frac=0.33,
     )
     pages = read_pages(spark, src)
     first = resumable_run(spark, pages, out, n_chunks=4)
@@ -219,3 +226,54 @@ def test_charset_fixture_identity(spark, tmp_path):
     pages = read_pages(spark, d)
     rep = identity_report(extract_pages(pages), pages).collect()[0]
     assert rep["pass_rate"] == 1.0 and rep["n_urls"] == 120
+
+
+def test_gzip_envelope_strips_before_dispatch():
+    """Transfer-encoding residue: a gzip-wrapped page extracts
+    byte-identically to its plain twin through EVERY dispatch path
+    (HTML and PDF), one and two envelopes deep; a third envelope is
+    past the strip budget (deterministic, not an error); malformed
+    streams and bombs obey the quiet-skip / bounded-work contracts."""
+    import gzip
+
+    from toyocr_spark.extractor.core import MAX_HTML_BYTES
+    from toyocr_spark.fixtures.genpdf import build_pdf, paragraph_ops, text_stream
+
+    html = (
+        b"<html><body><nav><a href='/a'>one link</a><a href='/b'>two</a></nav>"
+        b"<article><p>A real paragraph with enough content words to keep "
+        b"for the density scorer to accept it.</p></article></body></html>"
+    )
+    pdf = build_pdf(
+        [text_stream([paragraph_ops(72, 740, 11, 13, ["pdf body line", "two"])])]
+    )
+    for plain in (html, pdf):
+        want = extract(plain)
+        assert want.text  # the fixture must be non-trivial
+        one = gzip.compress(plain, 9, mtime=0)
+        two = gzip.compress(one, 9, mtime=0)
+        assert extract(one) == want
+        assert extract(two) == want
+        # three envelopes: two strips leave gzip bytes -> the HTML
+        # tokenizer sees binary, deterministically
+        three = gzip.compress(two, 9, mtime=0)
+        assert extract(three) == extract(three)
+
+    # malformed stream: quiet-skip to the empty result, deterministic
+    broken = bytearray(gzip.compress(html, 9, mtime=0))
+    broken[12] ^= 0xFF
+    assert extract(bytes(broken)).text == ""
+    assert extract(b"\x1f\x8b") .text == ""
+
+    # bomb: tiny input claiming >MAX output does bounded work and
+    # reports truncation
+    bomb = gzip.compress(b"<p>x</p>" + b" " * (MAX_HTML_BYTES + 2_000_000), 9, mtime=0)
+    assert len(bomb) < 8_000_000
+    r = extract(bomb)
+    assert r.truncated
+
+    # an empty payload is the empty result
+    assert extract(gzip.compress(b"", 9, mtime=0)).text == ""
+    # raw-deflate bytes that happen to start 1f 8b are vanishingly
+    # unlikely, but a gzip header with a deflate error must not raise
+    assert extract(b"\x1f\x8b\x08\x00\x00\x00\x00\x00\x00\x03garbage").text == ""

@@ -217,6 +217,7 @@ def test_relational_queries_have_no_python_nodes(spark, sf_dir):
         "q133_epub_extract",     # EPUB synth + extraction kernel
         "q134_rtf_extract",      # RTF synth + extraction kernel
         "q135_outlink_mining",   # five-format synth + binary-leg link kernel
+        "q136_gzip_extract",     # gzip-envelope synth + extraction kernel
     }
     markers = ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas",
                "MapInPandas", "PythonMapInArrow", "MapInArrow")

@@ -34,6 +34,26 @@ MAX_HTML_BYTES = 4 * 1024 * 1024  # pathological-page guard (SURVEY.md S4
 # spill control): truncate, never OOM an executor; truncation is itself
 # deterministic so byte-identity still holds end-to-end.
 
+GZIP_MAGIC = b"\x1f\x8b"
+
+
+def _ungzip(data: bytes) -> tuple[bytes, bool] | None:
+    """One gzip envelope, inflated with output BOUNDED by the same
+    pathological-page guard as plain pages (a 1 KB bomb claiming
+    gigabytes costs at most MAX_HTML_BYTES of work — the pngcodec IDAT
+    discipline). Returns (payload, truncated) or None when the stream
+    is malformed."""
+    import zlib
+
+    try:
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        out = d.decompress(data, MAX_HTML_BYTES + 1)
+    except zlib.error:
+        return None
+    if len(out) > MAX_HTML_BYTES:
+        return out[:MAX_HTML_BYTES], True
+    return out, False
+
 
 @dataclass(frozen=True)
 class ExtractResult:
@@ -51,6 +71,26 @@ def _run(html: bytes | str | None, selector) -> ExtractResult:
     if html is None or len(html) == 0:
         return _EMPTY
     truncated = False
+    # transfer-encoding residue: crawls carry bodies stored still
+    # gzip-wrapped (Content-Encoding survived the capture). Strip up
+    # to two envelopes before dispatch — the inflate is output-bounded
+    # above, malformed streams yield the empty result deterministically
+    # (the container quiet-skip contract), and no real format starts
+    # with 1f 8b so existing byte-identity is untouched.
+    envelopes = 0
+    while (
+        isinstance(html, (bytes, bytearray))
+        and bytes(html[:2]) == GZIP_MAGIC
+        and envelopes < 2
+    ):
+        unz = _ungzip(bytes(html))
+        if unz is None:
+            return _EMPTY
+        html, t = unz
+        truncated = truncated or t
+        envelopes += 1
+        if len(html) == 0:
+            return _EMPTY
     if len(html) > MAX_HTML_BYTES:
         html = html[:MAX_HTML_BYTES]
         truncated = True

@@ -7723,6 +7723,75 @@ def q135_outlink_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mine_outlinks(pages)
 
 
+@_q(
+    "q136_gzip_extract",
+    """
+    SELECT 'https://gz-' || CAST(doc_id AS VARCHAR) || '.example/page.html.gz' AS url,
+           text AS extracted_text,
+           1 AS n_kept
+    FROM documents
+    """,
+    "DRIVER-CHECKABLE gzip-envelope extraction — transfer-encoding "
+    "residue a crawl stores raw (Content-Encoding survived capture): "
+    "q25's exact page template wrapped in ONE gzip envelope (even "
+    "doc_id) or TWO nested envelopes (odd doc_id, the double-compress "
+    "case), inflated output-bounded by the pathological-page guard "
+    "before the ordinary magic-byte dispatch (extractor/core.py "
+    "_ungzip). The oracle is q25's identity closed form: if the strip "
+    "or the re-dispatch slips, every row mismatches. Scale shape: the "
+    "envelope adds zero plan nodes — same map-only kernel, inflate "
+    "bounded per row.",
+)
+def q136_gzip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    from toyocr_spark.pipeline import extract_pages
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("html", T.BinaryType(), False),
+        ]
+    )
+    nav = (
+        '<nav><ul><li><a href="/a">one link</a></li>'
+        '<li><a href="/b">two link</a></li></ul></nav>'
+    )
+
+    def batches(it):
+        import gzip
+
+        for b in it:
+            urls, blobs = [], []
+            for did, text in zip(b.column(0).to_pylist(), b.column(1).to_pylist()):
+                page = (
+                    f"<html><body>{nav}<article><p>{text}"
+                    "</p></article></body></html>"
+                ).encode()
+                blob = gzip.compress(page, 9, mtime=0)
+                if did % 2:
+                    blob = gzip.compress(blob, 9, mtime=0)
+                urls.append(f"https://gz-{did}.example/page.html.gz")
+                blobs.append(blob)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()), pa.array(blobs, pa.binary())],
+                names=["url", "html"],
+            )
+
+    pages = d.mapInArrow(batches, schema)
+    out = extract_pages(pages)
+    return out.select(
+        "url", "extracted_text", F.col("n_kept").cast("int").alias("n_kept")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
@@ -7744,6 +7813,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q133_epub_extract",  # new: EPUB spine walk reusing the HTML tokenizer
     "q134_rtf_extract",  # new: legacy RTF control-word machine
     "q135_outlink_mining",  # new: unified five-format edge extractor
+    "q136_gzip_extract",  # new: gzip transfer-encoding envelope strip
     "q116_sentence_align",  # oracle: rows-only -> planted closed form
     # flagship
     "q25_extract",
@@ -7788,9 +7858,8 @@ _DRIVER_PRIORITY: list[str] = [
     "q46_repetition",
     "q48_paragraph_dedup",
     "q49_tfidf_topk",
-    "q50_bm25",
-    # (q51 rotated out to fit q135: r2 hash-green, re-proven locally
-    # every round like all overflow)
+    # (q50/q51 rotated out to fit q135/q136: r2 hash-green, re-proven
+    # locally every round like all overflow)
     # (all r3 veterans rotated out to fit q130-q134: q53's coarse CTEs
     # and q54's probe CTEs are re-proven inside q127's composed oracle
     # every round, and every overflow spec is re-proven locally by
