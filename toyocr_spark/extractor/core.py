@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+from toyocr_spark.extractor.doc import is_doc, tokenize_doc
 from toyocr_spark.extractor.docx import is_docx, tokenize_docx
 from toyocr_spark.extractor.epub import is_epub, tokenize_epub
 from toyocr_spark.extractor.layout import reading_order
@@ -113,6 +114,8 @@ def _run(html: bytes | str | None, selector) -> ExtractResult:
         blocks = tokenize_pptx(html)
     elif is_epub(html):
         blocks = tokenize_epub(html)
+    elif is_doc(html):
+        blocks = tokenize_doc(html)
     else:
         blocks = tokenize(html)
     if not blocks:

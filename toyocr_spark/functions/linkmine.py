@@ -46,6 +46,7 @@ def mine_outlinks(
         magic = (
             (col.substr(1, 5) == F.lit(b"%PDF-"))
             | (col.substr(1, 5) == F.lit(b"{\\rtf"))
+            | (col.substr(1, 8) == F.lit(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"))
             | (
                 is_zip
                 & (
@@ -86,6 +87,7 @@ def mine_outlinks(
     def doc_batches(it: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:  # noqa: F821
         import pyarrow as pa
 
+        from toyocr_spark.extractor.doc import doc_links, is_doc
         from toyocr_spark.extractor.docx import docx_links, is_docx
         from toyocr_spark.extractor.epub import epub_links, is_epub
         from toyocr_spark.extractor.opc import opc_hyperlinks
@@ -113,6 +115,8 @@ def mine_outlinks(
                     links = opc_hyperlinks(data)  # rels-order harvest
                 elif is_rtf(data):
                     links = rtf_links(data)  # field order, absolute only
+                elif is_doc(data):
+                    links = doc_links(data)  # CP order, absolute only
                 else:
                     links = pdf_links(data)
                 for t in links:

@@ -7792,6 +7792,86 @@ def q136_gzip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q137_doc_extract",
+    """
+    SELECT 'https://doc-' || CAST(doc_id AS VARCHAR) || '.example/legacy.doc' AS url,
+           'Legacy archive record ' || CAST(doc_id AS VARCHAR) || ' summary'
+             || chr(10) || text AS extracted_text,
+           2 AS n_kept
+    FROM documents
+    """,
+    "DRIVER-CHECKABLE legacy binary Word (.doc) extraction — the q129 "
+    "discipline on the [MS-CFB]+[MS-DOC] container: each row's text is "
+    "packed into a REAL compound file (header/FAT/miniFAT/directory, "
+    "fixtures/gendoc.py build_cfb) holding a Word 97 binary whose FIB, "
+    "piece table (cp1252 AND UTF-16 pieces — every body paragraph "
+    "splits across a mixed-encoding piece pair), STSH heading style "
+    "and PAPX FKP pages are all exercised per row; plants the "
+    "extractor must drop are a HYPERLINK-field nav paragraph (link-"
+    "density rule) and header/footer text placed after ccpText in CP "
+    "space (structural exclusion — the docx never-read-the-part twin). "
+    "The oracle derives the expected text in closed form, so identity "
+    "fails if the CFB walk, piece decode, field accounting, style "
+    "lookup, or subdocument clamp slips on ANY row. extractor/cfb.py; "
+    "extractor/doc.py. Map-only: one pre-kernel repartition, then "
+    "synth + extract in sanctioned Arrow kernels, zero shuffle after.",
+)
+def q137_doc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    from toyocr_spark.pipeline import extract_pages
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("html", T.BinaryType(), False),
+        ]
+    )
+
+    def batches(it):
+        from toyocr_spark.fixtures.gendoc import build_doc, para
+
+        for b in it:
+            urls, blobs = [], []
+            for did, text in zip(b.column(0).to_pylist(), b.column(1).to_pylist()):
+                blobs.append(
+                    build_doc(
+                        [
+                            para(
+                                "Navigation | Home | Search | Archive",
+                                link=f"https://nav-{did}.example/",
+                            ),
+                            para(
+                                f"Legacy archive record {did} summary",
+                                style="Heading2",
+                            ),
+                            para(text),
+                        ],
+                        header_text=f"draft header {did} do not extract",
+                        footer_text=f"page {did} of 999",
+                    )
+                )
+                urls.append(f"https://doc-{did}.example/legacy.doc")
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()), pa.array(blobs, pa.binary())],
+                names=["url", "html"],
+            )
+
+    pages = d.mapInArrow(batches, schema)
+    out = extract_pages(pages)
+    return out.select(
+        "url", "extracted_text", F.col("n_kept").cast("int").alias("n_kept")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
@@ -7814,6 +7894,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q134_rtf_extract",  # new: legacy RTF control-word machine
     "q135_outlink_mining",  # new: unified five-format edge extractor
     "q136_gzip_extract",  # new: gzip transfer-encoding envelope strip
+    "q137_doc_extract",  # new: legacy binary Word (CFB + piece table)
     "q116_sentence_align",  # oracle: rows-only -> planted closed form
     # flagship
     "q25_extract",
