@@ -43,10 +43,21 @@ def mine_outlinks(
         # must never reach the HTML regexp leg, where stored members'
         # raw hrefs would surface as spurious wrongly-resolved edges
         is_zip = col.substr(1, 4) == F.lit(b"PK\x03\x04")
+        # MHTML: transfer-encoded markup — the raw regexp leg would
+        # mine QP-mangled hrefs, so archives route to the kernel. The
+        # JVM-side gate mirrors is_mhtml: both MIME markers near the
+        # head and not markup-shaped (no header line starts with '<')
+        head = F.substring(col, 1, 4096)
+        is_mht = (
+            F.contains(head, F.lit(b"MIME-Version:"))
+            & F.contains(head, F.lit(b"multipart/related"))
+            & (col.substr(1, 1) != F.lit(b"<"))
+        )
         magic = (
             (col.substr(1, 5) == F.lit(b"%PDF-"))
             | (col.substr(1, 5) == F.lit(b"{\\rtf"))
             | (col.substr(1, 8) == F.lit(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"))
+            | is_mht
             | (
                 is_zip
                 & (
@@ -90,6 +101,7 @@ def mine_outlinks(
         from toyocr_spark.extractor.doc import doc_links, is_doc
         from toyocr_spark.extractor.docx import docx_links, is_docx
         from toyocr_spark.extractor.epub import epub_links, is_epub
+        from toyocr_spark.extractor.mhtml import is_mhtml, mhtml_links
         from toyocr_spark.extractor.opc import opc_hyperlinks
         from toyocr_spark.extractor.pdf import pdf_links
         from toyocr_spark.extractor.pptx import is_pptx
@@ -117,6 +129,8 @@ def mine_outlinks(
                     links = rtf_links(data)  # field order, absolute only
                 elif is_doc(data):
                     links = doc_links(data)  # CP order, absolute only
+                elif is_mhtml(data):
+                    links = mhtml_links(data)  # decoded parts, absolute only
                 else:
                     links = pdf_links(data)
                 for t in links:

@@ -7872,6 +7872,80 @@ def q137_doc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q138_mhtml_extract",
+    """
+    SELECT 'https://mht-' || CAST(doc_id AS VARCHAR) || '.example/saved.mht' AS url,
+           text AS extracted_text,
+           1 AS n_kept
+    FROM documents
+    """,
+    "DRIVER-CHECKABLE MHTML (.mht) web-archive extraction — browsers' "
+    "save-page-as-single-file format: q25's exact page template packed "
+    "into a real RFC 2557 multipart/related envelope, quoted-printable "
+    "(even doc_id) or base64 (odd) transfer encoding, with a base64 "
+    "image resource part riding along that must never surface. The "
+    "MIME walk decodes the html part and hands it to the UNCHANGED "
+    "HTML tokenizer (the EPUB shared-kernel pattern), so the oracle is "
+    "q25's identity closed form: if the envelope parse, the transfer "
+    "decode, the charset handling, or the resource-part exclusion "
+    "slips, every row mismatches. extractor/mhtml.py; "
+    "fixtures/genmht.py. Scale shape: the envelope adds zero plan "
+    "nodes — same map-only kernel, stdlib MIME decode per row.",
+)
+def q138_mhtml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    from toyocr_spark.pipeline import extract_pages
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("html", T.BinaryType(), False),
+        ]
+    )
+    nav = (
+        '<nav><ul><li><a href="/a">one link</a></li>'
+        '<li><a href="/b">two link</a></li></ul></nav>'
+    )
+
+    def batches(it):
+        from toyocr_spark.fixtures.genmht import build_mht
+
+        for b in it:
+            urls, blobs = [], []
+            for did, text in zip(b.column(0).to_pylist(), b.column(1).to_pylist()):
+                page = (
+                    f"<html><body>{nav}<article><p>{text}"
+                    "</p></article></body></html>"
+                )
+                blobs.append(
+                    build_mht(
+                        page,
+                        encoding="quoted-printable" if did % 2 == 0 else "base64",
+                        location=f"https://mht-{did}.example/page.html",
+                    )
+                )
+                urls.append(f"https://mht-{did}.example/saved.mht")
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()), pa.array(blobs, pa.binary())],
+                names=["url", "html"],
+            )
+
+    pages = d.mapInArrow(batches, schema)
+    out = extract_pages(pages)
+    return out.select(
+        "url", "extracted_text", F.col("n_kept").cast("int").alias("n_kept")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
@@ -7895,6 +7969,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q135_outlink_mining",  # new: unified five-format edge extractor
     "q136_gzip_extract",  # new: gzip transfer-encoding envelope strip
     "q137_doc_extract",  # new: legacy binary Word (CFB + piece table)
+    "q138_mhtml_extract",  # new: MIME web archive (RFC 2557) decode
     "q116_sentence_align",  # oracle: rows-only -> planted closed form
     # flagship
     "q25_extract",
