@@ -24,6 +24,7 @@ from toyocr_spark.extractor.docx import is_docx, tokenize_docx
 from toyocr_spark.extractor.epub import is_epub, tokenize_epub
 from toyocr_spark.extractor.layout import reading_order
 from toyocr_spark.extractor.mhtml import is_mhtml, tokenize_mhtml
+from toyocr_spark.extractor.odt import is_odt, tokenize_odt
 from toyocr_spark.extractor.pdf import is_pdf, tokenize_pdf
 from toyocr_spark.extractor.pptx import is_pptx, tokenize_pptx
 from toyocr_spark.extractor.rtf import is_rtf, tokenize_rtf
@@ -115,6 +116,8 @@ def _run(html: bytes | str | None, selector) -> ExtractResult:
         blocks = tokenize_pptx(html)
     elif is_epub(html):
         blocks = tokenize_epub(html)
+    elif is_odt(html):
+        blocks = tokenize_odt(html)
     elif is_doc(html):
         blocks = tokenize_doc(html)
     elif is_mhtml(html):

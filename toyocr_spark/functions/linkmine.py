@@ -65,6 +65,10 @@ def mine_outlinks(
                     | F.contains(col, F.lit(b"xl/workbook.xml"))
                     | F.contains(col, F.lit(b"ppt/presentation.xml"))
                     | F.contains(col, F.lit(b"META-INF/container.xml"))
+                    | F.contains(
+                        F.substring(col, 1, 128),
+                        F.lit(b"application/vnd.oasis.opendocument.text"),
+                    )
                 )
             )
         )
@@ -102,6 +106,7 @@ def mine_outlinks(
         from toyocr_spark.extractor.docx import docx_links, is_docx
         from toyocr_spark.extractor.epub import epub_links, is_epub
         from toyocr_spark.extractor.mhtml import is_mhtml, mhtml_links
+        from toyocr_spark.extractor.odt import is_odt, odt_links
         from toyocr_spark.extractor.opc import opc_hyperlinks
         from toyocr_spark.extractor.pdf import pdf_links
         from toyocr_spark.extractor.pptx import is_pptx
@@ -123,6 +128,8 @@ def mine_outlinks(
                     links = docx_links(data)  # document-occurrence order
                 elif is_epub(data):
                     links = epub_links(data)  # spine order, absolute only
+                elif is_odt(data):
+                    links = odt_links(data)  # document order, absolute only
                 elif is_xlsx(data) or is_pptx(data):
                     links = opc_hyperlinks(data)  # rels-order harvest
                 elif is_rtf(data):

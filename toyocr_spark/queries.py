@@ -7946,6 +7946,88 @@ def q138_mhtml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q139_odt_extract",
+    """
+    SELECT 'https://odt-' || CAST(doc_id AS VARCHAR) || '.example/doc.odt' AS url,
+           'Operations memo ' || CAST(doc_id AS VARCHAR) || ' heading'
+             || chr(10) || text AS extracted_text,
+           2 AS n_kept
+    FROM documents
+    """,
+    "DRIVER-CHECKABLE OpenDocument Text (.odt) extraction — the q129 "
+    "discipline on the ODF package: each row's text is packed into a "
+    "real ODF container (STORED mimetype member first per spec, "
+    "manifest, content.xml, styles.xml) as heading + body paragraphs "
+    "plus three boilerplate plants the extractor must drop — a "
+    "link-dominated nav paragraph (link-density rule), a master-page "
+    "header/footer in styles.xml (structural exclusion: never read), "
+    "and an INLINE footnote whose subtree must be skipped while the "
+    "sentence around its anchor stays whole (the ODF-specific "
+    "wrinkle: notes live in content.xml, not a separate part). The "
+    "oracle derives the expected text in closed form, so identity "
+    "fails if the zip walk, mixed-content assembly, note skip, or "
+    "part exclusion slips on ANY row. extractor/odt.py; "
+    "fixtures/genodt.py. Map-only: one pre-kernel repartition, then "
+    "synth + extract in sanctioned Arrow kernels, zero shuffle after.",
+)
+def q139_odt_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    from toyocr_spark.pipeline import extract_pages
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("html", T.BinaryType(), False),
+        ]
+    )
+
+    def batches(it):
+        from toyocr_spark.fixtures.genodt import build_odt, note, paragraph
+
+        for b in it:
+            urls, blobs = [], []
+            for did, text in zip(b.column(0).to_pylist(), b.column(1).to_pylist()):
+                body = [
+                    paragraph(
+                        "Navigation | Home | Search | Archive",
+                        link=f"https://nav-{did}.example/",
+                    ),
+                    paragraph(f"Operations memo {did} heading", heading=2),
+                    "<text:p>"
+                    + text[: len(text) // 2].replace("&", "&amp;").replace("<", "&lt;")
+                    + note(f"hidden footnote {did} must not extract")
+                    + text[len(text) // 2 :].replace("&", "&amp;").replace("<", "&lt;")
+                    + "</text:p>",
+                ]
+                blobs.append(
+                    build_odt(
+                        body_xml=body,
+                        header_text=f"draft header {did} do not extract",
+                        footer_text=f"page {did} of 999",
+                    )
+                )
+                urls.append(f"https://odt-{did}.example/doc.odt")
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()), pa.array(blobs, pa.binary())],
+                names=["url", "html"],
+            )
+
+    pages = d.mapInArrow(batches, schema)
+    out = extract_pages(pages)
+    return out.select(
+        "url", "extracted_text", F.col("n_kept").cast("int").alias("n_kept")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
@@ -7970,6 +8052,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q136_gzip_extract",  # new: gzip transfer-encoding envelope strip
     "q137_doc_extract",  # new: legacy binary Word (CFB + piece table)
     "q138_mhtml_extract",  # new: MIME web archive (RFC 2557) decode
+    "q139_odt_extract",  # new: OpenDocument Text (ODF package walk)
     "q116_sentence_align",  # oracle: rows-only -> planted closed form
     # flagship
     "q25_extract",
