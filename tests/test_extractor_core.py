@@ -89,10 +89,11 @@ def test_generator_oracle_agreement():
 
 def test_generator_oracle_agreement_office_formats():
     """The quality gate extended across every dispatch leg: on
-    office/container pages (docx/xlsx/pptx/epub/rtf cycling randomly)
-    the kernel recovers EXACTLY the generator-intended main content —
-    format-native chrome (header/footer/notes parts, nav fields,
-    numeral sheets) all dropped."""
+    office/container pages (docx/xlsx/pptx/epub/rtf/doc/mht/odt
+    cycling randomly) the kernel recovers EXACTLY the generator-
+    intended main content — format-native chrome (header/footer/notes
+    parts, nav fields, numeral sheets, inline ODF notes, MIME resource
+    parts) all dropped."""
     for seed in (3, 42):
         pages = gen_pages(200, seed=seed, office_frac=0.6)
         offices = [p for p in pages if p.kind == "office"]
@@ -103,11 +104,11 @@ def test_generator_oracle_agreement_office_formats():
 
 
 def test_mixed_format_corpus_pipeline_identity(spark, tmp_path):
-    """End-to-end: a corpus cycling ALL SEVEN formats (HTML article/
+    """End-to-end: a corpus cycling ALL TEN formats (HTML article/
     layout/pathological, PDF incl. encrypted, docx, xlsx, pptx, epub,
-    rtf), a third of it behind gzip transfer-encoding envelopes,
-    through the full resumable pipeline — byte-identity 1.0 and a
-    second run that executes nothing."""
+    rtf, legacy .doc, .mht, .odt), a third of it behind gzip
+    transfer-encoding envelopes, through the full resumable pipeline —
+    byte-identity 1.0 and a second run that executes nothing."""
     from toyocr_spark.fixtures import write_pages_parquet
     from toyocr_spark.pipeline import identity_report, read_result, resumable_run
     from toyocr_spark.sources import read_pages

@@ -172,12 +172,12 @@ def synth_office_pages(
     spark: SparkSession, sf_dir: str, replicas: int = 4, paragraphs: int = 4
 ) -> DataFrame:
     """Office twin of synth_pdf_pages: every page is a REAL container
-    document cycling the five non-HTML/PDF dispatch legs (docx, xlsx,
-    pptx, epub, rtf) with a heading, ``paragraphs`` body paragraphs,
-    and each format's native chrome. Zip assembly cannot be a Column
-    expression, so synthesis runs in one Arrow kernel — the
-    materialized-corpus cache keeps it out of every timed window,
-    matching the HTML/PDF benches."""
+    document cycling the eight non-HTML/PDF dispatch legs (docx, xlsx,
+    pptx, epub, rtf, legacy .doc, .mht, .odt) with a heading,
+    ``paragraphs`` body paragraphs, and each format's native chrome.
+    Container assembly cannot be a Column expression, so synthesis
+    runs in one Arrow kernel — the materialized-corpus cache keeps it
+    out of every timed window, matching the HTML/PDF benches."""
     import pyarrow as pa
 
     from pyspark.sql import types as T
@@ -200,7 +200,16 @@ def synth_office_pages(
     def batches(it):
         from datetime import datetime, timezone
 
-        from toyocr_spark.fixtures import gendocx, genepub, genpptx, genrtf, genxlsx
+        from toyocr_spark.fixtures import (
+            gendoc,
+            gendocx,
+            genepub,
+            genmht,
+            genodt,
+            genpptx,
+            genrtf,
+            genxlsx,
+        )
 
         ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
         for b in it:
@@ -211,7 +220,9 @@ def synth_office_pages(
                 b.column(2).to_pylist(),
                 b.column(3).to_pylist(),
             ):
-                fmt = ("docx", "xlsx", "pptx", "epub", "rtf")[(did + rep) % 5]
+                fmt = (
+                    "docx", "xlsx", "pptx", "epub", "rtf", "doc", "mht", "odt"
+                )[(did + rep) % 8]
                 title = f"Synthesized bench document {did} part {rep}"
                 paras = [text] * paragraphs
                 if fmt == "docx":
@@ -238,12 +249,37 @@ def synth_office_pages(
                     )
                 elif fmt == "epub":
                     blob = genepub.build_epub([genepub.chapter_html(title, paras)])
-                else:
+                elif fmt == "rtf":
                     blob = genrtf.build_rtf(
                         body=[
                             genrtf.paragraph(title, fs=32),
                             *[genrtf.paragraph(p) for p in paras],
                         ],
+                        header_text="bench header chrome",
+                        footer_text="bench footer chrome",
+                    )
+                elif fmt == "doc":
+                    blob = gendoc.build_doc(
+                        [gendoc.para(title, style="Heading1")]
+                        + [gendoc.para(p) for p in paras],
+                        header_text="bench header chrome",
+                        footer_text="bench footer chrome",
+                    )
+                elif fmt == "mht":
+                    markup = (
+                        f"<html><body><h1>{title}</h1>"
+                        + "".join(f"<p>{p}</p>" for p in paras)
+                        + "</body></html>"
+                    )
+                    blob = genmht.build_mht(
+                        markup,
+                        encoding="quoted-printable" if rep % 2 == 0 else "base64",
+                        location=f"https://host-{did % 40}.example/live/{did}.html",
+                    )
+                else:  # odt
+                    blob = genodt.build_odt(
+                        body_xml=[genodt.paragraph(title, heading=1)]
+                        + [genodt.paragraph(p) for p in paras],
                         header_text="bench header chrome",
                         footer_text="bench footer chrome",
                     )
