@@ -218,6 +218,9 @@ def test_relational_queries_have_no_python_nodes(spark, sf_dir):
         "q134_rtf_extract",      # RTF synth + extraction kernel
         "q135_outlink_mining",   # five-format synth + binary-leg link kernel
         "q136_gzip_extract",     # gzip-envelope synth + extraction kernel
+        "q137_doc_extract",      # CFB/Word-binary synth + extraction kernel
+        "q138_mhtml_extract",    # MIME-envelope synth + extraction kernel
+        "q139_odt_extract",      # ODF synth + extraction kernel
     }
     markers = ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas",
                "MapInPandas", "PythonMapInArrow", "MapInArrow")
