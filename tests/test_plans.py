@@ -221,6 +221,7 @@ def test_relational_queries_have_no_python_nodes(spark, sf_dir):
         "q137_doc_extract",      # CFB/Word-binary synth + extraction kernel
         "q138_mhtml_extract",    # MIME-envelope synth + extraction kernel
         "q139_odt_extract",      # ODF synth + extraction kernel
+        "q140_xls_extract",      # BIFF8/CFB synth + extraction kernel
     }
     markers = ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas",
                "MapInPandas", "PythonMapInArrow", "MapInArrow")

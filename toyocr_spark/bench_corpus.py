@@ -172,8 +172,8 @@ def synth_office_pages(
     spark: SparkSession, sf_dir: str, replicas: int = 4, paragraphs: int = 4
 ) -> DataFrame:
     """Office twin of synth_pdf_pages: every page is a REAL container
-    document cycling the eight non-HTML/PDF dispatch legs (docx, xlsx,
-    pptx, epub, rtf, legacy .doc, .mht, .odt) with a heading,
+    document cycling the nine non-HTML/PDF dispatch legs (docx, xlsx,
+    pptx, epub, rtf, legacy .doc, .xls, .mht, .odt) with a heading,
     ``paragraphs`` body paragraphs, and each format's native chrome.
     Container assembly cannot be a Column expression, so synthesis
     runs in one Arrow kernel — the materialized-corpus cache keeps it
@@ -203,6 +203,7 @@ def synth_office_pages(
         from toyocr_spark.fixtures import (
             gendoc,
             gendocx,
+            genxls,
             genepub,
             genmht,
             genodt,
@@ -221,8 +222,9 @@ def synth_office_pages(
                 b.column(3).to_pylist(),
             ):
                 fmt = (
-                    "docx", "xlsx", "pptx", "epub", "rtf", "doc", "mht", "odt"
-                )[(did + rep) % 8]
+                    "docx", "xlsx", "pptx", "epub", "rtf", "doc", "xls",
+                    "mht", "odt",
+                )[(did + rep) % 9]
                 title = f"Synthesized bench document {did} part {rep}"
                 paras = [text] * paragraphs
                 if fmt == "docx":
@@ -257,6 +259,11 @@ def synth_office_pages(
                         ],
                         header_text="bench header chrome",
                         footer_text="bench footer chrome",
+                    )
+                elif fmt == "xls":
+                    blob = genxls.build_xls(
+                        {"report": [[title], *[[p] for p in paras]]},
+                        continue_split=bool(rep % 2),
                     )
                 elif fmt == "doc":
                     blob = gendoc.build_doc(

@@ -28,6 +28,7 @@ from toyocr_spark.extractor.odt import is_odt, tokenize_odt
 from toyocr_spark.extractor.pdf import is_pdf, tokenize_pdf
 from toyocr_spark.extractor.pptx import is_pptx, tokenize_pptx
 from toyocr_spark.extractor.rtf import is_rtf, tokenize_rtf
+from toyocr_spark.extractor.xls import is_xls, tokenize_xls
 from toyocr_spark.extractor.xlsx import is_xlsx, tokenize_xlsx
 from toyocr_spark.extractor.select import select_blocks
 from toyocr_spark.extractor.tokenizer import tokenize
@@ -120,6 +121,8 @@ def _run(html: bytes | str | None, selector) -> ExtractResult:
         blocks = tokenize_odt(html)
     elif is_doc(html):
         blocks = tokenize_doc(html)
+    elif is_xls(html):
+        blocks = tokenize_xls(html)
     elif is_mhtml(html):
         blocks = tokenize_mhtml(html)
     else:

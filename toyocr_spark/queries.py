@@ -8028,6 +8028,76 @@ def q139_odt_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q140_xls_extract",
+    """
+    SELECT 'https://xls-' || CAST(doc_id AS VARCHAR) || '.example/wb.xls' AS url,
+           'Legacy workbook ' || CAST(doc_id AS VARCHAR) || ' header row'
+             || chr(10) || text || ' ' || CAST(doc_id * 3 AS VARCHAR) AS extracted_text,
+           2 AS n_kept
+    FROM documents
+    """,
+    "DRIVER-CHECKABLE legacy binary Excel (.xls / BIFF8) extraction — "
+    "the q130 discipline on the [MS-XLS] record stream inside the "
+    "[MS-CFB] container: each row's text is planted as an SST shared "
+    "string (LABELSST index indirection, the BIFF twin of xlsx's "
+    "sharedStrings) with a packed-RK numeric sibling; odd doc_ids "
+    "split an SST string's character run across a CONTINUE record "
+    "whose fresh flags byte FLIPS the encoding mid-string (the "
+    "format's hardest legal shape); a bare-numeral chrome sheet must "
+    "die by MIN_CHARS in the shared scorer. The oracle is closed form "
+    "over (doc_id, text), so the CFB walk, record machine, SST "
+    "reassembly, RK decode, and scoring must all be exact on every "
+    "row. extractor/xls.py; fixtures/genxls.py. Map-only: one "
+    "pre-kernel repartition, then synth + extract in sanctioned Arrow "
+    "kernels, zero shuffle after.",
+)
+def q140_xls_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    from toyocr_spark.pipeline import extract_pages
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("html", T.BinaryType(), False),
+        ]
+    )
+
+    def batches(it):
+        from toyocr_spark.fixtures.genxls import build_xls
+
+        for b in it:
+            urls, blobs = [], []
+            for did, text in zip(b.column(0).to_pylist(), b.column(1).to_pylist()):
+                sheets = {
+                    "report": [
+                        [f"Legacy workbook {did} header row"],
+                        [text, did * 3],
+                    ],
+                    "chrome": [[1, 2], [3, 4]],
+                }
+                blobs.append(build_xls(sheets, continue_split=bool(did % 2)))
+                urls.append(f"https://xls-{did}.example/wb.xls")
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()), pa.array(blobs, pa.binary())],
+                names=["url", "html"],
+            )
+
+    pages = d.mapInArrow(batches, schema)
+    out = extract_pages(pages)
+    return out.select(
+        "url", "extracted_text", F.col("n_kept").cast("int").alias("n_kept")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
@@ -8053,6 +8123,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q137_doc_extract",  # new: legacy binary Word (CFB + piece table)
     "q138_mhtml_extract",  # new: MIME web archive (RFC 2557) decode
     "q139_odt_extract",  # new: OpenDocument Text (ODF package walk)
+    "q140_xls_extract",  # new: legacy binary Excel (BIFF8 over CFB)
     "q116_sentence_align",  # oracle: rows-only -> planted closed form
     # flagship
     "q25_extract",
