@@ -171,7 +171,7 @@ def bench_pdf_extraction(spark, sf_dir: str, cpus: int) -> dict:
 
 def bench_office_extraction(spark, sf_dir: str, cpus: int) -> dict:
     """Secondary metric: the container legs of the kernel (docx/xlsx/
-    pptx/epub/rtf/doc/xls/mht/odt cycling evenly) over a synthesized
+    pptx/epub/rtf/doc/xls/ppt/mht/odt cycling evenly) over a synthesized
     all-office corpus — same protocol as the PDF leg; the headline and
     scaling stay HTML-only for round-over-round comparability."""
     from toyocr_spark.bench_corpus import materialize_office_corpus
@@ -179,8 +179,8 @@ def bench_office_extraction(spark, sf_dir: str, cpus: int) -> dict:
     from toyocr_spark.sources.pages import PAGES_SCHEMA
 
     # cache key carries the format-cycle width: a five-format corpus
-    # from an older build must never serve the nine-format leg
-    path = f"{CORPUS_CACHE}_office9_{sf_of(sf_dir)}_r{OFFICE_REPLICAS}"
+    # from an older build must never serve the ten-format leg
+    path = f"{CORPUS_CACHE}_office10_{sf_of(sf_dir)}_r{OFFICE_REPLICAS}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         tmp = path + ".build"
         materialize_office_corpus(spark, sf_dir, tmp, replicas=OFFICE_REPLICAS)

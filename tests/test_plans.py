@@ -222,6 +222,7 @@ def test_relational_queries_have_no_python_nodes(spark, sf_dir):
         "q138_mhtml_extract",    # MIME-envelope synth + extraction kernel
         "q139_odt_extract",      # ODF synth + extraction kernel
         "q140_xls_extract",      # BIFF8/CFB synth + extraction kernel
+        "q141_ppt_extract",      # PPT-record-tree synth + extraction kernel
     }
     markers = ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas",
                "MapInPandas", "PythonMapInArrow", "MapInArrow")

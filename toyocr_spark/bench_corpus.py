@@ -172,8 +172,8 @@ def synth_office_pages(
     spark: SparkSession, sf_dir: str, replicas: int = 4, paragraphs: int = 4
 ) -> DataFrame:
     """Office twin of synth_pdf_pages: every page is a REAL container
-    document cycling the nine non-HTML/PDF dispatch legs (docx, xlsx,
-    pptx, epub, rtf, legacy .doc, .xls, .mht, .odt) with a heading,
+    document cycling the ten non-HTML/PDF dispatch legs (docx, xlsx,
+    pptx, epub, rtf, legacy .doc, .xls, .ppt, .mht, .odt) with a heading,
     ``paragraphs`` body paragraphs, and each format's native chrome.
     Container assembly cannot be a Column expression, so synthesis
     runs in one Arrow kernel — the materialized-corpus cache keeps it
@@ -203,6 +203,7 @@ def synth_office_pages(
         from toyocr_spark.fixtures import (
             gendoc,
             gendocx,
+            genppt,
             genxls,
             genepub,
             genmht,
@@ -223,8 +224,8 @@ def synth_office_pages(
             ):
                 fmt = (
                     "docx", "xlsx", "pptx", "epub", "rtf", "doc", "xls",
-                    "mht", "odt",
-                )[(did + rep) % 9]
+                    "ppt", "mht", "odt",
+                )[(did + rep) % 10]
                 title = f"Synthesized bench document {did} part {rep}"
                 paras = [text] * paragraphs
                 if fmt == "docx":
@@ -264,6 +265,11 @@ def synth_office_pages(
                     blob = genxls.build_xls(
                         {"report": [[title], *[[p] for p in paras]]},
                         continue_split=bool(rep % 2),
+                    )
+                elif fmt == "ppt":
+                    blob = genppt.build_ppt(
+                        slides=[{"title": title, "body": paras}],
+                        notes=["bench notes chrome"],
                     )
                 elif fmt == "doc":
                     blob = gendoc.build_doc(

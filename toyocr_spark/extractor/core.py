@@ -26,6 +26,7 @@ from toyocr_spark.extractor.layout import reading_order
 from toyocr_spark.extractor.mhtml import is_mhtml, tokenize_mhtml
 from toyocr_spark.extractor.odt import is_odt, tokenize_odt
 from toyocr_spark.extractor.pdf import is_pdf, tokenize_pdf
+from toyocr_spark.extractor.ppt import is_ppt, tokenize_ppt
 from toyocr_spark.extractor.pptx import is_pptx, tokenize_pptx
 from toyocr_spark.extractor.rtf import is_rtf, tokenize_rtf
 from toyocr_spark.extractor.xls import is_xls, tokenize_xls
@@ -123,6 +124,8 @@ def _run(html: bytes | str | None, selector) -> ExtractResult:
         blocks = tokenize_doc(html)
     elif is_xls(html):
         blocks = tokenize_xls(html)
+    elif is_ppt(html):
+        blocks = tokenize_ppt(html)
     elif is_mhtml(html):
         blocks = tokenize_mhtml(html)
     else:

@@ -8098,6 +8098,80 @@ def q140_xls_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q141_ppt_extract",
+    """
+    SELECT 'https://ppt-' || CAST(doc_id AS VARCHAR) || '.example/deck.ppt' AS url,
+           'Briefing deck ' || CAST(doc_id AS VARCHAR) || ' title slide'
+             || chr(10) || text AS extracted_text,
+           2 AS n_kept
+    FROM documents
+    """,
+    "DRIVER-CHECKABLE legacy binary PowerPoint (.ppt) extraction — the "
+    "q131 discipline on the [MS-PPT] record tree inside the [MS-CFB] "
+    "container: each row's text rides a TextBytesAtom or "
+    "TextCharsAtom (encoding auto-chosen per content, both paths "
+    "exercised across the corpus) under the slide-collection "
+    "SlideListWithText, with a title atom typed Tx_TYPE_TITLE; plants "
+    "the extractor must drop are a NOTES collection (recInstance 2) "
+    "and a body-typed MASTER collection (recInstance 1) — both "
+    "excluded by the collection instance, the pptx notes-part "
+    "structural twin. The oracle is closed form over (doc_id, text), "
+    "so the CFB walk, record-tree parse, instance routing, and text "
+    "decode must be exact on every row. extractor/ppt.py; "
+    "fixtures/genppt.py. Map-only: one pre-kernel repartition, then "
+    "synth + extract in sanctioned Arrow kernels, zero shuffle after.",
+)
+def q141_ppt_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    from toyocr_spark.pipeline import extract_pages
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("html", T.BinaryType(), False),
+        ]
+    )
+
+    def batches(it):
+        from toyocr_spark.fixtures.genppt import build_ppt
+
+        for b in it:
+            urls, blobs = [], []
+            for did, text in zip(b.column(0).to_pylist(), b.column(1).to_pylist()):
+                blobs.append(
+                    build_ppt(
+                        slides=[
+                            {
+                                "title": f"Briefing deck {did} title slide",
+                                "body": [text],
+                            }
+                        ],
+                        notes=[f"presenter notes {did} never extract"],
+                        master_text=f"master chrome {did} never extract",
+                    )
+                )
+                urls.append(f"https://ppt-{did}.example/deck.ppt")
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()), pa.array(blobs, pa.binary())],
+                names=["url", "html"],
+            )
+
+    pages = d.mapInArrow(batches, schema)
+    out = extract_pages(pages)
+    return out.select(
+        "url", "extracted_text", F.col("n_kept").cast("int").alias("n_kept")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
@@ -8124,6 +8198,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q138_mhtml_extract",  # new: MIME web archive (RFC 2557) decode
     "q139_odt_extract",  # new: OpenDocument Text (ODF package walk)
     "q140_xls_extract",  # new: legacy binary Excel (BIFF8 over CFB)
+    "q141_ppt_extract",  # new: legacy binary PowerPoint (record tree)
     "q116_sentence_align",  # oracle: rows-only -> planted closed form
     # flagship
     "q25_extract",
