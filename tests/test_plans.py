@@ -223,6 +223,8 @@ def test_relational_queries_have_no_python_nodes(spark, sf_dir):
         "q139_odt_extract",      # ODF synth + extraction kernel
         "q140_xls_extract",      # BIFF8/CFB synth + extraction kernel
         "q141_ppt_extract",      # PPT-record-tree synth + extraction kernel
+        "q142_ods_extract",      # ODS/ODF synth + extraction kernel
+        "q143_odp_extract",      # ODP/ODF synth + extraction kernel
     }
     markers = ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas",
                "MapInPandas", "PythonMapInArrow", "MapInArrow")

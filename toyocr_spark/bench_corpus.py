@@ -172,8 +172,9 @@ def synth_office_pages(
     spark: SparkSession, sf_dir: str, replicas: int = 4, paragraphs: int = 4
 ) -> DataFrame:
     """Office twin of synth_pdf_pages: every page is a REAL container
-    document cycling the ten non-HTML/PDF dispatch legs (docx, xlsx,
-    pptx, epub, rtf, legacy .doc, .xls, .ppt, .mht, .odt) with a heading,
+    document cycling the twelve non-HTML/PDF dispatch legs (docx,
+    xlsx, pptx, epub, rtf, legacy .doc, .xls, .ppt, .mht, .odt, .ods,
+    .odp) with a heading,
     ``paragraphs`` body paragraphs, and each format's native chrome.
     Container assembly cannot be a Column expression, so synthesis
     runs in one Arrow kernel — the materialized-corpus cache keeps it
@@ -203,6 +204,8 @@ def synth_office_pages(
         from toyocr_spark.fixtures import (
             gendoc,
             gendocx,
+            genodp,
+            genods,
             genppt,
             genxls,
             genepub,
@@ -224,8 +227,8 @@ def synth_office_pages(
             ):
                 fmt = (
                     "docx", "xlsx", "pptx", "epub", "rtf", "doc", "xls",
-                    "ppt", "mht", "odt",
-                )[(did + rep) % 10]
+                    "ppt", "mht", "odt", "ods", "odp",
+                )[(did + rep) % 12]
                 title = f"Synthesized bench document {did} part {rep}"
                 paras = [text] * paragraphs
                 if fmt == "docx":
@@ -288,6 +291,17 @@ def synth_office_pages(
                         markup,
                         encoding="quoted-printable" if rep % 2 == 0 else "base64",
                         location=f"https://host-{did % 40}.example/live/{did}.html",
+                    )
+                elif fmt == "ods":
+                    blob = genods.build_ods(
+                        {"report": [[title], *[[p] for p in paras]]},
+                        header_rows=rep % 2,
+                    )
+                elif fmt == "odp":
+                    blob = genodp.build_odp(
+                        slides=[
+                            {"title": title, "body": paras, "notes": "bench notes chrome"}
+                        ],
                     )
                 else:  # odt
                     blob = genodt.build_odt(

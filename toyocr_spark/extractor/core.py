@@ -24,6 +24,8 @@ from toyocr_spark.extractor.docx import is_docx, tokenize_docx
 from toyocr_spark.extractor.epub import is_epub, tokenize_epub
 from toyocr_spark.extractor.layout import reading_order
 from toyocr_spark.extractor.mhtml import is_mhtml, tokenize_mhtml
+from toyocr_spark.extractor.odp import is_odp, tokenize_odp
+from toyocr_spark.extractor.ods import is_ods, tokenize_ods
 from toyocr_spark.extractor.odt import is_odt, tokenize_odt
 from toyocr_spark.extractor.pdf import is_pdf, tokenize_pdf
 from toyocr_spark.extractor.ppt import is_ppt, tokenize_ppt
@@ -120,6 +122,10 @@ def _run(html: bytes | str | None, selector) -> ExtractResult:
         blocks = tokenize_epub(html)
     elif is_odt(html):
         blocks = tokenize_odt(html)
+    elif is_ods(html):
+        blocks = tokenize_ods(html)
+    elif is_odp(html):
+        blocks = tokenize_odp(html)
     elif is_doc(html):
         blocks = tokenize_doc(html)
     elif is_xls(html):

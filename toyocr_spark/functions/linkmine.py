@@ -67,7 +67,7 @@ def mine_outlinks(
                     | F.contains(col, F.lit(b"META-INF/container.xml"))
                     | F.contains(
                         F.substring(col, 1, 128),
-                        F.lit(b"application/vnd.oasis.opendocument.text"),
+                        F.lit(b"application/vnd.oasis.opendocument."),
                     )
                 )
             )
@@ -106,6 +106,8 @@ def mine_outlinks(
         from toyocr_spark.extractor.docx import docx_links, is_docx
         from toyocr_spark.extractor.epub import epub_links, is_epub
         from toyocr_spark.extractor.mhtml import is_mhtml, mhtml_links
+        from toyocr_spark.extractor.odp import is_odp
+        from toyocr_spark.extractor.ods import is_ods
         from toyocr_spark.extractor.odt import is_odt, odt_links
         from toyocr_spark.extractor.opc import opc_hyperlinks
         from toyocr_spark.extractor.pdf import pdf_links
@@ -128,7 +130,9 @@ def mine_outlinks(
                     links = docx_links(data)  # document-occurrence order
                 elif is_epub(data):
                     links = epub_links(data)  # spine order, absolute only
-                elif is_odt(data):
+                elif is_odt(data) or is_ods(data) or is_odp(data):
+                    # every ODF subtype stores text:a hyperlinks in
+                    # content.xml — one harvester serves the trio
                     links = odt_links(data)  # document order, absolute only
                 elif is_xlsx(data) or is_pptx(data):
                     links = opc_hyperlinks(data)  # rels-order harvest

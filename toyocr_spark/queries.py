@@ -8172,6 +8172,157 @@ def q141_ppt_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q142_ods_extract",
+    """
+    SELECT 'https://ods-' || CAST(doc_id AS VARCHAR) || '.example/book.ods' AS url,
+           'Quarterly ledger ' || CAST(doc_id AS VARCHAR) || ' header row'
+             || chr(10) || text || ' ' || CAST(doc_id * 7 AS VARCHAR)
+             || ' ' || CAST(doc_id * 7 AS VARCHAR) AS extracted_text,
+           2 AS n_kept
+    FROM documents
+    """,
+    "DRIVER-CHECKABLE OpenDocument Spreadsheet (.ods) extraction — "
+    "the q130/q140 discipline on the ODF package, completing the ODF "
+    "trio: each row's text is planted in a real .ods (STORED mimetype "
+    "first, content.xml table walk) as a header row plus a body row "
+    "whose numeric sibling carries table:number-columns-repeated=2 "
+    "(ODF's RLE cell model — the oracle repeats the value, so a walk "
+    "that ignores the attribute mismatches every row), an inline "
+    "office:annotation plant the walk must skip, a covered-table-cell "
+    "merge continuation, and a bare-numeral chrome sheet that dies by "
+    "MIN_CHARS in the shared scorer. The oracle is closed form over "
+    "(doc_id, text). extractor/ods.py; fixtures/genods.py. Map-only: "
+    "one pre-kernel repartition, then synth + extract in sanctioned "
+    "Arrow kernels, zero shuffle after.",
+)
+def q142_ods_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    from toyocr_spark.pipeline import extract_pages
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("html", T.BinaryType(), False),
+        ]
+    )
+
+    def batches(it):
+        from toyocr_spark.fixtures.genods import build_ods, covered
+
+        for b in it:
+            urls, blobs = [], []
+            for did, text in zip(b.column(0).to_pylist(), b.column(1).to_pylist()):
+                sheets = {
+                    "ledger": [
+                        [f"Quarterly ledger {did} header row"],
+                        [
+                            {
+                                "text": text,
+                                "annotation": f"hidden note {did} must not extract",
+                            },
+                            {"text": str(did * 7), "repeat": 2},
+                            covered(),
+                        ],
+                    ],
+                    "chrome": [[7, 8], [9, 10]],
+                }
+                blobs.append(build_ods(sheets, header_rows=1 if did % 2 else 0))
+                urls.append(f"https://ods-{did}.example/book.ods")
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()), pa.array(blobs, pa.binary())],
+                names=["url", "html"],
+            )
+
+    pages = d.mapInArrow(batches, schema)
+    out = extract_pages(pages)
+    return out.select(
+        "url", "extracted_text", F.col("n_kept").cast("int").alias("n_kept")
+    )
+
+
+@_q(
+    "q143_odp_extract",
+    """
+    SELECT 'https://odp-' || CAST(doc_id AS VARCHAR) || '.example/deck.odp' AS url,
+           'Planning deck ' || CAST(doc_id AS VARCHAR) || ' title slide'
+             || chr(10) || text AS extracted_text,
+           2 AS n_kept
+    FROM documents
+    """,
+    "DRIVER-CHECKABLE OpenDocument Presentation (.odp) extraction — "
+    "the q131/q141 discipline on the ODF package, closing the "
+    "three-by-three format matrix (OOXML / legacy CFB / ODF, each "
+    "with word-processor, spreadsheet and deck legs): each row's text "
+    "rides an outline text:list under a body frame, with a "
+    "presentation:class='title' frame carrying the title; plants the "
+    "extractor must drop are an INLINE presentation:notes frame "
+    "(excluded STRUCTURALLY — the walk reads only draw:frame children "
+    "of the page, and the notes frame is nested one level deeper — "
+    "the pptx notes-part twin living inside content.xml) and "
+    "master-page chrome in styles.xml (never read). The oracle is "
+    "closed form over (doc_id, text). extractor/odp.py; "
+    "fixtures/genodp.py. Map-only: one pre-kernel repartition, then "
+    "synth + extract in sanctioned Arrow kernels, zero shuffle after.",
+)
+def q143_odp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    from toyocr_spark.pipeline import extract_pages
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("html", T.BinaryType(), False),
+        ]
+    )
+
+    def batches(it):
+        from toyocr_spark.fixtures.genodp import build_odp
+
+        for b in it:
+            urls, blobs = [], []
+            for did, text in zip(b.column(0).to_pylist(), b.column(1).to_pylist()):
+                blobs.append(
+                    build_odp(
+                        slides=[
+                            {
+                                "title": f"Planning deck {did} title slide",
+                                "body": [text],
+                                "notes": f"presenter notes {did} never extract",
+                            }
+                        ],
+                        master_text=f"master chrome {did} never extract",
+                    )
+                )
+                urls.append(f"https://odp-{did}.example/deck.odp")
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()), pa.array(blobs, pa.binary())],
+                names=["url", "html"],
+            )
+
+    pages = d.mapInArrow(batches, schema)
+    out = extract_pages(pages)
+    return out.select(
+        "url", "extracted_text", F.col("n_kept").cast("int").alias("n_kept")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
@@ -8199,6 +8350,8 @@ _DRIVER_PRIORITY: list[str] = [
     "q139_odt_extract",  # new: OpenDocument Text (ODF package walk)
     "q140_xls_extract",  # new: legacy binary Excel (BIFF8 over CFB)
     "q141_ppt_extract",  # new: legacy binary PowerPoint (record tree)
+    "q142_ods_extract",  # new: OpenDocument Spreadsheet (ODF RLE cells)
+    "q143_odp_extract",  # new: OpenDocument Presentation (inline notes)
     "q116_sentence_align",  # oracle: rows-only -> planted closed form
     # flagship
     "q25_extract",
