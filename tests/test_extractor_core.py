@@ -278,3 +278,65 @@ def test_gzip_envelope_strips_before_dispatch():
     # raw-deflate bytes that happen to start 1f 8b are vanishingly
     # unlikely, but a gzip header with a deflate error must not raise
     assert extract(b"\x1f\x8b\x08\x00\x00\x00\x00\x00\x00\x03garbage").text == ""
+
+
+def test_bz2_xz_envelopes_strip_before_dispatch():
+    """The other two dump/transfer codecs (bz2, xz) strip exactly like
+    gzip: byte-identity through single, double, and MIXED double
+    envelopes; malformed streams quiet-skip; bombs do bounded work;
+    and a plain-text page that merely STARTS with the printable 'BZh9'
+    is NOT treated as an envelope (the 10-byte bz2 gate)."""
+    import bz2
+    import gzip
+    import lzma
+
+    from toyocr_spark.extractor.core import MAX_HTML_BYTES
+
+    html = (
+        b"<html><body><nav><a href='/a'>one link</a><a href='/b'>two</a></nav>"
+        b"<article><p>A real paragraph with enough content words to keep "
+        b"for the density scorer to accept it.</p></article></body></html>"
+    )
+    want = extract(html)
+    assert want.text
+
+    xz = lambda b: lzma.compress(b, format=lzma.FORMAT_XZ)  # noqa: E731
+    for comp in (lambda b: bz2.compress(b, 9), xz):
+        assert extract(comp(html)) == want
+        assert extract(comp(comp(html))) == want
+    # mixed nesting, both orders, plus gzip-over-bz2
+    assert extract(xz(bz2.compress(html, 9))) == want
+    assert extract(bz2.compress(xz(html), 9)) == want
+    assert extract(gzip.compress(bz2.compress(html, 9), 9, mtime=0)) == want
+
+    # malformed: flip a byte past the header -> quiet-skip, deterministic
+    for blob in (bz2.compress(html, 9), xz(html)):
+        broken = bytearray(blob)
+        broken[16] ^= 0xFF
+        assert extract(bytes(broken)).text == ""
+    # bare magics must not raise
+    assert extract(b"\xfd7zXZ\x00").text == ""
+    assert extract(b"BZh9\x31\x41\x59\x26\x53\x59").text == ""
+
+    # a text page starting with printable 'BZh9' is NOT an envelope:
+    # the 48-bit block magic cannot follow in real prose
+    prose = (
+        b"<html><body><article><p>BZh9 is how every bzip2 stream begins, "
+        b"a fact worth keeping in the extracted text.</p></article>"
+        b"</body></html>"
+    )
+    assert b"BZh9" in prose[:200] and extract(prose).text.startswith("BZh9 is")
+    # ...and even raw prose bytes starting exactly 'BZh9' stay prose
+    raw = b"BZh9 begins bzip2 streams " + prose
+    assert extract(raw).text  # tokenized as markup/text, not emptied
+
+    # bombs: tiny inputs claiming >MAX output do bounded work
+    filler = b"<p>x</p>" + b" " * (MAX_HTML_BYTES + 2_000_000)
+    for comp in (lambda b: bz2.compress(b, 9), xz):
+        bomb = comp(filler)
+        assert len(bomb) < 8_000_000
+        assert extract(bomb).truncated
+
+    # empty payloads are the empty result
+    assert extract(bz2.compress(b"", 9)).text == ""
+    assert extract(xz(b"")).text == ""

@@ -42,6 +42,22 @@ MAX_HTML_BYTES = 4 * 1024 * 1024  # pathological-page guard (SURVEY.md S4
 # deterministic so byte-identity still holds end-to-end.
 
 GZIP_MAGIC = b"\x1f\x8b"
+XZ_MAGIC = b"\xfd7zXZ\x00"
+# bz2 stream = 'BZh' + level digit + the 48-bit block magic (pi) or the
+# 48-bit end-of-stream magic (sqrt(pi), an empty stream). Requiring all
+# ten bytes keeps a plain-text page that merely STARTS with the
+# printable 'BZh9' out of the envelope path (gzip/xz magics contain
+# control bytes no text page can start with; bz2's is fully printable,
+# so the gate must be the whole header).
+_BZ2_BLOCK = (b"\x31\x41\x59\x26\x53\x59", b"\x17\x72\x45\x38\x50\x90")
+
+
+def _is_bz2(data) -> bool:
+    return (
+        bytes(data[:3]) == b"BZh"
+        and 0x31 <= data[3] <= 0x39
+        and bytes(data[4:10]) in _BZ2_BLOCK
+    )
 
 
 def _ungzip(data: bytes) -> tuple[bytes, bool] | None:
@@ -62,6 +78,52 @@ def _ungzip(data: bytes) -> tuple[bytes, bool] | None:
     return out, False
 
 
+def _unbz2(data: bytes) -> tuple[bytes, bool] | None:
+    """One bzip2 envelope (Wikipedia-dump-style payloads), same
+    output-bounded contract as _ungzip."""
+    import bz2
+
+    try:
+        d = bz2.BZ2Decompressor()
+        out = d.decompress(data, MAX_HTML_BYTES + 1)
+    except OSError:
+        return None
+    if len(out) > MAX_HTML_BYTES:
+        return out[:MAX_HTML_BYTES], True
+    return out, False
+
+
+def _unxz(data: bytes) -> tuple[bytes, bool] | None:
+    """One xz envelope. Output bounded like _ungzip; the decoder's
+    memlimit additionally caps the LZMA dictionary a hostile header can
+    demand (a filter chain declaring a 1.5 GB dictionary would
+    otherwise cost that much RSS before the first output byte)."""
+    import lzma
+
+    try:
+        d = lzma.LZMADecompressor(
+            format=lzma.FORMAT_XZ, memlimit=64 * 1024 * 1024
+        )
+        out = d.decompress(data, MAX_HTML_BYTES + 1)
+    except lzma.LZMAError:
+        return None
+    if len(out) > MAX_HTML_BYTES:
+        return out[:MAX_HTML_BYTES], True
+    return out, False
+
+
+def _envelope_codec(data):
+    """The transfer-encoding codec whose magic starts `data`, or None."""
+    head = bytes(data[:6])
+    if head[:2] == GZIP_MAGIC:
+        return _ungzip
+    if head == XZ_MAGIC:
+        return _unxz
+    if len(data) >= 10 and _is_bz2(data):
+        return _unbz2
+    return None
+
+
 @dataclass(frozen=True)
 class ExtractResult:
     text: str
@@ -79,18 +141,19 @@ def _run(html: bytes | str | None, selector) -> ExtractResult:
         return _EMPTY
     truncated = False
     # transfer-encoding residue: crawls carry bodies stored still
-    # gzip-wrapped (Content-Encoding survived the capture). Strip up
-    # to two envelopes before dispatch — the inflate is output-bounded
-    # above, malformed streams yield the empty result deterministically
-    # (the container quiet-skip contract), and no real format starts
-    # with 1f 8b so existing byte-identity is untouched.
+    # compressed (Content-Encoding survived the capture, or the page
+    # came out of a bz2/xz dump shard). Strip up to two envelopes —
+    # any mix of gzip/bz2/xz — before dispatch; every inflate is
+    # output-bounded above, malformed streams yield the empty result
+    # deterministically (the container quiet-skip contract), and no
+    # real format starts with any of the three magics so existing
+    # byte-identity is untouched.
     envelopes = 0
-    while (
-        isinstance(html, (bytes, bytearray))
-        and bytes(html[:2]) == GZIP_MAGIC
-        and envelopes < 2
-    ):
-        unz = _ungzip(bytes(html))
+    while isinstance(html, (bytes, bytearray)) and envelopes < 2:
+        codec = _envelope_codec(html)
+        if codec is None:
+            break
+        unz = codec(bytes(html))
         if unz is None:
             return _EMPTY
         html, t = unz

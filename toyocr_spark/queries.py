@@ -8323,18 +8323,96 @@ def q143_odp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q144_bz2_xz_extract",
+    """
+    SELECT 'https://env-' || CAST(doc_id AS VARCHAR) || '.example/page.html' AS url,
+           text AS extracted_text,
+           1 AS n_kept
+    FROM documents
+    """,
+    "DRIVER-CHECKABLE bz2/xz-envelope extraction — q136's gzip "
+    "discipline extended to the other two codecs crawl payloads "
+    "arrive in (bz2 dump shards, xz archives): q25's exact page "
+    "template wrapped per doc_id%3 in ONE bz2 envelope, ONE xz "
+    "envelope, or a MIXED gzip-over-bz2 double (the re-compressed "
+    "dump-shard case), every inflate output-bounded before the "
+    "ordinary magic-byte dispatch (extractor/core._unbz2/_unxz; the "
+    "bz2 gate requires the full 10-byte header because 'BZh9' is "
+    "printable prose). The oracle is q25's identity closed form: a "
+    "strip or re-dispatch slip mismatches every third row. Scale "
+    "shape: zero plan nodes added — same map-only kernel.",
+)
+def q144_bz2_xz_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    from toyocr_spark.pipeline import extract_pages
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("html", T.BinaryType(), False),
+        ]
+    )
+    nav = (
+        '<nav><ul><li><a href="/a">one link</a></li>'
+        '<li><a href="/b">two link</a></li></ul></nav>'
+    )
+
+    def batches(it):
+        import bz2
+        import gzip
+        import lzma
+
+        for b in it:
+            urls, blobs = [], []
+            for did, text in zip(b.column(0).to_pylist(), b.column(1).to_pylist()):
+                page = (
+                    f"<html><body>{nav}<article><p>{text}"
+                    "</p></article></body></html>"
+                ).encode()
+                k = did % 3
+                if k == 0:
+                    blob = bz2.compress(page, 9)
+                elif k == 1:
+                    blob = lzma.compress(page, format=lzma.FORMAT_XZ)
+                else:
+                    blob = gzip.compress(bz2.compress(page, 9), 9, mtime=0)
+                urls.append(f"https://env-{did}.example/page.html")
+                blobs.append(blob)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()), pa.array(blobs, pa.binary())],
+                names=["url", "html"],
+            )
+
+    pages = d.mapInArrow(batches, schema)
+    out = extract_pages(pages)
+    return out.select(
+        "url", "extracted_text", F.col("n_kept").cast("int").alias("n_kept")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
 # The driver verifies only the FIRST 50 registry entries per round
 # (round 2: list(queries())[:50] == CORRECTNESS_r02 keys exactly), so
 # the registry is served priority-first. Round-5 window (the VERDICT r4
-# 'oldest-green-first rotation' ask): the new OOXML spec q129, q116
-# (rows-only -> full planted-fixture oracle this round), the flagship
-# q25_extract, then EVERY spec whose last driver row was round 2 (42
-# specs) and the 5 alphabetically-first round-3 veterans. Every
-# overflow spec is driver-green from r3/r4 and re-proven locally each
-# round by tests/test_oracle_parity.py (the exact-value replica).
+# 'oldest-green-first rotation' ask): the 16 specs new this round
+# (q129-q144), q116 (rows-only -> full planted-fixture oracle this
+# round), the flagship q25_extract, then the STALEST veterans (last
+# driver row round 2) oldest-first until the 50 cut; listed veterans
+# past position 50 slide in automatically if a new spec is ever
+# removed. Every overflow spec is driver-green from r2-r4 and
+# re-proven locally each round by tests/test_oracle_parity.py (the
+# exact-value replica).
 _DRIVER_PRIORITY: list[str] = [
     # new / changed this round
     "q129_docx_extract",  # new: OOXML WordprocessingML extraction
@@ -8352,6 +8430,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q141_ppt_extract",  # new: legacy binary PowerPoint (record tree)
     "q142_ods_extract",  # new: OpenDocument Spreadsheet (ODF RLE cells)
     "q143_odp_extract",  # new: OpenDocument Presentation (inline notes)
+    "q144_bz2_xz_extract",  # new: bz2/xz transfer-envelope strip
     "q116_sentence_align",  # oracle: rows-only -> planted closed form
     # flagship
     "q25_extract",
