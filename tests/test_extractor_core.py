@@ -340,3 +340,67 @@ def test_bz2_xz_envelopes_strip_before_dispatch():
     # empty payloads are the empty result
     assert extract(bz2.compress(b"", 9)).text == ""
     assert extract(xz(b"")).text == ""
+
+
+def test_zlib_deflate_envelope_strips_before_dispatch():
+    """HTTP `Content-Encoding: deflate` residue is RFC 1950 zlib; it
+    strips exactly like gzip — but its 2-byte header gate is forgeable
+    by prose ('x^' = 0x78 0x5E passes the FCHECK), so acceptance
+    requires the adler32-verified decode and a gate-passing-but-
+    invalid stream falls back to PROSE dispatch, never quiet-skips."""
+    import bz2
+    import gzip
+    import zlib
+
+    from toyocr_spark.extractor.core import MAX_HTML_BYTES, _is_zlib
+
+    html = (
+        b"<html><body><nav><a href='/a'>one link</a><a href='/b'>two</a></nav>"
+        b"<article><p>A real paragraph with enough content words to keep "
+        b"for the density scorer to accept it.</p></article></body></html>"
+    )
+    want = extract(html)
+    assert want.text
+
+    z = lambda b: zlib.compress(b, 9)  # noqa: E731
+    assert extract(z(html)) == want
+    assert extract(z(z(html))) == want
+    # mixed nesting with the unforgeable-magic codecs, both orders
+    assert extract(gzip.compress(z(html), 9, mtime=0)) == want
+    assert extract(z(gzip.compress(html, 9, mtime=0))) == want
+    assert extract(bz2.compress(z(html), 9)) == want
+
+    # prose that merely starts with a valid zlib header ('x^') stays
+    # prose: the decode fails, and zlib failures fall back to dispatch
+    prose = (
+        b"x^ marks a curious byte pair <html><body><article><p>that any "
+        b"page may legally begin with, and it must stay readable text "
+        b"for the density scorer to keep.</p></article></body></html>"
+    )
+    assert _is_zlib(prose)
+    got = extract(prose)
+    assert "marks a curious byte pair" in got.text or got.n_blocks > 0
+
+    # a TRUNCATED genuine zlib stream never reaches eof -> also prose
+    # fallback (deterministic; the junk bytes tokenize to little/nothing)
+    cut = z(html)[: len(z(html)) // 2]
+    if _is_zlib(cut):
+        extract(cut)  # must not raise; either empty or junk, never crash
+
+    # a corrupted-tail stream (valid header, broken adler32) -> prose
+    # fallback, not quiet-skip
+    broken = bytearray(z(html))
+    broken[-2] ^= 0xFF
+    extract(bytes(broken))  # must not raise
+
+    # FDICT bit set -> not an envelope (we can never have the dict)
+    assert not _is_zlib(b"\x78\xbb" + b"\x00" * 16)
+
+    # bomb: tiny input claiming >MAX output does bounded work
+    filler = b"<p>x</p>" + b" " * (MAX_HTML_BYTES + 2_000_000)
+    bomb = z(filler)
+    assert len(bomb) < 8_000_000
+    assert extract(bomb).truncated
+
+    # empty payload is the empty result
+    assert extract(z(b"")).text == ""

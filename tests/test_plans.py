@@ -226,6 +226,7 @@ def test_relational_queries_have_no_python_nodes(spark, sf_dir):
         "q142_ods_extract",      # ODS/ODF synth + extraction kernel
         "q143_odp_extract",      # ODP/ODF synth + extraction kernel
         "q144_bz2_xz_extract",   # bz2/xz-envelope synth + extraction kernel
+        "q145_deflate_extract",  # zlib-envelope synth + extraction kernel
     }
     markers = ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas",
                "MapInPandas", "PythonMapInArrow", "MapInArrow")

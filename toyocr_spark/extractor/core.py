@@ -112,6 +112,49 @@ def _unxz(data: bytes) -> tuple[bytes, bool] | None:
     return out, False
 
 
+def _is_zlib(data) -> bool:
+    """RFC 1950 header check: CM=8 (deflate), CINFO<=7, FCHECK valid,
+    no preset dictionary (FDICT would need out-of-band bytes we can
+    never have). Two bytes is a WEAK gate — 'x^' (0x78 0x5E) is
+    printable prose a page can legally start with — so unlike
+    gzip/bz2/xz the zlib gate alone never condemns a page: acceptance
+    additionally requires the full adler32-verified decode in
+    _unzlib, and a gate-passing-but-invalid stream falls back to
+    prose dispatch (see the loop in _run)."""
+    if len(data) < 2:
+        return False
+    cmf, flg = data[0], data[1]
+    return (
+        (cmf & 0x0F) == 8
+        and (cmf >> 4) <= 7
+        and ((cmf << 8) | flg) % 31 == 0
+        and (flg & 0x20) == 0
+    )
+
+
+def _unzlib(data: bytes) -> tuple[bytes, bool] | None:
+    """One zlib envelope (HTTP `Content-Encoding: deflate` residue —
+    RFC 9110 deflate means RFC 1950 zlib). Output bounded like
+    _ungzip, but STRICTER acceptance: the stream must reach eof (the
+    trailing adler32 checked) unless the output bound was hit, because
+    the 2-byte header gate has real false positives on prose. Raw
+    (headerless) deflate — the famous misconfigured-server variant —
+    has no magic at all and is a documented non-goal: with bodies
+    only (no Content-Encoding header column) it is unsniffable."""
+    import zlib
+
+    try:
+        d = zlib.decompressobj(zlib.MAX_WBITS)
+        out = d.decompress(data, MAX_HTML_BYTES + 1)
+    except zlib.error:
+        return None
+    if len(out) > MAX_HTML_BYTES:
+        return out[:MAX_HTML_BYTES], True
+    if not d.eof:
+        return None
+    return out, False
+
+
 def _envelope_codec(data):
     """The transfer-encoding codec whose magic starts `data`, or None."""
     head = bytes(data[:6])
@@ -121,6 +164,8 @@ def _envelope_codec(data):
         return _unxz
     if len(data) >= 10 and _is_bz2(data):
         return _unbz2
+    if _is_zlib(data):
+        return _unzlib
     return None
 
 
@@ -155,6 +200,12 @@ def _run(html: bytes | str | None, selector) -> ExtractResult:
             break
         unz = codec(bytes(html))
         if unz is None:
+            # gzip/bz2/xz magics are unforgeable, so a failed decode
+            # means a genuinely corrupt envelope: quiet-skip. The
+            # 2-byte zlib gate is forgeable by prose, so its failure
+            # means "never was an envelope": dispatch the bytes as-is.
+            if codec is _unzlib:
+                break
             return _EMPTY
         html, t = unz
         truncated = truncated or t

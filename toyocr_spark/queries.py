@@ -8399,6 +8399,174 @@ def q144_bz2_xz_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q145_deflate_extract",
+    """
+    SELECT 'https://dfl-' || CAST(doc_id AS VARCHAR) || '.example/page.html' AS url,
+           text AS extracted_text,
+           1 AS n_kept
+    FROM documents
+    """,
+    "DRIVER-CHECKABLE zlib/deflate-envelope extraction — the last "
+    "stdlib-expressible HTTP Content-Encoding (RFC 9110 deflate = "
+    "RFC 1950 zlib), completing the envelope quartet: q25's exact "
+    "page template wrapped per doc_id%3 in ONE zlib envelope, a "
+    "zlib-over-zlib double, or a MIXED gzip-over-zlib. The codec's "
+    "design differs from gzip/bz2/xz because its 2-byte header is "
+    "forgeable by printable prose ('x^' passes the FCHECK): the gate "
+    "is the full adler32-verified decode (extractor/core._unzlib "
+    "requires d.eof), and a gate-passing-but-invalid stream falls "
+    "back to PROSE dispatch instead of quiet-skipping — raw "
+    "headerless deflate is a documented non-goal (no magic to sniff "
+    "with bodies only). Oracle = q25's identity closed form. Scale "
+    "shape: zero plan nodes added — same map-only kernel.",
+)
+def q145_deflate_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    from toyocr_spark.pipeline import extract_pages
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("html", T.BinaryType(), False),
+        ]
+    )
+    nav = (
+        '<nav><ul><li><a href="/a">one link</a></li>'
+        '<li><a href="/b">two link</a></li></ul></nav>'
+    )
+
+    def batches(it):
+        import gzip
+        import zlib
+
+        for b in it:
+            urls, blobs = [], []
+            for did, text in zip(b.column(0).to_pylist(), b.column(1).to_pylist()):
+                page = (
+                    f"<html><body>{nav}<article><p>{text}"
+                    "</p></article></body></html>"
+                ).encode()
+                k = did % 3
+                if k == 0:
+                    blob = zlib.compress(page, 9)
+                elif k == 1:
+                    blob = zlib.compress(zlib.compress(page, 9), 9)
+                else:
+                    blob = gzip.compress(zlib.compress(page, 9), 9, mtime=0)
+                urls.append(f"https://dfl-{did}.example/page.html")
+                blobs.append(blob)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()), pa.array(blobs, pa.binary())],
+                names=["url", "html"],
+            )
+
+    pages = d.mapInArrow(batches, schema)
+    out = extract_pages(pages)
+    return out.select(
+        "url", "extracted_text", F.col("n_kept").cast("int").alias("n_kept")
+    )
+
+
+@_q(
+    "q146_sitemap_index",
+    """
+    WITH c AS (
+      SELECT doc_id, u.j AS j
+      FROM documents, unnest(generate_series(0, doc_id % 4)) AS u(j)
+    ),
+    child AS (
+      SELECT 'i' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS host,
+             doc_id % 7 AS h,
+             '2026-0' || CAST(1 + (doc_id + j) % 9 AS VARCHAR) || '-15' AS lastmod
+      FROM c
+    )
+    SELECT host,
+           CAST(count(*) AS BIGINT) AS n_children,
+           CAST(sum(CASE WHEN lastmod > '2026-0' || CAST(1 + h % 6 AS VARCHAR) || '-15'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_stale,
+           max(lastmod) AS latest_child
+    FROM child
+    GROUP BY host
+    """,
+    "sitemap INDEX resolution — the two-level shape real sites force "
+    "(a <urlset> caps at 50k URLs, so big hosts publish a "
+    "<sitemapindex> of child sitemaps): each doc carries a synthetic "
+    "index (built JVM-side, the q95 discipline), parsed back with "
+    "regexp_extract_all into child (loc, lastmod) pairs, then the "
+    "crawl-seeding DELTA decision — join each child against the "
+    "host's last-crawl watermark (a tiny broadcast side, the q105 "
+    "snapshot-state consumer) and count how many children are STALE "
+    "(index lastmod newer than the watermark, i.e. must be "
+    "re-fetched) vs skippable. This is the pruning that makes "
+    "sitemap-driven recrawl cheap at 10^12 docs: index files are "
+    "kilobytes, and only stale children ever reach the fetcher. "
+    "Map-only parse, one broadcast equi-join on host, one partial-agg "
+    "shuffle. The oracle predicts the parse + join + delta in closed "
+    "form.",
+)
+def q146_sitemap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    entry = lambda j: F.concat(  # noqa: E731
+        F.lit("<sitemap><loc>https://i"),
+        (did % 7).cast("string"),
+        F.lit(".example/sm/"),
+        did.cast("string"),
+        F.lit("-"),
+        j.cast("string"),
+        F.lit(".xml</loc><lastmod>2026-0"),
+        (1 + (did + j) % 9).cast("string"),
+        F.lit("-15</lastmod></sitemap>"),
+    )
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><sitemapindex>'),
+        F.array_join(F.transform(F.sequence(F.lit(0), did % 4), entry), ""),
+        F.lit("</sitemapindex>"),
+    )
+    idx = d.select("doc_id", xml.alias("xml"))
+    parsed = idx.select(
+        F.regexp_extract_all("xml", F.lit("<loc>([^<]+)</loc>"), 1).alias("locs"),
+        F.regexp_extract_all(
+            "xml", F.lit("<lastmod>([^<]+)</lastmod>"), 1
+        ).alias("mods"),
+    )
+    children = parsed.select(
+        F.explode(F.arrays_zip("locs", "mods")).alias("c")
+    ).select(
+        F.regexp_extract(F.col("c.locs"), "^https://([^/]+)/", 1).alias("host"),
+        F.col("c.mods").alias("lastmod"),
+    )
+    # per-host last-crawl watermark: in production this is the q105
+    # snapshot/CDX state; here derived in closed form so the oracle
+    # can predict it. Tiny by construction (one row per host) ->
+    # broadcast, never a shuffle of the children.
+    watermarks = (
+        d.select((did % 7).alias("h")).distinct().select(
+            F.concat(F.lit("i"), F.col("h").cast("string"), F.lit(".example")).alias("host"),
+            F.concat(
+                F.lit("2026-0"), (1 + F.col("h") % 6).cast("string"), F.lit("-15")
+            ).alias("last_crawl"),
+        )
+    )
+    joined = children.join(F.broadcast(watermarks), "host")
+    return joined.groupBy("host").agg(
+        F.count("*").alias("n_children"),
+        F.sum(
+            F.when(F.col("lastmod") > F.col("last_crawl"), 1).otherwise(0)
+        ).alias("n_stale"),
+        F.max("lastmod").alias("latest_child"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
@@ -8431,6 +8599,8 @@ _DRIVER_PRIORITY: list[str] = [
     "q142_ods_extract",  # new: OpenDocument Spreadsheet (ODF RLE cells)
     "q143_odp_extract",  # new: OpenDocument Presentation (inline notes)
     "q144_bz2_xz_extract",  # new: bz2/xz transfer-envelope strip
+    "q145_deflate_extract",  # new: zlib/deflate transfer-envelope strip
+    "q146_sitemap_index",  # new: two-level sitemap-index stale-child delta
     "q116_sentence_align",  # oracle: rows-only -> planted closed form
     # flagship
     "q25_extract",
