@@ -8567,6 +8567,143 @@ def q146_sitemap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q147_atom_feeds",
+    """
+    WITH feeds AS (
+      SELECT doc_id, u.k AS entry_idx,
+             'https://a' || (doc_id % 9) || '.example/entry/' || (doc_id * 10 + u.k) AS link,
+             1 + (doc_id + u.k) % 28 AS upd_day
+      FROM documents, unnest(generate_series(0, 1 + doc_id % 3)) AS u(k)
+      WHERE doc_id < 150
+    )
+    SELECT doc_id, CAST(entry_idx AS INTEGER) AS entry_idx, link,
+           CAST(upd_day AS INTEGER) AS upd_day
+    FROM feeds
+    """,
+    "Atom feed ingestion — q118's RSS twin with Atom's real wrinkle: "
+    "the entry link is an ATTRIBUTE (<link href=.../>), not element "
+    "text, and feeds carry rel='self'/rel='enclosure' links that must "
+    "NOT become frontier URLs — the fixture plants a feed-level "
+    "rel='self' decoy whose host would corrupt every group if mined; "
+    "only rel='alternate' hrefs survive the parse. Built JVM-side, "
+    "parsed back with regexp_extract_all + arrays_zip + posexplode "
+    "into one row per entry with link and <updated> day. Closed-form "
+    "oracle; map-only, zero shuffle.",
+)
+def q147_atom_feeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    entry = lambda k: F.concat(  # noqa: E731
+        F.lit('<entry><link href="https://a'),
+        F.pmod(F.col("doc_id"), F.lit(9)).cast("string"),
+        F.lit(".example/entry/"),
+        (F.col("doc_id") * 10 + k).cast("string"),
+        F.lit('" rel="alternate"/><updated>2026-02-'),
+        F.lpad((F.lit(1) + F.pmod(F.col("doc_id") + k, F.lit(28))).cast("string"), 2, "0"),
+        F.lit("T00:00:00Z</updated></entry>"),
+    )
+    xml = F.concat(
+        F.lit('<feed xmlns="http://www.w3.org/2005/Atom">'
+              '<link href="https://decoy.example/feed.xml" rel="self"/>'),
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(1) + F.pmod(F.col("doc_id"), F.lit(3))), entry
+            ),
+            F.lit(""),
+            lambda acc, x: F.concat(acc, x),
+        ),
+        F.lit("</feed>"),
+    )
+    feeds = d.select("doc_id", xml.alias("xml"))
+    items = feeds.select(
+        "doc_id",
+        F.posexplode(
+            F.arrays_zip(
+                F.regexp_extract_all(
+                    F.col("xml"),
+                    F.lit('<link href="([^"]+)" rel="alternate"/>'),
+                    1,
+                ),
+                F.regexp_extract_all(
+                    F.col("xml"), F.lit("<updated>2026-02-([0-9]{2})T"), 1
+                ),
+            )
+        ).alias("entry_idx", "p"),
+    )
+    return items.select(
+        "doc_id",
+        F.col("entry_idx").cast("int").alias("entry_idx"),
+        F.col("p.0").alias("link"),
+        F.col("p.1").cast("int").alias("upd_day"),
+    )
+
+
+@_q(
+    "q148_opengraph",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'article' ELSE 'website' END AS og_type,
+           length('OG headline ' || CAST(doc_id AS VARCHAR)) AS title_len,
+           CAST(doc_id % 3 AS BIGINT) AS n_images
+    FROM documents
+    WHERE doc_id < 200
+    """,
+    "OpenGraph social-metadata harvest — the curation twin of q43's "
+    "document metadata: og:type / og:title / og:image mined from "
+    "<meta property='og:*' content='...'> head tags (the q111 "
+    "caption-mining family's upstream signal: og:image is the "
+    "canonical image-caption pair source at crawl scale). The fixture "
+    "plants a twitter:card decoy meta tag that the property-anchored "
+    "regexp must not count. All JVM regexp over the head, zero "
+    "shuffle; closed-form oracle.",
+)
+def q148_opengraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    did = F.col("doc_id")
+    img = lambda k: F.concat(  # noqa: E731
+        F.lit('<meta property="og:image" content="https://img.example/'),
+        did.cast("string"),
+        F.lit("-"),
+        k.cast("string"),
+        F.lit('.jpg"/>'),
+    )
+    head = F.concat(
+        F.lit('<head><meta name="twitter:card" content="summary"/>'
+              '<meta property="og:title" content="OG headline '),
+        did.cast("string"),
+        F.lit('"/><meta property="og:type" content="'),
+        F.when(did % 2 == 0, F.lit("article")).otherwise(F.lit("website")),
+        F.lit('"/>'),
+        F.aggregate(
+            F.when(
+                did % 3 == 0, F.array().cast("array<string>")
+            ).otherwise(
+                F.transform(F.sequence(F.lit(1), did % 3), img)
+            ),
+            F.lit(""),
+            lambda acc, x: F.concat(acc, x),
+        ),
+        F.lit("</head>"),
+    )
+    pages = d.select("doc_id", head.alias("html"))
+    return pages.select(
+        "doc_id",
+        F.regexp_extract(
+            "html", '<meta property="og:type" content="([^"]+)"', 1
+        ).alias("og_type"),
+        F.length(
+            F.regexp_extract(
+                "html", '<meta property="og:title" content="([^"]+)"', 1
+            )
+        ).alias("title_len"),
+        F.size(
+            F.regexp_extract_all(
+                "html", F.lit('<meta property="og:image" content="([^"]+)"'), 1
+            )
+        ).cast("long").alias("n_images"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
@@ -8601,6 +8738,8 @@ _DRIVER_PRIORITY: list[str] = [
     "q144_bz2_xz_extract",  # new: bz2/xz transfer-envelope strip
     "q145_deflate_extract",  # new: zlib/deflate transfer-envelope strip
     "q146_sitemap_index",  # new: two-level sitemap-index stale-child delta
+    "q147_atom_feeds",  # new: Atom feed ingestion (attribute links, rel gate)
+    "q148_opengraph",  # new: OpenGraph social-metadata harvest
     "q116_sentence_align",  # oracle: rows-only -> planted closed form
     # flagship
     "q25_extract",
