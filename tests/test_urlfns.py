@@ -322,3 +322,60 @@ def test_mine_outlinks_rtf_and_pptx_legs(spark):
         ("https://host.example/deck.pptx", "https://deck.example/cited"),
         ("https://host.example/old.rtf", "https://nav.example/home"),
     ]
+
+
+def test_robots_rfc9309_wildcards(spark):
+    """RFC 9309 semantics pinned: '*' spans any run (including '/'),
+    a TRAILING '$' anchors at path end, longest raw pattern wins,
+    Allow beats Disallow on exact length tie, no-match allows, and a
+    rule full of regex metacharacters matches LITERALLY (the
+    escape-then-translate order means no rule byte can inject regex
+    semantics)."""
+    from toyocr_spark.functions.urlfns import (
+        parse_robots_patterns,
+        robots_admission_rfc9309,
+    )
+
+    txt = (
+        "User-agent: *\nDisallow: /private*\nAllow: /private/ok$\n"
+        "Disallow: /tmp/*.pdf$\nAllow: /\n"
+        "Disallow: /a.b(c)+\n"
+    )
+    robots = spark.createDataFrame([("h.example", txt)], "host string, txt string")
+    pats = parse_robots_patterns(robots, "host", "txt")
+    rows = {r["pattern"]: r for r in pats.collect()}
+    assert rows["/private*"]["rx"] == "^/private.*"
+    assert rows["/private/ok$"]["rx"] == "^/private/ok$"
+    assert rows["/tmp/*.pdf$"]["rx"] == "^/tmp/.*\\.pdf$"
+    assert rows["/a.b(c)+"]["rx"] == "^/a\\.b\\(c\\)\\+"
+
+    cases = {
+        "/public/1": 0,       # only 'Allow: /' matches
+        "/private/1": 1,      # Disallow /private* (9) beats Allow / (1)
+        "/private/ok": 0,     # Allow /private/ok$ (12) beats /private* (9)
+        "/private/okay": 1,   # the $ anchor rejects the Allow
+        "/tmp/a.pdf": 1,      # mid-pattern wildcard
+        "/tmp/a.pdfx": 0,     # $ rejects the Disallow
+        "/tmp/deep/b.pdf": 1, # '*' crosses '/'
+        "/aXb(c)+": 0,        # '.' in the rule is NOT a regex dot
+        "/a.b(c)+": 1,        # ...but the literal path matches
+    }
+    urls = spark.createDataFrame(
+        [("h.example", p) for p in cases] + [("norules.example", "/x")],
+        "host string, path string",
+    )
+    got = {
+        (r["host"], r["path"]): r["blocked"]
+        for r in robots_admission_rfc9309(urls, pats).collect()
+    }
+    for p, want in cases.items():
+        assert got[("h.example", p)] == want, p
+    assert got[("norules.example", "/x")] == 0
+
+    # equal-length Allow and Disallow patterns: Allow wins the tie
+    tie_txt = "Disallow: /t$\nAllow: /t$\n"
+    tie = spark.createDataFrame([("t.example", tie_txt)], "host string, txt string")
+    tie_pats = parse_robots_patterns(tie, "host", "txt")
+    tie_urls = spark.createDataFrame([("t.example", "/t")], "host string, path string")
+    (r,) = robots_admission_rfc9309(tie_urls, tie_pats).collect()
+    assert r["blocked"] == 0  # Allow wins the exact-length tie

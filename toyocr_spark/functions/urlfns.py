@@ -217,3 +217,85 @@ def robots_admission(
         j.groupBy("host", "path")
         .agg(F.max(hit).cast("int").alias("blocked"))
     )
+
+
+def parse_robots_patterns(
+    robots: "DataFrame", host_col: str, txt_col: str  # noqa: F821
+) -> "DataFrame":
+    """(host, robots_txt) -> (host, allow, pattern, pat_len, rx):
+    the RFC 9309 rule set — BOTH Allow and Disallow lines, with the
+    spec's two metacharacters (``*`` matches any character run, a
+    TRAILING ``$`` anchors the match at the path's end; a ``$``
+    anywhere else is a literal). Each pattern is translated ONCE, on
+    the tiny rules side, to an anchored Java/RE2-common regex (all
+    regex metacharacters escaped, then ``*`` -> ``.*``, then the
+    trailing anchor restored), so the per-URL match below never
+    builds a regex from an unescaped rule. pat_len carries the RFC's
+    longest-match precedence key (the OCTET length of the raw
+    pattern, per spec)."""
+    line = F.explode(F.split(F.col(txt_col), "\n")).alias("line")
+    rows = robots.select(F.col(host_col).alias("host"), line)
+    kind = F.regexp_extract("line", r"^(Allow|Disallow):\s*(\S*)\s*$", 1)
+    pat = F.regexp_extract("line", r"^(Allow|Disallow):\s*(\S*)\s*$", 2)
+    rules = rows.select(
+        "host",
+        (kind == "Allow").alias("allow"),
+        pat.alias("pattern"),
+    ).filter((F.length(kind) > 0) & (F.length("pattern") > 0))
+    # escape every regex metacharacter (incl. $ and *), then give the
+    # two RFC wildcards their meaning back
+    esc = F.regexp_replace(
+        F.col("pattern"), r"([.\+\?\(\)\[\]\{\}\^\|\\$*])", r"\\$1"
+    )
+    body = F.regexp_replace(esc, r"\\\*", ".*")
+    anchored = F.endswith(F.col("pattern"), F.lit("$"))
+    # a trailing (escaped) \$ becomes the end anchor; elsewhere stays literal
+    rx = F.when(
+        anchored,
+        F.concat(F.lit("^"), F.regexp_replace(body, r"\\\$$", r"\$")),
+    ).otherwise(F.concat(F.lit("^"), body))
+    return rules.select(
+        "host",
+        "allow",
+        "pattern",
+        F.length("pattern").alias("pat_len"),
+        rx.alias("rx"),
+    )
+
+
+def robots_admission_rfc9309(
+    urls: "DataFrame",  # noqa: F821
+    patterns: "DataFrame",  # noqa: F821
+    host_col: str = "host",
+    path_col: str = "path",
+) -> "DataFrame":
+    """Per-URL RFC 9309 verdict: among the host's rules whose pattern
+    matches the path, the LONGEST pattern wins; on an exact length
+    tie, Allow wins; no matching rule means allowed. One broadcast
+    join on host (the rule table is tiny by construction), one rlike
+    per joined row against the PRE-TRANSLATED regex, one partial-agg
+    max of an (pat_len, allow) precedence struct per url — the urls
+    table never shuffles on anything but its own aggregation key.
+
+    Returns one row per url: (host, path, blocked int)."""
+    j = urls.select(
+        F.col(host_col).alias("host"), F.col(path_col).alias("path")
+    ).join(F.broadcast(patterns), "host", "left")
+    matched = F.col("rx").isNotNull() & F.expr("path rlike rx")
+    # precedence key: longer pattern first, Allow beats Disallow on tie
+    key = F.when(
+        matched,
+        F.struct(
+            F.col("pat_len").alias("l"),
+            F.col("allow").cast("int").alias("a"),
+        ),
+    )
+    best = F.max(key).alias("best")
+    out = j.groupBy("host", "path").agg(best)
+    return out.select(
+        "host",
+        "path",
+        F.when(
+            F.col("best").isNull() | (F.col("best.a") == 1), F.lit(0)
+        ).otherwise(F.lit(1)).cast("int").alias("blocked"),
+    )

@@ -8704,6 +8704,80 @@ def q148_opengraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q149_robots_wildcards",
+    """
+    WITH u AS (
+      SELECT DISTINCT
+             'r' || CAST(doc_id % 5 AS VARCHAR) || '.example' AS host,
+             CASE doc_id % 7
+               WHEN 0 THEN '/public/' || CAST(doc_id AS VARCHAR)
+               WHEN 1 THEN '/private/' || CAST(doc_id AS VARCHAR)
+               WHEN 2 THEN '/private/ok'
+               WHEN 3 THEN '/private/okay'
+               WHEN 4 THEN '/tmp/' || CAST(doc_id AS VARCHAR) || '.pdf'
+               WHEN 5 THEN '/tmp/' || CAST(doc_id AS VARCHAR) || '.pdfx'
+               ELSE '/tmp/deep/' || CAST(doc_id AS VARCHAR) || '.pdf'
+             END AS path,
+             CASE WHEN doc_id % 7 IN (1, 3, 4, 6) THEN 1 ELSE 0 END AS blocked
+      FROM documents
+    )
+    SELECT host, path, CAST(blocked AS INTEGER) AS blocked FROM u
+    """,
+    "RFC 9309 robots.txt wildcard admission — the spec-complete "
+    "upgrade of q86's prefix subset: Allow AND Disallow lines, '*' "
+    "matching any character run, a TRAILING '$' anchoring at the "
+    "path end, longest-raw-pattern-wins precedence with Allow "
+    "beating Disallow on exact length ties, no-match means allowed. "
+    "Every rule pattern is translated ONCE on the tiny rules side to "
+    "an anchored regex (all metacharacters escaped first, so no rule "
+    "byte can inject regex semantics); the per-URL match is one "
+    "broadcast join + rlike + a partial-agg max of the (pat_len, "
+    "allow) precedence struct — the url table never shuffles except "
+    "on its own aggregation key. The fixture plants the spec's "
+    "trap families: '/private/okay' must NOT match 'Allow: "
+    "/private/ok$' (the anchor), '/tmp/<id>.pdfx' must NOT match "
+    "'Disallow: /tmp/*.pdf$', and '/tmp/deep/<id>.pdf' MUST (the "
+    "mid-pattern wildcard crossing a slash). urlfns."
+    "parse_robots_patterns / robots_admission_rfc9309; verdicts "
+    "closed-form per doc_id%7.",
+)
+def q149_robots_wildcards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toyocr_spark.functions.urlfns import (
+        parse_robots_patterns,
+        robots_admission_rfc9309,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    robots_txt = (
+        "User-agent: *\nDisallow: /private*\nAllow: /private/ok$\n"
+        "Disallow: /tmp/*.pdf$\nAllow: /\n"
+    )
+    robots = (
+        d.select((did % 5).alias("h")).distinct().select(
+            F.concat(F.lit("r"), F.col("h").cast("string"), F.lit(".example")).alias("host"),
+            F.lit(robots_txt).alias("txt"),
+        )
+    )
+    pats = parse_robots_patterns(robots, "host", "txt")
+    idstr = did.cast("string")
+    path = (
+        F.when(did % 7 == 0, F.concat(F.lit("/public/"), idstr))
+        .when(did % 7 == 1, F.concat(F.lit("/private/"), idstr))
+        .when(did % 7 == 2, F.lit("/private/ok"))
+        .when(did % 7 == 3, F.lit("/private/okay"))
+        .when(did % 7 == 4, F.concat(F.lit("/tmp/"), idstr, F.lit(".pdf")))
+        .when(did % 7 == 5, F.concat(F.lit("/tmp/"), idstr, F.lit(".pdfx")))
+        .otherwise(F.concat(F.lit("/tmp/deep/"), idstr, F.lit(".pdf")))
+    )
+    urls = d.select(
+        F.concat(F.lit("r"), (did % 5).cast("string"), F.lit(".example")).alias("host"),
+        path.alias("path"),
+    )
+    return robots_admission_rfc9309(urls, pats)
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
@@ -8740,6 +8814,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q146_sitemap_index",  # new: two-level sitemap-index stale-child delta
     "q147_atom_feeds",  # new: Atom feed ingestion (attribute links, rel gate)
     "q148_opengraph",  # new: OpenGraph social-metadata harvest
+    "q149_robots_wildcards",  # new: RFC 9309 wildcard robots admission
     "q116_sentence_align",  # oracle: rows-only -> planted closed form
     # flagship
     "q25_extract",
