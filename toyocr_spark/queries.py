@@ -8778,6 +8778,153 @@ def q149_robots_wildcards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_admission_rfc9309(urls, pats)
 
 
+@_q(
+    "q150_hreflang_pairs",
+    """
+    WITH clusters AS (
+      SELECT DISTINCT doc_id // 2 AS cluster
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT CAST(cluster AS BIGINT) AS cluster,
+           'https://h' || CAST(cluster AS VARCHAR) || '.example/en' AS url_en,
+           'https://h' || CAST(cluster AS VARCHAR) || '.example/fr' AS url_fr
+    FROM clusters WHERE cluster % 7 <> 3
+    """,
+    "hreflang reciprocal page pairing — the bitext-mining SEED (how "
+    "ParaCrawl-style pipelines discover parallel pages upstream of "
+    "q114 candidates / q116 alignment): every page declares its "
+    "translations via <link rel='alternate' hreflang=.. href=..>, and "
+    "a pair is trusted only when BOTH directions declare each other. "
+    "The fixture plants three traps: an x-default link (fails the "
+    "[a-z]{2} lang anchor), a rel='stylesheet' link (fails the rel "
+    "gate), and — the real one — every cluster%7==3 fr page OMITS its "
+    "back-link, so a miner that skips the reciprocity join emits "
+    "phantom pairs plus an hreflang='xx' spam edge that no reciprocal "
+    "source ever answers. Edges mined all-JVM (regexp_extract_all + "
+    "arrays_zip), then one equi-join of fr-edges against en-edges on "
+    "(dst=src AND src=dst) — the edge-vs-edge shuffle is the genuine "
+    "100 TB shape (both sides corpus-sized, no broadcast pretense).",
+)
+def q150_hreflang_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    did = F.col("doc_id")
+    cluster = F.floor(did / 2).cast("long")
+    role_fr = (did % 2) == 1
+    base = F.concat(F.lit("https://h"), cluster.cast("string"), F.lit(".example/"))
+    url_en = F.concat(base, F.lit("en"))
+    url_fr = F.concat(base, F.lit("fr"))
+    alt = lambda lang, href: F.concat(  # noqa: E731
+        F.lit('<link rel="alternate" hreflang="'), F.lit(lang),
+        F.lit('" href="'), href, F.lit('"/>'),
+    )
+    # en pages always declare fr (plus the spam edge); fr pages answer
+    # back EXCEPT in cluster%7==3 (the non-reciprocal trap).
+    head = F.concat(
+        F.lit('<link rel="stylesheet" href="https://cdn.example/site.css"/>'
+              '<link rel="alternate" hreflang="x-default" href="https://decoy.example/"/>'),
+        F.when(
+            role_fr,
+            F.when(cluster % 7 == 3, F.lit("")).otherwise(alt("en", url_en)),
+        ).otherwise(
+            F.concat(
+                alt("fr", url_fr),
+                alt("xx", F.concat(F.lit("https://spam.example/"), cluster.cast("string"))),
+            )
+        ),
+    )
+    pages = d.select(
+        F.when(role_fr, url_fr).otherwise(url_en).alias("src_url"),
+        head.alias("html"),
+    )
+    link_pat = '<link rel="alternate" hreflang="{}" href="{}"/>'
+    edges = pages.select(
+        "src_url",
+        F.explode(
+            F.arrays_zip(
+                F.regexp_extract_all(
+                    "html", F.lit(link_pat.format("([a-z]{2})", '[^"]+')), 1
+                ).alias("lang"),
+                F.regexp_extract_all(
+                    "html", F.lit(link_pat.format("[a-z]{2}", '([^"]+)')), 1
+                ).alias("dst_url"),
+            )
+        ).alias("e"),
+    ).select("src_url", F.col("e.lang").alias("lang"), F.col("e.dst_url").alias("dst_url"))
+    fr_claims = edges.filter(F.col("lang") == "fr").select(
+        F.col("src_url").alias("url_en"), F.col("dst_url").alias("url_fr")
+    )
+    en_claims = edges.filter(F.col("lang") == "en").select(
+        F.col("src_url").alias("b_fr"), F.col("dst_url").alias("b_en")
+    )
+    pairs = fr_claims.join(
+        en_claims,
+        (F.col("url_fr") == F.col("b_fr")) & (F.col("url_en") == F.col("b_en")),
+    )
+    return pairs.select(
+        F.regexp_extract("url_en", r"https://h(\d+)\.example", 1)
+        .cast("long")
+        .alias("cluster"),
+        "url_en",
+        "url_fr",
+    ).distinct()
+
+
+@_q(
+    "q151_microdata",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'Product' ELSE 'Article' END AS item_type,
+           length('Item name ' || CAST(doc_id AS VARCHAR)) AS name_len,
+           CAST(2 + doc_id % 3 AS BIGINT) AS n_props
+    FROM documents WHERE doc_id < 200
+    """,
+    "schema.org MICRODATA harvest — the attribute-carried sibling of "
+    "q98's JSON-LD (the two wire formats of the same structured-data "
+    "vocabulary; a crawl-scale curator needs both because publishers "
+    "split roughly evenly): itemtype mined from itemscope containers, "
+    "itemprop values and counts from the property attributes. The "
+    "fixture plants a data-itemprop='fake' custom attribute that an "
+    "unanchored regexp would count — the space-anchored ' itemprop=' "
+    "pattern must not match inside 'data-itemprop=' — plus a "
+    "single-quoted decoy. All JVM regexp, zero shuffle; closed-form "
+    "oracle.",
+)
+def q151_microdata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    did = F.col("doc_id")
+    prop = lambda k: F.concat(  # noqa: E731
+        F.lit('<span itemprop="extra'), k.cast("string"), F.lit('">v</span>')
+    )
+    html = F.concat(
+        F.lit('<div itemscope itemtype="https://schema.org/'),
+        F.when(did % 2 == 0, F.lit("Product")).otherwise(F.lit("Article")),
+        F.lit('"><i data-itemprop="fake">decoy</i><span itemprop="name">Item name '),
+        did.cast("string"),
+        F.lit('</span><meta itemprop="price" content="9.99"/>'),
+        F.aggregate(
+            F.when(did % 3 == 0, F.array().cast("array<string>")).otherwise(
+                F.transform(F.sequence(F.lit(1), did % 3), prop)
+            ),
+            F.lit(""),
+            lambda acc, x: F.concat(acc, x),
+        ),
+        F.lit("</div>"),
+    )
+    pages = d.select("doc_id", html.alias("html"))
+    return pages.select(
+        "doc_id",
+        F.regexp_extract(
+            "html", r'itemtype="https://schema\.org/([A-Za-z]+)"', 1
+        ).alias("item_type"),
+        F.length(
+            F.regexp_extract("html", r'[ ]itemprop="name"[^>]*>([^<]+)<', 1)
+        ).alias("name_len"),
+        F.size(
+            F.regexp_extract_all("html", F.lit(r'[ ]itemprop="([^"]+)"'), 1)
+        ).cast("long").alias("n_props"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
@@ -8815,6 +8962,8 @@ _DRIVER_PRIORITY: list[str] = [
     "q147_atom_feeds",  # new: Atom feed ingestion (attribute links, rel gate)
     "q148_opengraph",  # new: OpenGraph social-metadata harvest
     "q149_robots_wildcards",  # new: RFC 9309 wildcard robots admission
+    "q150_hreflang_pairs",  # new: reciprocal hreflang bitext-page pairing
+    "q151_microdata",  # new: schema.org microdata harvest (JSON-LD twin)
     "q116_sentence_align",  # oracle: rows-only -> planted closed form
     # flagship
     "q25_extract",
