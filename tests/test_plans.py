@@ -227,6 +227,7 @@ def test_relational_queries_have_no_python_nodes(spark, sf_dir):
         "q143_odp_extract",      # ODP/ODF synth + extraction kernel
         "q144_bz2_xz_extract",   # bz2/xz-envelope synth + extraction kernel
         "q145_deflate_extract",  # zlib-envelope synth + extraction kernel
+        "q152_markdown_extract",  # markdown synth + extraction kernel
     }
     markers = ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas",
                "MapInPandas", "PythonMapInArrow", "MapInArrow")

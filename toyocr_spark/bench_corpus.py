@@ -204,6 +204,7 @@ def synth_office_pages(
         from toyocr_spark.fixtures import (
             gendoc,
             gendocx,
+            genmd,
             genodp,
             genods,
             genppt,
@@ -227,8 +228,8 @@ def synth_office_pages(
             ):
                 fmt = (
                     "docx", "xlsx", "pptx", "epub", "rtf", "doc", "xls",
-                    "ppt", "mht", "odt", "ods", "odp",
-                )[(did + rep) % 12]
+                    "ppt", "mht", "odt", "ods", "odp", "md",
+                )[(did + rep) % 13]
                 title = f"Synthesized bench document {did} part {rep}"
                 paras = [text] * paragraphs
                 if fmt == "docx":
@@ -302,6 +303,12 @@ def synth_office_pages(
                         slides=[
                             {"title": title, "body": paras, "notes": "bench notes chrome"}
                         ],
+                    )
+                elif fmt == "md":
+                    blob = genmd.build_md(
+                        title,
+                        paras,
+                        front_matter="title: bench front-matter chrome",
                     )
                 else:  # odt
                     blob = genodt.build_odt(

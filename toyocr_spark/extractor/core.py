@@ -23,6 +23,7 @@ from toyocr_spark.extractor.doc import is_doc, tokenize_doc
 from toyocr_spark.extractor.docx import is_docx, tokenize_docx
 from toyocr_spark.extractor.epub import is_epub, tokenize_epub
 from toyocr_spark.extractor.layout import reading_order
+from toyocr_spark.extractor.markdown import is_markdown, tokenize_markdown
 from toyocr_spark.extractor.mhtml import is_mhtml, tokenize_mhtml
 from toyocr_spark.extractor.odp import is_odp, tokenize_odp
 from toyocr_spark.extractor.ods import is_ods, tokenize_ods
@@ -248,6 +249,12 @@ def _run(html: bytes | str | None, selector) -> ExtractResult:
         blocks = tokenize_ppt(html)
     elif is_mhtml(html):
         blocks = tokenize_mhtml(html)
+    elif is_markdown(html):
+        # LAST gate before the HTML fallback: markdown has no magic,
+        # so every tagged/binary format wins first and the structural-
+        # evidence sniff (extractor/markdown.py) only claims pages that
+        # previously fell through to the one-big-text-block path
+        blocks = tokenize_markdown(html)
     else:
         blocks = tokenize(html)
     if not blocks:

@@ -53,8 +53,29 @@ def mine_outlinks(
             & F.contains(head, F.lit(b"multipart/related"))
             & (col.substr(1, 1) != F.lit(b"<"))
         )
+        # markdown: no magic bytes and no href= attributes, so md pages
+        # mined by the HTML regexp leg would yield ZERO edges. A cheap
+        # JVM pre-gate (non-'<' start + a heading-ish line + a ](-link)
+        # routes CANDIDATES to the kernel, where the real structural
+        # sniff (extractor.markdown.is_markdown) decides; a candidate
+        # that fails it mines [] there — exactly what the href regexp
+        # would have found on tag-less text anyway. Pure binary
+        # `contains` ops: F.decode throws MALFORMED_CHARACTER_CODING on
+        # the binary formats' heads, so no string cast may run before
+        # the magic split prunes them.
+        is_md_like = (
+            (col.substr(1, 1) != F.lit(b"<"))
+            & F.contains(head, F.lit(b"]("))
+            & (
+                (col.substr(1, 2) == F.lit(b"# "))
+                | F.contains(head, F.lit(b"\n# "))
+                | F.contains(head, F.lit(b"\n## "))
+                | F.contains(head, F.lit(b"\n### "))
+            )
+        )
         magic = (
             (col.substr(1, 5) == F.lit(b"%PDF-"))
+            | is_md_like
             | (col.substr(1, 5) == F.lit(b"{\\rtf"))
             | (col.substr(1, 8) == F.lit(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"))
             | is_mht
@@ -73,7 +94,15 @@ def mine_outlinks(
             )
         )
     else:
-        magic = col.startswith("%PDF-") | col.startswith("{\\rtf")
+        magic = (
+            col.startswith("%PDF-")
+            | col.startswith("{\\rtf")
+            | (
+                (F.substring(col, 1, 1) != F.lit("<"))
+                & F.substring(col, 1, 4096).rlike("(?m)^#{1,6} ")
+                & F.contains(F.substring(col, 1, 4096), F.lit("]("))
+            )
+        )
     markup = F.decode(col, "UTF-8") if is_bin else col
 
     base_root = F.concat(
@@ -105,6 +134,7 @@ def mine_outlinks(
         from toyocr_spark.extractor.doc import doc_links, is_doc
         from toyocr_spark.extractor.docx import docx_links, is_docx
         from toyocr_spark.extractor.epub import epub_links, is_epub
+        from toyocr_spark.extractor.markdown import is_markdown, markdown_links
         from toyocr_spark.extractor.mhtml import is_mhtml, mhtml_links
         from toyocr_spark.extractor.odp import is_odp
         from toyocr_spark.extractor.ods import is_ods
@@ -142,6 +172,8 @@ def mine_outlinks(
                     links = doc_links(data)  # CP order, absolute only
                 elif is_mhtml(data):
                     links = mhtml_links(data)  # decoded parts, absolute only
+                elif is_markdown(data):
+                    links = markdown_links(data)  # absolute only, fences excluded
                 else:
                     links = pdf_links(data)
                 for t in links:

@@ -7598,40 +7598,48 @@ def q134_rtf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH e AS (
       SELECT doc_id, CAST(doc_id AS VARCHAR) AS d,
-             CASE CAST(doc_id % 5 AS INTEGER)
+             CASE CAST(doc_id % 6 AS INTEGER)
                WHEN 0 THEN 'dir/page.html' WHEN 1 THEN 'doc.pdf'
                WHEN 2 THEN 'd.docx' WHEN 3 THEN 'old.rtf'
-               ELSE 'deck.pptx' END AS leaf
+               WHEN 4 THEN 'deck.pptx' ELSE 'README.md' END AS leaf
       FROM documents
     ),
     edges AS (
       SELECT 'https://mix-' || d || '.example/' || leaf AS src_url,
-             CASE CAST(doc_id % 5 AS INTEGER)
+             CASE CAST(doc_id % 6 AS INTEGER)
                WHEN 0 THEN ['https://out-' || d || '.example/a',
                             'https://mix-' || d || '.example/dir/sub/x.html']
                WHEN 1 THEN ['https://cite-' || d || '.example/paper']
                WHEN 2 THEN ['https://ref-' || d || '.example/std']
                WHEN 3 THEN ['https://nav-' || d || '.example/']
-               ELSE ['https://deck-' || d || '.example/link'] END AS targets
+               WHEN 4 THEN ['https://deck-' || d || '.example/link']
+               ELSE ['https://md-nav-' || d || '.example/',
+                     'https://md-nav-' || d || '.example/about',
+                     'https://md-nav-' || d || '.example/contact',
+                     'https://md-out-' || d || '.example/r'] END AS targets
       FROM e
     )
     SELECT src_url, unnest(targets) AS target FROM edges
     """,
     "DRIVER-CHECKABLE unified outlink mining — ONE edge extractor over "
-    "a five-format crawl (HTML / PDF / docx / RTF / pptx by doc_id "
-    "parity), every planted link known in closed form. The HTML leg "
-    "stays entirely JVM-side (regexp + resolve_link Column exprs: one "
-    "absolute href, one relative that must resolve against the page "
-    "dir, one fragment that must drop); the four binary formats route "
+    "a six-format crawl (HTML / PDF / docx / RTF / pptx / Markdown by "
+    "doc_id parity), every planted link known in closed form. The HTML "
+    "leg stays entirely JVM-side (regexp + resolve_link Column exprs: "
+    "one absolute href, one relative that must resolve against the "
+    "page dir, one fragment that must drop); the binary formats route "
     "by magic bytes through the sanctioned kernel (pdf_links /URI "
     "actions, docx_links rel-resolved hyperlinks, rtf_links HYPERLINK "
     "fields with a bookmark and a local path that must NOT mine, "
-    "opc_hyperlinks pptx rels). functions/linkmine.py. Reference "
-    "analogue: the byte -> array dispatch seam every format leg "
-    "shares (/root/reference/data/dataset_mapper.py:151-155). Scale "
-    "shape: map-only on both legs — the regexp scan dominates (HTML "
-    "dominates any crawl) and the kernel leg is bounded by the "
-    "binary-format fraction; no shuffle until a consumer aggregates.",
+    "opc_hyperlinks pptx rels); markdown — no magic, no href= — routes "
+    "by the structural JVM pre-gate to markdown_links (absolute [t](u) "
+    "only: a relative ./local.md and a fenced-code URL must NOT mine, "
+    "while the nav-line links ARE edges — mining is pre-scoring). "
+    "functions/linkmine.py. Reference analogue: the byte -> array "
+    "dispatch seam every format leg shares "
+    "(/root/reference/data/dataset_mapper.py:151-155). Scale shape: "
+    "map-only on both legs — the regexp scan dominates (HTML dominates "
+    "any crawl) and the kernel leg is bounded by the non-HTML "
+    "fraction; no shuffle until a consumer aggregates.",
 )
 def q135_outlink_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow as pa
@@ -7655,6 +7663,7 @@ def q135_outlink_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     def batches(it):
         from toyocr_spark.fixtures.gendocx import build_docx
         from toyocr_spark.fixtures.gendocx import paragraph as dpara
+        from toyocr_spark.fixtures.genmd import build_md
         from toyocr_spark.fixtures.genpdf import build_pdf, paragraph_ops, text_stream
         from toyocr_spark.fixtures.genpptx import build_pptx, shape
         from toyocr_spark.fixtures.genrtf import build_rtf
@@ -7663,7 +7672,7 @@ def q135_outlink_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in it:
             urls, blobs = [], []
             for did, text in zip(b.column(0).to_pylist(), b.column(1).to_pylist()):
-                fmt = did % 5
+                fmt = did % 6
                 base = f"https://mix-{did}.example"
                 if fmt == 0:
                     url = f"{base}/dir/page.html"
@@ -7706,11 +7715,24 @@ def q135_outlink_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "{\\fldrslt local}}\\par}",
                         ]
                     )
-                else:
+                elif fmt == 4:
                     url = f"{base}/deck.pptx"
                     blob = build_pptx(
                         slides=[[shape([text[:60]])]],
                         links={"rIdH1": f"https://deck-{did}.example/link"},
+                    )
+                else:
+                    url = f"{base}/README.md"
+                    # mining is pre-scoring, so the nav links ARE edges
+                    # (the HTML-leg contract); the relative link and the
+                    # fenced-code URL must NOT mine
+                    blob = build_md(
+                        f"Readme {did} heading long enough",
+                        [text[:80]],
+                        host=f"md-nav-{did}.example",
+                        links=[("ref", f"https://md-out-{did}.example/r"),
+                               ("rel", "./local.md")],
+                        code=f'fetch("https://code-{did}.example/api")',
                     )
                 urls.append(url)
                 blobs.append(blob)
@@ -8925,6 +8947,81 @@ def q151_microdata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q152_markdown_extract",
+    """
+    SELECT 'https://md-' || CAST(doc_id AS VARCHAR) || '.example/README.md' AS url,
+           'Operations memo ' || CAST(doc_id AS VARCHAR) || ' heading'
+             || chr(10) || text AS extracted_text,
+           2 AS n_kept
+    FROM documents
+    """,
+    "DRIVER-CHECKABLE Markdown extraction — the fifteenth format "
+    "dispatch leg, covering the plain-text markup of code-adjacent "
+    "crawls (READMEs, doc sites). Each row's text is packed into a "
+    "README-shaped document with three plants the extractor must "
+    "drop: a YAML front-matter block whose title: line must never "
+    "extract (structural metadata, the styles.xml discipline), a "
+    "link-dominated nav line (dies by the shared link-density rule, "
+    "exactly like HTML <a> crumbs), and inline **emphasis** markers "
+    "that must resolve to plain text. Markdown has NO magic bytes, so "
+    "this leg also proves the structural-evidence sniff end-to-end "
+    "(strict-UTF-8, non-'<' start, heading + >=3 markers). The oracle "
+    "derives the expected text in closed form, so gate, front-matter "
+    "skip, inline resolution, and scoring must be exact on every row. "
+    "extractor/markdown.py; fixtures/genmd.py. Map-only: one "
+    "pre-kernel repartition, then synth + extract in sanctioned Arrow "
+    "kernels, zero shuffle after.",
+)
+def q152_markdown_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    from toyocr_spark.pipeline import extract_pages
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("html", T.BinaryType(), False),
+        ]
+    )
+
+    def batches(it):
+        from toyocr_spark.fixtures.genmd import build_md
+
+        for b in it:
+            urls, blobs = [], []
+            for did, text in zip(b.column(0).to_pylist(), b.column(1).to_pylist()):
+                words = text.split(" ")
+                mid = len(words) // 2
+                words[mid] = f"**{words[mid]}**"
+                blobs.append(
+                    build_md(
+                        f"Operations memo {did} heading",
+                        [" ".join(words)],
+                        front_matter=f"title: planted front-matter decoy {did}",
+                        host=f"nav-{did}.example",
+                    )
+                )
+                urls.append(f"https://md-{did}.example/README.md")
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()), pa.array(blobs, pa.binary())],
+                names=["url", "html"],
+            )
+
+    pages = d.mapInArrow(batches, schema)
+    out = extract_pages(pages)
+    return out.select(
+        "url", "extracted_text", F.col("n_kept").cast("int").alias("n_kept")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
@@ -8964,6 +9061,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q149_robots_wildcards",  # new: RFC 9309 wildcard robots admission
     "q150_hreflang_pairs",  # new: reciprocal hreflang bitext-page pairing
     "q151_microdata",  # new: schema.org microdata harvest (JSON-LD twin)
+    "q152_markdown_extract",  # new: Markdown format leg (structural sniff)
     "q116_sentence_align",  # oracle: rows-only -> planted closed form
     # flagship
     "q25_extract",
