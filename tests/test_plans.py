@@ -228,6 +228,7 @@ def test_relational_queries_have_no_python_nodes(spark, sf_dir):
         "q144_bz2_xz_extract",   # bz2/xz-envelope synth + extraction kernel
         "q145_deflate_extract",  # zlib-envelope synth + extraction kernel
         "q152_markdown_extract",  # markdown synth + extraction kernel
+        "q153_tar_extract",      # tar-bundle synth + extraction kernel
     }
     markers = ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas",
                "MapInPandas", "PythonMapInArrow", "MapInArrow")

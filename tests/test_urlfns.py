@@ -267,6 +267,52 @@ def test_mine_outlinks_epub_and_ooxml_legs(spark):
     ]
 
 
+def test_mine_outlinks_tar_markdown_and_junk_binary(spark):
+    """The tar leg walks members (html hrefs + markdown links, absolute
+    only), markdown pages route by the structural pre-gate, and a junk
+    binary page (NUL head, no magic) mines ZERO edges instead of
+    throwing MALFORMED_CHARACTER_CODING in the JVM decode leg."""
+    from toyocr_spark.fixtures.genmd import build_md
+    from toyocr_spark.fixtures.gentar import build_tar
+    from toyocr_spark.functions.linkmine import mine_outlinks
+
+    member_html = (
+        '<html><body><a href="https://ext.example/cited">x</a>'
+        '<a href="sibling.html">packaged</a></body></html>'
+    ).encode()
+    md = build_md(
+        "Readme heading long enough",
+        ["prose [ref](https://md.example/ref) and [rel](./x.md)"],
+        host="nav.example",
+    )
+    tar = build_tar(
+        [
+            ("page.html", member_html),
+            ("README.md", md),
+            ("res/bin.dat", bytes(range(256)) * 4),
+        ]
+    )
+    rows = [
+        ("https://b.example/bundle.tar", bytearray(tar)),
+        ("https://m.example/README.md", bytearray(md)),
+        ("https://j.example/blob.bin", bytearray(b"\x00\x01\x02junk" * 100)),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = sorted((r["src_url"], r["target"]) for r in mine_outlinks(df).collect())
+    nav = [
+        "https://nav.example/",
+        "https://nav.example/about",
+        "https://nav.example/contact",
+    ]
+    assert got == sorted(
+        [("https://b.example/bundle.tar", "https://ext.example/cited")]
+        + [("https://b.example/bundle.tar", t) for t in nav]
+        + [("https://b.example/bundle.tar", "https://md.example/ref")]
+        + [("https://m.example/README.md", t) for t in nav]
+        + [("https://m.example/README.md", "https://md.example/ref")]
+    )
+
+
 def test_parse_robots_directives(spark):
     from toyocr_spark.functions.urlfns import parse_robots_directives
 

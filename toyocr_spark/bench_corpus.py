@@ -205,6 +205,7 @@ def synth_office_pages(
             gendoc,
             gendocx,
             genmd,
+            gentar,
             genodp,
             genods,
             genppt,
@@ -228,8 +229,8 @@ def synth_office_pages(
             ):
                 fmt = (
                     "docx", "xlsx", "pptx", "epub", "rtf", "doc", "xls",
-                    "ppt", "mht", "odt", "ods", "odp", "md",
-                )[(did + rep) % 13]
+                    "ppt", "mht", "odt", "ods", "odp", "md", "tar",
+                )[(did + rep) % 14]
                 title = f"Synthesized bench document {did} part {rep}"
                 paras = [text] * paragraphs
                 if fmt == "docx":
@@ -309,6 +310,19 @@ def synth_office_pages(
                         title,
                         paras,
                         front_matter="title: bench front-matter chrome",
+                    )
+                elif fmt == "tar":
+                    page = (
+                        f"<html><body><h1>{title}</h1>"
+                        + "".join(f"<p>{p}</p>" for p in paras)
+                        + "</body></html>"
+                    ).encode()
+                    blob = gentar.build_tar(
+                        [
+                            ("page.html", page),
+                            ("res/r.png", b"\x89PNG\r\n\x1a\n" + bytes(range(200, 256))),
+                        ],
+                        with_dir=True,
                     )
                 else:  # odt
                     blob = genodt.build_odt(

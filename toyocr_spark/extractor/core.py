@@ -25,6 +25,7 @@ from toyocr_spark.extractor.epub import is_epub, tokenize_epub
 from toyocr_spark.extractor.layout import reading_order
 from toyocr_spark.extractor.markdown import is_markdown, tokenize_markdown
 from toyocr_spark.extractor.mhtml import is_mhtml, tokenize_mhtml
+from toyocr_spark.extractor.tarleg import is_tar, tokenize_tar
 from toyocr_spark.extractor.odp import is_odp, tokenize_odp
 from toyocr_spark.extractor.ods import is_ods, tokenize_ods
 from toyocr_spark.extractor.odt import is_odt, tokenize_odt
@@ -182,6 +183,52 @@ class ExtractResult:
 _EMPTY = ExtractResult("", (), 0, 0, False)
 
 
+def dispatch_blocks(html: bytes | str) -> list:
+    """Magic-byte format dispatch (the north rule's "HTML boilerplate
+    strip, PDF/layout parse"): PDFs tokenize via the content-stream
+    machine, OOXML containers via the OPC walks (WordprocessingML
+    .docx, SpreadsheetML .xlsx); everything downstream — XY-cut,
+    scoring, islands — is shared. Existing HTML behavior is untouched
+    (no HTML page starts with %PDF- or PK\\x03\\x04), so the frozen
+    kernel's byte-identity contract holds. Shared by _run and the tar
+    archive walk (each member re-enters the same chain once)."""
+    if is_pdf(html):
+        return tokenize_pdf(html)
+    if is_rtf(html):
+        return tokenize_rtf(html)
+    if is_docx(html):
+        return tokenize_docx(html)
+    if is_xlsx(html):
+        return tokenize_xlsx(html)
+    if is_pptx(html):
+        return tokenize_pptx(html)
+    if is_epub(html):
+        return tokenize_epub(html)
+    if is_odt(html):
+        return tokenize_odt(html)
+    if is_ods(html):
+        return tokenize_ods(html)
+    if is_odp(html):
+        return tokenize_odp(html)
+    if is_doc(html):
+        return tokenize_doc(html)
+    if is_xls(html):
+        return tokenize_xls(html)
+    if is_ppt(html):
+        return tokenize_ppt(html)
+    if is_mhtml(html):
+        return tokenize_mhtml(html)
+    if is_tar(html):
+        return tokenize_tar(html)
+    if is_markdown(html):
+        # LAST gate before the HTML fallback: markdown has no magic,
+        # so every tagged/binary format wins first and the structural-
+        # evidence sniff (extractor/markdown.py) only claims pages that
+        # previously fell through to the one-big-text-block path
+        return tokenize_markdown(html)
+    return tokenize(html)
+
+
 def _run(html: bytes | str | None, selector) -> ExtractResult:
     if html is None or len(html) == 0:
         return _EMPTY
@@ -216,47 +263,7 @@ def _run(html: bytes | str | None, selector) -> ExtractResult:
     if len(html) > MAX_HTML_BYTES:
         html = html[:MAX_HTML_BYTES]
         truncated = True
-    # magic-byte format dispatch (the north rule's "HTML boilerplate
-    # strip, PDF/layout parse"): PDFs tokenize via the content-stream
-    # machine, OOXML containers via the OPC walks (WordprocessingML
-    # .docx, SpreadsheetML .xlsx); everything downstream — XY-cut,
-    # scoring, islands — is shared. Existing HTML behavior is
-    # untouched (no HTML page starts with %PDF- or PK\x03\x04), so
-    # the frozen kernel's byte-identity contract holds.
-    if is_pdf(html):
-        blocks = tokenize_pdf(html)
-    elif is_rtf(html):
-        blocks = tokenize_rtf(html)
-    elif is_docx(html):
-        blocks = tokenize_docx(html)
-    elif is_xlsx(html):
-        blocks = tokenize_xlsx(html)
-    elif is_pptx(html):
-        blocks = tokenize_pptx(html)
-    elif is_epub(html):
-        blocks = tokenize_epub(html)
-    elif is_odt(html):
-        blocks = tokenize_odt(html)
-    elif is_ods(html):
-        blocks = tokenize_ods(html)
-    elif is_odp(html):
-        blocks = tokenize_odp(html)
-    elif is_doc(html):
-        blocks = tokenize_doc(html)
-    elif is_xls(html):
-        blocks = tokenize_xls(html)
-    elif is_ppt(html):
-        blocks = tokenize_ppt(html)
-    elif is_mhtml(html):
-        blocks = tokenize_mhtml(html)
-    elif is_markdown(html):
-        # LAST gate before the HTML fallback: markdown has no magic,
-        # so every tagged/binary format wins first and the structural-
-        # evidence sniff (extractor/markdown.py) only claims pages that
-        # previously fell through to the one-big-text-block path
-        blocks = tokenize_markdown(html)
-    else:
-        blocks = tokenize(html)
+    blocks = dispatch_blocks(html)
     if not blocks:
         return ExtractResult("", (), 0, 0, truncated)
     ordered = reading_order(blocks)

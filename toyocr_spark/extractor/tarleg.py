@@ -1,0 +1,185 @@
+"""TAR archive tokenizer — the sixteenth leg of the format dispatch,
+covering the multi-document bundles crawls carry in bulk (arXiv source
+tarballs, dataset dumps, site exports). A `.tar.gz` / `.tar.bz2` /
+`.tar.xz` arrives here for free: the transfer-envelope strip
+(extractor/core.py) removes the compression before dispatch sees the
+`ustar` magic.
+
+Reference analogue: the byte -> array decode seam shared by every
+container leg (/root/reference/data/dataset_mapper.py:151-155).
+
+Shared-kernel design, the EPUB/MHTML pattern: the archive walk only
+resolves WHICH bytes are documents; each member then re-enters the
+ordinary format dispatch (core.dispatch_blocks), so a PDF member
+tokenizes via the content-stream machine, an HTML member via the HTML
+tokenizer, a README via the markdown leg — one chain, one rule set.
+
+Boundedness (the zip-bomb discipline every container leg carries):
+at most MAX_MEMBERS members walk, each member read is capped at
+MAX_MEMBER_BYTES, nested tars do NOT recurse (depth 1 — a tar member
+inside a tar is skipped), and a member that matches no known format
+and is not strict-UTF-8 text is an opaque resource (images, pickles)
+that must never reach the HTML tokenizer's lossy-decode path.
+
+Determinism: malformed archives tokenize to whatever the truncated
+walk yields — same bytes, same blocks, never an exception."""
+
+from __future__ import annotations
+
+import io
+
+# POSIX ustar: magic at offset 257 is "ustar\0" (PAX/POSIX.1-1988) or
+# "ustar  \0"-ish (old GNU). Combined with the 512-byte header-checksum
+# verification below this is unforgeable by prose or markup.
+_MAGIC_OFFSET = 257
+
+MAX_MEMBERS = 64
+MAX_MEMBER_BYTES = 4 * 1024 * 1024
+
+
+def _checksum_ok(header: bytes) -> bool:
+    """Verify the ustar header checksum (bytes 148:156 hold the octal
+    sum of the header with the checksum field read as spaces)."""
+    try:
+        stored = int(header[148:156].replace(b"\x00", b" ").strip() or b"0", 8)
+    except ValueError:
+        return False
+    calc = sum(header[:148]) + 8 * 0x20 + sum(header[156:512])
+    return stored == calc
+
+
+def is_tar(data: bytes | str | None) -> bool:
+    if not isinstance(data, (bytes, bytearray)) or len(data) < 512:
+        return False
+    magic = bytes(data[_MAGIC_OFFSET : _MAGIC_OFFSET + 5])
+    if magic != b"ustar":
+        return False
+    return _checksum_ok(bytes(data[:512]))
+
+
+def _member_blocks(payload: bytes) -> list:
+    """Dispatch one member's bytes through the shared format chain,
+    with the opaque-resource gate: known formats always tokenize;
+    unknown bytes tokenize only if their head is strict UTF-8 text."""
+    from toyocr_spark.extractor import core
+
+    probe = payload[:4096]
+    known = (
+        probe[:5] in (b"%PDF-", b"{\\rtf")
+        or probe[:4] == b"PK\x03\x04"
+        or probe[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+    )
+    if not known:
+        # strict-UTF-8 text gate (trim a trailing partial sequence)
+        for cut in range(4):
+            try:
+                probe[: len(probe) - cut].decode("utf-8")
+                break
+            except UnicodeDecodeError:
+                continue
+        else:
+            return []  # opaque resource: never lossy-decoded
+        if b"\x00" in probe:
+            return []
+    return core.dispatch_blocks(payload)
+
+
+_TAR_HREF = None  # compiled lazily (re import stays off the hot path)
+
+
+def tar_links(data: bytes) -> list[str]:
+    """Outbound ABSOLUTE links from an archive's document members in
+    archive order, duplicates preserved — the tar leg of outlink
+    mining. Relative targets inside a bundle point at packaged
+    siblings (the epub_links contract); members route per format
+    (markdown_links for READMEs, pdf_links for PDFs, href regex for
+    markup/text), opaque resources and nested tars contribute
+    nothing. Malformed archives -> []."""
+    global _TAR_HREF
+    import re as _re
+
+    if _TAR_HREF is None:
+        _TAR_HREF = _re.compile(r'(?i)href="(https?://[^"]+)"')
+    out: list[str] = []
+    for payload in _members(data):
+        from toyocr_spark.extractor.docx import docx_links, is_docx
+        from toyocr_spark.extractor.markdown import is_markdown, markdown_links
+        from toyocr_spark.extractor.pdf import is_pdf, pdf_links
+
+        try:
+            if is_pdf(payload):
+                out.extend(pdf_links(payload))
+            elif is_docx(payload):
+                out.extend(docx_links(payload))
+            elif is_markdown(payload):
+                out.extend(markdown_links(payload))
+            else:
+                try:
+                    text = payload.decode("utf-8")
+                except UnicodeDecodeError:
+                    continue  # opaque resource
+                out.extend(m.group(1) for m in _TAR_HREF.finditer(text))
+        except Exception:  # noqa: BLE001 — member-local quiet skip
+            continue
+    return out
+
+
+def _members(data: bytes):
+    """Yield each regular member's (envelope-stripped, bounded) bytes
+    in archive order — the shared walk under tokenize_tar/tar_links."""
+    import tarfile
+
+    from toyocr_spark.extractor import core
+
+    try:
+        tf = tarfile.open(fileobj=io.BytesIO(bytes(data)), mode="r:")
+    except (tarfile.TarError, OSError, EOFError, ValueError):
+        return
+    try:
+        n = 0
+        while n < MAX_MEMBERS:
+            try:
+                member = tf.next()
+            except (tarfile.TarError, OSError, EOFError, ValueError):
+                break
+            if member is None:
+                break
+            if not member.isreg():
+                continue
+            n += 1
+            try:
+                f = tf.extractfile(member)
+                if f is None:
+                    continue
+                payload = f.read(MAX_MEMBER_BYTES)
+            except (tarfile.TarError, OSError, EOFError, ValueError):
+                continue
+            if is_tar(payload):
+                continue  # no nested-archive recursion (depth 1)
+            codec = core._envelope_codec(payload)
+            if codec is not None:
+                unz = codec(payload)
+                if unz is None:
+                    continue
+                payload = unz[0]
+                if is_tar(payload):
+                    continue
+            yield payload
+    finally:
+        tf.close()
+
+
+def tokenize_tar(data: bytes) -> list:
+    """Walk a tar archive into Blocks: each regular-file member through
+    the ordinary format dispatch in archive order, ordinals renumbered
+    across the whole archive (the EPUB discipline, so islands can span
+    member boundaries). Malformed archives tokenize to []."""
+    blocks: list = []
+    for payload in _members(data):
+        try:
+            blocks.extend(_member_blocks(payload))
+        except Exception:  # noqa: BLE001 — one bad member never
+            continue  # poisons the archive's other documents
+    for i, b in enumerate(blocks):
+        b.ordinal = i
+    return blocks

@@ -23,6 +23,8 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, functions as F
 
+from toyocr_spark.extractor.tarleg import _MAGIC_OFFSET
+
 _HREF_RE = '(?i)href="([^"]+)"'
 
 
@@ -73,8 +75,16 @@ def mine_outlinks(
                 | F.contains(head, F.lit(b"\n### "))
             )
         )
+        # tar bundles route to the kernel (tar_links walks the members);
+        # any OTHER binary junk (NUL in the head, no known magic) also
+        # routes there, where the pdf_links fallback mines [] — the HTML
+        # regexp leg must never F.decode invalid UTF-8 (it throws)
+        is_tar_b = F.substring(col, _MAGIC_OFFSET + 1, 5) == F.lit(b"ustar")
+        has_nul = F.contains(head, F.lit(b"\x00"))
         magic = (
             (col.substr(1, 5) == F.lit(b"%PDF-"))
+            | is_tar_b
+            | has_nul
             | is_md_like
             | (col.substr(1, 5) == F.lit(b"{\\rtf"))
             | (col.substr(1, 8) == F.lit(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"))
@@ -143,6 +153,7 @@ def mine_outlinks(
         from toyocr_spark.extractor.pdf import pdf_links
         from toyocr_spark.extractor.pptx import is_pptx
         from toyocr_spark.extractor.rtf import is_rtf, rtf_links
+        from toyocr_spark.extractor.tarleg import is_tar, tar_links
         from toyocr_spark.extractor.xlsx import is_xlsx
 
         for b in it:
@@ -172,6 +183,8 @@ def mine_outlinks(
                     links = doc_links(data)  # CP order, absolute only
                 elif is_mhtml(data):
                     links = mhtml_links(data)  # decoded parts, absolute only
+                elif is_tar(data):
+                    links = tar_links(data)  # member walk, absolute only
                 elif is_markdown(data):
                     links = markdown_links(data)  # absolute only, fences excluded
                 else:

@@ -9022,6 +9022,100 @@ def q152_markdown_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q153_tar_extract",
+    """
+    SELECT 'https://tar-' || CAST(doc_id AS VARCHAR) || '.example/bundle.tar' AS url,
+           'Archive doc ' || CAST(doc_id AS VARCHAR) || ' heading'
+             || chr(10) || text
+             || chr(10) || 'Readme ' || CAST(doc_id AS VARCHAR) || ' heading long enough'
+             || chr(10) || 'Readme body paragraph for document '
+             || CAST(doc_id AS VARCHAR) || ' inside the archive' AS extracted_text,
+           4 AS n_kept
+    FROM documents
+    """,
+    "DRIVER-CHECKABLE TAR multi-document extraction — the bundle "
+    "format of arXiv sources and dataset dumps: each row's archive "
+    "carries an HTML member (nav plant + heading + the row's text), a "
+    "GZIPPED markdown README member (the in-archive envelope strip), "
+    "an opaque PNG resource that must never reach the lossy-decode "
+    "path, a NESTED tar that must not recurse, and a directory + "
+    "symlink pair (structural, skipped). Every member re-enters the "
+    "shared format dispatch (core.dispatch_blocks), ordinals renumber "
+    "across members so islands span boundaries, and odd doc_ids wrap "
+    "the WHOLE archive in gzip (.tar.gz via the transfer-envelope "
+    "strip). The oracle derives both members' surviving text in "
+    "closed form. extractor/tarleg.py; fixtures/gentar.py. Map-only: "
+    "one pre-kernel repartition, then synth + extract in sanctioned "
+    "Arrow kernels, zero shuffle after.",
+)
+def q153_tar_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    from toyocr_spark.pipeline import extract_pages
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("html", T.BinaryType(), False),
+        ]
+    )
+    nav = (
+        '<nav><ul><li><a href="/a">one link</a></li>'
+        '<li><a href="/b">two link</a></li></ul></nav>'
+    )
+
+    def batches(it):
+        import gzip
+
+        from toyocr_spark.fixtures.genmd import build_md
+        from toyocr_spark.fixtures.gentar import build_tar
+
+        for b in it:
+            urls, blobs = [], []
+            for did, text in zip(b.column(0).to_pylist(), b.column(1).to_pylist()):
+                page = (
+                    f"<html><body>{nav}<h1>Archive doc {did} heading</h1>"
+                    f"<p>{text}</p></body></html>"
+                ).encode()
+                md = build_md(
+                    f"Readme {did} heading long enough",
+                    [f"Readme body paragraph for document {did} inside the archive"],
+                )
+                png = b"\x89PNG\r\n\x1a\n" + bytes(range(256))
+                blob = build_tar(
+                    [
+                        ("page.html", page),
+                        ("README.md.gz", gzip.compress(md, 9, mtime=0)),
+                        ("res/logo.png", png),
+                        ("inner.tar", build_tar([("x.txt", b"nested never recurses " * 3)])),
+                    ],
+                    with_dir=True,
+                    with_symlink=True,
+                )
+                if did % 2:
+                    blob = gzip.compress(blob, 9, mtime=0)
+                urls.append(f"https://tar-{did}.example/bundle.tar")
+                blobs.append(blob)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()), pa.array(blobs, pa.binary())],
+                names=["url", "html"],
+            )
+
+    pages = d.mapInArrow(batches, schema)
+    out = extract_pages(pages)
+    return out.select(
+        "url", "extracted_text", F.col("n_kept").cast("int").alias("n_kept")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
@@ -9062,6 +9156,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q150_hreflang_pairs",  # new: reciprocal hreflang bitext-page pairing
     "q151_microdata",  # new: schema.org microdata harvest (JSON-LD twin)
     "q152_markdown_extract",  # new: Markdown format leg (structural sniff)
+    "q153_tar_extract",  # new: TAR multi-document bundle walk
     "q116_sentence_align",  # oracle: rows-only -> planted closed form
     # flagship
     "q25_extract",
