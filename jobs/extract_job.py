@@ -60,6 +60,12 @@ def main(argv: list[str] | None = None) -> int:
         help="WET segment count (pick ~ corpus_bytes / 1 GB at scale)",
     )
     ap.add_argument(
+        "--wat-output", default=None,
+        help="also export per-url metadata (title span, outlink edges, "
+        "extraction counts) as WAT metadata segments — Common Crawl's "
+        "third sidecar next to WET and CDX — under this directory",
+    )
+    ap.add_argument(
         "--cdx-output", default=None,
         help="also build the sorted SURT-keyed CDX capture index over "
         "the input pages under this directory (index shards + "
@@ -114,6 +120,18 @@ def main(argv: list[str] | None = None) -> int:
             write_wet(
                 read_result(spark, args.output),
                 args.wet_output,
+                segments=args.wet_segments,
+            )
+        )
+    if args.wat_output:
+        from toyocr_spark.functions.linkmine import mine_outlinks
+        from toyocr_spark.sources.warc import write_wat
+
+        summary["wat_files"] = len(
+            write_wat(
+                read_result(spark, args.output),
+                args.wat_output,
+                edges=mine_outlinks(pages),
                 segments=args.wet_segments,
             )
         )

@@ -50,18 +50,32 @@ def test_full_crawl_to_corpus_journey(tmp_path, spark):
         "--input", glob, "--input-format", "warc",
         "--output", out_dir, "--n-chunks", "2",
         "--wet-output", str(tmp_path / "wet"), "--wet-segments", "2",
+        "--wat-output", str(tmp_path / "wat"),
         "--cdx-output", str(tmp_path / "cdx"), "--cdx-shards", "2",
     )
     assert summary["rows_extracted"] == 80
     assert summary["cdx_rows"] == 80
     assert summary["wet_files"] >= 1
+    assert summary["wat_files"] >= 1
 
-    # 3. WET sidecars round-trip through the WARC parser
+    # 3. WET + WAT sidecars round-trip through the WARC parser
     wet_texts = []
     for fn in sorted(os.listdir(tmp_path / "wet")):
         with open(tmp_path / "wet" / fn, "rb") as f:
             wet_texts += parse_warc(f.read(), types=("conversion",))
     assert len(wet_texts) == 80
+    import json as _json
+
+    wat_recs = []
+    for fn in sorted(os.listdir(tmp_path / "wat")):
+        with open(tmp_path / "wat" / fn, "rb") as f:
+            wat_recs += parse_warc(f.read(), types=("metadata",))
+    assert len(wat_recs) == 80
+    assert all(
+        "Payload-Metadata"
+        in _json.loads(bytes(r["html"]).decode("utf-8"))["Envelope"]
+        for r in wat_recs
+    )
 
     # 4. curation + tokenizer training on the extracted corpus
     from pyspark.sql import functions as F

@@ -140,6 +140,75 @@ def test_wet_export_round_trip_byte_identity(spark, warc_dir, tmp_path):
             assert a.read() == b.read(), (p1, p2)
 
 
+def test_wat_export_metadata_envelope(spark, warc_dir, tmp_path):
+    """The WAT sink (Common Crawl's third sidecar): every url gets one
+    WARC metadata record whose JSON envelope carries the title span,
+    the sorted outlink edges, and the extraction counts — parseable
+    back with the ordinary WARC parser, json.loads-clean, and
+    byte-identical across re-runs."""
+    import json
+
+    from toyocr_spark.functions.linkmine import mine_outlinks
+    from toyocr_spark.sources.warc import write_wat
+
+    pages = read_warc(spark, warc_dir + "/*")
+    result = extract_pages(pages)
+    edges = mine_outlinks(pages)
+    by_url = {}
+    for r in edges.collect():
+        by_url.setdefault(r["src_url"], []).append(r["target"])
+    expected_meta = {
+        r["url"]: (r["n_blocks"], r["n_kept"]) for r in result.collect()
+    }
+
+    out1 = str(tmp_path / "wat1")
+    out2 = str(tmp_path / "wat2")
+    paths1 = write_wat(result, out1, edges=edges, segments=4)
+    paths2 = write_wat(result, out2, edges=edges, segments=4)
+
+    seen = {}
+    for p in paths1:
+        with open(p, "rb") as f:
+            for rec in parse_warc(f.read(), types=("metadata",)):
+                seen[rec["url"]] = json.loads(bytes(rec["html"]).decode("utf-8"))
+    assert set(seen) == set(expected_meta)
+    for url, env in seen.items():
+        pm = env["Envelope"]["Payload-Metadata"]
+        assert pm["Extraction-Metadata"]["Blocks"] == expected_meta[url][0]
+        assert pm["Extraction-Metadata"]["Kept-Blocks"] == expected_meta[url][1]
+        links = [x["url"] for x in pm["HTML-Metadata"]["Links"]]
+        assert links == sorted(by_url.get(url, []))
+        title = pm["HTML-Metadata"]["Head"].get("Title")
+        if title is not None:
+            assert isinstance(title, str) and title
+    for p1, p2 in zip(paths1, paths2):
+        with open(p1, "rb") as a, open(p2, "rb") as b:
+            assert a.read() == b.read(), (p1, p2)
+
+
+def test_wat_title_is_the_first_title_span(spark, tmp_path):
+    from toyocr_spark.pipeline import extract_pages as ep
+    from toyocr_spark.sources.warc import wat_segments
+
+    html = (
+        "<html><body><h1>The Document Title</h1>"
+        "<p>Body paragraph long enough to be kept by the scorer.</p>"
+        "</body></html>"
+    ).encode()
+    pages = spark.createDataFrame(
+        [("https://t.example/a", bytearray(html))], "url string, html binary"
+    )
+    import json
+
+    seg = wat_segments(ep(pages), segments=1).collect()[0]
+    body = bytes(seg["wat"]).split(b"\r\n\r\n")[1]
+    env = json.loads(body.decode("utf-8"))
+    assert (
+        env["Envelope"]["Payload-Metadata"]["HTML-Metadata"]["Head"]["Title"]
+        == "The Document Title"
+    )
+
+
 def test_wet_segments_deterministic_and_ordered(spark):
     """Segment routing is url-hash, in-segment order is by url: the
     same rows in any input order produce identical segment bytes."""

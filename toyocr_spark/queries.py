@@ -9116,6 +9116,76 @@ def q153_tar_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q154_crawl_traps",
+    """
+    WITH hosts AS (
+      SELECT doc_id % 20 AS h,
+             count(*) AS n_urls,
+             count(DISTINCT CASE WHEN doc_id % 20 < 4
+                    THEN '/cal/N-N-N/event'
+                    ELSE '/p/' || translate(CAST(doc_id AS VARCHAR),
+                                            '0123456789', 'abcdefghij')
+                         || '/item' END) AS n_templates
+      FROM documents GROUP BY doc_id % 20
+    )
+    SELECT 'trap-host-' || CAST(h AS VARCHAR) || '.example' AS host,
+           n_urls, CAST(n_templates AS BIGINT) AS n_templates,
+           n_templates * 8 < n_urls AS is_trap
+    FROM hosts
+    """,
+    "crawl-trap detection — the frontier-poisoning defense every real "
+    "crawler needs: calendar pages, session-id echoes and faceted "
+    "search generate INFINITE url spaces under one host, and the "
+    "tell is template collapse (digit runs -> N) leaving far fewer "
+    "distinct path TEMPLATES than paths. Hosts 0-3 plant the trap "
+    "shape (a /cal/YYYY-MM-DD/event calendar: every url distinct, "
+    "every template identical after collapse); organic hosts carry "
+    "letter-keyed paths whose templates stay distinct per url. Flag "
+    "= integer cross-multiplied ratio (templates*8 < urls), the "
+    "scorer discipline. One regexp_replace map + a partial-agg "
+    "count(DISTINCT) two-phase shape — no per-host url collection "
+    "ever materializes, so the hottest trap host (millions of urls, "
+    "ONE template) arrives at the final agg as one row. All JVM, "
+    "closed-form oracle.",
+)
+def q154_crawl_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    h = F.pmod(did, F.lit(20))
+    host = F.concat(F.lit("trap-host-"), h.cast("string"), F.lit(".example"))
+    path = F.when(
+        h < 4,
+        F.concat(
+            F.lit("/cal/20"),
+            F.lpad((did % 26).cast("string"), 2, "0"),
+            F.lit("-"),
+            F.lpad((1 + did % 12).cast("string"), 2, "0"),
+            F.lit("-"),
+            F.lpad((1 + did % 28).cast("string"), 2, "0"),
+            F.lit("/event"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("/p/"),
+            F.translate(did.cast("string"), "0123456789", "abcdefghij"),
+            F.lit("/item"),
+        )
+    )
+    urls = d.select(host.alias("host"), path.alias("path"))
+    templ = F.regexp_replace("path", r"[0-9]+", "N")
+    per_host = urls.select("host", templ.alias("template")).groupBy("host").agg(
+        F.count("*").alias("n_urls"),
+        F.countDistinct("template").alias("n_templates"),
+    )
+    return per_host.select(
+        "host",
+        "n_urls",
+        "n_templates",
+        (F.col("n_templates") * 8 < F.col("n_urls")).alias("is_trap"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
@@ -9157,6 +9227,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q151_microdata",  # new: schema.org microdata harvest (JSON-LD twin)
     "q152_markdown_extract",  # new: Markdown format leg (structural sniff)
     "q153_tar_extract",  # new: TAR multi-document bundle walk
+    "q154_crawl_traps",  # new: URL-template-collapse trap-host detection
     "q116_sentence_align",  # oracle: rows-only -> planted closed form
     # flagship
     "q25_extract",

@@ -317,6 +317,152 @@ def write_wet(
     return sorted(paths)
 
 
+def wat_segments(
+    result: DataFrame,
+    edges: DataFrame | None = None,
+    segments: int = 16,
+    ts_col: str | None = None,
+) -> DataFrame:
+    """Extraction results (+ optional ``(src_url, target)`` outlink
+    edges from ``linkmine.mine_outlinks``) -> one row per WAT segment:
+    ``(segment, n_records, wat binary)`` where ``wat`` is the
+    concatenation of WARC *metadata* records carrying a JSON envelope
+    per url — Common Crawl's WAT sidecar (title, outlinks, extraction
+    metadata), completing the artifact trio next to WET and CDX.
+
+    The JSON is built ENTIRELY JVM-side with to_json over a fixed
+    struct (field order is the struct's, never a dict's), the title is
+    the first 'title' span sliced out of extracted_text by the span
+    offsets, links are sorted for determinism, and record bytes
+    assemble exactly like wet_segments (octet-exact Content-Length).
+    Fully deterministic: same inputs -> byte-identical segments.
+
+    Scale shape: one left join on url (edges pre-collapsed per url by
+    a partial agg) + one shuffle on the segment key — the same
+    two-Exchange budget as the WET sink plus the edge join."""
+    spans = F.col("spans")
+    tspan = F.try_element_at(
+        F.filter(spans, lambda s: s["kind"] == F.lit("title")), F.lit(1)
+    )
+    title = F.when(
+        tspan.isNotNull(),
+        F.substring(
+            F.col("extracted_text"),
+            (tspan["start"] + 1).cast("int"),
+            (tspan["end"] - tspan["start"]).cast("int"),
+        ),
+    )
+    base = result.select(
+        "url",
+        title.alias("_title"),
+        F.col("n_blocks"),
+        F.col("n_kept"),
+        F.col("truncated"),
+        *([F.col(ts_col).alias("_ts")] if ts_col else []),
+    )
+    if edges is not None:
+        per_url = edges.groupBy(F.col("src_url").alias("url")).agg(
+            F.array_sort(F.collect_list("target")).alias("_links")
+        )
+        base = base.join(per_url, "url", "left")
+    else:
+        base = base.withColumn("_links", F.lit(None).cast("array<string>"))
+    envelope = F.to_json(
+        F.struct(
+            F.struct(
+                F.struct(
+                    F.struct(
+                        F.struct(F.col("_title").alias("Title")).alias("Head"),
+                        F.transform(
+                            F.coalesce(
+                                F.col("_links"), F.array().cast("array<string>")
+                            ),
+                            lambda u: F.struct(u.alias("url")),
+                        ).alias("Links"),
+                    ).alias("HTML-Metadata"),
+                    F.struct(
+                        F.col("n_blocks").alias("Blocks"),
+                        F.col("n_kept").alias("Kept-Blocks"),
+                        F.col("truncated").alias("Truncated"),
+                    ).alias("Extraction-Metadata"),
+                ).alias("Payload-Metadata")
+            ).alias("Envelope")
+        )
+    )
+    body = F.encode(envelope, "UTF-8")
+    ts = (
+        F.date_format(F.col("_ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+        if ts_col
+        else F.lit("1970-01-01T00:00:00Z")
+    )
+    rec = F.concat(
+        F.encode(
+            F.concat_ws(
+                "\r\n",
+                F.lit("WARC/1.0"),
+                F.lit("WARC-Type: metadata"),
+                F.concat(F.lit("WARC-Target-URI: "), F.col("url")),
+                F.concat(F.lit("WARC-Date: "), ts),
+                F.lit("Content-Type: application/json"),
+                F.concat(
+                    F.lit("Content-Length: "),
+                    F.octet_length(body).cast("string"),
+                ),
+                F.lit("\r\n"),
+            ),
+            "UTF-8",
+        ),
+        body,
+        F.encode(F.lit("\r\n\r\n"), "UTF-8"),
+    )
+    keyed = base.select(
+        F.pmod(F.xxhash64("url"), F.lit(segments)).alias("segment"),
+        F.col("url"),
+        rec.alias("rec"),
+    )
+    return keyed.groupBy("segment").agg(
+        F.count("*").alias("n_records"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("url", "rec"))),
+                lambda x: x["rec"],
+            ),
+            F.lit(b""),
+            lambda acc, x: F.concat(acc, x),
+        ).alias("wat"),
+    )
+
+
+def write_wat(
+    result: DataFrame,
+    out_dir: str,
+    edges: DataFrame | None = None,
+    segments: int = 16,
+    compress: bool = True,
+) -> list[str]:
+    """Materialize ``wat_segments`` as ``wat-{segment:05d}.warc.wat[.gz]``
+    files under ``out_dir`` — the write_wet committer contract (driver
+    toLocalIterator at demo scale, foreachPartition on a cluster;
+    gzip mtime=0 so re-running is byte-identical)."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths: list[str] = []
+    suffix = ".warc.wat.gz" if compress else ".warc.wat"
+    for row in wat_segments(result, edges, segments).toLocalIterator():
+        data = bytes(row["wat"])
+        if compress:
+            buf = io.BytesIO()
+            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+                g.write(data)
+            data = buf.getvalue()
+        path = os.path.join(out_dir, f"wat-{row['segment']:05d}{suffix}")
+        with open(path, "wb") as f:
+            f.write(data)
+        paths.append(path)
+    return sorted(paths)
+
+
 # ------------------------------------------------------ fixture writer
 
 
