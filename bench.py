@@ -171,16 +171,16 @@ def bench_pdf_extraction(spark, sf_dir: str, cpus: int) -> dict:
 
 def bench_office_extraction(spark, sf_dir: str, cpus: int) -> dict:
     """Secondary metric: the container/plain-text legs of the kernel
-    (docx/xlsx/pptx/epub/rtf/doc/xls/ppt/mht/odt/ods/odp/md cycling
-    evenly) over a synthesized all-office corpus — same protocol as the
-    PDF leg; the headline and scaling stay HTML-only for
-    round-over-round comparability."""
+    (docx/xlsx/pptx/epub/rtf/doc/xls/ppt/mht/odt/ods/odp/md/tar
+    cycling evenly) over a synthesized all-office corpus — same
+    protocol as the PDF leg; the headline and scaling stay HTML-only
+    for round-over-round comparability."""
     from toyocr_spark.bench_corpus import materialize_office_corpus
     from toyocr_spark.pipeline import run_extraction
     from toyocr_spark.sources.pages import PAGES_SCHEMA
 
-    # cache key carries the format-cycle width: a five-format corpus
-    # from an older build must never serve the ten-format leg
+    # cache key carries the format-cycle width: a corpus from an
+    # older, narrower format cycle must never serve this leg's timing
     path = f"{CORPUS_CACHE}_office14_{sf_of(sf_dir)}_r{OFFICE_REPLICAS}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         tmp = path + ".build"

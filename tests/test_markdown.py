@@ -171,6 +171,20 @@ def test_markdown_links_absolute_only_and_fence_excluded():
     assert sum("nav.example" in u for u in links) == 3
 
 
+def test_markdown_links_mine_raw_inline_html_anchors():
+    """Raw inline HTML is spec-legal markdown and ubiquitous in
+    READMEs: its absolute <a href> anchors are edges too (the
+    pre-markdown-leg regexp behavior, preserved)."""
+    blob = build_md(
+        "Document heading long enough",
+        [_PARA + ' <a href="https://raw.example/page">raw anchor</a>'
+         ' <a href="./local.html">rel</a>'],
+    )
+    links = markdown_links(blob)
+    assert "https://raw.example/page" in links
+    assert all("local.html" not in u for u in links)
+
+
 # --- fuzz / determinism ------------------------------------------------------
 
 

@@ -94,6 +94,16 @@ def test_member_cap_bounds_the_walk():
     assert len(blocks) == MAX_MEMBERS * per_member
 
 
+def test_zlib_forged_prose_member_dispatches_as_is():
+    """A text member starting 'x^' passes the forgeable 2-byte zlib
+    gate but is not a zlib stream: the core._run contract says
+    'never was an envelope — dispatch as-is', and the tar walk must
+    honor it rather than dropping the member."""
+    prose = b"x^2 + y^2 = z^2 holds for the planted pythagorean text here."
+    blob = build_tar([("math.txt", prose)])
+    assert "x^2 + y^2 = z^2" in extract(blob).text
+
+
 def test_plain_text_member_tokenizes():
     blob = build_tar(
         [("notes.txt", b"Plain prose member long enough to be kept by scoring.")]

@@ -313,6 +313,43 @@ def test_mine_outlinks_tar_markdown_and_junk_binary(spark):
     )
 
 
+def test_mine_outlinks_total_over_hostile_bytes(spark):
+    """Gate false positives must never silently zero a page's edges,
+    and the html leg must be total over arbitrary bytes: latin-1
+    markup (invalid UTF-8, no NUL) mines its ASCII hrefs via the
+    lenient decode; binary-corrupt HTML (stray NUL) stays on the html
+    leg; prose with 'ustar' at offset 257 fails the kernel's checksum
+    gate but still mines its absolute hrefs via the kernel fallback."""
+    from toyocr_spark.functions.linkmine import mine_outlinks
+
+    latin1 = (
+        b"<html><body>caf\xe9 cr\xe8me"
+        b'<a href="https://l1.example/x">x</a></body></html>'
+    )
+    nul_html = (
+        b"<html><body>\x00 corrupt"
+        b'<a href="https://nul.example/y">y</a></body></html>'
+    )
+    pad = b"A" * 200 + b"\n"
+    ustar_text = (pad + b'line <a href="https://u.example/z">z</a> ')
+    ustar_text = (
+        ustar_text + b" " * (257 - len(ustar_text)) + b"ustar trailing prose"
+    )
+    assert ustar_text[257:262] == b"ustar"
+    rows = [
+        ("https://a.example/latin1.html", bytearray(latin1)),
+        ("https://b.example/nul.html", bytearray(nul_html)),
+        ("https://c.example/ustar.txt", bytearray(ustar_text)),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = sorted((r["src_url"], r["target"]) for r in mine_outlinks(df).collect())
+    assert got == [
+        ("https://a.example/latin1.html", "https://l1.example/x"),
+        ("https://b.example/nul.html", "https://nul.example/y"),
+        ("https://c.example/ustar.txt", "https://u.example/z"),
+    ]
+
+
 def test_parse_robots_directives(spark):
     from toyocr_spark.functions.urlfns import parse_robots_directives
 

@@ -55,6 +55,7 @@ _EMPH_RE = re.compile(r"(\*\*|\*|~~)(?=\S)(.+?)(?<=\S)\1")
 # (CommonMark 6.2): require non-alnum on both flanks
 _EMPH_U_RE = re.compile(r"(?<![A-Za-z0-9])(__|_)(?=\S)(.+?)(?<=\S)\1(?![A-Za-z0-9])")
 _HTML_TAG_RE = re.compile(r"</?[a-zA-Z][^>]*>")
+_HTML_ABS_HREF_RE = re.compile(r'(?i)href="(https?://[^"]+)"')
 
 # sniff evidence patterns (over the decoded head, multiline)
 _EV_HEADING = re.compile(r"(?m)^#{1,6}[ \t]+\S")
@@ -288,11 +289,13 @@ def tokenize_markdown(data: bytes) -> list[Block]:
 
 
 def markdown_links(data: bytes) -> list[str]:
-    """Outbound ABSOLUTE link targets ([text](url) + <autolink>) in
-    document order, duplicates preserved — the markdown leg of outlink
-    mining. Relative targets are intra-repo navigation, not edges
-    (the epub_links contract). Fenced code is excluded: a URL inside a
-    code sample is quotation, not an assertion of linkage."""
+    """Outbound ABSOLUTE link targets ([text](url), <autolink>, and
+    raw inline-HTML <a href=...> anchors — spec-legal and ubiquitous
+    in READMEs) in document order, duplicates preserved — the markdown
+    leg of outlink mining. Relative targets are intra-repo navigation,
+    not edges (the epub_links contract). Fenced code is excluded: a
+    URL inside a code sample is quotation, not an assertion of
+    linkage."""
     if not isinstance(data, (bytes, bytearray)):
         return []
     try:
@@ -319,5 +322,7 @@ def markdown_links(data: bytes) -> list[str]:
         if "://" in m.group(2):
             out.append(m.group(2))
     for m in _AUTOLINK_RE.finditer(body):
+        out.append(m.group(1))
+    for m in _HTML_ABS_HREF_RE.finditer(body):
         out.append(m.group(1))
     return out

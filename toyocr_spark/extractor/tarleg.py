@@ -19,7 +19,12 @@ at most MAX_MEMBERS members walk, each member read is capped at
 MAX_MEMBER_BYTES, nested tars do NOT recurse (depth 1 — a tar member
 inside a tar is skipped), and a member that matches no known format
 and is not strict-UTF-8 text is an opaque resource (images, pickles)
-that must never reach the HTML tokenizer's lossy-decode path.
+that must never reach the HTML tokenizer's lossy-decode path. The
+caps are the security property; they are MEMBER-local and not
+surfaced in ExtractResult.truncated (which still reports the
+page-level bound: an archive over MAX_HTML_BYTES, or a whole-archive
+envelope inflating past it, flags as before — only a small archive
+whose in-archive .gz member inflates past the bound trims silently).
 
 Determinism: malformed archives tokenize to whatever the truncated
 walk yields — same bytes, same blocks, never an exception."""
@@ -27,6 +32,7 @@ walk yields — same bytes, same blocks, never an exception."""
 from __future__ import annotations
 
 import io
+import re
 
 # POSIX ustar: magic at offset 257 is "ustar\0" (PAX/POSIX.1-1988) or
 # "ustar  \0"-ish (old GNU). Combined with the 512-byte header-checksum
@@ -84,7 +90,7 @@ def _member_blocks(payload: bytes) -> list:
     return core.dispatch_blocks(payload)
 
 
-_TAR_HREF = None  # compiled lazily (re import stays off the hot path)
+_TAR_HREF = re.compile(r'(?i)href="(https?://[^"]+)"')
 
 
 def tar_links(data: bytes) -> list[str]:
@@ -95,17 +101,12 @@ def tar_links(data: bytes) -> list[str]:
     (markdown_links for READMEs, pdf_links for PDFs, href regex for
     markup/text), opaque resources and nested tars contribute
     nothing. Malformed archives -> []."""
-    global _TAR_HREF
-    import re as _re
+    from toyocr_spark.extractor.docx import docx_links, is_docx
+    from toyocr_spark.extractor.markdown import is_markdown, markdown_links
+    from toyocr_spark.extractor.pdf import is_pdf, pdf_links
 
-    if _TAR_HREF is None:
-        _TAR_HREF = _re.compile(r'(?i)href="(https?://[^"]+)"')
     out: list[str] = []
     for payload in _members(data):
-        from toyocr_spark.extractor.docx import docx_links, is_docx
-        from toyocr_spark.extractor.markdown import is_markdown, markdown_links
-        from toyocr_spark.extractor.pdf import is_pdf, pdf_links
-
         try:
             if is_pdf(payload):
                 out.extend(pdf_links(payload))
@@ -160,6 +161,13 @@ def _members(data: bytes):
             if codec is not None:
                 unz = codec(payload)
                 if unz is None:
+                    # the core._run contract: gzip/bz2/xz magics are
+                    # unforgeable, so a failed decode is a corrupt
+                    # envelope (skip); the 2-byte zlib gate is prose-
+                    # forgeable ('x^ ...'), so its failure means the
+                    # member never was an envelope — dispatch as-is
+                    if codec is core._unzlib:
+                        yield payload
                     continue
                 payload = unz[0]
                 if is_tar(payload):

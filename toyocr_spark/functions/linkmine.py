@@ -19,6 +19,7 @@ aggregates.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, functions as F
@@ -26,6 +27,7 @@ from pyspark.sql import DataFrame, functions as F
 from toyocr_spark.extractor.tarleg import _MAGIC_OFFSET
 
 _HREF_RE = '(?i)href="([^"]+)"'
+_ABS_HREF = re.compile(r'(?i)href="(https?://[^"]+)"')
 
 
 def mine_outlinks(
@@ -75,16 +77,11 @@ def mine_outlinks(
                 | F.contains(head, F.lit(b"\n### "))
             )
         )
-        # tar bundles route to the kernel (tar_links walks the members);
-        # any OTHER binary junk (NUL in the head, no known magic) also
-        # routes there, where the pdf_links fallback mines [] — the HTML
-        # regexp leg must never F.decode invalid UTF-8 (it throws)
+        # tar bundles route to the kernel (tar_links walks the members)
         is_tar_b = F.substring(col, _MAGIC_OFFSET + 1, 5) == F.lit(b"ustar")
-        has_nul = F.contains(head, F.lit(b"\x00"))
         magic = (
             (col.substr(1, 5) == F.lit(b"%PDF-"))
             | is_tar_b
-            | has_nul
             | is_md_like
             | (col.substr(1, 5) == F.lit(b"{\\rtf"))
             | (col.substr(1, 8) == F.lit(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"))
@@ -113,7 +110,12 @@ def mine_outlinks(
                 & F.contains(F.substring(col, 1, 4096), F.lit("]("))
             )
         )
-    markup = F.decode(col, "UTF-8") if is_bin else col
+    # lenient replacement decode: crawls carry latin-1/broken-UTF-8
+    # markup whose ASCII hrefs are still real edges — F.decode throws
+    # MALFORMED_CHARACTER_CODING on them, make_valid_utf8 never does,
+    # so the html leg is total over arbitrary bytes (junk binaries
+    # simply match no href)
+    markup = F.make_valid_utf8(col) if is_bin else col
 
     base_root = F.concat(
         F.substring_index(F.col(url_col), "://", 1),
@@ -150,7 +152,7 @@ def mine_outlinks(
         from toyocr_spark.extractor.ods import is_ods
         from toyocr_spark.extractor.odt import is_odt, odt_links
         from toyocr_spark.extractor.opc import opc_hyperlinks
-        from toyocr_spark.extractor.pdf import pdf_links
+        from toyocr_spark.extractor.pdf import is_pdf, pdf_links
         from toyocr_spark.extractor.pptx import is_pptx
         from toyocr_spark.extractor.rtf import is_rtf, rtf_links
         from toyocr_spark.extractor.tarleg import is_tar, tar_links
@@ -187,8 +189,19 @@ def mine_outlinks(
                     links = tar_links(data)  # member walk, absolute only
                 elif is_markdown(data):
                     links = markdown_links(data)  # absolute only, fences excluded
-                else:
+                elif is_pdf(data):
                     links = pdf_links(data)
+                else:
+                    # kernel-gate false positive (md-like prose, text
+                    # with 'ustar' at offset 257): mine absolute hrefs
+                    # so loose routing never silently zeroes a page's
+                    # edges (relative resolution stays a JVM-leg
+                    # feature; absolute edges are the contract here)
+                    try:
+                        text = data.decode("utf-8", errors="replace")
+                    except Exception:  # noqa: BLE001
+                        continue
+                    links = [m.group(1) for m in _ABS_HREF.finditer(text)]
                 for t in links:
                     srcs.append(u)
                     targets.append(t)

@@ -8920,7 +8920,9 @@ def q151_microdata(spark: SparkSession, sf_dir: str) -> DataFrame:
     html = F.concat(
         F.lit('<div itemscope itemtype="https://schema.org/'),
         F.when(did % 2 == 0, F.lit("Product")).otherwise(F.lit("Article")),
-        F.lit('"><i data-itemprop="fake">decoy</i><span itemprop="name">Item name '),
+        F.lit("\"><i data-itemprop=\"fake\">decoy</i>"
+              "<b itemprop='sq'>single-quoted decoy</b>"
+              '<span itemprop="name">Item name '),
         did.cast("string"),
         F.lit('</span><meta itemprop="price" content="9.99"/>'),
         F.aggregate(

@@ -289,32 +289,42 @@ def wet_segments(
     )
 
 
-def write_wet(
-    result: DataFrame, out_dir: str, segments: int = 16, compress: bool = True
+def _write_segments(
+    seg_df: DataFrame, out_dir: str, prefix: str, data_col: str, compress: bool
 ) -> list[str]:
-    """Materialize ``wet_segments`` as ``wet-{segment:05d}.warc.wet[.gz]``
-    files under ``out_dir``. Segments stream through the driver one at
-    a time (toLocalIterator) — the demo-scale committer; on a real
-    cluster the same rows would be written executor-side by a
-    foreachPartition committer against the object store. Gzip uses
-    mtime=0 so re-running produces byte-identical files."""
+    """Shared segment committer for the WET/WAT sinks: segments stream
+    through the driver one at a time (toLocalIterator) — the demo-scale
+    committer; on a real cluster the same rows would be written
+    executor-side by a foreachPartition committer against the object
+    store. Gzip uses mtime=0 so re-running produces byte-identical
+    files."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)
     paths: list[str] = []
-    suffix = ".warc.wet.gz" if compress else ".warc.wet"
-    for row in wet_segments(result, segments).toLocalIterator():
-        data = bytes(row["wet"])
+    suffix = f".warc.{prefix}.gz" if compress else f".warc.{prefix}"
+    for row in seg_df.toLocalIterator():
+        data = bytes(row[data_col])
         if compress:
             buf = io.BytesIO()
             with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
                 g.write(data)
             data = buf.getvalue()
-        path = os.path.join(out_dir, f"wet-{row['segment']:05d}{suffix}")
+        path = os.path.join(out_dir, f"{prefix}-{row['segment']:05d}{suffix}")
         with open(path, "wb") as f:
             f.write(data)
         paths.append(path)
     return sorted(paths)
+
+
+def write_wet(
+    result: DataFrame, out_dir: str, segments: int = 16, compress: bool = True
+) -> list[str]:
+    """Materialize ``wet_segments`` as ``wet-{segment:05d}.warc.wet[.gz]``
+    files under ``out_dir`` (committer contract: ``_write_segments``)."""
+    return _write_segments(
+        wet_segments(result, segments), out_dir, "wet", "wet", compress
+    )
 
 
 def wat_segments(
@@ -441,26 +451,10 @@ def write_wat(
     compress: bool = True,
 ) -> list[str]:
     """Materialize ``wat_segments`` as ``wat-{segment:05d}.warc.wat[.gz]``
-    files under ``out_dir`` — the write_wet committer contract (driver
-    toLocalIterator at demo scale, foreachPartition on a cluster;
-    gzip mtime=0 so re-running is byte-identical)."""
-    import os
-
-    os.makedirs(out_dir, exist_ok=True)
-    paths: list[str] = []
-    suffix = ".warc.wat.gz" if compress else ".warc.wat"
-    for row in wat_segments(result, edges, segments).toLocalIterator():
-        data = bytes(row["wat"])
-        if compress:
-            buf = io.BytesIO()
-            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
-                g.write(data)
-            data = buf.getvalue()
-        path = os.path.join(out_dir, f"wat-{row['segment']:05d}{suffix}")
-        with open(path, "wb") as f:
-            f.write(data)
-        paths.append(path)
-    return sorted(paths)
+    files under ``out_dir`` (committer contract: ``_write_segments``)."""
+    return _write_segments(
+        wat_segments(result, edges, segments), out_dir, "wat", "wat", compress
+    )
 
 
 # ------------------------------------------------------ fixture writer
