@@ -40,6 +40,13 @@ PROBES = [
     "q125_pdf_aes_extract",
     "q54_ann_ivf",
     "q77_semdedup",
+    # round-5 continuation: the two new container/text kernels (both
+    # map-only — ratios should track the per-row ideal) and the
+    # edge-vs-edge reciprocity join (both join sides grow with the
+    # corpus, so the ratio bounds the shuffle's row-linearity)
+    "q152_markdown_extract",
+    "q153_tar_extract",
+    "q150_hreflang_pairs",
 ]
 
 # The registered q77 keeps k=8 clusters at every size, so cells grow
