@@ -70,6 +70,30 @@ def test_stream_matches_batch_byte_identical(spark, stream_input, tmp_path):
     assert len(lineage_batches) == 3
 
 
+def test_stream_outlinks_matches_batch_edge_set(spark, stream_input, tmp_path):
+    """The crawler discovery loop: edges mined off the stream equal
+    the batch mine_outlinks edge multiset exactly (mining is map-only,
+    so the lift is identity by construction — this pins it)."""
+    from toyocr_spark.functions.linkmine import mine_outlinks
+    from toyocr_spark.streaming.ingest import stream_outlinks
+
+    out = str(tmp_path / "edges_out")
+    ckpt = str(tmp_path / "edges_ckpt")
+    stream_outlinks(spark, stream_input, out, ckpt, max_files_per_trigger=1)
+
+    got = sorted(
+        (r["src_url"], r["target"])
+        for r in _read_stream_result(spark, out).collect()
+    )
+    batch_pages = spark.read.schema(PAGES_SCHEMA).parquet(stream_input)
+    want = sorted(
+        (r["src_url"], r["target"])
+        for r in mine_outlinks(batch_pages).collect()
+    )
+    assert got == want
+    assert len(got) > 0  # the corpus really carries edges
+
+
 def test_stream_blocklist_admission(spark, stream_input, tmp_path):
     """Streaming admission uses the SAME suffix + case-insensitive
     semantics as the batch drop_blocked_hosts stage: a blocklist entry

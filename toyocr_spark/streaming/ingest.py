@@ -93,6 +93,50 @@ def stream_extract(
     return writer.start()
 
 
+def stream_outlinks(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming outlink mining — the crawler's discovery loop: pages
+    arrive, edges leave for the frontier (q92) and the link graph
+    (q44). ``linkmine.mine_outlinks`` is map-only on both legs (JVM
+    regexp + the sanctioned format kernel), so it lifts onto the
+    stream unchanged and stream==batch edge-set identity holds by
+    construction (asserted in tests). Replay-safe per micro-batch via
+    the batch-subdirectory overwrite, like stream_extract."""
+    from toyocr_spark.functions.linkmine import mine_outlinks
+
+    if os.path.isdir(input_dir) and os.path.exists(
+        os.path.join(input_dir, "pages.parquet")
+    ):
+        input_dir = os.path.join(input_dir, "pages*.parquet")
+    reader = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger or 8)
+        .parquet(input_dir)
+    )
+    edges = mine_outlinks(reader)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        path = os.path.join(out_dir, f"batch={batch_id}")
+        batch_df.write.mode("overwrite").parquet(path)  # replay-safe
+
+    writer = (
+        edges.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
+
+
 def stream_dedup(
     spark: SparkSession,
     input_dir: str,
