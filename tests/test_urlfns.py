@@ -270,8 +270,8 @@ def test_mine_outlinks_epub_and_ooxml_legs(spark):
 def test_mine_outlinks_tar_markdown_and_junk_binary(spark):
     """The tar leg walks members (html hrefs + markdown links, absolute
     only), markdown pages route by the structural pre-gate, and a junk
-    binary page (NUL head, no magic) mines ZERO edges instead of
-    throwing MALFORMED_CHARACTER_CODING in the JVM decode leg."""
+    binary page (no magic) mines ZERO edges — it stays on the html leg
+    whose lenient make_valid_utf8 decode simply matches no href."""
     from toyocr_spark.fixtures.genmd import build_md
     from toyocr_spark.fixtures.gentar import build_tar
     from toyocr_spark.functions.linkmine import mine_outlinks
@@ -348,6 +348,31 @@ def test_mine_outlinks_total_over_hostile_bytes(spark):
         ("https://b.example/nul.html", "https://nul.example/y"),
         ("https://c.example/ustar.txt", "https://u.example/z"),
     ]
+
+
+def test_mine_outlinks_generic_zip_never_fabricates_edges(spark):
+    """A generic (non-container) zip whose STORED members carry raw
+    hrefs must mine ZERO edges: routed kernel-side by the bare
+    PK\\x03\\x04 magic, it fails every container gate AND the
+    strict-text fallback gate — stored markup must never be href-mined
+    as if it were the page (a relative member href resolved against
+    the archive url would poison the frontier)."""
+    import io as _io
+    import zipfile
+
+    from toyocr_spark.functions.linkmine import mine_outlinks
+
+    buf = _io.BytesIO()
+    with zipfile.ZipFile(buf, "w", compression=zipfile.ZIP_STORED) as z:
+        z.writestr(
+            "index.html",
+            '<a href="about.html">a</a><a href="https://ext.example/x">e</a>',
+        )
+    df = spark.createDataFrame(
+        [("https://h.example/export.zip", bytearray(buf.getvalue()))],
+        "url string, html binary",
+    )
+    assert mine_outlinks(df).count() == 0
 
 
 def test_parse_robots_directives(spark):

@@ -32,7 +32,7 @@ from __future__ import annotations
 
 import re
 
-from toyocr_spark.extractor.tokenizer import Block
+from toyocr_spark.extractor.tokenizer import ABS_HREF_RE, Block
 
 _ATX_RE = re.compile(r"^(#{1,6})[ \t]+(.*?)[ \t]*#*[ \t]*$")
 _FENCE_RE = re.compile(r"^(```+|~~~+)\s*\S*\s*$")
@@ -55,7 +55,7 @@ _EMPH_RE = re.compile(r"(\*\*|\*|~~)(?=\S)(.+?)(?<=\S)\1")
 # (CommonMark 6.2): require non-alnum on both flanks
 _EMPH_U_RE = re.compile(r"(?<![A-Za-z0-9])(__|_)(?=\S)(.+?)(?<=\S)\1(?![A-Za-z0-9])")
 _HTML_TAG_RE = re.compile(r"</?[a-zA-Z][^>]*>")
-_HTML_ABS_HREF_RE = re.compile(r'(?i)href="(https?://[^"]+)"')
+_HTML_ABS_HREF_RE = ABS_HREF_RE  # the shared absolute-href definition
 
 # sniff evidence patterns (over the decoded head, multiline)
 _EV_HEADING = re.compile(r"(?m)^#{1,6}[ \t]+\S")
@@ -174,10 +174,7 @@ def tokenize_markdown(data: bytes) -> list[Block]:
     """Parse markdown bytes into Blocks: one per heading / paragraph /
     list item / table row / fenced code block, sharing the HTML leg's
     kinds so XY-cut, scoring and islands apply unchanged."""
-    try:
-        text = bytes(data).decode("utf-8", errors="replace")
-    except Exception:  # noqa: BLE001 — quiet-skip fuzz contract
-        return []
+    text = bytes(data).decode("utf-8", errors="replace")  # never raises
     lines = text.split("\n")
     i, n = 0, len(lines)
     # YAML front matter: structural metadata, never read (the
@@ -291,17 +288,15 @@ def tokenize_markdown(data: bytes) -> list[Block]:
 def markdown_links(data: bytes) -> list[str]:
     """Outbound ABSOLUTE link targets ([text](url), <autolink>, and
     raw inline-HTML <a href=...> anchors — spec-legal and ubiquitous
-    in READMEs) in document order, duplicates preserved — the markdown
-    leg of outlink mining. Relative targets are intra-repo navigation,
-    not edges (the epub_links contract). Fenced code is excluded: a
-    URL inside a code sample is quotation, not an assertion of
-    linkage."""
+    in READMEs), duplicates preserved, grouped BY PATTERN FAMILY
+    (all md links, then autolinks, then HTML anchors; within a family,
+    document order) — the markdown leg of outlink mining. Relative
+    targets are intra-repo navigation, not edges (the epub_links
+    contract). Fenced code is excluded: a URL inside a code sample is
+    quotation, not an assertion of linkage."""
     if not isinstance(data, (bytes, bytearray)):
         return []
-    try:
-        text = bytes(data).decode("utf-8", errors="replace")
-    except Exception:  # noqa: BLE001
-        return []
+    text = bytes(data).decode("utf-8", errors="replace")  # never raises
     out_lines: list[str] = []
     in_fence = False
     fence = "```"

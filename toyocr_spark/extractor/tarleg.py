@@ -32,7 +32,8 @@ walk yields — same bytes, same blocks, never an exception."""
 from __future__ import annotations
 
 import io
-import re
+
+from toyocr_spark.extractor.tokenizer import ABS_HREF_RE, utf8_textish
 
 # POSIX ustar: magic at offset 257 is "ustar\0" (PAX/POSIX.1-1988) or
 # "ustar  \0"-ish (old GNU). Combined with the 512-byte header-checksum
@@ -75,22 +76,12 @@ def _member_blocks(payload: bytes) -> list:
         or probe[:4] == b"PK\x03\x04"
         or probe[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
     )
-    if not known:
-        # strict-UTF-8 text gate (trim a trailing partial sequence)
-        for cut in range(4):
-            try:
-                probe[: len(probe) - cut].decode("utf-8")
-                break
-            except UnicodeDecodeError:
-                continue
-        else:
-            return []  # opaque resource: never lossy-decoded
-        if b"\x00" in probe:
-            return []
+    if not known and not utf8_textish(payload):
+        return []  # opaque resource: never lossy-decoded
     return core.dispatch_blocks(payload)
 
 
-_TAR_HREF = re.compile(r'(?i)href="(https?://[^"]+)"')
+_TAR_HREF = ABS_HREF_RE
 
 
 def tar_links(data: bytes) -> list[str]:

@@ -31,6 +31,28 @@ _STRIP_RE = re.compile(
 _TAG_NAME_RE = re.compile(r"</?\s*([a-zA-Z][a-zA-Z0-9]*)")
 _WS_RE = re.compile(r"\s+")
 _TAG_TOKEN_RE = re.compile(r"<[^>]*>")
+# absolute href target — the ONE definition shared by every
+# absolute-only mining leg (tar members, markdown inline HTML, the
+# kernel-gate fallback in linkmine); keeping a single compiled object
+# means a scheme/quoting fix can never diverge the legs
+ABS_HREF_RE = re.compile(r'(?i)href="(https?://[^"]+)"')
+
+
+def utf8_textish(data: bytes, probe_bytes: int = 4096) -> bool:
+    """True iff the head is strict-UTF-8 text with no NUL — the shared
+    'may this blob be treated as text' gate (tar member dispatch,
+    kernel-fallback href mining). Trims a trailing partial sequence
+    before the strict decode."""
+    probe = bytes(data[:probe_bytes])
+    if b"\x00" in probe:
+        return False
+    for cut in range(4):
+        try:
+            probe[: len(probe) - cut].decode("utf-8")
+            return True
+        except UnicodeDecodeError:
+            continue
+    return False
 _TAG_SPLIT_RE = re.compile(r"(<[^>]*>)")
 # style="position:absolute;left:10px;top:20px;width:100px;height:30px"
 _POS_RE = re.compile(

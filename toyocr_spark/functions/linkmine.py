@@ -19,15 +19,14 @@ aggregates.
 
 from __future__ import annotations
 
-import re
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, functions as F
 
 from toyocr_spark.extractor.tarleg import _MAGIC_OFFSET
+from toyocr_spark.extractor.tokenizer import ABS_HREF_RE, utf8_textish
 
 _HREF_RE = '(?i)href="([^"]+)"'
-_ABS_HREF = re.compile(r'(?i)href="(https?://[^"]+)"')
 
 
 def mine_outlinks(
@@ -86,19 +85,13 @@ def mine_outlinks(
             | (col.substr(1, 5) == F.lit(b"{\\rtf"))
             | (col.substr(1, 8) == F.lit(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"))
             | is_mht
-            | (
-                is_zip
-                & (
-                    F.contains(col, F.lit(b"word/document.xml"))
-                    | F.contains(col, F.lit(b"xl/workbook.xml"))
-                    | F.contains(col, F.lit(b"ppt/presentation.xml"))
-                    | F.contains(col, F.lit(b"META-INF/container.xml"))
-                    | F.contains(
-                        F.substring(col, 1, 128),
-                        F.lit(b"application/vnd.oasis.opendocument."),
-                    )
-                )
-            )
+            # EVERY zip routes kernel-side, container or not: a
+            # generic zip (site export, jar) reaching the regexp leg
+            # would surface stored members' raw hrefs as spurious
+            # wrongly-resolved edges; in the kernel the known
+            # containers mine their rels and anything else fails the
+            # strict-text fallback gate -> []
+            | is_zip
         )
     else:
         magic = (
@@ -191,17 +184,18 @@ def mine_outlinks(
                     links = markdown_links(data)  # absolute only, fences excluded
                 elif is_pdf(data):
                     links = pdf_links(data)
+                elif utf8_textish(data):
+                    # kernel-gate false positive on a TEXT page
+                    # (md-like prose, text with 'ustar' at offset
+                    # 257): mine absolute hrefs so loose routing
+                    # never silently zeroes a text page's edges
+                    # (relative resolution stays a JVM-leg feature)
+                    text = data.decode("utf-8", errors="replace")
+                    links = [m.group(1) for m in ABS_HREF_RE.finditer(text)]
                 else:
-                    # kernel-gate false positive (md-like prose, text
-                    # with 'ustar' at offset 257): mine absolute hrefs
-                    # so loose routing never silently zeroes a page's
-                    # edges (relative resolution stays a JVM-leg
-                    # feature; absolute edges are the contract here)
-                    try:
-                        text = data.decode("utf-8", errors="replace")
-                    except Exception:  # noqa: BLE001
-                        continue
-                    links = [m.group(1) for m in _ABS_HREF.finditer(text)]
+                    # opaque binary (generic zip, junk): stored
+                    # members' raw bytes must never be href-mined
+                    links = []
                 for t in links:
                     srcs.append(u)
                     targets.append(t)

@@ -33,6 +33,26 @@ from toyocr_spark.pipeline import extract_pages, partition_lineage
 from toyocr_spark.sources.pages import PAGES_SCHEMA
 
 
+def _pages_stream(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int | None
+) -> DataFrame:
+    """The shared pages file-stream reader: narrows a fixture dir to
+    its pages*.parquet (sidecars like expected_spans.parquet must never
+    ingest under the wrong schema — a glob, not the bare file path,
+    because the file-stream source requires a directory basePath) and
+    applies the schema + trigger-size option every streaming operator
+    uses."""
+    if os.path.isdir(input_dir) and os.path.exists(
+        os.path.join(input_dir, "pages.parquet")
+    ):
+        input_dir = os.path.join(input_dir, "pages*.parquet")
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger or 8)
+        .parquet(input_dir)
+    )
+
+
 def stream_extract(
     spark: SparkSession,
     input_dir: str,
@@ -52,20 +72,7 @@ def stream_extract(
     overwrites its own batch subdirectory (idempotent), mirroring
     pipeline.CommitLog's atomic chunk commit.
     """
-    # fixture dirs hold sidecars (expected_spans.parquet) next to the
-    # pages table — narrow to the pages file, like sources.read_pages,
-    # so the stream never ingests a sidecar under the wrong schema
-    if os.path.isdir(input_dir) and os.path.exists(
-        os.path.join(input_dir, "pages.parquet")
-    ):
-        # a glob, not the bare file path: the file-stream source requires
-        # its basePath to be a directory
-        input_dir = os.path.join(input_dir, "pages*.parquet")
-    reader = (
-        spark.readStream.schema(PAGES_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger or 8)
-        .parquet(input_dir)
-    )
+    reader = _pages_stream(spark, input_dir, max_files_per_trigger)
     result = extract_pages(reader)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -110,15 +117,7 @@ def stream_outlinks(
     the batch-subdirectory overwrite, like stream_extract."""
     from toyocr_spark.functions.linkmine import mine_outlinks
 
-    if os.path.isdir(input_dir) and os.path.exists(
-        os.path.join(input_dir, "pages.parquet")
-    ):
-        input_dir = os.path.join(input_dir, "pages*.parquet")
-    reader = (
-        spark.readStream.schema(PAGES_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger or 8)
-        .parquet(input_dir)
-    )
+    reader = _pages_stream(spark, input_dir, max_files_per_trigger)
     edges = mine_outlinks(reader)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -162,15 +161,7 @@ def stream_dedup(
     stateful operator so only (digest)-keyed state shuffles, never
     html bytes beyond the one exchange Spark needs to co-locate keys.
     """
-    if os.path.isdir(input_dir) and os.path.exists(
-        os.path.join(input_dir, "pages.parquet")
-    ):
-        input_dir = os.path.join(input_dir, "pages*.parquet")
-    reader = (
-        spark.readStream.schema(PAGES_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(input_dir)
-    )
+    reader = _pages_stream(spark, input_dir, max_files_per_trigger)
     keyed = reader.withColumn("digest", F.md5(F.col("html")))
     if watermark is not None:
         deduped = keyed.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
@@ -225,15 +216,7 @@ def stream_blocklist_extract(
     """
     from toyocr_spark.functions.urlfns import drop_blocked_hosts
 
-    if os.path.isdir(input_dir) and os.path.exists(
-        os.path.join(input_dir, "pages.parquet")
-    ):
-        input_dir = os.path.join(input_dir, "pages*.parquet")
-    reader = (
-        spark.readStream.schema(PAGES_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(input_dir)
-    )
+    reader = _pages_stream(spark, input_dir, max_files_per_trigger)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         admitted = drop_blocked_hosts(
@@ -375,15 +358,7 @@ def stream_cdx(
     """
     from toyocr_spark.sources.cdx import write_cdx
 
-    if os.path.isdir(input_dir) and os.path.exists(
-        os.path.join(input_dir, "pages.parquet")
-    ):
-        input_dir = os.path.join(input_dir, "pages*.parquet")
-    reader = (
-        spark.readStream.schema(PAGES_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger or 8)
-        .parquet(input_dir)
-    )
+    reader = _pages_stream(spark, input_dir, max_files_per_trigger)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -452,15 +427,7 @@ def stream_neardup(
 
     from toyocr_spark.operators.dedup import banded_neardup_drops, simhash64
 
-    if os.path.isdir(input_dir) and os.path.exists(
-        os.path.join(input_dir, "pages.parquet")
-    ):
-        input_dir = os.path.join(input_dir, "pages*.parquet")
-    reader = (
-        spark.readStream.schema(PAGES_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(input_dir)
-    )
+    reader = _pages_stream(spark, input_dir, max_files_per_trigger)
 
     state_cols = ["id", "seq", "c0", "c1", "c2", "c3"]
 
