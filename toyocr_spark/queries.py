@@ -9188,6 +9188,86 @@ def q154_crawl_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q155_politeness_schedule",
+    """
+    WITH frontier AS (
+      SELECT doc_id,
+             'p' || CAST(doc_id % 9 AS VARCHAR) || '.example' AS host,
+             CAST((doc_id * 11) % 100 AS BIGINT) AS priority
+      FROM documents WHERE doc_id < 450
+    ),
+    waved AS (
+      SELECT doc_id, host, priority,
+             CAST(row_number() OVER (
+               PARTITION BY host ORDER BY priority DESC, doc_id
+             ) AS BIGINT) AS wave
+      FROM frontier
+    ),
+    delays AS (
+      SELECT DISTINCT 'p' || CAST(doc_id % 9 AS VARCHAR) || '.example' AS host,
+             CAST(CASE WHEN doc_id % 9 = 4 THEN 1
+                       ELSE 2 + (doc_id % 9) % 5 END AS BIGINT) AS delay_s
+      FROM documents WHERE doc_id < 450
+    )
+    SELECT w.doc_id, w.host, w.wave, d.delay_s,
+           (w.wave - 1) * d.delay_s AS fetch_offset_s
+    FROM waved w JOIN delays d ON w.host = d.host
+    """,
+    "politeness schedule with real robots Crawl-delay: the step after "
+    "q92's wave assignment — each host's robots.txt is parsed by "
+    "urlfns.parse_robots_directives (case-insensitive Crawl-delay, "
+    "max-of-duplicates, unparseable -> NULL -> the 1s default), and a "
+    "url's earliest polite fetch time is (wave-1) * delay. One host "
+    "plants an unparseable 'Crawl-delay: soon' to prove the NULL "
+    "default path end-to-end. Shapes: the per-host window is the "
+    "politeness-natural partition (q92's argument), the delay table "
+    "is one row per host -> broadcast join, never a shuffle of the "
+    "frontier. Integer arithmetic throughout; closed-form oracle.",
+)
+def q155_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from toyocr_spark.functions.urlfns import parse_robots_directives
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 450)
+    did = F.col("doc_id")
+    host = F.concat(F.lit("p"), (did % 9).cast("string"), F.lit(".example"))
+    frontier = d.select(
+        "doc_id", host.alias("host"), ((did * 11) % 100).alias("priority")
+    )
+    w_host = Window.partitionBy("host").orderBy(F.desc("priority"), F.col("doc_id"))
+    waved = frontier.withColumn("wave", F.row_number().over(w_host).cast("long"))
+    # one robots.txt per host, parsed by the REAL directives parser;
+    # host p4 plants an unparseable value (NULL -> the 1s default)
+    robots = (
+        d.select((did % 9).alias("h")).distinct().select(
+            F.concat(F.lit("p"), F.col("h").cast("string"), F.lit(".example")).alias(
+                "host"
+            ),
+            F.when(
+                F.col("h") == 4, F.lit("User-agent: *\ncrawl-delay: soon\n")
+            ).otherwise(
+                F.concat(
+                    F.lit("User-agent: *\nCrawl-delay: "),
+                    (F.lit(2) + F.pmod(F.col("h"), F.lit(5))).cast("string"),
+                    F.lit("\n"),
+                )
+            ).alias("txt"),
+        )
+    )
+    delays = parse_robots_directives(robots, "host", "txt").select(
+        "host", F.coalesce(F.col("crawl_delay"), F.lit(1)).cast("long").alias("delay_s")
+    )
+    return waved.join(F.broadcast(delays), "host").select(
+        "doc_id",
+        "host",
+        "wave",
+        "delay_s",
+        ((F.col("wave") - 1) * F.col("delay_s")).alias("fetch_offset_s"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
@@ -9230,6 +9310,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q152_markdown_extract",  # new: Markdown format leg (structural sniff)
     "q153_tar_extract",  # new: TAR multi-document bundle walk
     "q154_crawl_traps",  # new: URL-template-collapse trap-host detection
+    "q155_politeness_schedule",  # new: q92 waves x robots Crawl-delay
     "q116_sentence_align",  # oracle: rows-only -> planted closed form
     # flagship
     "q25_extract",
