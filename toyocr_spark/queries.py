@@ -9268,6 +9268,155 @@ def q155_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q156_hits",
+    """
+    WITH edges AS (
+      SELECT DISTINCT doc_id % 80 AS src, (doc_id * 11 + 5) % 80 AS dst
+      FROM documents WHERE doc_id % 80 <> (doc_id * 11 + 5) % 80
+    ),
+    nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+    h0 AS (SELECT id, 1000000 AS h FROM nodes),
+    a1 AS (SELECT dst AS id, sum(h) AS a
+           FROM edges JOIN h0 ON h0.id = edges.src GROUP BY dst),
+    h1 AS (SELECT src AS id, sum(coalesce(a1.a, 0)) AS h
+           FROM edges LEFT JOIN a1 ON a1.id = edges.dst GROUP BY src),
+    a2 AS (SELECT dst AS id, sum(coalesce(h1.h, 0)) AS a
+           FROM edges LEFT JOIN h1 ON h1.id = edges.src GROUP BY dst),
+    h2 AS (SELECT src AS id, sum(coalesce(a2.a, 0)) AS h
+           FROM edges LEFT JOIN a2 ON a2.id = edges.dst GROUP BY src)
+    SELECT n.id,
+           CAST(coalesce(h2.h, 0) AS BIGINT) AS hub_scaled,
+           CAST(coalesce(a2.a, 0) AS BIGINT) AS auth_scaled
+    FROM nodes n
+    LEFT JOIN h2 ON h2.id = n.id
+    LEFT JOIN a2 ON a2.id = n.id
+    """,
+    "HITS hubs & authorities — q44 PageRank's classic companion for "
+    "crawl prioritization (a good HUB page seeds the frontier even "
+    "when its own rank is low; a good AUTHORITY is worth recrawling "
+    "first). Two full mutual-reinforcement rounds (a = E^T h, "
+    "h = E a) in pure integer arithmetic — the usual L2 "
+    "normalization is a float trap across engines, and with a "
+    "bounded round count the unnormalized BIGINT magnitudes stay "
+    "exact (<= |V|^3 * scale fits comfortably), so the result is "
+    "bit-identical anywhere. Each half-round is one equi-join + one "
+    "partial agg on the EDGE list (the q44/CC iterative shape): at "
+    "10^10 edges that is bounded shuffle work per round, never an "
+    "adjacency materialization. Oracle = the same rounds unrolled as "
+    "CTEs.",
+)
+def q156_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    src = F.col("doc_id") % 80
+    dst = (F.col("doc_id") * 11 + 5) % 80
+    edges = (
+        d.select(src.alias("src"), dst.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()  # reused four times: cut lineage once
+    )
+    nodes = edges.select(F.col("src").alias("id")).union(edges.select("dst")).distinct()
+    h = nodes.withColumn("h", F.lit(1000000).cast("long"))
+
+    def auth_from(hubs: DataFrame) -> DataFrame:
+        return (
+            edges.join(hubs.withColumnRenamed("id", "src"), "src", "left")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.coalesce(F.col("h"), F.lit(0))).alias("a"))
+        )
+
+    def hub_from(auths: DataFrame) -> DataFrame:
+        return (
+            edges.join(auths.withColumnRenamed("id", "dst"), "dst", "left")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum(F.coalesce(F.col("a"), F.lit(0))).alias("h"))
+        )
+
+    a1 = auth_from(h)
+    h1 = hub_from(a1)
+    a2 = auth_from(h1)
+    h2 = hub_from(a2)
+    return (
+        nodes.join(h2, "id", "left")
+        .join(a2, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("h"), F.lit(0)).alias("hub_scaled"),
+            F.coalesce(F.col("a"), F.lit(0)).alias("auth_scaled"),
+        )
+    )
+
+
+@_q(
+    "q157_registrable_domain",
+    """
+    WITH d AS (
+      SELECT doc_id % 50 AS k, CAST(doc_id % 3 AS INTEGER) AS b FROM documents
+    )
+    SELECT CASE b
+             WHEN 0 THEN 'site' || CAST(k AS VARCHAR) || '.com'
+             WHEN 1 THEN 'shop' || CAST(k AS VARCHAR) || '.co.uk'
+             ELSE 'site' || CAST(k AS VARCHAR) || '.org' END AS domain,
+           CAST(1 AS BIGINT) AS n_hosts,
+           count(*) AS n_docs
+    FROM d GROUP BY b, k
+    """,
+    "registrable-domain (eTLD+1) grouping — THE curation unit of "
+    "RefinedWeb-style per-domain caps and C4 host dedup: 'a.shop.co.uk'"
+    " and 'b.shop.co.uk' are one publisher, and naive last-two-labels "
+    "grouping would wrongly merge every .co.uk site into one. The "
+    "LONGEST public-suffix match is computed for real Spark-side: "
+    "bounded dot-suffix explode (urlfns.host_suffixes, the q66 shape) "
+    "equi-joined to a broadcast suffix table, per-host argmax on "
+    "suffix length (so 'co.uk' beats 'uk' — the trap every host in "
+    "the b=1 family plants), then eTLD+1 = one label more than the "
+    "winning suffix via a negative-index array slice. The oracle "
+    "plants the expected domain per (k, branch) in closed form, so a "
+    "shorter-match or off-by-one-label bug fails every third row. "
+    "Shapes: explode is bounded by label depth, the suffix table "
+    "broadcasts, one partial agg per host then one per domain.",
+)
+def q157_registrable_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toyocr_spark.functions.urlfns import host_suffixes
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    k = (did % 50).cast("string")
+    b = did % 3
+    host = (
+        F.when(b == 0, F.concat(F.lit("www.site"), k, F.lit(".com")))
+        .when(b == 1, F.concat(F.lit("sub"), k, F.lit(".shop"), k, F.lit(".co.uk")))
+        .otherwise(F.concat(F.lit("a.b.site"), k, F.lit(".org")))
+    )
+    docs = d.select("doc_id", host.alias("host"))
+    psl = spark.createDataFrame(
+        [("com",), ("org",), ("uk",), ("co.uk",), ("net",)], "suffix string"
+    )
+    matched = (
+        docs.select("host").distinct()
+        .select("host", F.explode(host_suffixes(F.col("host"))).alias("suffix"))
+        .join(F.broadcast(psl), "suffix")
+        .groupBy("host")
+        .agg(F.max(F.struct(F.length("suffix").alias("l"), F.col("suffix").alias("s"))).alias("m"))
+    )
+    labels = F.split(F.col("host"), "\\.")
+    n_sfx = F.size(F.split(F.col("m.s"), "\\."))
+    regd = F.when(
+        F.size(labels) > n_sfx,
+        F.array_join(F.slice(labels, -(n_sfx + 1), n_sfx + 1), "."),
+    ).otherwise(F.col("host"))
+    host_domain = matched.select("host", regd.alias("domain"))
+    return (
+        docs.join(F.broadcast(host_domain), "host")
+        .groupBy("domain")
+        .agg(
+            F.countDistinct("host").alias("n_hosts"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
@@ -9311,6 +9460,8 @@ _DRIVER_PRIORITY: list[str] = [
     "q153_tar_extract",  # new: TAR multi-document bundle walk
     "q154_crawl_traps",  # new: URL-template-collapse trap-host detection
     "q155_politeness_schedule",  # new: q92 waves x robots Crawl-delay
+    "q156_hits",  # new: integer-exact hubs & authorities (PageRank's twin)
+    "q157_registrable_domain",  # new: eTLD+1 longest-suffix grouping
     "q116_sentence_align",  # oracle: rows-only -> planted closed form
     # flagship
     "q25_extract",
