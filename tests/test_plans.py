@@ -229,6 +229,7 @@ def test_relational_queries_have_no_python_nodes(spark, sf_dir):
         "q145_deflate_extract",  # zlib-envelope synth + extraction kernel
         "q152_markdown_extract",  # markdown synth + extraction kernel
         "q153_tar_extract",      # tar-bundle synth + extraction kernel
+        "q158_csv_extract",      # csv/tsv synth + extraction kernel
     }
     markers = ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas",
                "MapInPandas", "PythonMapInArrow", "MapInArrow")

@@ -202,6 +202,7 @@ def synth_office_pages(
         from datetime import datetime, timezone
 
         from toyocr_spark.fixtures import (
+            gencsv,
             gendoc,
             gendocx,
             genmd,
@@ -229,8 +230,8 @@ def synth_office_pages(
             ):
                 fmt = (
                     "docx", "xlsx", "pptx", "epub", "rtf", "doc", "xls",
-                    "ppt", "mht", "odt", "ods", "odp", "md", "tar",
-                )[(did + rep) % 14]
+                    "ppt", "mht", "odt", "ods", "odp", "md", "tar", "csv",
+                )[(did + rep) % 15]
                 title = f"Synthesized bench document {did} part {rep}"
                 paras = [text] * paragraphs
                 if fmt == "docx":
@@ -310,6 +311,10 @@ def synth_office_pages(
                         title,
                         paras,
                         front_matter="title: bench front-matter chrome",
+                    )
+                elif fmt == "csv":
+                    blob = gencsv.build_csv(
+                        [title, ""], [*[[p, ""] for p in paras], ["7", ""]]
                     )
                 elif fmt == "tar":
                     page = (

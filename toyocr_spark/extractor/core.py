@@ -23,6 +23,7 @@ from toyocr_spark.extractor.doc import is_doc, tokenize_doc
 from toyocr_spark.extractor.docx import is_docx, tokenize_docx
 from toyocr_spark.extractor.epub import is_epub, tokenize_epub
 from toyocr_spark.extractor.layout import reading_order
+from toyocr_spark.extractor.csvleg import is_csv, tokenize_csv
 from toyocr_spark.extractor.markdown import is_markdown, tokenize_markdown
 from toyocr_spark.extractor.mhtml import is_mhtml, tokenize_mhtml
 from toyocr_spark.extractor.tarleg import is_tar, tokenize_tar
@@ -221,11 +222,15 @@ def dispatch_blocks(html: bytes | str) -> list:
     if is_tar(html):
         return tokenize_tar(html)
     if is_markdown(html):
-        # LAST gate before the HTML fallback: markdown has no magic,
-        # so every tagged/binary format wins first and the structural-
-        # evidence sniff (extractor/markdown.py) only claims pages that
-        # previously fell through to the one-big-text-block path
+        # LAST gates before the HTML fallback: markdown and CSV have
+        # no magic, so every tagged/binary format wins first and the
+        # structural-evidence sniffs (extractor/markdown.py,
+        # extractor/csvleg.py) only claim pages that previously fell
+        # through to the one-big-text-block path. Markdown outranks
+        # CSV: a pipe table inside a README stays markdown.
         return tokenize_markdown(html)
+    if is_csv(html):
+        return tokenize_csv(html)
     return tokenize(html)
 
 

@@ -9417,6 +9417,82 @@ def q157_registrable_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q158_csv_extract",
+    """
+    SELECT 'https://csv-' || CAST(doc_id AS VARCHAR) || '.example/data.tsv' AS url,
+           'record title column payload column'
+             || chr(10) || 'entry ' || CAST(doc_id AS VARCHAR) || ' ' || text
+             || ' he said "ok"' AS extracted_text,
+           2 AS n_kept
+    FROM documents
+    """,
+    "DRIVER-CHECKABLE CSV/TSV extraction — the seventeenth dispatch "
+    "leg, covering the delimiter-separated tables of dataset crawls. "
+    "Each row's text rides a TSV (header + one data record + a "
+    "bare-numeral chrome row that must die by MIN_CHARS, the xls "
+    "discipline) built by the independent stdlib-csv writer, with a "
+    "QUOTED field carrying doubled double-quotes the reader must "
+    "undo — a naive split leaves the quoting in the text (the "
+    "quoted-DELIMITER case is unit-tested with count-balanced lines, "
+    "since it deliberately fails the sniff otherwise). CSV has NO "
+    "magic bytes, so this leg also proves the constant-delimiter-"
+    "count structural sniff end-to-end. Closed-form oracle: gate, "
+    "quote handling, header-title kind, and chrome-row drop must be "
+    "exact on every row. extractor/csvleg.py; fixtures/gencsv.py. "
+    "Map-only: one pre-kernel repartition, then synth + extract in "
+    "sanctioned Arrow kernels, zero shuffle after.",
+)
+def q158_csv_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    from toyocr_spark.pipeline import extract_pages
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("html", T.BinaryType(), False),
+        ]
+    )
+
+    def batches(it):
+        from toyocr_spark.fixtures.gencsv import build_csv
+
+        for b in it:
+            urls, blobs = [], []
+            for did, text in zip(b.column(0).to_pylist(), b.column(1).to_pylist()):
+                # a field containing a literal double-quote: the csv
+                # writer quotes the cell and doubles the quote, the
+                # reader must undo both (a naive split leaves '""' in
+                # the text) — and unlike a quoted delimiter this trap
+                # is count-neutral, so the structural sniff still sees
+                # a constant tab count per line
+                payload = text + ' he said "ok"'
+                blob = build_csv(
+                    ["record title column", "payload column"],
+                    [[f"entry {did}", payload], ["1", "2"]],
+                )
+                urls.append(f"https://csv-{did}.example/data.tsv")
+                blobs.append(blob)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()), pa.array(blobs, pa.binary())],
+                names=["url", "html"],
+            )
+
+    pages = d.mapInArrow(batches, schema)
+    out = extract_pages(pages)
+    return out.select(
+        "url", "extracted_text", F.col("n_kept").cast("int").alias("n_kept")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
@@ -9462,6 +9538,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q155_politeness_schedule",  # new: q92 waves x robots Crawl-delay
     "q156_hits",  # new: integer-exact hubs & authorities (PageRank's twin)
     "q157_registrable_domain",  # new: eTLD+1 longest-suffix grouping
+    "q158_csv_extract",  # new: CSV/TSV format leg (constant-count sniff)
     "q116_sentence_align",  # oracle: rows-only -> planted closed form
     # flagship
     "q25_extract",
