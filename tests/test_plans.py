@@ -230,6 +230,7 @@ def test_relational_queries_have_no_python_nodes(spark, sf_dir):
         "q152_markdown_extract",  # markdown synth + extraction kernel
         "q153_tar_extract",      # tar-bundle synth + extraction kernel
         "q158_csv_extract",      # csv/tsv synth + extraction kernel
+        "q159_latex_extract",    # latex synth + extraction kernel
     }
     markers = ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas",
                "MapInPandas", "PythonMapInArrow", "MapInArrow")

@@ -172,9 +172,9 @@ def synth_office_pages(
     spark: SparkSession, sf_dir: str, replicas: int = 4, paragraphs: int = 4
 ) -> DataFrame:
     """Office twin of synth_pdf_pages: every page is a REAL container
-    document cycling the twelve non-HTML/PDF dispatch legs (docx,
+    document cycling the sixteen non-HTML/PDF dispatch legs (docx,
     xlsx, pptx, epub, rtf, legacy .doc, .xls, .ppt, .mht, .odt, .ods,
-    .odp) with a heading,
+    .odp, md, tar, csv, tex) with a heading,
     ``paragraphs`` body paragraphs, and each format's native chrome.
     Container assembly cannot be a Column expression, so synthesis
     runs in one Arrow kernel — the materialized-corpus cache keeps it
@@ -205,6 +205,7 @@ def synth_office_pages(
             gencsv,
             gendoc,
             gendocx,
+            genlatex,
             genmd,
             gentar,
             genodp,
@@ -231,7 +232,8 @@ def synth_office_pages(
                 fmt = (
                     "docx", "xlsx", "pptx", "epub", "rtf", "doc", "xls",
                     "ppt", "mht", "odt", "ods", "odp", "md", "tar", "csv",
-                )[(did + rep) % 15]
+                    "tex",
+                )[(did + rep) % 16]
                 title = f"Synthesized bench document {did} part {rep}"
                 paras = [text] * paragraphs
                 if fmt == "docx":
@@ -315,6 +317,10 @@ def synth_office_pages(
                 elif fmt == "csv":
                     blob = gencsv.build_csv(
                         [title, ""], [*[[p, ""] for p in paras], ["7", ""]]
+                    )
+                elif fmt == "tex":
+                    blob = genlatex.build_latex(
+                        title, paras, comment="bench comment chrome"
                     )
                 elif fmt == "tar":
                     page = (

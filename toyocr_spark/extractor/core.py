@@ -24,6 +24,7 @@ from toyocr_spark.extractor.docx import is_docx, tokenize_docx
 from toyocr_spark.extractor.epub import is_epub, tokenize_epub
 from toyocr_spark.extractor.layout import reading_order
 from toyocr_spark.extractor.csvleg import is_csv, tokenize_csv
+from toyocr_spark.extractor.latexleg import is_latex, tokenize_latex
 from toyocr_spark.extractor.markdown import is_markdown, tokenize_markdown
 from toyocr_spark.extractor.mhtml import is_mhtml, tokenize_mhtml
 from toyocr_spark.extractor.tarleg import is_tar, tokenize_tar
@@ -221,6 +222,12 @@ def dispatch_blocks(html: bytes | str) -> list:
         return tokenize_mhtml(html)
     if is_tar(html):
         return tokenize_tar(html)
+    if is_latex(html):
+        # first of the no-magic structural sniffs: the gate demands a
+        # \documentclass-shaped first significant line, which no
+        # markdown/CSV/prose page has, so it outranks both. ArXiv
+        # .tex-in-.tar bundles reach here via the tar member walk.
+        return tokenize_latex(html)
     if is_markdown(html):
         # LAST gates before the HTML fallback: markdown and CSV have
         # no magic, so every tagged/binary format wins first and the

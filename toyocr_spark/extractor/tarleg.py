@@ -12,7 +12,8 @@ Shared-kernel design, the EPUB/MHTML pattern: the archive walk only
 resolves WHICH bytes are documents; each member then re-enters the
 ordinary format dispatch (core.dispatch_blocks), so a PDF member
 tokenizes via the content-stream machine, an HTML member via the HTML
-tokenizer, a README via the markdown leg — one chain, one rule set.
+tokenizer, a README via the markdown leg, an arXiv .tex source via
+the LaTeX leg — one chain, one rule set.
 
 Boundedness (the zip-bomb discipline every container leg carries):
 at most MAX_MEMBERS members walk, each member read is capped at
@@ -89,10 +90,12 @@ def tar_links(data: bytes) -> list[str]:
     archive order, duplicates preserved — the tar leg of outlink
     mining. Relative targets inside a bundle point at packaged
     siblings (the epub_links contract); members route per format
-    (markdown_links for READMEs, pdf_links for PDFs, href regex for
-    markup/text), opaque resources and nested tars contribute
-    nothing. Malformed archives -> []."""
+    (markdown_links for READMEs, pdf_links for PDFs, latex_links for
+    arXiv-style .tex sources, href regex for markup/text), opaque
+    resources and nested tars contribute nothing. Malformed
+    archives -> []."""
     from toyocr_spark.extractor.docx import docx_links, is_docx
+    from toyocr_spark.extractor.latexleg import is_latex, latex_links
     from toyocr_spark.extractor.markdown import is_markdown, markdown_links
     from toyocr_spark.extractor.pdf import is_pdf, pdf_links
 
@@ -103,6 +106,8 @@ def tar_links(data: bytes) -> list[str]:
                 out.extend(pdf_links(payload))
             elif is_docx(payload):
                 out.extend(docx_links(payload))
+            elif is_latex(payload):
+                out.extend(latex_links(payload))
             elif is_markdown(payload):
                 out.extend(markdown_links(payload))
             else:

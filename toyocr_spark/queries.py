@@ -9493,6 +9493,83 @@ def q158_csv_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q159_latex_extract",
+    """
+    SELECT 'https://arxiv-' || CAST(doc_id AS VARCHAR) || '.example/main.tex' AS url,
+           'Technical note ' || CAST(doc_id AS VARCHAR) || ' heading'
+             || chr(10) || text AS extracted_text,
+           2 AS n_kept
+    FROM documents
+    """,
+    "DRIVER-CHECKABLE LaTeX extraction — the eighteenth format "
+    "dispatch leg, covering the source markup of the scientific web "
+    "(arXiv e-print sources, the canonical .tex-in-.tar bundle). Each "
+    "row's text rides an arXiv-shaped document with four plants the "
+    "extractor must drop: a % comment banner (never read), preamble "
+    "\\author/\\date metadata (the docProps discipline — \\title "
+    "renders ONLY through \\maketitle), a link-dominated \\href nav "
+    "line (dies by the shared link-density rule, exactly like HTML "
+    "<a> crumbs), and an inline \\textbf{} wrapper that must resolve "
+    "to plain text. LaTeX has NO magic bytes, so this leg also proves "
+    "the first-significant-line structural sniff end-to-end "
+    "(\\documentclass-led, >= 2 more markers). The oracle derives the "
+    "expected text in closed form, so gate, preamble skip, maketitle "
+    "rendering, inline resolution, and scoring must be exact on every "
+    "row. extractor/latexleg.py; fixtures/genlatex.py. Map-only: one "
+    "pre-kernel repartition, then synth + extract in sanctioned Arrow "
+    "kernels, zero shuffle after.",
+)
+def q159_latex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    from toyocr_spark.pipeline import extract_pages
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("html", T.BinaryType(), False),
+        ]
+    )
+
+    def batches(it):
+        from toyocr_spark.fixtures.genlatex import build_latex
+
+        for b in it:
+            urls, blobs = [], []
+            for did, text in zip(b.column(0).to_pylist(), b.column(1).to_pylist()):
+                words = text.split(" ")
+                mid = len(words) // 2
+                words[mid] = f"\\textbf{{{words[mid]}}}"
+                blobs.append(
+                    build_latex(
+                        f"Technical note {did} heading",
+                        [" ".join(words)],
+                        comment=f"planted comment decoy {did}",
+                        author=f"Planted Author Decoy {did}",
+                        host=f"nav-{did}.example",
+                    )
+                )
+                urls.append(f"https://arxiv-{did}.example/main.tex")
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()), pa.array(blobs, pa.binary())],
+                names=["url", "html"],
+            )
+
+    pages = d.mapInArrow(batches, schema)
+    out = extract_pages(pages)
+    return out.select(
+        "url", "extracted_text", F.col("n_kept").cast("int").alias("n_kept")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
@@ -9539,6 +9616,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q156_hits",  # new: integer-exact hubs & authorities (PageRank's twin)
     "q157_registrable_domain",  # new: eTLD+1 longest-suffix grouping
     "q158_csv_extract",  # new: CSV/TSV format leg (constant-count sniff)
+    "q159_latex_extract",  # new: LaTeX format leg (arXiv .tex sources)
     "q116_sentence_align",  # oracle: rows-only -> planted closed form
     # flagship
     "q25_extract",
