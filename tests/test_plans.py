@@ -231,6 +231,8 @@ def test_relational_queries_have_no_python_nodes(spark, sf_dir):
         "q153_tar_extract",      # tar-bundle synth + extraction kernel
         "q158_csv_extract",      # csv/tsv synth + extraction kernel
         "q159_latex_extract",    # latex synth + extraction kernel
+        "q160_ipynb_extract",    # notebook synth + extraction kernel
+        "q161_subtitle_extract",  # vtt/srt synth + extraction kernel
     }
     markers = ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas",
                "MapInPandas", "PythonMapInArrow", "MapInArrow")

@@ -172,9 +172,9 @@ def synth_office_pages(
     spark: SparkSession, sf_dir: str, replicas: int = 4, paragraphs: int = 4
 ) -> DataFrame:
     """Office twin of synth_pdf_pages: every page is a REAL container
-    document cycling the sixteen non-HTML/PDF dispatch legs (docx,
+    document cycling the eighteen non-HTML/PDF dispatch legs (docx,
     xlsx, pptx, epub, rtf, legacy .doc, .xls, .ppt, .mht, .odt, .ods,
-    .odp, md, tar, csv, tex) with a heading,
+    .odp, md, tar, csv, tex, ipynb, sub) with a heading,
     ``paragraphs`` body paragraphs, and each format's native chrome.
     Container assembly cannot be a Column expression, so synthesis
     runs in one Arrow kernel — the materialized-corpus cache keeps it
@@ -205,6 +205,7 @@ def synth_office_pages(
             gencsv,
             gendoc,
             gendocx,
+            genipynb,
             genlatex,
             genmd,
             gentar,
@@ -217,6 +218,7 @@ def synth_office_pages(
             genodt,
             genpptx,
             genrtf,
+            gensub,
             genxlsx,
         )
 
@@ -232,8 +234,8 @@ def synth_office_pages(
                 fmt = (
                     "docx", "xlsx", "pptx", "epub", "rtf", "doc", "xls",
                     "ppt", "mht", "odt", "ods", "odp", "md", "tar", "csv",
-                    "tex",
-                )[(did + rep) % 16]
+                    "tex", "ipynb", "sub",
+                )[(did + rep) % 18]
                 title = f"Synthesized bench document {did} part {rep}"
                 paras = [text] * paragraphs
                 if fmt == "docx":
@@ -321,6 +323,20 @@ def synth_office_pages(
                 elif fmt == "tex":
                     blob = genlatex.build_latex(
                         title, paras, comment="bench comment chrome"
+                    )
+                elif fmt == "ipynb":
+                    blob = genipynb.build_ipynb(
+                        title,
+                        paras,
+                        code=f"total = {did} + {rep}",
+                        output="bench stream output text",
+                    )
+                elif fmt == "sub":
+                    cues = [title, *paras]
+                    blob = (
+                        gensub.build_vtt(cues, note="bench note chrome")
+                        if rep % 2 == 0
+                        else gensub.build_srt(cues)
                     )
                 elif fmt == "tar":
                     page = (

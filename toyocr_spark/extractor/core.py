@@ -24,8 +24,10 @@ from toyocr_spark.extractor.docx import is_docx, tokenize_docx
 from toyocr_spark.extractor.epub import is_epub, tokenize_epub
 from toyocr_spark.extractor.layout import reading_order
 from toyocr_spark.extractor.csvleg import is_csv, tokenize_csv
+from toyocr_spark.extractor.ipynb import is_ipynb, tokenize_ipynb
 from toyocr_spark.extractor.latexleg import is_latex, tokenize_latex
 from toyocr_spark.extractor.markdown import is_markdown, tokenize_markdown
+from toyocr_spark.extractor.subtitles import is_subtitle, tokenize_subtitles
 from toyocr_spark.extractor.mhtml import is_mhtml, tokenize_mhtml
 from toyocr_spark.extractor.tarleg import is_tar, tokenize_tar
 from toyocr_spark.extractor.odp import is_odp, tokenize_odp
@@ -222,6 +224,17 @@ def dispatch_blocks(html: bytes | str) -> list:
         return tokenize_mhtml(html)
     if is_tar(html):
         return tokenize_tar(html)
+    if is_subtitle(html):
+        # near-magic sniffs: WebVTT's mandated "WEBVTT" header is a
+        # de-facto magic; SRT's counter+timing two-line opener is
+        # structure prose cannot fake — both outrank the weaker
+        # structural sniffs below
+        return tokenize_subtitles(html)
+    if is_ipynb(html):
+        # JSON-structured: '{'-led head carrying the nbformat keys.
+        # Runs before markdown so a notebook whose markdown cells
+        # hold ATX headings can never leak to the markdown leg.
+        return tokenize_ipynb(html)
     if is_latex(html):
         # first of the no-magic structural sniffs: the gate demands a
         # \documentclass-shaped first significant line, which no

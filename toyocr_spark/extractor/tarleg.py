@@ -91,10 +91,12 @@ def tar_links(data: bytes) -> list[str]:
     mining. Relative targets inside a bundle point at packaged
     siblings (the epub_links contract); members route per format
     (markdown_links for READMEs, pdf_links for PDFs, latex_links for
-    arXiv-style .tex sources, href regex for markup/text), opaque
+    arXiv-style .tex sources, ipynb_links for notebooks, href regex
+    for markup/text), opaque
     resources and nested tars contribute nothing. Malformed
     archives -> []."""
     from toyocr_spark.extractor.docx import docx_links, is_docx
+    from toyocr_spark.extractor.ipynb import ipynb_links, is_ipynb
     from toyocr_spark.extractor.latexleg import is_latex, latex_links
     from toyocr_spark.extractor.markdown import is_markdown, markdown_links
     from toyocr_spark.extractor.pdf import is_pdf, pdf_links
@@ -106,6 +108,8 @@ def tar_links(data: bytes) -> list[str]:
                 out.extend(pdf_links(payload))
             elif is_docx(payload):
                 out.extend(docx_links(payload))
+            elif is_ipynb(payload):
+                out.extend(ipynb_links(payload))
             elif is_latex(payload):
                 out.extend(latex_links(payload))
             elif is_markdown(payload):

@@ -76,12 +76,23 @@ def mine_outlinks(
                 | F.contains(head, F.lit(b"\n### "))
             )
         )
+        # notebooks: '{'-led JSON whose markdown cells hold ](-links
+        # the regexp leg can never see (hrefs inside JSON strings are
+        # escaped). Route CANDIDATES ('{' start + the "cells" key in
+        # the head — nbformat writes it first) to the kernel, where
+        # the real gate (extractor.ipynb.is_ipynb) decides; a failed
+        # candidate mines raw absolute hrefs there, which on escaped
+        # JSON is exactly the regexp leg's zero.
+        is_nb_like = (col.substr(1, 1) == F.lit(b"{")) & F.contains(
+            head, F.lit(b'"cells"')
+        )
         # tar bundles route to the kernel (tar_links walks the members)
         is_tar_b = F.substring(col, _MAGIC_OFFSET + 1, 5) == F.lit(b"ustar")
         magic = (
             (col.substr(1, 5) == F.lit(b"%PDF-"))
             | is_tar_b
             | is_md_like
+            | is_nb_like
             | (col.substr(1, 5) == F.lit(b"{\\rtf"))
             | (col.substr(1, 8) == F.lit(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"))
             | is_mht
@@ -101,6 +112,10 @@ def mine_outlinks(
                 (F.substring(col, 1, 1) != F.lit("<"))
                 & F.substring(col, 1, 4096).rlike("(?m)^#{1,6} ")
                 & F.contains(F.substring(col, 1, 4096), F.lit("]("))
+            )
+            | (
+                col.startswith("{")
+                & F.contains(F.substring(col, 1, 4096), F.lit('"cells"'))
             )
         )
     # lenient replacement decode: crawls carry latin-1/broken-UTF-8
@@ -139,6 +154,7 @@ def mine_outlinks(
         from toyocr_spark.extractor.doc import doc_links, is_doc
         from toyocr_spark.extractor.docx import docx_links, is_docx
         from toyocr_spark.extractor.epub import epub_links, is_epub
+        from toyocr_spark.extractor.ipynb import ipynb_links, is_ipynb
         from toyocr_spark.extractor.markdown import is_markdown, markdown_links
         from toyocr_spark.extractor.mhtml import is_mhtml, mhtml_links
         from toyocr_spark.extractor.odp import is_odp
@@ -180,6 +196,8 @@ def mine_outlinks(
                     links = mhtml_links(data)  # decoded parts, absolute only
                 elif is_tar(data):
                     links = tar_links(data)  # member walk, absolute only
+                elif is_ipynb(data):
+                    links = ipynb_links(data)  # markdown cells only
                 elif is_markdown(data):
                     links = markdown_links(data)  # absolute only, fences excluded
                 elif is_pdf(data):

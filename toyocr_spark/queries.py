@@ -9570,6 +9570,164 @@ def q159_latex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q160_ipynb_extract",
+    """
+    SELECT 'https://nb-' || CAST(doc_id AS VARCHAR) || '.example/analysis.ipynb' AS url,
+           'Notebook ' || CAST(doc_id AS VARCHAR) || ' analysis'
+             || chr(10) || text
+             || chr(10) || 'ans = ' || CAST(doc_id AS VARCHAR) || ' * 2 print(ans)'
+             || chr(10) || 'planted stream output row ' || CAST(doc_id AS VARCHAR) AS extracted_text,
+           4 AS n_kept
+    FROM documents
+    """,
+    "DRIVER-CHECKABLE Jupyter-notebook extraction — the nineteenth "
+    "format dispatch leg, covering the .ipynb JSON documents of "
+    "code-hosting crawls (GitHub, Kaggle), one of the densest "
+    "code+prose training sources on the web. Each row's text rides an "
+    "nbformat-v4 notebook with five plants the extractor must drop: "
+    "kernelspec/language_info metadata (never read), a link-dominated "
+    "markdown nav cell (dies by the shared link-density rule), an "
+    "image/png display output (binary payload — walk-don't-decode), "
+    "an error-output traceback, and a raw cell (nbconvert "
+    "passthrough); what survives is the markdown title+paragraph "
+    "(re-entering the ONE markdown tokenizer), the code cell, and its "
+    "stream output. ipynb has NO magic bytes, so this leg also proves "
+    "the cells+nbformat structural sniff end-to-end. Closed-form "
+    "oracle: gate, cell routing, chrome drops, and list-of-lines "
+    "source joining must be exact on every row. extractor/ipynb.py; "
+    "fixtures/genipynb.py. Map-only: one pre-kernel repartition, then "
+    "synth + extract in sanctioned Arrow kernels, zero shuffle after.",
+)
+def q160_ipynb_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    from toyocr_spark.pipeline import extract_pages
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("html", T.BinaryType(), False),
+        ]
+    )
+
+    def batches(it):
+        from toyocr_spark.fixtures.genipynb import build_ipynb
+
+        for b in it:
+            urls, blobs = [], []
+            for did, text in zip(b.column(0).to_pylist(), b.column(1).to_pylist()):
+                blobs.append(
+                    build_ipynb(
+                        f"Notebook {did} analysis",
+                        [text],
+                        code=f"ans = {did} * 2\nprint(ans)",
+                        output=f"planted stream output row {did}",
+                        host=f"nav-{did}.example",
+                    )
+                )
+                urls.append(f"https://nb-{did}.example/analysis.ipynb")
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()), pa.array(blobs, pa.binary())],
+                names=["url", "html"],
+            )
+
+    pages = d.mapInArrow(batches, schema)
+    out = extract_pages(pages)
+    return out.select(
+        "url", "extracted_text", F.col("n_kept").cast("int").alias("n_kept")
+    )
+
+
+@_q(
+    "q161_subtitle_extract",
+    """
+    SELECT 'https://cdn-' || CAST(doc_id AS VARCHAR) || '.example/track.'
+             || CASE WHEN doc_id % 2 = 0 THEN 'vtt' ELSE 'srt' END AS url,
+           'Subtitle track ' || CAST(doc_id AS VARCHAR) || ' opening line'
+             || chr(10) || text AS extracted_text,
+           2 AS n_kept
+    FROM documents
+    """,
+    "DRIVER-CHECKABLE subtitle extraction (WebVTT + SRT in one spec, "
+    "split by doc_id parity so BOTH gates prove out) — the twentieth "
+    "format dispatch leg, covering the caption tracks of video crawls "
+    "(the canonical spoken-register training text). Each row's text "
+    "rides a two-cue track with the chrome battery planted: VTT "
+    "header metadata + NOTE comment block (never read), cue "
+    "identifiers/counters, timing lines with cue settings, a <v "
+    "Narrator> speaker tag (annotation, not text), an <i> inline "
+    "wrapper around a mid-text word that must resolve to plain text "
+    "(the q159 \\textbf discipline), and a trailing short [Music] "
+    "sound-effect cue that must die by MIN_CHARS at the island edge. "
+    "WEBVTT's mandated header is a de-facto magic; SRT has none, so "
+    "the odd rows also prove the counter+timing structural sniff "
+    "end-to-end. Closed-form oracle: gates, cue-text recovery, chrome "
+    "drops, and markup resolution must be exact on every row. "
+    "extractor/subtitles.py; fixtures/gensub.py. Map-only: one "
+    "pre-kernel repartition, then synth + extract in sanctioned Arrow "
+    "kernels, zero shuffle after.",
+)
+def q161_subtitle_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    from toyocr_spark.pipeline import extract_pages
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("html", T.BinaryType(), False),
+        ]
+    )
+
+    def batches(it):
+        from toyocr_spark.fixtures.gensub import build_srt, build_vtt
+
+        for b in it:
+            urls, blobs = [], []
+            for did, text in zip(b.column(0).to_pylist(), b.column(1).to_pylist()):
+                words = text.split(" ")
+                mid = len(words) // 2
+                words[mid] = f"<i>{words[mid]}</i>"
+                cues = [
+                    f"<v Narrator>Subtitle track {did} opening line",
+                    " ".join(words),
+                    "[Music]",
+                ]
+                if did % 2 == 0:
+                    blobs.append(build_vtt(cues))
+                    urls.append(f"https://cdn-{did}.example/track.vtt")
+                else:
+                    # SRT carries no speaker-tag syntax: plant the
+                    # narrator tag only on the VTT side
+                    blobs.append(build_srt([cues[0][12:], *cues[1:]]))
+                    urls.append(f"https://cdn-{did}.example/track.srt")
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()), pa.array(blobs, pa.binary())],
+                names=["url", "html"],
+            )
+
+    pages = d.mapInArrow(batches, schema)
+    out = extract_pages(pages)
+    return out.select(
+        "url", "extracted_text", F.col("n_kept").cast("int").alias("n_kept")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
@@ -9617,6 +9775,8 @@ _DRIVER_PRIORITY: list[str] = [
     "q157_registrable_domain",  # new: eTLD+1 longest-suffix grouping
     "q158_csv_extract",  # new: CSV/TSV format leg (constant-count sniff)
     "q159_latex_extract",  # new: LaTeX format leg (arXiv .tex sources)
+    "q160_ipynb_extract",  # new: Jupyter notebook leg (cells+nbformat sniff)
+    "q161_subtitle_extract",  # new: WebVTT/SRT caption leg (both gates)
     "q116_sentence_align",  # oracle: rows-only -> planted closed form
     # flagship
     "q25_extract",
