@@ -9728,6 +9728,109 @@ def q161_subtitle_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q162_anchor_text",
+    """
+    WITH pages AS (
+      SELECT doc_id,
+             '<html><body>'
+             || '<a href="https://t-' || CAST(doc_id % 7 AS VARCHAR)
+             || '.example/p">Anchor Variant ' || CAST(doc_id % 3 AS VARCHAR) || '</a>'
+             || '<a href="https://t-' || CAST(doc_id % 5 AS VARCHAR)
+             || '.example/q">  Spaced   Anchor  </a>'
+             || '<a href="https://spam.example/x" rel="nofollow">sponsored link</a>'
+             || '<a href="https://img-' || CAST(doc_id % 4 AS VARCHAR)
+             || '.example/i"></a>'
+             || '</body></html>' AS html
+      FROM documents
+    ),
+    elems AS (
+      SELECT unnest(regexp_extract_all(html,
+               '<a [^>]*href="[^"]*"[^>]*>[^<]*</a>', 0)) AS e
+      FROM pages
+    ),
+    kept AS (
+      SELECT regexp_extract(e, 'href="([^"]+)"', 1) AS target,
+             lower(trim(regexp_extract(e, '>([^<]*)<', 1))) AS anchor
+      FROM elems
+      WHERE e NOT LIKE '%rel="nofollow"%'
+        AND trim(regexp_extract(e, '>([^<]*)<', 1)) <> ''
+    ),
+    pa AS (
+      SELECT target, anchor, COUNT(*) AS cnt
+      FROM kept GROUP BY target, anchor
+    ),
+    ranked AS (
+      SELECT target, anchor, cnt,
+             ROW_NUMBER() OVER (
+               PARTITION BY target ORDER BY cnt DESC, anchor DESC
+             ) AS rn
+      FROM pa
+    )
+    SELECT p.target,
+           CAST(SUM(p.cnt) AS BIGINT) AS n_refs,
+           CAST(COUNT(*) AS BIGINT) AS n_anchors,
+           MAX(CASE WHEN r.rn = 1 THEN r.anchor END) AS top_anchor
+    FROM pa p
+    JOIN ranked r ON r.target = p.target AND r.anchor = p.anchor
+    GROUP BY p.target
+    """,
+    "Anchor-text aggregation — the classic web-graph signal a "
+    "training-data pipeline harvests alongside outlinks (q42/q135): "
+    "for every link TARGET, the corpus-wide profile of the anchor "
+    "texts pointing at it (how others describe a page is a retrieval "
+    "and labeling signal the page's own content can't provide). "
+    "Pages synthesize JVM-side; anchor ELEMENTS lift out via one "
+    "regexp_extract_all pass, then href and inner text project from "
+    "each element — all Column expressions, zero Python. Real-world "
+    "semantics planted: rel=\"nofollow\" anchors are excluded (the "
+    "sponsored-link rule), empty-text anchors (image links) are "
+    "excluded, anchor text is case-folded and whitespace-trimmed "
+    "before counting. Aggregation is the two-level partial-agg shape "
+    "that scales: groupBy(target, anchor) counts (map-side combine), "
+    "then groupBy(target) folds n_refs/n_anchors and takes the top "
+    "anchor by a single max(struct(cnt, anchor)) — no window over "
+    "the full edge set, no collect. At 10^12 docs both shuffles key "
+    "on target, the natural partitioning for the downstream "
+    "per-document join.",
+)
+def q162_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><body><a href="https://t-'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit('.example/p">Anchor Variant '),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit('</a><a href="https://t-'),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit('.example/q">  Spaced   Anchor  </a>'),
+        F.lit('<a href="https://spam.example/x" rel="nofollow">sponsored link</a>'),
+        F.lit('<a href="https://img-'),
+        (F.col("doc_id") % 4).cast("string"),
+        F.lit('.example/i"></a></body></html>'),
+    )
+    elems = d.select(html.alias("html")).select(
+        F.explode(
+            F.regexp_extract_all(
+                "html", F.lit(r'<a [^>]*href="[^"]*"[^>]*>[^<]*</a>'), 0
+            )
+        ).alias("e")
+    )
+    inner = F.regexp_extract("e", r">([^<]*)<", 1)
+    kept = elems.filter(
+        (~F.col("e").contains('rel="nofollow"')) & (F.trim(inner) != "")
+    ).select(
+        F.regexp_extract("e", r'href="([^"]+)"', 1).alias("target"),
+        F.lower(F.trim(inner)).alias("anchor"),
+    )
+    pa = kept.groupBy("target", "anchor").agg(F.count("*").alias("cnt"))
+    return pa.groupBy("target").agg(
+        F.sum("cnt").alias("n_refs"),
+        F.count("*").alias("n_anchors"),
+        F.max(F.struct("cnt", "anchor")).getField("anchor").alias("top_anchor"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
@@ -9777,6 +9880,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q159_latex_extract",  # new: LaTeX format leg (arXiv .tex sources)
     "q160_ipynb_extract",  # new: Jupyter notebook leg (cells+nbformat sniff)
     "q161_subtitle_extract",  # new: WebVTT/SRT caption leg (both gates)
+    "q162_anchor_text",  # new: per-target anchor-text profile (nofollow rule)
     "q116_sentence_align",  # oracle: rows-only -> planted closed form
     # flagship
     "q25_extract",
