@@ -233,6 +233,7 @@ def test_relational_queries_have_no_python_nodes(spark, sf_dir):
         "q159_latex_extract",    # latex synth + extraction kernel
         "q160_ipynb_extract",    # notebook synth + extraction kernel
         "q161_subtitle_extract",  # vtt/srt synth + extraction kernel
+        "q163_wikitext_extract",  # wikitext synth + extraction kernel
     }
     markers = ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas",
                "MapInPandas", "PythonMapInArrow", "MapInArrow")

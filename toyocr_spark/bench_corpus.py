@@ -172,9 +172,9 @@ def synth_office_pages(
     spark: SparkSession, sf_dir: str, replicas: int = 4, paragraphs: int = 4
 ) -> DataFrame:
     """Office twin of synth_pdf_pages: every page is a REAL container
-    document cycling the eighteen non-HTML/PDF dispatch legs (docx,
+    document cycling the nineteen non-HTML/PDF dispatch legs (docx,
     xlsx, pptx, epub, rtf, legacy .doc, .xls, .ppt, .mht, .odt, .ods,
-    .odp, md, tar, csv, tex, ipynb, sub) with a heading,
+    .odp, md, tar, csv, tex, ipynb, sub, wiki) with a heading,
     ``paragraphs`` body paragraphs, and each format's native chrome.
     Container assembly cannot be a Column expression, so synthesis
     runs in one Arrow kernel — the materialized-corpus cache keeps it
@@ -219,6 +219,7 @@ def synth_office_pages(
             genpptx,
             genrtf,
             gensub,
+            genwiki,
             genxlsx,
         )
 
@@ -234,8 +235,8 @@ def synth_office_pages(
                 fmt = (
                     "docx", "xlsx", "pptx", "epub", "rtf", "doc", "xls",
                     "ppt", "mht", "odt", "ods", "odp", "md", "tar", "csv",
-                    "tex", "ipynb", "sub",
-                )[(did + rep) % 18]
+                    "tex", "ipynb", "sub", "wiki",
+                )[(did + rep) % 19]
                 title = f"Synthesized bench document {did} part {rep}"
                 paras = [text] * paragraphs
                 if fmt == "docx":
@@ -337,6 +338,13 @@ def synth_office_pages(
                         gensub.build_vtt(cues, note="bench note chrome")
                         if rep % 2 == 0
                         else gensub.build_srt(cues)
+                    )
+                elif fmt == "wiki":
+                    blob = genwiki.build_wikitext(
+                        title,
+                        paras,
+                        infobox_field="bench infobox chrome",
+                        citation="bench citation chrome",
                     )
                 elif fmt == "tar":
                     page = (

@@ -28,6 +28,7 @@ from toyocr_spark.extractor.ipynb import is_ipynb, tokenize_ipynb
 from toyocr_spark.extractor.latexleg import is_latex, tokenize_latex
 from toyocr_spark.extractor.markdown import is_markdown, tokenize_markdown
 from toyocr_spark.extractor.subtitles import is_subtitle, tokenize_subtitles
+from toyocr_spark.extractor.wikitext import is_wikitext, tokenize_wikitext
 from toyocr_spark.extractor.mhtml import is_mhtml, tokenize_mhtml
 from toyocr_spark.extractor.tarleg import is_tar, tokenize_tar
 from toyocr_spark.extractor.odp import is_odp, tokenize_odp
@@ -241,6 +242,11 @@ def dispatch_blocks(html: bytes | str) -> list:
         # markdown/CSV/prose page has, so it outranks both. ArXiv
         # .tex-in-.tar bundles reach here via the tar member walk.
         return tokenize_latex(html)
+    if is_wikitext(html):
+        # second no-magic structural sniff: == Heading == lines plus
+        # wikilink/template evidence — constructs neither markdown
+        # (ATX-gated) nor prose carries, so it outranks both
+        return tokenize_wikitext(html)
     if is_markdown(html):
         # LAST gates before the HTML fallback: markdown and CSV have
         # no magic, so every tagged/binary format wins first and the

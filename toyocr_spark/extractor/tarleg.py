@@ -100,6 +100,7 @@ def tar_links(data: bytes) -> list[str]:
     from toyocr_spark.extractor.latexleg import is_latex, latex_links
     from toyocr_spark.extractor.markdown import is_markdown, markdown_links
     from toyocr_spark.extractor.pdf import is_pdf, pdf_links
+    from toyocr_spark.extractor.wikitext import is_wikitext, wikitext_links
 
     out: list[str] = []
     for payload in _members(data):
@@ -112,6 +113,8 @@ def tar_links(data: bytes) -> list[str]:
                 out.extend(ipynb_links(payload))
             elif is_latex(payload):
                 out.extend(latex_links(payload))
+            elif is_wikitext(payload):
+                out.extend(wikitext_links(payload))
             elif is_markdown(payload):
                 out.extend(markdown_links(payload))
             else:

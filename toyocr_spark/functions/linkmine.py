@@ -76,6 +76,21 @@ def mine_outlinks(
                 | F.contains(head, F.lit(b"\n### "))
             )
         )
+        # wikitext: no magic and its [url label] external links never
+        # match the href regexp, so candidates ([[-links plus a ==
+        # heading or a template opener) route to the kernel, where the
+        # real gate (extractor.wikitext.is_wikitext) decides; a failed
+        # candidate mines raw absolute hrefs there (the md fallback
+        # contract)
+        is_wiki_like = (
+            (col.substr(1, 1) != F.lit(b"<"))
+            & F.contains(head, F.lit(b"[["))
+            & (
+                F.contains(head, F.lit(b"\n=="))
+                | (col.substr(1, 2) == F.lit(b"=="))
+                | (col.substr(1, 2) == F.lit(b"{{"))
+            )
+        )
         # notebooks: '{'-led JSON whose markdown cells hold ](-links
         # the regexp leg can never see (hrefs inside JSON strings are
         # escaped). Route CANDIDATES ('{' start + the "cells" key in
@@ -93,6 +108,7 @@ def mine_outlinks(
             | is_tar_b
             | is_md_like
             | is_nb_like
+            | is_wiki_like
             | (col.substr(1, 5) == F.lit(b"{\\rtf"))
             | (col.substr(1, 8) == F.lit(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"))
             | is_mht
@@ -165,6 +181,7 @@ def mine_outlinks(
         from toyocr_spark.extractor.pptx import is_pptx
         from toyocr_spark.extractor.rtf import is_rtf, rtf_links
         from toyocr_spark.extractor.tarleg import is_tar, tar_links
+        from toyocr_spark.extractor.wikitext import is_wikitext, wikitext_links
         from toyocr_spark.extractor.xlsx import is_xlsx
 
         for b in it:
@@ -198,6 +215,8 @@ def mine_outlinks(
                     links = tar_links(data)  # member walk, absolute only
                 elif is_ipynb(data):
                     links = ipynb_links(data)  # markdown cells only
+                elif is_wikitext(data):
+                    links = wikitext_links(data)  # external links only
                 elif is_markdown(data):
                     links = markdown_links(data)  # absolute only, fences excluded
                 elif is_pdf(data):

@@ -9831,6 +9831,85 @@ def q162_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q163_wikitext_extract",
+    """
+    SELECT 'https://wiki-' || CAST(doc_id AS VARCHAR) || '.example/wiki/Article' AS url,
+           'Wiki article ' || CAST(doc_id AS VARCHAR) || ' heading'
+             || chr(10) || text AS extracted_text,
+           2 AS n_kept
+    FROM documents
+    """,
+    "DRIVER-CHECKABLE MediaWiki wikitext extraction — the twenty-first "
+    "format dispatch leg, covering the markup of the MediaWiki "
+    "universe (Wikipedia dump <text> payloads, action=raw exports) — "
+    "the most-curated encyclopedic training source there is. Each "
+    "row's text rides an article with six plants the extractor must "
+    "drop: a multi-line {{Infobox}} (template = rendered chrome, "
+    "brace-depth-tracked across lines), __NOTOC__, an external-link "
+    "nav line (label chars are link chars — dies by the shared "
+    "density rule), an inline <ref> citation, a [[File:...]] media "
+    "link and a [[Category:...]] tag; a mid-text word rides a "
+    "[[Topic|word]] wikilink that must resolve to its display text "
+    "WITHOUT counting as link chars (internal wikilinks are prose — "
+    "a Wikipedia lede is wikilink-dense by construction). Wikitext "
+    "has NO magic bytes, so this leg also proves the heading+evidence "
+    "structural sniff end-to-end. Closed-form oracle: gate, template "
+    "skip, wikilink resolution, and chrome drops must be exact on "
+    "every row. extractor/wikitext.py; fixtures/genwiki.py. Map-only: "
+    "one pre-kernel repartition, then synth + extract in sanctioned "
+    "Arrow kernels, zero shuffle after.",
+)
+def q163_wikitext_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    from toyocr_spark.pipeline import extract_pages
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("html", T.BinaryType(), False),
+        ]
+    )
+
+    def batches(it):
+        from toyocr_spark.fixtures.genwiki import build_wikitext
+
+        for b in it:
+            urls, blobs = [], []
+            for did, text in zip(b.column(0).to_pylist(), b.column(1).to_pylist()):
+                words = text.split(" ")
+                mid = len(words) // 2
+                words[mid] = f"[[Planted Topic {did}|{words[mid]}]]"
+                blobs.append(
+                    build_wikitext(
+                        f"Wiki article {did} heading",
+                        [" ".join(words)],
+                        host=f"nav-{did}.example",
+                        infobox_field=f"infobox chrome {did}",
+                        citation=f"citation chrome {did}",
+                    )
+                )
+                urls.append(f"https://wiki-{did}.example/wiki/Article")
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()), pa.array(blobs, pa.binary())],
+                names=["url", "html"],
+            )
+
+    pages = d.mapInArrow(batches, schema)
+    out = extract_pages(pages)
+    return out.select(
+        "url", "extracted_text", F.col("n_kept").cast("int").alias("n_kept")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
@@ -9881,6 +9960,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q160_ipynb_extract",  # new: Jupyter notebook leg (cells+nbformat sniff)
     "q161_subtitle_extract",  # new: WebVTT/SRT caption leg (both gates)
     "q162_anchor_text",  # new: per-target anchor-text profile (nofollow rule)
+    "q163_wikitext_extract",  # new: MediaWiki wikitext leg (heading+evidence sniff)
     "q116_sentence_align",  # oracle: rows-only -> planted closed form
     # flagship
     "q25_extract",
