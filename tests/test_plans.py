@@ -234,6 +234,7 @@ def test_relational_queries_have_no_python_nodes(spark, sf_dir):
         "q160_ipynb_extract",    # notebook synth + extraction kernel
         "q161_subtitle_extract",  # vtt/srt synth + extraction kernel
         "q163_wikitext_extract",  # wikitext synth + extraction kernel
+        "q164_eml_extract",      # MIME-mail synth + extraction kernel
     }
     markers = ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas",
                "MapInPandas", "PythonMapInArrow", "MapInArrow")

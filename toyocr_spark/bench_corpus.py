@@ -172,9 +172,9 @@ def synth_office_pages(
     spark: SparkSession, sf_dir: str, replicas: int = 4, paragraphs: int = 4
 ) -> DataFrame:
     """Office twin of synth_pdf_pages: every page is a REAL container
-    document cycling the nineteen non-HTML/PDF dispatch legs (docx,
+    document cycling the twenty non-HTML/PDF dispatch legs (docx,
     xlsx, pptx, epub, rtf, legacy .doc, .xls, .ppt, .mht, .odt, .ods,
-    .odp, md, tar, csv, tex, ipynb, sub, wiki) with a heading,
+    .odp, md, tar, csv, tex, ipynb, sub, wiki, eml) with a heading,
     ``paragraphs`` body paragraphs, and each format's native chrome.
     Container assembly cannot be a Column expression, so synthesis
     runs in one Arrow kernel — the materialized-corpus cache keeps it
@@ -206,6 +206,7 @@ def synth_office_pages(
             gendoc,
             gendocx,
             genipynb,
+            genmail,
             genlatex,
             genmd,
             gentar,
@@ -235,8 +236,8 @@ def synth_office_pages(
                 fmt = (
                     "docx", "xlsx", "pptx", "epub", "rtf", "doc", "xls",
                     "ppt", "mht", "odt", "ods", "odp", "md", "tar", "csv",
-                    "tex", "ipynb", "sub", "wiki",
-                )[(did + rep) % 19]
+                    "tex", "ipynb", "sub", "wiki", "eml",
+                )[(did + rep) % 20]
                 title = f"Synthesized bench document {did} part {rep}"
                 paras = [text] * paragraphs
                 if fmt == "docx":
@@ -345,6 +346,15 @@ def synth_office_pages(
                         paras,
                         infobox_field="bench infobox chrome",
                         citation="bench citation chrome",
+                    )
+                elif fmt == "eml":
+                    blob = genmail.build_eml(
+                        title,
+                        paras,
+                        quoted="bench quoted chrome",
+                        signature="bench signature chrome",
+                        encoding=("7bit", "base64", "quoted-printable")[rep % 3],
+                        html_alternative=bool(did % 2),
                     )
                 elif fmt == "tar":
                     page = (

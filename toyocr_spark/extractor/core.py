@@ -29,6 +29,7 @@ from toyocr_spark.extractor.latexleg import is_latex, tokenize_latex
 from toyocr_spark.extractor.markdown import is_markdown, tokenize_markdown
 from toyocr_spark.extractor.subtitles import is_subtitle, tokenize_subtitles
 from toyocr_spark.extractor.wikitext import is_wikitext, tokenize_wikitext
+from toyocr_spark.extractor.eml import is_eml, tokenize_eml
 from toyocr_spark.extractor.mhtml import is_mhtml, tokenize_mhtml
 from toyocr_spark.extractor.tarleg import is_tar, tokenize_tar
 from toyocr_spark.extractor.odp import is_odp, tokenize_odp
@@ -223,6 +224,11 @@ def dispatch_blocks(html: bytes | str) -> list:
         return tokenize_ppt(html)
     if is_mhtml(html):
         return tokenize_mhtml(html)
+    if is_eml(html):
+        # after MHTML (multipart/related outranks mail): header-shaped
+        # first line + line-anchored From/Subject/Date headers — the
+        # block prose cannot fake
+        return tokenize_eml(html)
     if is_tar(html):
         return tokenize_tar(html)
     if is_subtitle(html):

@@ -96,6 +96,7 @@ def tar_links(data: bytes) -> list[str]:
     resources and nested tars contribute nothing. Malformed
     archives -> []."""
     from toyocr_spark.extractor.docx import docx_links, is_docx
+    from toyocr_spark.extractor.eml import eml_links, is_eml
     from toyocr_spark.extractor.ipynb import ipynb_links, is_ipynb
     from toyocr_spark.extractor.latexleg import is_latex, latex_links
     from toyocr_spark.extractor.markdown import is_markdown, markdown_links
@@ -109,6 +110,8 @@ def tar_links(data: bytes) -> list[str]:
                 out.extend(pdf_links(payload))
             elif is_docx(payload):
                 out.extend(docx_links(payload))
+            elif is_eml(payload):
+                out.extend(eml_links(payload))
             elif is_ipynb(payload):
                 out.extend(ipynb_links(payload))
             elif is_latex(payload):

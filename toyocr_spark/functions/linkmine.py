@@ -76,6 +76,15 @@ def mine_outlinks(
                 | F.contains(head, F.lit(b"\n### "))
             )
         )
+        # email: transfer-encoded bodies (QP/base64) and bare plain-text
+        # URLs never match the href regexp; candidates (header-shaped
+        # From:+Subject: in the head) route to the kernel, where the
+        # real gate (extractor.eml.is_eml) decides
+        is_eml_like = (
+            (col.substr(1, 1) != F.lit(b"<"))
+            & (F.contains(head, F.lit(b"From:")) | (col.substr(1, 5) == F.lit(b"From:")))
+            & F.contains(head, F.lit(b"Subject:"))
+        )
         # wikitext: no magic and its [url label] external links never
         # match the href regexp, so candidates ([[-links plus a ==
         # heading or a template opener) route to the kernel, where the
@@ -109,6 +118,7 @@ def mine_outlinks(
             | is_md_like
             | is_nb_like
             | is_wiki_like
+            | is_eml_like
             | (col.substr(1, 5) == F.lit(b"{\\rtf"))
             | (col.substr(1, 8) == F.lit(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"))
             | is_mht
@@ -169,6 +179,7 @@ def mine_outlinks(
 
         from toyocr_spark.extractor.doc import doc_links, is_doc
         from toyocr_spark.extractor.docx import docx_links, is_docx
+        from toyocr_spark.extractor.eml import eml_links, is_eml
         from toyocr_spark.extractor.epub import epub_links, is_epub
         from toyocr_spark.extractor.ipynb import ipynb_links, is_ipynb
         from toyocr_spark.extractor.markdown import is_markdown, markdown_links
@@ -211,6 +222,8 @@ def mine_outlinks(
                     links = doc_links(data)  # CP order, absolute only
                 elif is_mhtml(data):
                     links = mhtml_links(data)  # decoded parts, absolute only
+                elif is_eml(data):
+                    links = eml_links(data)  # rendered parts, quotes/sig excluded
                 elif is_tar(data):
                     links = tar_links(data)  # member walk, absolute only
                 elif is_ipynb(data):

@@ -9910,6 +9910,83 @@ def q163_wikitext_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q164_eml_extract",
+    """
+    SELECT 'https://archive-' || CAST(doc_id AS VARCHAR) || '.example/msg.eml' AS url,
+           'List post ' || CAST(doc_id AS VARCHAR) || ' subject'
+             || chr(10) || text AS extracted_text,
+           2 AS n_kept
+    FROM documents
+    """,
+    "DRIVER-CHECKABLE email extraction — the twenty-second format "
+    "dispatch leg, covering mailing-list/newsgroup archives "
+    "(pipermail exports, patch-review lists): long-form technical "
+    "discussion, a classic training source. Each row's text rides a "
+    "multipart/mixed list post with the full chrome battery: routing "
+    "headers (Received/List-Id, never read), a '>'-quoted "
+    "previous-message plant (keeping it would duplicate every thread "
+    "upward), a '-- ' signature block, an opaque attachment part, and "
+    "a MIME preamble; the Subject renders as the title (the one "
+    "header that IS content). The transfer encoding rotates by "
+    "doc_id%3 (7bit / base64 / quoted-printable) so the decode path "
+    "proves out on every codec, and doc_id%2 adds a "
+    "multipart/alternative html twin that must render EXACTLY once "
+    "(text/plain preferred). Closed-form oracle: gate, MIME walk, "
+    "alternative pick-one, transfer decode and chrome drops must be "
+    "exact on every row. extractor/eml.py; fixtures/genmail.py. "
+    "Map-only: one pre-kernel repartition, then synth + extract in "
+    "sanctioned Arrow kernels, zero shuffle after.",
+)
+def q164_eml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    from toyocr_spark.pipeline import extract_pages
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("html", T.BinaryType(), False),
+        ]
+    )
+
+    def batches(it):
+        from toyocr_spark.fixtures.genmail import build_eml
+
+        encs = ("7bit", "base64", "quoted-printable")
+        for b in it:
+            urls, blobs = [], []
+            for did, text in zip(b.column(0).to_pylist(), b.column(1).to_pylist()):
+                blobs.append(
+                    build_eml(
+                        f"List post {did} subject",
+                        [text],
+                        quoted=f"quoted reply chrome {did}",
+                        signature=f"signature chrome {did}",
+                        encoding=encs[did % 3],
+                        html_alternative=bool(did % 2),
+                    )
+                )
+                urls.append(f"https://archive-{did}.example/msg.eml")
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()), pa.array(blobs, pa.binary())],
+                names=["url", "html"],
+            )
+
+    pages = d.mapInArrow(batches, schema)
+    out = extract_pages(pages)
+    return out.select(
+        "url", "extracted_text", F.col("n_kept").cast("int").alias("n_kept")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
@@ -9961,6 +10038,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q161_subtitle_extract",  # new: WebVTT/SRT caption leg (both gates)
     "q162_anchor_text",  # new: per-target anchor-text profile (nofollow rule)
     "q163_wikitext_extract",  # new: MediaWiki wikitext leg (heading+evidence sniff)
+    "q164_eml_extract",  # new: email leg (MIME walk, alternative pick-one)
     "q116_sentence_align",  # oracle: rows-only -> planted closed form
     # flagship
     "q25_extract",
