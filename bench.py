@@ -171,17 +171,17 @@ def bench_pdf_extraction(spark, sf_dir: str, cpus: int) -> dict:
 
 def bench_office_extraction(spark, sf_dir: str, cpus: int) -> dict:
     """Secondary metric: the container/plain-text legs of the kernel
-    (docx/xlsx/pptx/epub/rtf/doc/xls/ppt/mht/odt/ods/odp/md/tar/csv
-    cycling evenly) over a synthesized all-office corpus — same
-    protocol as the PDF leg; the headline and scaling stay HTML-only
-    for round-over-round comparability."""
+    (docx/xlsx/pptx/epub/rtf/doc/xls/ppt/mht/odt/ods/odp/md/tar/csv/
+    tex/ipynb/sub/wiki/eml cycling evenly) over a synthesized
+    all-office corpus — same protocol as the PDF leg; the headline and
+    scaling stay HTML-only for round-over-round comparability."""
     from toyocr_spark.bench_corpus import materialize_office_corpus
     from toyocr_spark.pipeline import run_extraction
     from toyocr_spark.sources.pages import PAGES_SCHEMA
 
     # cache key carries the format-cycle width: a corpus from an
     # older, narrower format cycle must never serve this leg's timing
-    path = f"{CORPUS_CACHE}_office16_{sf_of(sf_dir)}_r{OFFICE_REPLICAS}"
+    path = f"{CORPUS_CACHE}_office20_{sf_of(sf_dir)}_r{OFFICE_REPLICAS}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         tmp = path + ".build"
         materialize_office_corpus(spark, sf_dir, tmp, replicas=OFFICE_REPLICAS)

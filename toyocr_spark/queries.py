@@ -9987,6 +9987,65 @@ def q164_eml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q165_thread_reconstruct",
+    """
+    SELECT CAST(doc_id - doc_id % 8 AS BIGINT) AS root,
+           CAST(COUNT(*) AS BIGINT) AS n_msgs,
+           CAST(MAX(doc_id % 8) AS INT) AS max_depth
+    FROM documents
+    GROUP BY doc_id - doc_id % 8
+    """,
+    "Mailing-list THREAD RECONSTRUCTION by pointer doubling — the "
+    "directed companion of q32's connected components: every message "
+    "carries only its In-Reply-To parent edge, and the engine must "
+    "recover each message's thread ROOT and reply DEPTH. The Spark "
+    "side sees nothing but (msg_id, parent_id) rows and runs generic "
+    "log-step ancestor jumping: 3 rounds of anc(m) <- anc(anc(m)) "
+    "with depth accumulation, each round ONE self-join shuffle keyed "
+    "on the ancestor pointer — ceil(log2(max_depth)) shuffles total, "
+    "never depth-many, the difference between 3 passes and 7+ at "
+    "10^12 messages. The fixture plants reply chains of known shape "
+    "(roots every 8th id, parent = id-1), so the ORACLE reads the "
+    "planted closed form instead of re-implementing the algorithm — "
+    "the q99-BPE/q116 planted-expectation discipline: the doubling "
+    "join must converge to EXACTLY the planted roots and depths on "
+    "every row or the hash breaks. Output: one row per thread "
+    "(root, n_msgs, max_depth).",
+)
+def q165_thread_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("msg_id"))
+    # the In-Reply-To edge: roots every 8th message, others reply to
+    # the previous id — the ONLY facts the engine may use below are
+    # (msg_id, parent_id); root/depth must come out of the doubling
+    parent = F.when(F.col("msg_id") % 8 == 0, F.lit(None).cast("long")).otherwise(
+        F.col("msg_id") - 1
+    )
+    t = d.select(
+        "msg_id",
+        F.coalesce(parent, F.col("msg_id")).alias("anc"),
+        F.when(parent.isNull(), F.lit(0)).otherwise(F.lit(1)).alias("d"),
+    )
+    # pointer doubling: after k rounds anc is the ancestor at distance
+    # min(2^k, depth); 3 rounds cover the fixture's max depth 7 (a
+    # production driver sizes k from an upper bound, not the data).
+    # Each round self-joins the PREVIOUS round's output, so the
+    # lineage must be cut per round (the q32 connected-components
+    # discipline) or round k recomputes 2^k copies of the base scan.
+    for _ in range(3):
+        t = t.localCheckpoint(eager=False)
+        a, b = t.alias("a"), t.alias("b")
+        t = a.join(b, F.col("a.anc") == F.col("b.msg_id")).select(
+            F.col("a.msg_id").alias("msg_id"),
+            F.col("b.anc").alias("anc"),
+            (F.col("a.d") + F.col("b.d")).alias("d"),
+        )
+    return t.groupBy(F.col("anc").alias("root")).agg(
+        F.count("*").alias("n_msgs"),
+        F.max("d").cast("int").alias("max_depth"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
@@ -10039,6 +10098,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q162_anchor_text",  # new: per-target anchor-text profile (nofollow rule)
     "q163_wikitext_extract",  # new: MediaWiki wikitext leg (heading+evidence sniff)
     "q164_eml_extract",  # new: email leg (MIME walk, alternative pick-one)
+    "q165_thread_reconstruct",  # new: pointer-doubling thread roots+depths
     "q116_sentence_align",  # oracle: rows-only -> planted closed form
     # flagship
     "q25_extract",
