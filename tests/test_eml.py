@@ -124,6 +124,34 @@ def test_links_bare_urls_kept_quotes_and_sig_excluded():
     assert eml_links(b"\x00junk") == []
 
 
+def test_nesting_bomb_trims_deterministically():
+    """Crafted deeply nested multiparts must trim (MAX_NESTING), and a
+    pathological 2000-deep bomb must quiet-skip — never an exception
+    inside the kernel."""
+    def nest(depth: int) -> bytes:
+        inner = "Content-Type: text/plain\n\ndeep payload text long enough to keep\n"
+        for i in range(depth):
+            b = f"b{i}"
+            inner = (
+                f'Content-Type: multipart/mixed; boundary="{b}"\n\n--{b}\n'
+                + inner
+                + f"\n--{b}--\n"
+            )
+        return (
+            "From: a@x\nSubject: deep nesting subject here\n"
+            "Date: Mon, 1 Jan 2024 00:00:00 +0000\nMIME-Version: 1.0\n" + inner
+        ).encode()
+
+    # depth 20 parses fine; the walk trims at MAX_NESTING: subject only
+    blocks = tokenize_eml(nest(20))
+    assert [b.text for b in blocks] == ["deep nesting subject here"]
+    # depth 4 is within the bound: payload renders
+    blocks = tokenize_eml(nest(4))
+    assert blocks[-1].text == "deep payload text long enough to keep"
+    # the 2000-deep bomb: deterministic result, no exception
+    assert tokenize_eml(nest(2000)) == tokenize_eml(nest(2000))
+
+
 # --- fuzz / determinism -------------------------------------------------------
 
 

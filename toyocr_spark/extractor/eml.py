@@ -89,9 +89,16 @@ def _decode_subject(msg) -> str:
         return " ".join(str(raw).split())
 
 
-def _body_parts(msg) -> list:
+MAX_NESTING = 8  # multipart tree depth bound: a crafted message with
+# thousands of nested multiparts must trim deterministically, never
+# blow the recursion limit inside the kernel (the zip-bomb discipline)
+
+
+def _body_parts(msg, depth: int = 0) -> list:
     """The renderable leaf parts in tree order, with the
-    multipart/alternative pick-one rule applied."""
+    multipart/alternative pick-one rule applied and nesting bounded."""
+    if depth >= MAX_NESTING:
+        return []
     if msg.is_multipart():
         children = msg.get_payload()
         if not isinstance(children, list):
@@ -101,11 +108,11 @@ def _body_parts(msg) -> list:
             for want in ("text/plain", "text/html"):
                 for c in children:
                     if c.get_content_type() == want:
-                        return _body_parts(c)
+                        return _body_parts(c, depth + 1)
             return []
         out = []
         for c in children[:MAX_PARTS]:
-            out.extend(_body_parts(c))
+            out.extend(_body_parts(c, depth + 1))
             if len(out) >= MAX_PARTS:
                 break
         return out[:MAX_PARTS]
