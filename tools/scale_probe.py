@@ -47,6 +47,14 @@ PROBES = [
     "q152_markdown_extract",
     "q153_tar_extract",
     "q150_hreflang_pairs",
+    # round-5 final batch: the MIME-decode kernel (map-only), the
+    # two-level anchor aggregation (both shuffles keyed on target —
+    # the ratio bounds the agg's row-linearity), and the
+    # pointer-doubling joins (3 log-step self-joins whose row count
+    # is corpus-linear by construction)
+    "q164_eml_extract",
+    "q162_anchor_text",
+    "q165_thread_reconstruct",
 ]
 
 # The registered q77 keeps k=8 clusters at every size, so cells grow
