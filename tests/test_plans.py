@@ -235,6 +235,7 @@ def test_relational_queries_have_no_python_nodes(spark, sf_dir):
         "q161_subtitle_extract",  # vtt/srt synth + extraction kernel
         "q163_wikitext_extract",  # wikitext synth + extraction kernel
         "q164_eml_extract",      # MIME-mail synth + extraction kernel
+        "q166_mbox_extract",     # mbox-archive synth + extraction kernel
     }
     markers = ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas",
                "MapInPandas", "PythonMapInArrow", "MapInArrow")

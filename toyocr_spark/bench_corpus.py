@@ -172,9 +172,10 @@ def synth_office_pages(
     spark: SparkSession, sf_dir: str, replicas: int = 4, paragraphs: int = 4
 ) -> DataFrame:
     """Office twin of synth_pdf_pages: every page is a REAL container
-    document cycling the twenty non-HTML/PDF dispatch legs (docx,
+    document cycling the twenty-one non-HTML/PDF dispatch legs (docx,
     xlsx, pptx, epub, rtf, legacy .doc, .xls, .ppt, .mht, .odt, .ods,
-    .odp, md, tar, csv, tex, ipynb, sub, wiki, eml) with a heading,
+    .odp, md, tar, csv, tex, ipynb, sub, wiki, eml, mbox) with a
+    heading,
     ``paragraphs`` body paragraphs, and each format's native chrome.
     Container assembly cannot be a Column expression, so synthesis
     runs in one Arrow kernel — the materialized-corpus cache keeps it
@@ -236,8 +237,8 @@ def synth_office_pages(
                 fmt = (
                     "docx", "xlsx", "pptx", "epub", "rtf", "doc", "xls",
                     "ppt", "mht", "odt", "ods", "odp", "md", "tar", "csv",
-                    "tex", "ipynb", "sub", "wiki", "eml",
-                )[(did + rep) % 20]
+                    "tex", "ipynb", "sub", "wiki", "eml", "mbox",
+                )[(did + rep) % 21]
                 title = f"Synthesized bench document {did} part {rep}"
                 paras = [text] * paragraphs
                 if fmt == "docx":
@@ -346,6 +347,23 @@ def synth_office_pages(
                         paras,
                         infobox_field="bench infobox chrome",
                         citation="bench citation chrome",
+                    )
+                elif fmt == "mbox":
+                    blob = genmail.build_mbox(
+                        [
+                            genmail.build_eml(
+                                title,
+                                paras,
+                                quoted="bench quoted chrome",
+                                signature="bench signature chrome",
+                            ),
+                            genmail.build_eml(
+                                f"{title} follow-up",
+                                paras[:1],
+                                html_alternative=True,
+                            ),
+                        ],
+                        escape_plant=bool(rep % 2),
                     )
                 elif fmt == "eml":
                     blob = genmail.build_eml(

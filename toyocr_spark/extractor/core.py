@@ -30,6 +30,7 @@ from toyocr_spark.extractor.markdown import is_markdown, tokenize_markdown
 from toyocr_spark.extractor.subtitles import is_subtitle, tokenize_subtitles
 from toyocr_spark.extractor.wikitext import is_wikitext, tokenize_wikitext
 from toyocr_spark.extractor.eml import is_eml, tokenize_eml
+from toyocr_spark.extractor.mbox import is_mbox, tokenize_mbox
 from toyocr_spark.extractor.mhtml import is_mhtml, tokenize_mhtml
 from toyocr_spark.extractor.tarleg import is_tar, tokenize_tar
 from toyocr_spark.extractor.odp import is_odp, tokenize_odp
@@ -224,6 +225,11 @@ def dispatch_blocks(html: bytes | str) -> list:
         return tokenize_ppt(html)
     if is_mhtml(html):
         return tokenize_mhtml(html)
+    if is_mbox(html):
+        # the mail family's CONTAINER, before the single message: an
+        # asctime postmark first line (no colon — structurally
+        # disjoint from every header-shaped gate) + mail headers
+        return tokenize_mbox(html)
     if is_eml(html):
         # after MHTML (multipart/related outranks mail): header-shaped
         # first line + line-anchored From/Subject/Date headers — the

@@ -98,6 +98,7 @@ def tar_links(data: bytes) -> list[str]:
     from toyocr_spark.extractor.docx import docx_links, is_docx
     from toyocr_spark.extractor.eml import eml_links, is_eml
     from toyocr_spark.extractor.ipynb import ipynb_links, is_ipynb
+    from toyocr_spark.extractor.mbox import is_mbox, mbox_links
     from toyocr_spark.extractor.latexleg import is_latex, latex_links
     from toyocr_spark.extractor.markdown import is_markdown, markdown_links
     from toyocr_spark.extractor.pdf import is_pdf, pdf_links
@@ -110,6 +111,8 @@ def tar_links(data: bytes) -> list[str]:
                 out.extend(pdf_links(payload))
             elif is_docx(payload):
                 out.extend(docx_links(payload))
+            elif is_mbox(payload):
+                out.extend(mbox_links(payload))
             elif is_eml(payload):
                 out.extend(eml_links(payload))
             elif is_ipynb(payload):

@@ -111,3 +111,46 @@ def build_eml(
         ]
     out += [f"--{bnd}--", ""]
     return "\n".join(out).encode("utf-8")
+
+
+def build_mbox(
+    messages: list[bytes],
+    *,
+    sender: str = "poster@list.example",
+    escape_plant: bool = False,
+) -> bytes:
+    """Assemble a Unix mbox archive from single-message fixtures:
+    each message gets an asctime postmark line and a trailing blank
+    line (the mbox convention — boundaries only count after a blank
+    line). `escape_plant` appends a message whose body carries an
+    mboxo-escaped ">From " line that must UNescape to a "From "
+    content line, plus a decoy unescaped "From " mid-paragraph that
+    must NOT split the archive."""
+    postmark = f"From {sender} Mon Jan  1 00:00:00 2024\n".encode("ascii")
+    out = bytearray()
+    for msg in messages:
+        out += postmark
+        body = bytes(msg)
+        # mboxo discipline: escape any body line that would otherwise
+        # forge a postmark after a blank line
+        body = body.replace(b"\n\nFrom ", b"\n\n>From ")
+        out += body
+        if not body.endswith(b"\n"):
+            out += b"\n"
+        out += b"\n"
+    if escape_plant:
+        out += postmark
+        out += (
+            b"From: Escape Plant <plant@list.example>\n"
+            b"To: dev@list.example\n"
+            b"Subject: escape plant subject\n"
+            b"Date: Mon, 1 Jan 2024 00:00:00 +0000\n"
+            b"Message-ID: <plant@list.example>\n"
+            b"\n"
+            b"first plant paragraph\n"
+            b"\n"
+            b">From the archive this line is content\n"
+            b"From mid-paragraph this never splits 2024\n"
+            b"\n"
+        )
+    return bytes(out)

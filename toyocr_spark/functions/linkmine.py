@@ -181,6 +181,7 @@ def mine_outlinks(
         from toyocr_spark.extractor.docx import docx_links, is_docx
         from toyocr_spark.extractor.eml import eml_links, is_eml
         from toyocr_spark.extractor.epub import epub_links, is_epub
+        from toyocr_spark.extractor.mbox import is_mbox, mbox_links
         from toyocr_spark.extractor.ipynb import ipynb_links, is_ipynb
         from toyocr_spark.extractor.markdown import is_markdown, markdown_links
         from toyocr_spark.extractor.mhtml import is_mhtml, mhtml_links
@@ -222,6 +223,8 @@ def mine_outlinks(
                     links = doc_links(data)  # CP order, absolute only
                 elif is_mhtml(data):
                     links = mhtml_links(data)  # decoded parts, absolute only
+                elif is_mbox(data):
+                    links = mbox_links(data)  # archive walk, per-message eml rule
                 elif is_eml(data):
                     links = eml_links(data)  # rendered parts, quotes/sig excluded
                 elif is_tar(data):

@@ -10046,6 +10046,97 @@ def q165_thread_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q166_mbox_extract",
+    """
+    SELECT 'https://lists-' || CAST(doc_id AS VARCHAR) || '.example/arch.mbox' AS url,
+           'Archive post ' || CAST(doc_id AS VARCHAR) || ' first'
+             || chr(10) || text
+             || chr(10) || 'Archive post ' || CAST(doc_id AS VARCHAR) || ' second'
+             || chr(10) || 'second message body ' || CAST(doc_id AS VARCHAR) || ' kept'
+             || CASE WHEN doc_id % 2 = 1 THEN
+                    chr(10) || 'escape plant subject'
+                 || chr(10) || 'first plant paragraph'
+                 || chr(10) || 'From the archive this line is content From mid-paragraph this never splits 2024'
+                ELSE '' END AS extracted_text,
+           CAST(4 + 3 * (doc_id % 2) AS INT) AS n_kept
+    FROM documents
+    """,
+    "DRIVER-CHECKABLE mbox extraction — the twenty-third format "
+    "dispatch leg and the mail family's CONTAINER: a whole mailing "
+    "list archive per row ('From '-separated RFC 5322 messages, the "
+    "shape pipermail/lkml monthly dumps ship in). The tar discipline "
+    "applied to mail: the walk resolves WHICH byte ranges are "
+    "messages, each re-enters the q164 single-mail tokenizer (MIME "
+    "walk, alternative pick-one, quote/sig chrome — one rule set), "
+    "ordinals renumbered across messages. Every row carries two "
+    "messages (transfer encoding rotating by doc_id%3 on the first, "
+    "an alternative html twin on the second that must render EXACTLY "
+    "once), and odd rows add the mboxo escape battery: a '>From ' "
+    "body line that must UNescape to content plus a mid-paragraph "
+    "'From ' decoy that must NOT split the archive. Closed-form "
+    "oracle: gate, bounded walk, postmark splitting and unescaping "
+    "must be exact on every row. extractor/mbox.py; "
+    "fixtures/genmail.py build_mbox. Map-only: one pre-kernel "
+    "repartition, then synth + extract in sanctioned Arrow kernels, "
+    "zero shuffle after.",
+)
+def q166_mbox_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    from toyocr_spark.pipeline import extract_pages
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("html", T.BinaryType(), False),
+        ]
+    )
+
+    def batches(it):
+        from toyocr_spark.fixtures.genmail import build_eml, build_mbox
+
+        encs = ("7bit", "base64", "quoted-printable")
+        for b in it:
+            urls, blobs = [], []
+            for did, text in zip(b.column(0).to_pylist(), b.column(1).to_pylist()):
+                blobs.append(
+                    build_mbox(
+                        [
+                            build_eml(
+                                f"Archive post {did} first",
+                                [text],
+                                encoding=encs[did % 3],
+                            ),
+                            build_eml(
+                                f"Archive post {did} second",
+                                [f"second message body {did} kept"],
+                                html_alternative=True,
+                            ),
+                        ],
+                        escape_plant=bool(did % 2),
+                    )
+                )
+                urls.append(f"https://lists-{did}.example/arch.mbox")
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()), pa.array(blobs, pa.binary())],
+                names=["url", "html"],
+            )
+
+    pages = d.mapInArrow(batches, schema)
+    out = extract_pages(pages)
+    return out.select(
+        "url", "extracted_text", F.col("n_kept").cast("int").alias("n_kept")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
@@ -10099,6 +10190,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q163_wikitext_extract",  # new: MediaWiki wikitext leg (heading+evidence sniff)
     "q164_eml_extract",  # new: email leg (MIME walk, alternative pick-one)
     "q165_thread_reconstruct",  # new: pointer-doubling thread roots+depths
+    "q166_mbox_extract",  # new: mbox mailbox container (postmark walk)
     "q116_sentence_align",  # oracle: rows-only -> planted closed form
     # flagship
     "q25_extract",
