@@ -10137,6 +10137,80 @@ def q166_mbox_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q167_redirect_resolve",
+    """
+    SELECT 'https://site-' || CAST(doc_id AS VARCHAR) || '.example/page' AS url,
+           CASE WHEN doc_id % 8 <= 5 THEN
+             'https://site-' || CAST(doc_id - doc_id % 8 AS VARCHAR) || '.example/page'
+           END AS final_url,
+           CAST(CASE WHEN doc_id % 8 <= 5 THEN doc_id % 8 ELSE -1 END AS INT) AS hops,
+           CASE WHEN doc_id % 8 <= 5 THEN 'ok' ELSE 'loop' END AS status
+    FROM documents
+    """,
+    "REDIRECT-CHAIN RESOLUTION with loop detection — the crawl "
+    "canonicalization every frontier needs: each fetched URL carries "
+    "at most one 3xx edge, and the engine must resolve every URL's "
+    "FINAL landing page, hop count, and loop verdict. Pointer "
+    "doubling (the q165 machinery pointed at a different product): "
+    "3 log-step rounds of anc <- anc(anc) resolve chains up to depth "
+    "8 in ceil(log2(depth)) self-join shuffles instead of depth-many "
+    "BFS passes. Two twists beyond q165: the result is PER-URL (a "
+    "resolution table, not a per-root rollup), and TERMINALITY rides "
+    "the doubling as a carried flag — a row whose final ancestor "
+    "still redirects after the rounds is in (or drains into) a "
+    "redirect LOOP, classified with ZERO extra joins. The fixture "
+    "plants chains of known shape (terminals every 8th id, chain "
+    "hops = id%8 for 1..5, a self-loop at %8==6 and a drain into it "
+    "at %8==7), so the ORACLE reads the planted closed form — the "
+    "q99/q116/q165 planted-expectation discipline: the doubling must "
+    "converge to EXACTLY the planted finals, hops and verdicts on "
+    "every row or the hash breaks. Output: (url, final_url|NULL, "
+    "hops with -1 in a loop, status).",
+)
+def q167_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("msg_id"))
+    # the 3xx edge: terminals every 8th id; %8 in 1..5 and 7 redirect
+    # to id-1; %8==6 self-loops. The ONLY facts the engine may use
+    # below are (msg_id, dst) — finals/hops/verdicts must come out of
+    # the doubling.
+    dst = (
+        F.when(F.col("msg_id") % 8 == 0, F.lit(None).cast("long"))
+        .when(F.col("msg_id") % 8 == 6, F.col("msg_id"))
+        .otherwise(F.col("msg_id") - 1)
+    )
+    t = d.select(
+        "msg_id",
+        F.coalesce(dst, F.col("msg_id")).alias("anc"),
+        F.when(dst.isNull(), F.lit(0)).otherwise(F.lit(1)).alias("d"),
+        dst.isNull().alias("fin"),
+    )
+    # pointer doubling with the terminality flag riding along: after
+    # k rounds anc is the ancestor at distance min(2^k, depth) and
+    # fin says whether that ancestor is a terminal; terminals are
+    # fixpoints (anc=self, d+=0, fin stays true), loop members' d
+    # doubles without fin ever turning true. Lineage cut per round
+    # (the q32/q165 discipline).
+    for _ in range(3):
+        t = t.localCheckpoint(eager=False)
+        a, b = t.alias("a"), t.alias("b")
+        t = a.join(b, F.col("a.anc") == F.col("b.msg_id")).select(
+            F.col("a.msg_id").alias("msg_id"),
+            F.col("b.anc").alias("anc"),
+            (F.col("a.d") + F.col("b.d")).alias("d"),
+            F.col("b.fin").alias("fin"),
+        )
+    url_of = lambda c: F.concat(  # noqa: E731
+        F.lit("https://site-"), c.cast("string"), F.lit(".example/page")
+    )
+    return t.select(
+        url_of(F.col("msg_id")).alias("url"),
+        F.when(F.col("fin"), url_of(F.col("anc"))).alias("final_url"),
+        F.when(F.col("fin"), F.col("d")).otherwise(F.lit(-1)).cast("int").alias("hops"),
+        F.when(F.col("fin"), F.lit("ok")).otherwise(F.lit("loop")).alias("status"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
@@ -10191,6 +10265,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q164_eml_extract",  # new: email leg (MIME walk, alternative pick-one)
     "q165_thread_reconstruct",  # new: pointer-doubling thread roots+depths
     "q166_mbox_extract",  # new: mbox mailbox container (postmark walk)
+    "q167_redirect_resolve",  # new: per-URL redirect canonicalization + loops
     "q116_sentence_align",  # oracle: rows-only -> planted closed form
     # flagship
     "q25_extract",
