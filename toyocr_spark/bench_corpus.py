@@ -172,9 +172,9 @@ def synth_office_pages(
     spark: SparkSession, sf_dir: str, replicas: int = 4, paragraphs: int = 4
 ) -> DataFrame:
     """Office twin of synth_pdf_pages: every page is a REAL container
-    document cycling the twenty-one non-HTML/PDF dispatch legs (docx,
+    document cycling the twenty-two non-HTML/PDF dispatch legs (docx,
     xlsx, pptx, epub, rtf, legacy .doc, .xls, .ppt, .mht, .odt, .ods,
-    .odp, md, tar, csv, tex, ipynb, sub, wiki, eml, mbox) with a
+    .odp, md, tar, csv, tex, ipynb, sub, wiki, eml, mbox, ics) with a
     heading,
     ``paragraphs`` body paragraphs, and each format's native chrome.
     Container assembly cannot be a Column expression, so synthesis
@@ -206,6 +206,7 @@ def synth_office_pages(
             gencsv,
             gendoc,
             gendocx,
+            genical,
             genipynb,
             genmail,
             genlatex,
@@ -237,8 +238,8 @@ def synth_office_pages(
                 fmt = (
                     "docx", "xlsx", "pptx", "epub", "rtf", "doc", "xls",
                     "ppt", "mht", "odt", "ods", "odp", "md", "tar", "csv",
-                    "tex", "ipynb", "sub", "wiki", "eml", "mbox",
-                )[(did + rep) % 21]
+                    "tex", "ipynb", "sub", "wiki", "eml", "mbox", "ics",
+                )[(did + rep) % 22]
                 title = f"Synthesized bench document {did} part {rep}"
                 paras = [text] * paragraphs
                 if fmt == "docx":
@@ -347,6 +348,11 @@ def synth_office_pages(
                         paras,
                         infobox_field="bench infobox chrome",
                         citation="bench citation chrome",
+                    )
+                elif fmt == "ics":
+                    blob = genical.build_ics(
+                        [(title, p) for p in paras],
+                        multiline_description=bool(rep % 2),
                     )
                 elif fmt == "mbox":
                     blob = genmail.build_mbox(

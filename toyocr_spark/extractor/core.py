@@ -24,6 +24,7 @@ from toyocr_spark.extractor.docx import is_docx, tokenize_docx
 from toyocr_spark.extractor.epub import is_epub, tokenize_epub
 from toyocr_spark.extractor.layout import reading_order
 from toyocr_spark.extractor.csvleg import is_csv, tokenize_csv
+from toyocr_spark.extractor.icsleg import is_ics, tokenize_ics
 from toyocr_spark.extractor.ipynb import is_ipynb, tokenize_ipynb
 from toyocr_spark.extractor.latexleg import is_latex, tokenize_latex
 from toyocr_spark.extractor.markdown import is_markdown, tokenize_markdown
@@ -237,6 +238,10 @@ def dispatch_blocks(html: bytes | str) -> list:
         return tokenize_eml(html)
     if is_tar(html):
         return tokenize_tar(html)
+    if is_ics(html):
+        # near-magic: RFC 5545 mandates BEGIN:VCALENDAR as the first
+        # line — prose cannot start with it (the WEBVTT rule)
+        return tokenize_ics(html)
     if is_subtitle(html):
         # near-magic sniffs: WebVTT's mandated "WEBVTT" header is a
         # de-facto magic; SRT's counter+timing two-line opener is

@@ -97,6 +97,7 @@ def tar_links(data: bytes) -> list[str]:
     archives -> []."""
     from toyocr_spark.extractor.docx import docx_links, is_docx
     from toyocr_spark.extractor.eml import eml_links, is_eml
+    from toyocr_spark.extractor.icsleg import ics_links, is_ics
     from toyocr_spark.extractor.ipynb import ipynb_links, is_ipynb
     from toyocr_spark.extractor.mbox import is_mbox, mbox_links
     from toyocr_spark.extractor.latexleg import is_latex, latex_links
@@ -115,6 +116,8 @@ def tar_links(data: bytes) -> list[str]:
                 out.extend(mbox_links(payload))
             elif is_eml(payload):
                 out.extend(eml_links(payload))
+            elif is_ics(payload):
+                out.extend(ics_links(payload))
             elif is_ipynb(payload):
                 out.extend(ipynb_links(payload))
             elif is_latex(payload):

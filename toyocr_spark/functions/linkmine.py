@@ -110,6 +110,11 @@ def mine_outlinks(
         is_nb_like = (col.substr(1, 1) == F.lit(b"{")) & F.contains(
             head, F.lit(b'"cells"')
         )
+        # iCalendar: URL: property values and bare DESCRIPTION urls
+        # never match the href regexp; BEGIN:VCALENDAR is a de-facto
+        # magic, so the JVM gate is exact (no kernel re-check needed
+        # beyond the shared is_ics)
+        is_ics_b = col.substr(1, 15) == F.lit(b"BEGIN:VCALENDAR")
         # tar bundles route to the kernel (tar_links walks the members)
         is_tar_b = F.substring(col, _MAGIC_OFFSET + 1, 5) == F.lit(b"ustar")
         magic = (
@@ -119,6 +124,7 @@ def mine_outlinks(
             | is_nb_like
             | is_wiki_like
             | is_eml_like
+            | is_ics_b
             | (col.substr(1, 5) == F.lit(b"{\\rtf"))
             | (col.substr(1, 8) == F.lit(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"))
             | is_mht
@@ -182,6 +188,7 @@ def mine_outlinks(
         from toyocr_spark.extractor.eml import eml_links, is_eml
         from toyocr_spark.extractor.epub import epub_links, is_epub
         from toyocr_spark.extractor.mbox import is_mbox, mbox_links
+        from toyocr_spark.extractor.icsleg import ics_links, is_ics
         from toyocr_spark.extractor.ipynb import ipynb_links, is_ipynb
         from toyocr_spark.extractor.markdown import is_markdown, markdown_links
         from toyocr_spark.extractor.mhtml import is_mhtml, mhtml_links
@@ -229,6 +236,8 @@ def mine_outlinks(
                     links = eml_links(data)  # rendered parts, quotes/sig excluded
                 elif is_tar(data):
                     links = tar_links(data)  # member walk, absolute only
+                elif is_ics(data):
+                    links = ics_links(data)  # URL props + description urls
                 elif is_ipynb(data):
                     links = ipynb_links(data)  # markdown cells only
                 elif is_wikitext(data):

@@ -10211,6 +10211,91 @@ def q167_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q168_ics_extract",
+    """
+    SELECT 'https://cal-' || CAST(doc_id AS VARCHAR) || '.example/feed.ics' AS url,
+           'Calendar event ' || CAST(doc_id AS VARCHAR) || ' first'
+             || chr(10) || text
+             || CASE WHEN doc_id % 2 = 1
+                THEN chr(10) || 'next paragraph of ' || text ELSE '' END
+             || chr(10) || 'Calendar event ' || CAST(doc_id AS VARCHAR) || ' second'
+             || chr(10) || 'agenda item ' || CAST(doc_id AS VARCHAR) || ' body; with details, inline'
+             || CASE WHEN doc_id % 2 = 1
+                THEN chr(10) || 'next paragraph of agenda item '
+                  || CAST(doc_id AS VARCHAR) || ' body; with details, inline'
+                ELSE '' END AS extracted_text,
+           CAST(4 + 2 * (doc_id % 2) AS INT) AS n_kept
+    FROM documents
+    """,
+    "DRIVER-CHECKABLE iCalendar extraction — the twenty-fourth "
+    "format dispatch leg, covering the event/calendar feeds crawls "
+    "carry in bulk (conference schedules, venue programmes, course "
+    "calendars). BEGIN:VCALENDAR is a de-facto magic (the WEBVTT "
+    "rule). Every row carries two VEVENTs with the full chrome "
+    "battery — calendar headers, a VTIMEZONE component, UID/DTSTART/"
+    "ORGANIZER/ATTENDEE/RRULE/LOCATION metadata, and a VALARM whose "
+    "DESCRIPTION is reminder chrome — plus the grammar gauntlet: "
+    "75-octet line FOLDING that splits mid-word (§3.1 unfold must be "
+    "seamless), property parameters to strip, and TEXT escaping "
+    "(the second event's description carries a literal ';' and ',' "
+    "that round-trip through \\\\;/\\\\, escapes); odd rows add "
+    "escaped-\\\\n multi-paragraph descriptions. Closed-form oracle: "
+    "gate, unfold, unescape and chrome exclusion must be exact on "
+    "every row. extractor/icsleg.py; fixtures/genical.py. Map-only: "
+    "one pre-kernel repartition, then synth + extract in sanctioned "
+    "Arrow kernels, zero shuffle after.",
+)
+def q168_ics_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    from toyocr_spark.pipeline import extract_pages
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("html", T.BinaryType(), False),
+        ]
+    )
+
+    def batches(it):
+        from toyocr_spark.fixtures.genical import build_ics
+
+        for b in it:
+            urls, blobs = [], []
+            for did, text in zip(b.column(0).to_pylist(), b.column(1).to_pylist()):
+                blobs.append(
+                    build_ics(
+                        [
+                            (f"Calendar event {did} first", text),
+                            (
+                                f"Calendar event {did} second",
+                                f"agenda item {did} body; with details, inline",
+                            ),
+                        ],
+                        multiline_description=bool(did % 2),
+                    )
+                )
+                urls.append(f"https://cal-{did}.example/feed.ics")
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()), pa.array(blobs, pa.binary())],
+                names=["url", "html"],
+            )
+
+    pages = d.mapInArrow(batches, schema)
+    out = extract_pages(pages)
+    return out.select(
+        "url", "extracted_text", F.col("n_kept").cast("int").alias("n_kept")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
@@ -10266,6 +10351,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q165_thread_reconstruct",  # new: pointer-doubling thread roots+depths
     "q166_mbox_extract",  # new: mbox mailbox container (postmark walk)
     "q167_redirect_resolve",  # new: per-URL redirect canonicalization + loops
+    "q168_ics_extract",  # new: iCalendar leg (RFC 5545 fold/escape grammar)
     "q116_sentence_align",  # oracle: rows-only -> planted closed form
     # flagship
     "q25_extract",
