@@ -172,10 +172,10 @@ def synth_office_pages(
     spark: SparkSession, sf_dir: str, replicas: int = 4, paragraphs: int = 4
 ) -> DataFrame:
     """Office twin of synth_pdf_pages: every page is a REAL container
-    document cycling the twenty-two non-HTML/PDF dispatch legs (docx,
-    xlsx, pptx, epub, rtf, legacy .doc, .xls, .ppt, .mht, .odt, .ods,
-    .odp, md, tar, csv, tex, ipynb, sub, wiki, eml, mbox, ics) with a
-    heading,
+    document cycling the twenty-three non-HTML/PDF dispatch legs
+    (docx, xlsx, pptx, epub, rtf, legacy .doc, .xls, .ppt, .mht,
+    .odt, .ods, .odp, md, tar, csv, tex, ipynb, sub, wiki, eml,
+    mbox, ics, zip) with a heading,
     ``paragraphs`` body paragraphs, and each format's native chrome.
     Container assembly cannot be a Column expression, so synthesis
     runs in one Arrow kernel — the materialized-corpus cache keeps it
@@ -224,6 +224,7 @@ def synth_office_pages(
             gensub,
             genwiki,
             genxlsx,
+            genzip,
         )
 
         ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
@@ -239,7 +240,8 @@ def synth_office_pages(
                     "docx", "xlsx", "pptx", "epub", "rtf", "doc", "xls",
                     "ppt", "mht", "odt", "ods", "odp", "md", "tar", "csv",
                     "tex", "ipynb", "sub", "wiki", "eml", "mbox", "ics",
-                )[(did + rep) % 22]
+                    "zip",
+                )[(did + rep) % 23]
                 title = f"Synthesized bench document {did} part {rep}"
                 paras = [text] * paragraphs
                 if fmt == "docx":
@@ -348,6 +350,22 @@ def synth_office_pages(
                         paras,
                         infobox_field="bench infobox chrome",
                         citation="bench citation chrome",
+                    )
+                elif fmt == "zip":
+                    page = (
+                        f"<html><body><h1>{title}</h1>"
+                        + "".join(f"<p>{p}</p>" for p in paras)
+                        + "</body></html>"
+                    ).encode()
+                    blob = genzip.build_zip(
+                        [
+                            ("page.html", page),
+                            (
+                                "res/r.png",
+                                b"\x89PNG\r\n\x1a\n" + bytes(range(200, 256)),
+                            ),
+                        ],
+                        with_dir=True,
                     )
                 elif fmt == "ics":
                     blob = genical.build_ics(

@@ -43,6 +43,7 @@ from toyocr_spark.extractor.pptx import is_pptx, tokenize_pptx
 from toyocr_spark.extractor.rtf import is_rtf, tokenize_rtf
 from toyocr_spark.extractor.xls import is_xls, tokenize_xls
 from toyocr_spark.extractor.xlsx import is_xlsx, tokenize_xlsx
+from toyocr_spark.extractor.zipleg import is_zip_bundle, tokenize_zip
 from toyocr_spark.extractor.select import select_blocks
 from toyocr_spark.extractor.tokenizer import tokenize
 
@@ -224,6 +225,11 @@ def dispatch_blocks(html: bytes | str) -> list:
         return tokenize_xls(html)
     if is_ppt(html):
         return tokenize_ppt(html)
+    if is_zip_bundle(html):
+        # AFTER every specific zip container (OOXML trio, EPUB, ODF
+        # trio): what remains with PK magic is a generic bundle (site
+        # export, dataset dump) — walked like tar, never lossy-decoded
+        return tokenize_zip(html)
     if is_mhtml(html):
         return tokenize_mhtml(html)
     if is_mbox(html):

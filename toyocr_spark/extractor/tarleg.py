@@ -85,53 +85,58 @@ def _member_blocks(payload: bytes) -> list:
 _TAR_HREF = ABS_HREF_RE
 
 
-def tar_links(data: bytes) -> list[str]:
-    """Outbound ABSOLUTE links from an archive's document members in
-    archive order, duplicates preserved — the tar leg of outlink
-    mining. Relative targets inside a bundle point at packaged
-    siblings (the epub_links contract); members route per format
+def _member_links(payload: bytes) -> list[str]:
+    """Per-member link routing shared by the generic bundle walkers
+    (tar_links, zipleg.zip_links): members route per format
     (markdown_links for READMEs, pdf_links for PDFs, latex_links for
     arXiv-style .tex sources, ipynb_links for notebooks, href regex
-    for markup/text), opaque
-    resources and nested tars contribute nothing. Malformed
-    archives -> []."""
+    for markup/text), opaque resources contribute nothing."""
     from toyocr_spark.extractor.docx import docx_links, is_docx
     from toyocr_spark.extractor.eml import eml_links, is_eml
     from toyocr_spark.extractor.icsleg import ics_links, is_ics
     from toyocr_spark.extractor.ipynb import ipynb_links, is_ipynb
-    from toyocr_spark.extractor.mbox import is_mbox, mbox_links
     from toyocr_spark.extractor.latexleg import is_latex, latex_links
     from toyocr_spark.extractor.markdown import is_markdown, markdown_links
+    from toyocr_spark.extractor.mbox import is_mbox, mbox_links
     from toyocr_spark.extractor.pdf import is_pdf, pdf_links
     from toyocr_spark.extractor.wikitext import is_wikitext, wikitext_links
 
+    if is_pdf(payload):
+        return pdf_links(payload)
+    if is_docx(payload):
+        return docx_links(payload)
+    if is_mbox(payload):
+        return mbox_links(payload)
+    if is_eml(payload):
+        return eml_links(payload)
+    if is_ics(payload):
+        return ics_links(payload)
+    if is_ipynb(payload):
+        return ipynb_links(payload)
+    if is_latex(payload):
+        return latex_links(payload)
+    if is_wikitext(payload):
+        return wikitext_links(payload)
+    if is_markdown(payload):
+        return markdown_links(payload)
+    try:
+        text = payload.decode("utf-8")
+    except UnicodeDecodeError:
+        return []  # opaque resource
+    return [m.group(1) for m in _TAR_HREF.finditer(text)]
+
+
+def tar_links(data: bytes) -> list[str]:
+    """Outbound ABSOLUTE links from an archive's document members in
+    archive order, duplicates preserved — the tar leg of outlink
+    mining. Relative targets inside a bundle point at packaged
+    siblings (the epub_links contract); members route per format via
+    _member_links, opaque resources and nested archives contribute
+    nothing. Malformed archives -> []."""
     out: list[str] = []
     for payload in _members(data):
         try:
-            if is_pdf(payload):
-                out.extend(pdf_links(payload))
-            elif is_docx(payload):
-                out.extend(docx_links(payload))
-            elif is_mbox(payload):
-                out.extend(mbox_links(payload))
-            elif is_eml(payload):
-                out.extend(eml_links(payload))
-            elif is_ics(payload):
-                out.extend(ics_links(payload))
-            elif is_ipynb(payload):
-                out.extend(ipynb_links(payload))
-            elif is_latex(payload):
-                out.extend(latex_links(payload))
-            elif is_wikitext(payload):
-                out.extend(wikitext_links(payload))
-            elif is_markdown(payload):
-                out.extend(markdown_links(payload))
-            else:
-                try:
-                    text = payload.decode("utf-8")
-                except UnicodeDecodeError:
-                    continue  # opaque resource
-                out.extend(m.group(1) for m in _TAR_HREF.finditer(text))
+            out.extend(_member_links(payload))
         except Exception:  # noqa: BLE001 — member-local quiet skip
             continue
     return out
@@ -167,8 +172,8 @@ def _members(data: bytes):
                 payload = f.read(MAX_MEMBER_BYTES)
             except (tarfile.TarError, OSError, EOFError, ValueError):
                 continue
-            if is_tar(payload):
-                continue  # no nested-archive recursion (depth 1)
+            if is_tar(payload) or _nested_generic_zip(payload):
+                continue  # no generic-walker recursion (depth 1)
             codec = core._envelope_codec(payload)
             if codec is not None:
                 unz = codec(payload)
@@ -182,11 +187,21 @@ def _members(data: bytes):
                         yield payload
                     continue
                 payload = unz[0]
-                if is_tar(payload):
+                if is_tar(payload) or _nested_generic_zip(payload):
                     continue
             yield payload
     finally:
         tf.close()
+
+
+def _nested_generic_zip(payload: bytes) -> bool:
+    """True for a GENERIC zip member (site export) — skipped by the
+    generic walkers' mutual no-recursion guard. Specific zip
+    containers (OOXML/EPUB/ODF) still dispatch: their parsers read
+    fixed parts, never walk members."""
+    from toyocr_spark.extractor.zipleg import is_zip_bundle
+
+    return is_zip_bundle(payload)
 
 
 def tokenize_tar(data: bytes) -> list:

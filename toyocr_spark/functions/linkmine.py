@@ -132,8 +132,8 @@ def mine_outlinks(
             # generic zip (site export, jar) reaching the regexp leg
             # would surface stored members' raw hrefs as spurious
             # wrongly-resolved edges; in the kernel the known
-            # containers mine their rels and anything else fails the
-            # strict-text fallback gate -> []
+            # containers mine their rels and generic bundles walk
+            # their members (zipleg.zip_links, the tar rule)
             | is_zip
         )
     else:
@@ -202,6 +202,7 @@ def mine_outlinks(
         from toyocr_spark.extractor.tarleg import is_tar, tar_links
         from toyocr_spark.extractor.wikitext import is_wikitext, wikitext_links
         from toyocr_spark.extractor.xlsx import is_xlsx
+        from toyocr_spark.extractor.zipleg import is_zip_bundle, zip_links
 
         for b in it:
             srcs: list[str] = []
@@ -224,6 +225,8 @@ def mine_outlinks(
                     links = odt_links(data)  # document order, absolute only
                 elif is_xlsx(data) or is_pptx(data):
                     links = opc_hyperlinks(data)  # rels-order harvest
+                elif is_zip_bundle(data):
+                    links = zip_links(data)  # generic bundle: member walk
                 elif is_rtf(data):
                     links = rtf_links(data)  # field order, absolute only
                 elif is_doc(data):

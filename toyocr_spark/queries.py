@@ -10296,6 +10296,186 @@ def q168_ics_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q169_recrawl_schedule",
+    """
+    SELECT 'https://site-' || CAST(doc_id AS VARCHAR) || '.example/page' AS url,
+           CAST(FLOOR(5 / (1 + doc_id % 6)) AS INT) AS n_changes,
+           CASE WHEN FLOOR(5 / (1 + doc_id % 6)) >= 4 THEN 'hourly'
+                WHEN FLOOR(5 / (1 + doc_id % 6)) >= 2 THEN 'daily'
+                WHEN FLOOR(5 / (1 + doc_id % 6)) >= 1 THEN 'weekly'
+                ELSE 'monthly' END AS bucket
+    FROM documents
+    """,
+    "ADAPTIVE RECRAWL SCHEDULING — the freshness loop every crawler "
+    "runs (Cho & Garcia-Molina): estimate each URL's change rate "
+    "from its snapshot history and assign a recrawl-frequency "
+    "bucket. The engine sees only (url, snap_t, digest) observation "
+    "rows — six snapshots per url — and runs the generic operator: "
+    "ONE url-keyed window pass counting digest transitions "
+    "(lag(digest) != digest), then a pure-Column rate->bucket map. "
+    "Exactly one shuffle on url-hash, O(1) carried state per url "
+    "(the previous digest) — the shape that survives 10^12 urls and "
+    "is the batch twin of a streaming stateful version. The fixture "
+    "plants each url's change period (every p-th snapshot rewrites, "
+    "p = 1 + doc_id%6, digests synthesized JVM-side with xxhash64), "
+    "so the ORACLE reads the planted closed form n_changes = "
+    "floor(5/p) — the q99/q165 planted-expectation discipline. "
+    "Output: (url, n_changes, bucket).",
+)
+def q169_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    # the planted observation table: six snapshots per url; a url
+    # with change period p rewrites every p-th snapshot, so its
+    # digest is a hash of (doc_id, epoch) with epoch = floor(t/p).
+    # The ONLY facts the operator may use below are (url, snap_t,
+    # digest).
+    obs = (
+        d.select(
+            "doc_id", F.explode(F.sequence(F.lit(0), F.lit(5))).alias("snap_t")
+        )
+        .select(
+            F.concat(
+                F.lit("https://site-"),
+                F.col("doc_id").cast("string"),
+                F.lit(".example/page"),
+            ).alias("url"),
+            "snap_t",
+            F.xxhash64(
+                F.col("doc_id"),
+                F.floor(F.col("snap_t") / (1 + F.col("doc_id") % 6)),
+            ).alias("digest"),
+        )
+    )
+    # the operator: one window pass per url counting transitions
+    w = Window.partitionBy("url").orderBy("snap_t")
+    changed = (
+        obs.withColumn("prev", F.lag("digest").over(w))
+        .withColumn(
+            "chg",
+            (F.col("prev").isNotNull() & (F.col("digest") != F.col("prev"))).cast("int"),
+        )
+        .groupBy("url")
+        .agg(F.sum("chg").cast("int").alias("n_changes"))
+    )
+    return changed.select(
+        "url",
+        "n_changes",
+        F.when(F.col("n_changes") >= 4, F.lit("hourly"))
+        .when(F.col("n_changes") >= 2, F.lit("daily"))
+        .when(F.col("n_changes") >= 1, F.lit("weekly"))
+        .otherwise(F.lit("monthly"))
+        .alias("bucket"),
+    )
+
+
+@_q(
+    "q170_zip_extract",
+    """
+    SELECT 'https://zip-' || CAST(doc_id AS VARCHAR) || '.example/export.zip' AS url,
+           'Export doc ' || CAST(doc_id AS VARCHAR) || ' heading'
+             || chr(10) || text
+             || chr(10) || 'Export readme ' || CAST(doc_id AS VARCHAR) || ' heading long enough'
+             || chr(10) || 'Readme body paragraph for export '
+             || CAST(doc_id AS VARCHAR) || ' inside the bundle' AS extracted_text,
+           4 AS n_kept
+    FROM documents
+    """,
+    "DRIVER-CHECKABLE generic-ZIP multi-document extraction — the "
+    "twenty-fifth format dispatch leg and tar's twin for site "
+    "exports / dataset dumps / source releases. Before this leg a "
+    "non-OOXML/EPUB/ODF zip fell through to the HTML tokenizer and "
+    "surfaced raw local-file headers as garbage text — the failure "
+    "this leg closes. Each row's bundle carries an HTML member "
+    "(STORED; nav plant + heading + the row's text), a markdown "
+    "README member (DEFLATED — both compression methods prove out), "
+    "an opaque PNG that must never reach the lossy-decode path, a "
+    "NESTED zip AND a nested tar that the mutual no-recursion guard "
+    "must refuse (64^depth bomb protection), and a directory entry "
+    "(structural, skipped). Members re-enter the shared dispatch via "
+    "tarleg._member_blocks (one walk contract for both bundle "
+    "formats); odd doc_ids wrap the WHOLE archive in gzip (the "
+    "envelope strip runs before the PK gate). Closed-form oracle. "
+    "extractor/zipleg.py; fixtures/genzip.py. Map-only: one "
+    "pre-kernel repartition, then synth + extract in sanctioned "
+    "Arrow kernels, zero shuffle after.",
+)
+def q170_zip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    from toyocr_spark.pipeline import extract_pages
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("html", T.BinaryType(), False),
+        ]
+    )
+    nav = (
+        '<nav><ul><li><a href="/a">one link</a></li>'
+        '<li><a href="/b">two link</a></li></ul></nav>'
+    )
+
+    def batches(it):
+        import gzip
+
+        from toyocr_spark.fixtures.genmd import build_md
+        from toyocr_spark.fixtures.gentar import build_tar
+        from toyocr_spark.fixtures.genzip import build_zip
+
+        for b in it:
+            urls, blobs = [], []
+            for did, text in zip(b.column(0).to_pylist(), b.column(1).to_pylist()):
+                page = (
+                    f"<html><body>{nav}<h1>Export doc {did} heading</h1>"
+                    f"<p>{text}</p></body></html>"
+                ).encode()
+                md = build_md(
+                    f"Export readme {did} heading long enough",
+                    [f"Readme body paragraph for export {did} inside the bundle"],
+                )
+                png = b"\x89PNG\r\n\x1a\n" + bytes(range(256))
+                blob = build_zip(
+                    [
+                        ("page.html", page),
+                        ("README.md", md),
+                        ("res/logo.png", png),
+                        (
+                            "inner.zip",
+                            build_zip([("x.txt", b"nested never recurses " * 3)]),
+                        ),
+                        (
+                            "inner.tar",
+                            build_tar([("y.txt", b"tar member never walks " * 3)]),
+                        ),
+                    ],
+                    with_dir=True,
+                )
+                if did % 2:
+                    blob = gzip.compress(blob, 9, mtime=0)
+                urls.append(f"https://zip-{did}.example/export.zip")
+                blobs.append(blob)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()), pa.array(blobs, pa.binary())],
+                names=["url", "html"],
+            )
+
+    pages = d.mapInArrow(batches, schema)
+    out = extract_pages(pages)
+    return out.select(
+        "url", "extracted_text", F.col("n_kept").cast("int").alias("n_kept")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
@@ -10352,6 +10532,8 @@ _DRIVER_PRIORITY: list[str] = [
     "q166_mbox_extract",  # new: mbox mailbox container (postmark walk)
     "q167_redirect_resolve",  # new: per-URL redirect canonicalization + loops
     "q168_ics_extract",  # new: iCalendar leg (RFC 5545 fold/escape grammar)
+    "q169_recrawl_schedule",  # new: change-rate recrawl buckets (freshness)
+    "q170_zip_extract",  # new: generic-zip bundle walk (tar's twin)
     "q116_sentence_align",  # oracle: rows-only -> planted closed form
     # flagship
     "q25_extract",
