@@ -437,3 +437,59 @@ def test_stream_neardup_state_compaction_preserves_admission(spark, tmp_path):
     urls = {r["url"] for r in _read_stream_result(spark, out).select("url").collect()}
     assert not any(u.endswith("/mirror") for u in urls)
     assert len(urls) == 12
+
+
+def test_stream_recrawl_matches_batch_schedule(spark, tmp_path):
+    """Streaming change-rate tracking == the q169 batch operator when
+    snapshots arrive time-ordered: the per-batch monoid summaries
+    (within-counts + boundary transitions) fold to exactly the batch
+    window pass, including urls whose change lands ON a micro-batch
+    boundary and urls entirely inside one batch."""
+    from toyocr_spark.operators.recrawl import change_counts, schedule_buckets
+    from toyocr_spark.streaming import recrawl_schedule_from_state, stream_recrawl
+
+    d = str(tmp_path / "obs")
+    os.makedirs(d)
+    # 60 urls, change period p = 1 + i%6, six snapshots each — the
+    # q169 plant; digest = hash of (i, floor(t/p))
+    n = 60
+
+    def digest(i: int, t: int) -> int:
+        p = 1 + i % 6
+        return hash((i, t // p)) & 0x7FFFFFFFFFFFFFFF
+
+    # micro-batches split by TIME (t 0-1 | 2-3 | 4-5), so batch
+    # boundaries fall mid-history for every url
+    for seg, ts in enumerate(((0, 1), (2, 3), (4, 5))):
+        rows = [
+            (f"https://site-{i}.example/page", t, digest(i, t))
+            for i in range(n)
+            for t in ts
+        ]
+        tbl = pa.table(
+            {
+                "url": pa.array([r[0] for r in rows], pa.string()),
+                "snap_t": pa.array([r[1] for r in rows], pa.int64()),
+                "digest": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+        path = os.path.join(d, f"segment-{seg}.parquet")
+        pq.write_table(tbl, path)
+        os.utime(path, (1_700_000_000 + seg * 60, 1_700_000_000 + seg * 60))
+
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    stream_recrawl(spark, d, state, ckpt)
+
+    got = {
+        r["url"]: (r["n_changes"], r["bucket"])
+        for r in recrawl_schedule_from_state(spark, state).collect()
+    }
+    batch_obs = spark.read.parquet(d)
+    want = {
+        r["url"]: (r["n_changes"], r["bucket"])
+        for r in schedule_buckets(change_counts(batch_obs)).collect()
+    }
+    assert got == want and len(got) == n
+    # the closed form: n_changes = floor(5 / p)
+    for i in range(n):
+        assert got[f"https://site-{i}.example/page"][0] == 5 // (1 + i % 6)

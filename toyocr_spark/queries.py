@@ -10324,8 +10324,6 @@ def q168_ics_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Output: (url, n_changes, bucket).",
 )
 def q169_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     d = _t(spark, sf_dir, "documents").select("doc_id")
     # the planted observation table: six snapshots per url; a url
     # with change period p rewrites every p-th snapshot, so its
@@ -10349,26 +10347,12 @@ def q169_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("digest"),
         )
     )
-    # the operator: one window pass per url counting transitions
-    w = Window.partitionBy("url").orderBy("snap_t")
-    changed = (
-        obs.withColumn("prev", F.lag("digest").over(w))
-        .withColumn(
-            "chg",
-            (F.col("prev").isNotNull() & (F.col("digest") != F.col("prev"))).cast("int"),
-        )
-        .groupBy("url")
-        .agg(F.sum("chg").cast("int").alias("n_changes"))
-    )
-    return changed.select(
-        "url",
-        "n_changes",
-        F.when(F.col("n_changes") >= 4, F.lit("hourly"))
-        .when(F.col("n_changes") >= 2, F.lit("daily"))
-        .when(F.col("n_changes") >= 1, F.lit("weekly"))
-        .otherwise(F.lit("monthly"))
-        .alias("bucket"),
-    )
+    # the operator: one window pass per url counting transitions,
+    # then the pure-Column bucket map (operators/recrawl.py — the
+    # streaming twin stream_recrawl folds the same monoid)
+    from toyocr_spark.operators.recrawl import change_counts, schedule_buckets
+
+    return schedule_buckets(change_counts(obs))
 
 
 @_q(

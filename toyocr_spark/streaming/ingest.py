@@ -507,3 +507,72 @@ def compact_neardup_state(spark: SparkSession, state_dir: str, shards: int = 4) 
     for p in all_paths:
         shutil.rmtree(p, ignore_errors=True)
     return n
+
+
+def stream_recrawl(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming RECRAWL-rate tracking — the incremental twin of the
+    q169 batch operator (operators/recrawl.py): snapshot observations
+    (url, snap_t, digest) arrive in micro-batches, and each batch
+    persists one MONOID summary row per url (first/last digest by
+    time + within-batch transition count) to an append-only segment
+    under state_dir/batch=N — the stream_neardup immutable-segment
+    pattern, a few dozen bytes per url per batch, never the page.
+
+    Because change_segment is an associative fold (see
+    operators/recrawl.py), recrawl_schedule_from_state over the
+    segments equals the batch operator over the full observation
+    table whenever snapshots arrive time-ordered — asserted by
+    tests/test_streaming.py. Replay-safe: a replayed batch id
+    overwrites its own segment byte-for-byte."""
+    from pyspark.sql import types as T
+
+    from toyocr_spark.operators.recrawl import change_segment
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("snap_t", T.LongType(), False),
+            T.StructField("digest", T.LongType(), False),
+        ]
+    )
+    reader = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        change_segment(batch_df, batch_id).write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"batch={batch_id}")
+        )
+
+    writer = (
+        reader.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
+
+
+def recrawl_schedule_from_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """(url, n_changes, bucket) from the stream_recrawl segment log:
+    the associative combine (boundary transitions between adjacent
+    segments + within-counts), then the shared bucket map."""
+    import glob as _glob
+
+    from toyocr_spark.operators.recrawl import fold_change_segments, schedule_buckets
+
+    paths = sorted(_glob.glob(os.path.join(state_dir, "batch=*")))
+    segments = spark.read.parquet(*paths)
+    return schedule_buckets(fold_change_segments(segments))
