@@ -238,6 +238,7 @@ def test_relational_queries_have_no_python_nodes(spark, sf_dir):
         "q166_mbox_extract",     # mbox-archive synth + extraction kernel
         "q168_ics_extract",      # iCalendar synth + extraction kernel
         "q170_zip_extract",      # generic-zip bundle synth + extraction kernel
+        "q171_ps_extract",       # PostScript synth + extraction kernel
     }
     markers = ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas",
                "MapInPandas", "PythonMapInArrow", "MapInArrow")

@@ -172,10 +172,10 @@ def synth_office_pages(
     spark: SparkSession, sf_dir: str, replicas: int = 4, paragraphs: int = 4
 ) -> DataFrame:
     """Office twin of synth_pdf_pages: every page is a REAL container
-    document cycling the twenty-three non-HTML/PDF dispatch legs
+    document cycling the twenty-four non-HTML/PDF dispatch legs
     (docx, xlsx, pptx, epub, rtf, legacy .doc, .xls, .ppt, .mht,
     .odt, .ods, .odp, md, tar, csv, tex, ipynb, sub, wiki, eml,
-    mbox, ics, zip) with a heading,
+    mbox, ics, zip, ps) with a heading,
     ``paragraphs`` body paragraphs, and each format's native chrome.
     Container assembly cannot be a Column expression, so synthesis
     runs in one Arrow kernel — the materialized-corpus cache keeps it
@@ -215,6 +215,7 @@ def synth_office_pages(
             genodp,
             genods,
             genppt,
+            genps,
             genxls,
             genepub,
             genmht,
@@ -240,8 +241,8 @@ def synth_office_pages(
                     "docx", "xlsx", "pptx", "epub", "rtf", "doc", "xls",
                     "ppt", "mht", "odt", "ods", "odp", "md", "tar", "csv",
                     "tex", "ipynb", "sub", "wiki", "eml", "mbox", "ics",
-                    "zip",
-                )[(did + rep) % 23]
+                    "zip", "ps",
+                )[(did + rep) % 24]
                 title = f"Synthesized bench document {did} part {rep}"
                 paras = [text] * paragraphs
                 if fmt == "docx":
@@ -351,6 +352,17 @@ def synth_office_pages(
                         infobox_field="bench infobox chrome",
                         citation="bench citation chrome",
                     )
+                elif fmt == "ps":
+                    ops = [genps.paragraph_ps(50, 740, 18, 20, [title])]
+                    y = 700
+                    for p in paras:
+                        w = p.split(" ")
+                        lines = [
+                            " ".join(w[i : i + 5]) for i in range(0, len(w), 5)
+                        ]
+                        ops.append(genps.paragraph_ps(50, y, 11, 13, lines))
+                        y -= 13 * len(lines) + 27
+                    blob = genps.build_ps(ops)
                 elif fmt == "zip":
                     page = (
                         f"<html><body><h1>{title}</h1>"

@@ -39,6 +39,7 @@ from toyocr_spark.extractor.ods import is_ods, tokenize_ods
 from toyocr_spark.extractor.odt import is_odt, tokenize_odt
 from toyocr_spark.extractor.pdf import is_pdf, tokenize_pdf
 from toyocr_spark.extractor.ppt import is_ppt, tokenize_ppt
+from toyocr_spark.extractor.psleg import is_ps, tokenize_ps
 from toyocr_spark.extractor.pptx import is_pptx, tokenize_pptx
 from toyocr_spark.extractor.rtf import is_rtf, tokenize_rtf
 from toyocr_spark.extractor.xls import is_xls, tokenize_xls
@@ -203,6 +204,9 @@ def dispatch_blocks(html: bytes | str) -> list:
     archive walk (each member re-enters the same chain once)."""
     if is_pdf(html):
         return tokenize_pdf(html)
+    if is_ps(html):
+        # PDF's ancestor grammar, same positioned-block product
+        return tokenize_ps(html)
     if is_rtf(html):
         return tokenize_rtf(html)
     if is_docx(html):

@@ -99,10 +99,13 @@ def _member_links(payload: bytes) -> list[str]:
     from toyocr_spark.extractor.markdown import is_markdown, markdown_links
     from toyocr_spark.extractor.mbox import is_mbox, mbox_links
     from toyocr_spark.extractor.pdf import is_pdf, pdf_links
+    from toyocr_spark.extractor.psleg import is_ps, ps_links
     from toyocr_spark.extractor.wikitext import is_wikitext, wikitext_links
 
     if is_pdf(payload):
         return pdf_links(payload)
+    if is_ps(payload):
+        return ps_links(payload)
     if is_docx(payload):
         return docx_links(payload)
     if is_mbox(payload):

@@ -119,6 +119,7 @@ def mine_outlinks(
         is_tar_b = F.substring(col, _MAGIC_OFFSET + 1, 5) == F.lit(b"ustar")
         magic = (
             (col.substr(1, 5) == F.lit(b"%PDF-"))
+            | (col.substr(1, 4) == F.lit(b"%!PS"))
             | is_tar_b
             | is_md_like
             | is_nb_like
@@ -198,6 +199,7 @@ def mine_outlinks(
         from toyocr_spark.extractor.opc import opc_hyperlinks
         from toyocr_spark.extractor.pdf import is_pdf, pdf_links
         from toyocr_spark.extractor.pptx import is_pptx
+        from toyocr_spark.extractor.psleg import is_ps, ps_links
         from toyocr_spark.extractor.rtf import is_rtf, rtf_links
         from toyocr_spark.extractor.tarleg import is_tar, tar_links
         from toyocr_spark.extractor.wikitext import is_wikitext, wikitext_links
@@ -249,6 +251,8 @@ def mine_outlinks(
                     links = markdown_links(data)  # absolute only, fences excluded
                 elif is_pdf(data):
                     links = pdf_links(data)
+                elif is_ps(data):
+                    links = ps_links(data)  # pdfmark /URI annotations
                 elif utf8_textish(data):
                     # kernel-gate false positive on a TEXT page
                     # (md-like prose, text with 'ustar' at offset

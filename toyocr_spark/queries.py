@@ -10460,6 +10460,105 @@ def q170_zip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q171_ps_extract",
+    """
+    SELECT 'https://ps-' || CAST(doc_id AS VARCHAR) || '.example/paper.ps' AS url,
+           'PS paper ' || CAST(doc_id AS VARCHAR) || ' title banner'
+             || chr(10) || text
+             || chr(10) || 'closing paragraph ' || CAST(doc_id AS VARCHAR)
+             || ' line a closing paragraph ' || CAST(doc_id AS VARCHAR) || ' line b'
+             AS extracted_text,
+           3 AS n_kept
+    FROM documents
+    """,
+    "DRIVER-CHECKABLE PostScript extraction — the twenty-sixth "
+    "format dispatch leg, covering the pre-PDF academic corpus "
+    "(arXiv/citeseer .ps papers, tech reports). The machine is the "
+    "PDF content-stream engine's sibling: a linear scan over `x y "
+    "moveto (string) show` with scalefont/selectfont sizes, the full "
+    "string-escape grammar (nested parens, octal, continuations), "
+    "procedure bodies as DEFINITIONS that never emit (the fixture "
+    "plants a decoy show inside a prologue {}), and DSC comments as "
+    "chrome. Each row's text renders as a MULTI-LINE paragraph "
+    "(5-word lines, 13pt leading — the blocker must chain them into "
+    "one block that re-joins to exactly the row's text) plus a "
+    "closing paragraph beyond the leading break, with the closing "
+    "paragraph emitted FIRST in the program for odd ids — the "
+    "positioned reading order (the reference's layout-analysis "
+    "graft) must restore y-order on every row; title by font size; "
+    "a pdfmark /URI annotation rides along as chrome. Closed-form "
+    "oracle. The two-column XY-cut exercise for this leg lives in "
+    "tests/test_psleg.py (shuffled staggered columns). "
+    "extractor/psleg.py; fixtures/genps.py. Map-only: one pre-kernel "
+    "repartition, then synth + extract in sanctioned Arrow kernels, "
+    "zero shuffle after.",
+)
+def q171_ps_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    from toyocr_spark.pipeline import extract_pages
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("html", T.BinaryType(), False),
+        ]
+    )
+
+    def batches(it):
+        from toyocr_spark.fixtures.genps import build_ps, paragraph_ps
+
+        for b in it:
+            urls, blobs = [], []
+            for did, text in zip(b.column(0).to_pylist(), b.column(1).to_pylist()):
+                words = text.split(" ")
+                lines = [
+                    " ".join(words[i : i + 5]) for i in range(0, len(words), 5)
+                ]
+                body_para = paragraph_ps(50, 700, 11, 13, lines)
+                closing = paragraph_ps(
+                    50,
+                    700 - 13 * len(lines) - 27,  # beyond the 1.75x leading
+                    11,
+                    13,
+                    [
+                        f"closing paragraph {did} line a",
+                        f"closing paragraph {did} line b",
+                    ],
+                )
+                body = [closing, body_para] if did % 2 else [body_para, closing]
+                blobs.append(
+                    build_ps(
+                        [
+                            paragraph_ps(
+                                50, 740, 18, 20, [f"PS paper {did} title banner"]
+                            )
+                        ]
+                        + body,
+                        uri=f"https://cited-{did}.example/ref",
+                    )
+                )
+                urls.append(f"https://ps-{did}.example/paper.ps")
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()), pa.array(blobs, pa.binary())],
+                names=["url", "html"],
+            )
+
+    pages = d.mapInArrow(batches, schema)
+    out = extract_pages(pages)
+    return out.select(
+        "url", "extracted_text", F.col("n_kept").cast("int").alias("n_kept")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
@@ -10518,6 +10617,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q168_ics_extract",  # new: iCalendar leg (RFC 5545 fold/escape grammar)
     "q169_recrawl_schedule",  # new: change-rate recrawl buckets (freshness)
     "q170_zip_extract",  # new: generic-zip bundle walk (tar's twin)
+    "q171_ps_extract",  # new: PostScript leg (show machine + XY-cut)
     "q116_sentence_align",  # oracle: rows-only -> planted closed form
     # flagship
     "q25_extract",
