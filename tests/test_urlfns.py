@@ -350,13 +350,13 @@ def test_mine_outlinks_total_over_hostile_bytes(spark):
     ]
 
 
-def test_mine_outlinks_generic_zip_never_fabricates_edges(spark):
-    """A generic (non-container) zip whose STORED members carry raw
-    hrefs must mine ZERO edges: routed kernel-side by the bare
-    PK\\x03\\x04 magic, it fails every container gate AND the
-    strict-text fallback gate — stored markup must never be href-mined
-    as if it were the page (a relative member href resolved against
-    the archive url would poison the frontier)."""
+def test_mine_outlinks_generic_zip_walks_members_absolute_only(spark):
+    """A generic (non-container) zip routes kernel-side by the bare
+    PK\\x03\\x04 magic and mines its MEMBERS per format (the q170
+    zipleg walk): absolute member hrefs are real edges, but a
+    RELATIVE member href must never fabricate one — resolved against
+    the archive url it would poison the frontier (the pre-q170
+    zero-edge rule survives exactly for the relative case)."""
     import io as _io
     import zipfile
 
@@ -372,7 +372,8 @@ def test_mine_outlinks_generic_zip_never_fabricates_edges(spark):
         [("https://h.example/export.zip", bytearray(buf.getvalue()))],
         "url string, html binary",
     )
-    assert mine_outlinks(df).count() == 0
+    got = [(r["src_url"], r["target"]) for r in mine_outlinks(df).collect()]
+    assert got == [("https://h.example/export.zip", "https://ext.example/x")]
 
 
 def test_parse_robots_directives(spark):

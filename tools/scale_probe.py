@@ -55,6 +55,14 @@ PROBES = [
     "q164_eml_extract",
     "q162_anchor_text",
     "q165_thread_reconstruct",
+    # round-5 closing batch: the two bundle walkers (zip members decode
+    # member-local, so the ratio tracks the per-row ideal), the
+    # redirect doubling (per-URL resolution rows are corpus-linear),
+    # and the recrawl window pass (one url-keyed shuffle, six
+    # observation rows per url)
+    "q170_zip_extract",
+    "q167_redirect_resolve",
+    "q169_recrawl_schedule",
 ]
 
 # The registered q77 keeps k=8 clusters at every size, so cells grow
