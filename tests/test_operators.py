@@ -1026,3 +1026,41 @@ def test_semantic_dedup_precomputed_assignment_matches_inline(spark, sf_dir):
     out = semantic_dedup(emb, threshold=0.40, assigned=buckets).collect()
     assert len(out) == emb.count()
     assert all(r["cid"] == r["vec_id"] % 16 for r in out)
+
+
+def test_repair_mojibake_literal_pins(spark):
+    """Known-answer pins for the cp1252 double-encoding repair: the
+    mojibake form and its clean recovery are EXPLICIT literals (typed,
+    not produced by any codec call), so a shared table bug between the
+    fixture path and the operator's translate table cannot fake a
+    pass. Guards: clean non-ASCII stays byte-identical, CJK text
+    carrying the em-dash digram is refused (Latin-1 encode would
+    '?'-substitute it), and an invalid roundtrip (lone lead byte
+    image) is refused rather than corrupted."""
+    from pyspark.sql import functions as F
+
+    from toyocr_spark.functions.textfns import repair_mojibake
+
+    clean = "caf\u00e9 \u2014 \u201cna\u00efve\u00bb\u2026 Gr\u00fc\u00dfe"
+    moji = (
+        "caf\u00c3\u00a9 \u00e2\u20ac\u201d \u00e2\u20ac\u0153na\u00c3\u00afve"
+        "\u00c2\u00bb\u00e2\u20ac\u00a6 Gr\u00c3\u00bc\u00c3\u0178e"
+    )
+    cases = [
+        (moji, clean),  # the repair
+        (clean, clean),  # already clean: byte-identical
+        ("plain ascii", "plain ascii"),
+        # CJK + mojibake digram: signature fires, Latin-1 guard refuses
+        ("\u771f\u00b7mixed \u00e2\u20ac\u201d text", "\u771f\u00b7mixed \u00e2\u20ac\u201d text"),
+        # 'A-tilde' + space = invalid UTF-8 roundtrip: refused
+        ("bad pair \u00c3=\u00c3", "bad pair \u00c3=\u00c3"),
+        # double mojibake repairs ONE layer per pass (the ftfy contract)
+        (
+            "caf\u00c3\u0083\u00c2\u00a9",
+            "caf\u00c3\u00a9",
+        ),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "t string")
+    got = [r.r for r in df.select(repair_mojibake(F.col("t")).alias("r")).collect()]
+    want = [w for _, w in cases]
+    assert got == want

@@ -429,3 +429,57 @@ def drop_blocked_phrases(
     phrase_hits row are dropped (broadcast anti-join on the id)."""
     hits = phrase_hits(df, id_col, text_col, phrases).select("id").distinct()
     return df.join(hits.withColumnRenamed("id", id_col), id_col, "left_anti")
+
+
+# --- mojibake repair (UTF-8-read-as-windows-1252 double encoding) ----------
+
+# windows-1252 maps bytes 0x80-0x9F to these printable specials; a page
+# whose UTF-8 bytes were once decoded as cp1252 shows every UTF-8
+# continuation byte in that range as one of them. The five bytes
+# cp1252 leaves UNDEFINED (0x81/0x8D/0x8F/0x90/0x9D) surface as C1
+# controls under the WHATWG fallback, and Latin-1 already re-encodes
+# those correctly, so they need no translation row.
+_CP1252_UNDEFINED = (0x81, 0x8D, 0x8F, 0x90, 0x9D)
+_CP1252_SPECIALS = "".join(
+    bytes([b]).decode("cp1252")
+    for b in range(0x80, 0xA0)
+    if b not in _CP1252_UNDEFINED
+)
+_LATIN1_EQUIV = "".join(
+    chr(b) for b in range(0x80, 0xA0) if b not in _CP1252_UNDEFINED
+)
+
+# detector: the three digram families essentially every Latin-script
+# cp1252 misdecode exhibits — 'A-tilde'+continuation-image (2-byte
+# sequences U+00C0-U+00FF), 'A-circumflex'+no-break-space-range
+# (punctuation U+00A0-U+00BF), and the euro digram opening every
+# misdecoded U+20xx punctuation char. A detector, not a proof: the
+# roundtrip-validity gate below is what prevents false repairs.
+_MOJIBAKE_SIGNATURE = (
+    "\u00C3[\u0080-\u00BF\u0152\u0153\u017D\u017E\u0192\u2018-\u2122]"
+    "|\u00C2[\u00A0-\u00BF]"
+    "|\u00E2\u20AC"
+)
+
+
+def repair_mojibake(text: Column) -> Column:
+    """Single-pass ftfy-style repair of UTF-8-decoded-as-cp1252 text,
+    entirely JVM-side (translate/encode/is_valid_utf8/cast — no UDF,
+    no Python in the hot path).
+
+    The inverse misdecode is re-applied: translate the 27 printable
+    cp1252 specials back to the 0x80-0x9F bytes they came from, encode
+    as Latin-1 (an exact byte-per-char inverse once every char is
+    <= U+00FF), and reinterpret the bytes as UTF-8. Three guards keep
+    clean text byte-identical: the signature regex (cheap pre-filter),
+    an all-Latin-1-after-translate check (a page with real CJK or
+    emoji can never be a cp1252 misdecode image, and Latin-1 encode
+    would '?'-substitute it), and ``is_valid_utf8`` on the recovered
+    bytes (Spark 4's decode THROWS on malformed input, so validity
+    must gate the reinterpretation, and an invalid roundtrip means the
+    page was never mojibake). Single-pass by design: doubly-encoded
+    pages repair one layer per application, like ftfy's fixers."""
+    tr = F.translate(text, _CP1252_SPECIALS, _LATIN1_EQUIV)
+    raw = F.encode(tr, "ISO-8859-1")
+    looks = text.rlike(_MOJIBAKE_SIGNATURE) & ~tr.rlike("[^\u0000-\u00FF]")
+    return F.when(looks & F.is_valid_utf8(raw), raw.cast("string")).otherwise(text)

@@ -10559,6 +10559,150 @@ def q171_ps_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the planted mojibake triple (q172): _MOJI_FORM is the cp1252
+# misdecode IMAGE of _MOJI_CLEAN, transcribed here as explicit \u
+# literals (not computed through any codec, so the fixture cannot
+# share a bug with the repair's translate table); _MOJI_CJK carries
+# the em-dash digram INSIDE genuinely non-Latin text, which the
+# all-Latin-1-after-translate guard must leave untouched.
+_MOJI_CLEAN = " caf\u00e9 \u2014 \u201cna\u00efve\u00bb\u2026 \u2022 Gr\u00fc\u00dfe"
+_MOJI_FORM = (
+    " caf\u00c3\u00a9 \u00e2\u20ac\u201d \u00e2\u20ac\u0153na\u00c3\u00afve"
+    "\u00c2\u00bb\u00e2\u20ac\u00a6 \u00e2\u20ac\u00a2 Gr\u00c3\u00bc\u00c3\u0178e"
+)
+_MOJI_CJK = " \u771f\u00b7mixed \u00e2\u20ac\u201d stays"
+
+
+@_q(
+    "q172_mojibake_repair",
+    f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           doc_id % 3 = 0 AS was_mojibake,
+           text || CASE WHEN doc_id % 3 IN (0, 1)
+                        THEN '{_MOJI_CLEAN}'
+                        ELSE '{_MOJI_CJK}' END AS text_out
+    FROM documents
+    """,
+    "ftfy-style mojibake repair (UTF-8 text once misdecoded as "
+    "windows-1252 -> 'cafÃ©'), entirely JVM-side: translate the 27 "
+    "printable cp1252 specials back to their 0x80-0x9F bytes, encode "
+    "Latin-1, is_valid_utf8-gate, reinterpret as UTF-8 "
+    "(functions/textfns.py repair_mojibake). Fixture plants three "
+    "row families: the misdecode image (must repair to the clean "
+    "form EXACTLY), the clean non-ASCII form (must stay "
+    "byte-identical), and CJK text carrying the em-dash mojibake "
+    "digram (the signature false-positive: the all-Latin-1 guard "
+    "must refuse, since Latin-1 encode would '?'-substitute the "
+    "CJK). was_mojibake is computed from the repair (changed vs "
+    "planted), not echoed from the family index. Both literal forms "
+    "are \\u-transcribed constants, never produced by a codec call, "
+    "so fixture and operator cannot share a table bug; the oracle "
+    "SELECTs the planted expectations (the q99/q116 discipline). "
+    "Zero shuffle, zero Python: one projection of Column "
+    "expressions over the scan.",
+)
+def q172_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toyocr_spark.functions.textfns import repair_mojibake
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    fam = F.pmod(F.col("doc_id"), F.lit(3))
+    planted = F.concat(
+        F.col("text"),
+        F.when(fam == 0, F.lit(_MOJI_FORM))
+        .when(fam == 1, F.lit(_MOJI_CLEAN))
+        .otherwise(F.lit(_MOJI_CJK)),
+    )
+    rep = repair_mojibake(planted)
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (rep != planted).alias("was_mojibake"),
+        rep.alias("text_out"),
+    )
+
+
+@_q(
+    "q173_arc_extract",
+    """
+    SELECT 'https://arc-' || CAST(doc_id AS VARCHAR) || '.example/page.html' AS url,
+           text AS extracted_text,
+           1 AS n_kept
+    FROM documents
+    """,
+    "DRIVER-CHECKABLE ARC container ingest — the Internet Archive's "
+    "pre-WARC format (Common Crawl 2008-2012, first-decade Wayback): "
+    "each row rides a whole ARC FILE holding the filedesc:// version "
+    "record (must be skipped as metadata), the q25 template page as "
+    "an http capture (status line + headers stripped, the WARC "
+    "discipline), and an image/gif capture the header-line mime "
+    "filter must drop. Even doc_id = 5-field v1 headers, odd = "
+    "10-field v2 (length is LAST in both); doc_id%4>=2 adds the "
+    "whole-file gzip envelope (.arc.gz). sources/arc.py parse_arc; "
+    "raw-byte known-answer pins in tests/test_arc.py keep the "
+    "builder/parser pair honest. The oracle is q25's identity closed "
+    "form: any slip in the field walk, length accounting, http strip "
+    "or mime filter mismatches every affected row. Scale shape: file "
+    "= unit of work, map-only batch parse + the same sanctioned "
+    "extraction kernel, zero shuffle.",
+)
+def q173_arc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    from toyocr_spark.pipeline import extract_pages
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("html", T.BinaryType(), False),
+        ]
+    )
+    nav = (
+        '<nav><ul><li><a href="/a">one link</a></li>'
+        '<li><a href="/b">two link</a></li></ul></nav>'
+    )
+
+    def batches(it):
+        import gzip
+
+        from toyocr_spark.sources.arc import build_arc, parse_arc
+
+        for b in it:
+            urls, blobs = [], []
+            for did, text in zip(b.column(0).to_pylist(), b.column(1).to_pylist()):
+                page = (
+                    f"<html><body>{nav}<article><p>{text}"
+                    "</p></article></body></html>"
+                ).encode()
+                blob = build_arc(
+                    [
+                        (f"https://arc-{did}.example/page.html", "20090213233130", page),
+                        (f"https://arc-{did}.example/logo.gif", "20090213233131", b"GIF89a-not-admitted", "image/gif"),
+                    ],
+                    version=1 if did % 2 == 0 else 2,
+                )
+                if did % 4 >= 2:
+                    blob = gzip.compress(blob, 9, mtime=0)
+                for rec in parse_arc(blob):
+                    urls.append(rec["url"])
+                    blobs.append(rec["html"])
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()), pa.array(blobs, pa.binary())],
+                names=["url", "html"],
+            )
+
+    pages = d.mapInArrow(batches, schema)
+    out = extract_pages(pages)
+    return out.select(
+        "url", "extracted_text", F.col("n_kept").cast("int").alias("n_kept")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
@@ -10618,6 +10762,8 @@ _DRIVER_PRIORITY: list[str] = [
     "q169_recrawl_schedule",  # new: change-rate recrawl buckets (freshness)
     "q170_zip_extract",  # new: generic-zip bundle walk (tar's twin)
     "q171_ps_extract",  # new: PostScript leg (show machine + XY-cut)
+    "q172_mojibake_repair",  # new: cp1252 double-encoding repair (JVM-only)
+    "q173_arc_extract",  # new: ARC container ingest (pre-WARC crawls)
     "q116_sentence_align",  # oracle: rows-only -> planted closed form
     # flagship
     "q25_extract",
