@@ -1064,3 +1064,40 @@ def test_repair_mojibake_literal_pins(spark):
     got = [r.r for r in df.select(repair_mojibake(F.col("t")).alias("r")).collect()]
     want = [w for _, w in cases]
     assert got == want
+
+
+def test_render_markdown_all_kinds(spark):
+    """render_markdown over a hand-built extraction product: every
+    block kind gets its documented marker (## title, - list, > figure,
+    bare text/table), blocks join with a blank line, and span slicing
+    is exact (the SEP byte between blocks never leaks into a slice)."""
+    from pyspark.sql import functions as F
+
+    from toyocr_spark.functions.textfns import render_markdown
+
+    text = "Head\nBody para\nitem one\nr1 c1 r1 c2\ncaption"
+    spans = [
+        (0, 4, "title"),
+        (5, 14, "text"),
+        (15, 23, "list"),
+        (24, 35, "table"),
+        (36, 43, "figure"),
+    ]
+    df = spark.createDataFrame(
+        [(text, spans)],
+        "extracted_text string, spans array<struct<start:bigint,end:bigint,kind:string>>",
+    )
+    got = df.select(
+        render_markdown(F.col("extracted_text"), F.col("spans")).alias("md")
+    ).collect()[0].md
+    assert got == (
+        "## Head\n\nBody para\n\n- item one\n\nr1 c1 r1 c2\n\n> caption"
+    )
+    # empty spans -> empty markdown, not NULL
+    empty = spark.createDataFrame(
+        [("", [])],
+        "extracted_text string, spans array<struct<start:bigint,end:bigint,kind:string>>",
+    )
+    assert empty.select(
+        render_markdown(F.col("extracted_text"), F.col("spans")).alias("md")
+    ).collect()[0].md == ""

@@ -483,3 +483,33 @@ def repair_mojibake(text: Column) -> Column:
     raw = F.encode(tr, "ISO-8859-1")
     looks = text.rlike(_MOJIBAKE_SIGNATURE) & ~tr.rlike("[^\u0000-\u00FF]")
     return F.when(looks & F.is_valid_utf8(raw), raw.cast("string")).otherwise(text)
+
+
+# --- markdown rendering of the extraction product ---------------------------
+
+def render_markdown(text: Column, spans: Column) -> Column:
+    """Serialize an extraction result (extracted_text + kept-block
+    spans) as structure-preserving Markdown — the output format most
+    LLM-training pipelines persist, since flat text erases the
+    heading/list structure the scorer worked to keep. Pure Column
+    expression over the already-extracted product (substr + transform
+    + array_join, zero Python, zero shuffle): every span slices its
+    block out of extracted_text and gains a kind marker — ``## `` for
+    title blocks (level is flattened by design: the block model keeps
+    kind, not tag depth), ``- `` for list items (each item is its own
+    block, a loose list), ``> `` for figure captions; table and plain
+    text blocks pass through bare (a flat row-text table re-rendered
+    as pipes would fake alignment knowledge the extractor does not
+    have). Blocks join with a blank line, the Markdown paragraph
+    separator."""
+    def one(s):
+        prefix = (
+            F.when(s["kind"] == "title", F.lit("## "))
+            .when(s["kind"] == "list", F.lit("- "))
+            .when(s["kind"] == "figure", F.lit("> "))
+            .otherwise(F.lit(""))
+        )
+        body = F.substr(text, (s["start"] + F.lit(1)).cast("int"), (s["end"] - s["start"]).cast("int"))
+        return F.concat(prefix, body)
+
+    return F.array_join(F.transform(spans, one), "\n\n")

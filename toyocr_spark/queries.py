@@ -10703,6 +10703,85 @@ def q173_arc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q174_markdown_render",
+    """
+    SELECT 'https://md-' || CAST(doc_id AS VARCHAR) || '.example/guide.html' AS url,
+           '## Guide ' || CAST(doc_id AS VARCHAR) || ' overview'
+             || chr(10) || chr(10) || text
+             || chr(10) || chr(10) || '- first takeaway ' || CAST(doc_id AS VARCHAR)
+             || ' with plenty of prose to keep the scorer content'
+             || chr(10) || chr(10) || '- second takeaway ' || CAST(doc_id AS VARCHAR)
+             || ' also long enough to clear every keep threshold' AS markdown,
+           4 AS n_kept
+    FROM documents
+    """,
+    "Structure-preserving Markdown serialization of the extraction "
+    "product — the output format LLM-training pipelines persist "
+    "(flat text erases the heading/list structure the scorer kept). "
+    "functions/textfns.py render_markdown: a pure Column expression "
+    "over (extracted_text, spans) — substr each kept block out by "
+    "its span, prefix by kind ('## ' title, '- ' list item, '> ' "
+    "figure caption, bare text/table), blank-line join. The fixture "
+    "page carries an h1, a body paragraph and a two-item list whose "
+    "items must surface as separate '- ' blocks; the closed-form "
+    "oracle rebuilds the exact Markdown, so any slip in span "
+    "arithmetic, kind classification, keep decisions OR the renderer "
+    "mismatches the row. Scale shape: rendering adds one projection "
+    "to the map-only extraction plan — zero Python beyond the "
+    "sanctioned kernel, zero shuffle.",
+)
+def q174_markdown_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    from toyocr_spark.functions.textfns import render_markdown
+    from toyocr_spark.pipeline import extract_pages
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("html", T.BinaryType(), False),
+        ]
+    )
+    nav = (
+        '<nav><ul><li><a href="/a">one link</a></li>'
+        '<li><a href="/b">two link</a></li></ul></nav>'
+    )
+
+    def batches(it):
+        for b in it:
+            urls, blobs = [], []
+            for did, text in zip(b.column(0).to_pylist(), b.column(1).to_pylist()):
+                page = (
+                    f"<html><body>{nav}"
+                    f"<h1>Guide {did} overview</h1><article><p>{text}</p>"
+                    f"<ul><li>first takeaway {did} with plenty of prose to keep the scorer content</li>"
+                    f"<li>second takeaway {did} also long enough to clear every keep threshold</li></ul>"
+                    "</article></body></html>"
+                ).encode()
+                urls.append(f"https://md-{did}.example/guide.html")
+                blobs.append(page)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()), pa.array(blobs, pa.binary())],
+                names=["url", "html"],
+            )
+
+    pages = d.mapInArrow(batches, schema)
+    out = extract_pages(pages)
+    return out.select(
+        "url",
+        render_markdown(F.col("extracted_text"), F.col("spans")).alias("markdown"),
+        F.col("n_kept").cast("int").alias("n_kept"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
@@ -10764,6 +10843,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q171_ps_extract",  # new: PostScript leg (show machine + XY-cut)
     "q172_mojibake_repair",  # new: cp1252 double-encoding repair (JVM-only)
     "q173_arc_extract",  # new: ARC container ingest (pre-WARC crawls)
+    "q174_markdown_render",  # new: structure-preserving Markdown product
     "q116_sentence_align",  # oracle: rows-only -> planted closed form
     # flagship
     "q25_extract",
