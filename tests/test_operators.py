@@ -1101,3 +1101,37 @@ def test_render_markdown_all_kinds(spark):
     assert empty.select(
         render_markdown(F.col("extracted_text"), F.col("spans")).alias("md")
     ).collect()[0].md == ""
+
+
+def test_textrank_hub_word_wins(spark, sf_dir):
+    """TextRank semantics on a planted star graph: a document whose
+    every bigram passes through one hub word must rank the hub first
+    (it receives contributions from every spoke), and per-doc ranks
+    must conserve probability mass up to integer-division drift
+    (sum of ranks within n of the 10^12 scale)."""
+    from pyspark.sql import functions as F
+
+    from toyocr_spark.queries import QUERIES
+
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            [
+                (0, "hub alpha hub beta hub gamma hub delta"),
+                (1, "x y"),
+            ],
+            "doc_id long, text string",
+        ).write.parquet(os.path.join(td, "documents.parquet"))
+        out = QUERIES["q175_textrank_keywords"].spark(spark, td)
+        rows = out.collect()
+        top0 = [r for r in rows if r.doc_id == 0 and r.rn == 1][0]
+        assert top0.word == "hub"
+        # doc 1: two words, symmetric graph -> identical ranks, tie
+        # broken by word order
+        d1 = sorted([r for r in rows if r.doc_id == 1], key=lambda r: r.rn)
+        assert [r.word for r in d1] == ["x", "y"]
+        assert d1[0].rank_scaled == d1[1].rank_scaled
+        assert d1[0].rank_scaled + d1[1].rank_scaled <= 10**12
+        assert d1[0].rank_scaled + d1[1].rank_scaled >= 10**12 - 4

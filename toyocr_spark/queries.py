@@ -10782,6 +10782,129 @@ def q174_markdown_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TR_ROUNDS = 3
+
+
+def _tr_round_sql(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+      SELECT n.id, n.wd,
+             ({10**12} * 15) // (100 * nn.n)
+             + (85 * coalesce(sum(p.rank // d.outdeg), 0)) // 100 AS rank
+      FROM nodes n
+      JOIN nn USING (id)
+      LEFT JOIN edges e ON e.id = n.id AND e.dst = n.wd
+      LEFT JOIN {prev} p ON p.id = e.id AND p.wd = e.src
+      LEFT JOIN deg d ON d.id = e.id AND d.src = e.src
+      GROUP BY n.id, n.wd, nn.n
+    )"""
+
+
+@_q(
+    "q175_textrank_keywords",
+    f"""
+    WITH w AS (SELECT doc_id AS id, string_split(trim(text), ' ') AS ws FROM documents),
+    w2 AS (SELECT id, ws FROM w WHERE len(ws) >= 2),
+    bi AS (SELECT id, ws[g.i] AS a, ws[g.i + 1] AS b
+           FROM w2, unnest(generate_series(1, len(ws) - 1)) AS g(i)),
+    edges AS (
+      SELECT DISTINCT id, a AS src, b AS dst FROM bi WHERE a <> b
+      UNION
+      SELECT DISTINCT id, b AS src, a AS dst FROM bi WHERE a <> b
+    ),
+    nodes AS (SELECT DISTINCT id, src AS wd FROM edges),
+    nn AS (SELECT id, count(*) AS n FROM nodes GROUP BY id),
+    deg AS (SELECT id, src, count(*) AS outdeg FROM edges GROUP BY id, src),
+    r0 AS (SELECT nodes.id, wd, {10**12} // nn.n AS rank
+           FROM nodes JOIN nn USING (id)),
+    {_tr_round_sql("r0", "r1")},
+    {_tr_round_sql("r1", "r2")},
+    {_tr_round_sql("r2", "r3")},
+    ranked AS (
+      SELECT id, wd, rank,
+             row_number() OVER (PARTITION BY id ORDER BY rank DESC, wd) AS rn
+      FROM r3
+    )
+    SELECT CAST(id AS BIGINT) AS doc_id, wd AS word,
+           CAST(rank AS BIGINT) AS rank_scaled, CAST(rn AS INT) AS rn
+    FROM ranked WHERE rn <= 3
+    """,
+    "TextRank keyword extraction (Mihalcea & Tarau 2004): per-document "
+    "PageRank over the undirected adjacent-word co-occurrence graph — "
+    "q44's integer-exact iteration (scale 10^12, damping 85/100, "
+    "3 rounds, integer division throughout) with (doc, word) composite "
+    "keys so ONE join + ONE partial-agg groupBy per round scores every "
+    "document's graph simultaneously; top-3 per doc by (rank, word) "
+    "via row_number. Bit-exact across engines by the q44 discipline "
+    "(no floats anywhere). Scale shape: rounds iterate the WORD-PAIR "
+    "graph (corpus-linear, bounded per doc), every shuffle is an "
+    "equi-key exchange on (id, word); the final top-k is a "
+    "window-per-key, never a global sort.",
+)
+def q175_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scale = 10**12
+    d = _t(spark, sf_dir, "documents")
+    w = d.select(
+        F.col("doc_id").alias("id"),
+        F.split(F.trim(F.col("text")), " ").alias("ws"),
+    ).filter(F.size("ws") >= 2)
+    bi = w.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - 1),
+                lambda i: F.struct(
+                    F.element_at("ws", i).alias("a"),
+                    F.element_at("ws", i + 1).alias("b"),
+                ),
+            )
+        ).alias("p"),
+    ).select("id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    bi = bi.filter(F.col("a") != F.col("b"))
+    edges = (
+        bi.select("id", F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(bi.select("id", F.col("b"), F.col("a")))
+        .distinct()
+    )
+    edges = edges.localCheckpoint()  # reused every round: cut lineage once
+    nodes = edges.select("id", F.col("src").alias("wd")).distinct()
+    nn = nodes.groupBy("id").agg(F.count("*").alias("n"))
+    deg = edges.groupBy("id", "src").agg(F.count("*").alias("outdeg"))
+    ranks = nodes.join(nn, "id").select(
+        "id", "wd", F.expr(f"{scale} div n").alias("rank")
+    )
+    for _ in range(_TR_ROUNDS):
+        contrib = (
+            edges.join(
+                ranks.withColumnRenamed("wd", "src"), ["id", "src"]
+            )
+            .join(deg, ["id", "src"])
+            .select("id", F.col("dst").alias("wd"), F.expr("rank div outdeg").alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib, ["id", "wd"], "left")
+            .groupBy("id", "wd")
+            .agg(F.expr("85 * coalesce(sum(c), 0) div 100").alias("s"))
+            .join(nn, "id")
+            .select(
+                "id",
+                "wd",
+                (F.expr(f"({scale} * 15) div (100 * n)") + F.col("s")).alias("rank"),
+            )
+        )
+    win = Window.partitionBy("id").orderBy(F.col("rank").desc(), F.col("wd"))
+    return (
+        ranks.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("id").cast("long").alias("doc_id"),
+            F.col("wd").alias("word"),
+            F.col("rank").cast("long").alias("rank_scaled"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
@@ -10844,6 +10967,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q172_mojibake_repair",  # new: cp1252 double-encoding repair (JVM-only)
     "q173_arc_extract",  # new: ARC container ingest (pre-WARC crawls)
     "q174_markdown_render",  # new: structure-preserving Markdown product
+    "q175_textrank_keywords",  # new: per-doc TextRank (q44 integer discipline)
     "q116_sentence_align",  # oracle: rows-only -> planted closed form
     # flagship
     "q25_extract",
