@@ -1135,3 +1135,38 @@ def test_textrank_hub_word_wins(spark, sf_dir):
         assert d1[0].rank_scaled == d1[1].rank_scaled
         assert d1[0].rank_scaled + d1[1].rank_scaled <= 10**12
         assert d1[0].rank_scaled + d1[1].rank_scaled >= 10**12 - 4
+
+
+def test_lang_segments_islands(spark):
+    """lang_segments merges CONSECUTIVE same-language paragraphs only:
+    an A-B-A language sandwich yields three segments (never two), a
+    single-language doc yields one, and markerless paragraphs segment
+    as 'und' rather than inheriting a neighbour's language."""
+    from toyocr_spark.functions.textfns import lang_segments
+
+    en = "the cat and the dog is near the door of the house"
+    de = "der hund und die katze ist im haus und der baum"
+    docs = spark.createDataFrame(
+        [
+            (0, en + "\n\n" + de + "\n\n" + en),
+            (1, en + "\n\n" + en + "\n\n" + en),
+            (2, en + "\n\n" + "zzz qqq 123" + "\n\n" + en),
+        ],
+        "doc_id long, body string",
+    )
+    out = lang_segments(docs, "doc_id", "body")
+    rows = sorted(
+        [(r.id, r.seg_idx, r.seg_lang, r.n_paras) for r in out.collect()]
+    )
+    assert rows == [
+        (0, 1, "en", 1),
+        (0, 2, "de", 1),
+        (0, 3, "en", 1),
+        (1, 1, "en", 3),
+        (2, 1, "en", 1),
+        (2, 2, "und", 1),
+        (2, 3, "en", 1),
+    ]
+    # re-joined text preserves paragraph order within a segment
+    seg1 = [r for r in out.collect() if r.id == 1][0]
+    assert seg1.seg_text == en + "\n\n" + en + "\n\n" + en

@@ -513,3 +513,55 @@ def render_markdown(text: Column, spans: Column) -> Column:
         return F.concat(prefix, body)
 
     return F.array_join(F.transform(spans, one), "\n\n")
+
+
+# --- paragraph-level language segmentation (code-switch splitting) ----------
+
+def lang_segments(
+    df: DataFrame, id_col: str, text_col: str, sep: str = "\n\n"
+) -> DataFrame:
+    """mC4-style code-switch segmentation: split each document into
+    paragraphs, language-ID each paragraph with the marker-word
+    heuristic, and merge CONSECUTIVE same-language paragraphs into
+    segments (the gaps-and-islands shape: a lag-change flag and a
+    running sum make the segment index, one window pass). Multilingual
+    pages are the rule at crawl scale — a doc-level language label
+    mis-routes every minority-language paragraph, so pretraining
+    pipelines segment first and route segments. Output: one row per
+    (doc, segment) with seg_idx (1-based document order), seg_lang,
+    n_paras and seg_text (the paragraphs re-joined with ``sep``).
+    All JVM: split/posexplode/window/partial-agg — per-doc state is
+    one lag value, shuffles are equi-key on the doc id."""
+    paras = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pidx", "para"),
+    ).filter(F.length(F.trim(F.col("para"))) > 0)
+    scored = lang_id_scores(paras, "para").select("id", "pidx", "para", "lang_pred")
+    win = Window.partitionBy("id").orderBy("pidx")
+    chg = F.when(
+        F.lag("lang_pred").over(win).isNull()
+        | (F.lag("lang_pred").over(win) != F.col("lang_pred")),
+        1,
+    ).otherwise(0)
+    seg = scored.withColumn("seg_idx", F.sum(chg).over(win))
+    return (
+        seg.groupBy("id", "seg_idx")
+        .agg(
+            F.min("lang_pred").alias("seg_lang"),  # constant within a segment
+            F.count("*").alias("n_paras"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pidx", "para"))),
+                    lambda s: s["para"],
+                ),
+                sep,
+            ).alias("seg_text"),
+        )
+        .select(
+            F.col("id"),
+            F.col("seg_idx").cast("int").alias("seg_idx"),
+            "seg_lang",
+            F.col("n_paras").cast("long").alias("n_paras"),
+            "seg_text",
+        )
+    )

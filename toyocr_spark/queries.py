@@ -10905,6 +10905,85 @@ def q175_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LS_EN1 = "the cat and the dog is near the door of the house item "
+_LS_EN2 = "the bird and the fish is by the gate of the barn item "
+_LS_DE1 = "der hund und die katze ist im haus und der baum item "
+_LS_DE2 = "die sonne und der mond ist hell und die nacht item "
+_LS_FR1 = "le chat et le chien est pres du jardin item "
+_LS_FR2 = "les fleurs et le pain est sur la table item "
+
+
+@_q(
+    "q176_lang_segments",
+    f"""
+    WITH fams AS (
+      SELECT doc_id, doc_id % 3 AS fam, CAST(doc_id AS VARCHAR) AS s
+      FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, 1 AS seg_idx,
+             'en' AS seg_lang,
+             CASE WHEN fam = 2 THEN 2 ELSE 1 END AS n_paras,
+             CASE WHEN fam = 2
+                  THEN '{_LS_EN1}' || s || chr(10) || chr(10) || '{_LS_EN2}' || s
+                  ELSE '{_LS_EN1}' || s END AS seg_text
+      FROM fams
+      UNION ALL
+      SELECT doc_id, 2 AS seg_idx,
+             CASE WHEN fam = 1 THEN 'fr' ELSE 'de' END AS seg_lang,
+             CASE WHEN fam = 2 THEN 1 ELSE 2 END AS n_paras,
+             CASE fam
+               WHEN 0 THEN '{_LS_DE1}' || s || chr(10) || chr(10) || '{_LS_DE2}' || s
+               WHEN 1 THEN '{_LS_FR1}' || s || chr(10) || chr(10) || '{_LS_FR2}' || s
+               ELSE '{_LS_DE1}' || s END AS seg_text
+      FROM fams
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(seg_idx AS INT) AS seg_idx,
+           seg_lang, CAST(n_paras AS BIGINT) AS n_paras, seg_text
+    FROM segs
+    """,
+    "Paragraph-level language segmentation (the mC4 code-switch "
+    "split): split on blank lines, marker-word language-ID per "
+    "paragraph, merge consecutive same-language paragraphs into "
+    "segments via the gaps-and-islands window (lag-change flag + "
+    "running sum), re-join each segment's paragraphs "
+    "(functions/textfns.py lang_segments). Fixture plants three "
+    "families of trilingual pages — en|de+de, en|fr+fr, en+en|de — "
+    "whose marker scores make every paragraph's language "
+    "unambiguous, so the oracle SELECTs the planted segmentation in "
+    "closed form (the q116 discipline) while Spark derives it from "
+    "the real scorer: a wrong score, a broken island boundary or a "
+    "mis-ordered re-join all mismatch. Scale shape: one posexplode + "
+    "one doc-keyed window + one partial agg; per-doc state is a "
+    "single lag value.",
+)
+def q176_lang_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toyocr_spark.functions.textfns import lang_segments
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", F.col("doc_id").cast("string").alias("s"))
+    fam = F.pmod(F.col("doc_id"), F.lit(3))
+    p = lambda lit: F.concat(F.lit(lit), F.col("s"))  # noqa: E731
+    built = F.concat_ws(
+        "\n\n",
+        p(_LS_EN1),
+        F.when(fam == 2, p(_LS_EN2)).otherwise(
+            F.when(fam == 1, p(_LS_FR1)).otherwise(p(_LS_DE1))
+        ),
+        F.when(fam == 0, p(_LS_DE2))
+        .when(fam == 1, p(_LS_FR2))
+        .otherwise(p(_LS_DE1)),
+    )
+    docs = d.select("doc_id", built.alias("body"))
+    out = lang_segments(docs, "doc_id", "body")
+    return out.select(
+        F.col("id").cast("long").alias("doc_id"),
+        "seg_idx",
+        "seg_lang",
+        F.col("n_paras").cast("long").alias("n_paras"),
+        "seg_text",
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
@@ -10968,6 +11047,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q173_arc_extract",  # new: ARC container ingest (pre-WARC crawls)
     "q174_markdown_render",  # new: structure-preserving Markdown product
     "q175_textrank_keywords",  # new: per-doc TextRank (q44 integer discipline)
+    "q176_lang_segments",  # new: paragraph-level code-switch segmentation
     "q116_sentence_align",  # oracle: rows-only -> planted closed form
     # flagship
     "q25_extract",
