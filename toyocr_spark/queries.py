@@ -10866,31 +10866,33 @@ def q175_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(bi.select("id", F.col("b"), F.col("a")))
         .distinct()
     )
-    edges = edges.localCheckpoint()  # reused every round: cut lineage once
-    nodes = edges.select("id", F.col("src").alias("wd")).distinct()
-    nn = nodes.groupBy("id").agg(F.count("*").alias("n"))
+    # train-once/iterate-many: degree rides the edge row and the
+    # per-node teleport rides the node row, both checkpointed ONCE, so
+    # a round is join + partial-agg + base left-join (no nn/deg re-join
+    # per round — the q44 lineage-cut discipline, taken further)
     deg = edges.groupBy("id", "src").agg(F.count("*").alias("outdeg"))
-    ranks = nodes.join(nn, "id").select(
-        "id", "wd", F.expr(f"{scale} div n").alias("rank")
+    edgesd = edges.join(deg, ["id", "src"]).localCheckpoint()
+    nodes = edgesd.select("id", F.col("src").alias("wd")).distinct()
+    nn = nodes.groupBy("id").agg(F.count("*").alias("n"))
+    base = (
+        nodes.join(nn, "id")
+        .select(
+            "id",
+            "wd",
+            F.expr(f"({scale} * 15) div (100 * n)").alias("tele"),
+            F.expr(f"{scale} div n").alias("r0"),
+        )
+        .localCheckpoint()
     )
+    ranks = base.select("id", "wd", F.col("r0").alias("rank"))
     for _ in range(_TR_ROUNDS):
         contrib = (
-            edges.join(
-                ranks.withColumnRenamed("wd", "src"), ["id", "src"]
-            )
-            .join(deg, ["id", "src"])
-            .select("id", F.col("dst").alias("wd"), F.expr("rank div outdeg").alias("c"))
+            edgesd.join(ranks.withColumnRenamed("wd", "src"), ["id", "src"])
+            .groupBy("id", F.col("dst").alias("wd"))
+            .agg(F.expr("85 * sum(rank div outdeg) div 100").alias("s"))
         )
-        ranks = (
-            nodes.join(contrib, ["id", "wd"], "left")
-            .groupBy("id", "wd")
-            .agg(F.expr("85 * coalesce(sum(c), 0) div 100").alias("s"))
-            .join(nn, "id")
-            .select(
-                "id",
-                "wd",
-                (F.expr(f"({scale} * 15) div (100 * n)") + F.col("s")).alias("rank"),
-            )
+        ranks = base.join(contrib, ["id", "wd"], "left").select(
+            "id", "wd", (F.col("tele") + F.coalesce(F.col("s"), F.lit(0))).alias("rank")
         )
     win = Window.partitionBy("id").orderBy(F.col("rank").desc(), F.col("wd"))
     return (
