@@ -63,6 +63,14 @@ PROBES = [
     "q170_zip_extract",
     "q167_redirect_resolve",
     "q169_recrawl_schedule",
+    # round-5 final additions: the ARC container walk (map-only synth +
+    # parse + extract), the per-doc TextRank rounds (iterative joins
+    # whose edge list is corpus-linear — per-doc graphs are bounded by
+    # doc length), and the paragraph-segmentation window (one doc-keyed
+    # shuffle, lag state only)
+    "q173_arc_extract",
+    "q175_textrank_keywords",
+    "q176_lang_segments",
 ]
 
 # The registered q77 keeps k=8 clusters at every size, so cells grow
