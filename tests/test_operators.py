@@ -1170,3 +1170,16 @@ def test_lang_segments_islands(spark):
     # re-joined text preserves paragraph order within a segment
     seg1 = [r for r in out.collect() if r.id == 1][0]
     assert seg1.seg_text == en + "\n\n" + en + "\n\n" + en
+
+
+def test_crawl_budget_sums_exactly(spark, sf_dir):
+    """Largest-remainder apportionment: allocations sum to the budget
+    EXACTLY (the property float-proportional splits cannot give), and
+    allocation is monotone in weight up to the +1 remainder slot."""
+    from toyocr_spark.queries import QUERIES
+
+    rows = QUERIES["q177_crawl_budget"].spark(spark, sf_dir).collect()
+    assert sum(r.pages_allocated for r in rows) == 10000
+    by_w = sorted(rows, key=lambda r: (r.weight, r.host))
+    for lo, hi in zip(by_w, by_w[1:]):
+        assert hi.pages_allocated >= lo.pages_allocated - 1

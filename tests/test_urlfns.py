@@ -488,3 +488,33 @@ def test_robots_rfc9309_wildcards(spark):
     tie_urls = spark.createDataFrame([("t.example", "/t")], "host string, path string")
     (r,) = robots_admission_rfc9309(tie_urls, tie_pats).collect()
     assert r["blocked"] == 0  # Allow wins the exact-length tie
+
+
+def test_rendezvous_minimal_disruption(spark):
+    """The HRW property that justifies rendezvous over mod-N sharding:
+    going from 16 to 15 fetchers must reassign ONLY the hosts that
+    fetcher 15 owned — every other host keeps its fetcher. (Mod-N
+    resharding would move ~15/16 of all hosts.) Also pins determinism:
+    the same host set assigns identically across calls."""
+    from toyocr_spark.functions.urlfns import rendezvous_assign
+
+    hosts = spark.createDataFrame(
+        [(f"h{i}.example",) for i in range(200)], "host string"
+    )
+    a16 = {r.host: r.fetcher for r in rendezvous_assign(hosts, 16).collect()}
+    a15 = {r.host: r.fetcher for r in rendezvous_assign(hosts, 15).collect()}
+    assert set(a16) == set(a15)
+    moved = {h for h in a16 if a16[h] != a15[h]}
+    # exactly the dropped worker's hosts moved
+    assert moved == {h for h, f in a16.items() if f == 15}
+    # and they landed somewhere valid
+    assert all(0 <= a15[h] <= 14 for h in moved)
+    # load is roughly balanced (md5 uniformity): no fetcher starves
+    # or hoards at 200 hosts / 16 workers (exp 12.5 per worker)
+    from collections import Counter
+
+    loads = Counter(a16.values())
+    assert max(loads.values()) <= 30 and len(loads) >= 12
+    # determinism
+    b16 = {r.host: r.fetcher for r in rendezvous_assign(hosts, 16).collect()}
+    assert b16 == a16

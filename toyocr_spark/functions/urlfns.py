@@ -299,3 +299,37 @@ def robots_admission_rfc9309(
             F.col("best").isNull() | (F.col("best.a") == 1), F.lit(0)
         ).otherwise(F.lit(1)).cast("int").alias("blocked"),
     )
+
+
+def rendezvous_assign(hosts, n_fetchers: int, host_col: str = "host"):
+    """Rendezvous (highest-random-weight) assignment of hosts to
+    ``n_fetchers`` workers: every (host, fetcher) pair scores
+    md5(host|fetcher) and the max score wins (fetcher-id tie-break).
+    The HRW property — removing a worker reassigns ONLY that worker's
+    hosts, adding one steals only what it now wins — is what lets a
+    10^12-page crawl rebalance fetchers without a global reshuffle;
+    pytest-locked in tests/test_urlfns.py. Runs on the host table
+    (corpus-cardinality-free): one 16-way explode + one host-keyed
+    window."""
+    from pyspark.sql import Window
+
+    cand = hosts.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_fetchers - 1))).alias("fetcher"),
+    )
+    score = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("host"), F.lit("|"), F.col("fetcher").cast("string"))),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("long")
+    win = Window.partitionBy("host").orderBy(F.col("score").desc(), F.col("fetcher"))
+    return (
+        cand.select("host", "fetcher", score.alias("score"))
+        .withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") == 1)
+        .select("host", F.col("fetcher").cast("int").alias("fetcher"), "score")
+    )

@@ -10986,6 +10986,172 @@ def q176_lang_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q177_crawl_budget",
+    """
+    WITH h AS (
+      SELECT 'host-' || CAST(doc_id % 20 AS VARCHAR) || '.example' AS host,
+             CAST(1 + doc_id % 7 AS BIGINT) AS w
+      FROM documents
+    ),
+    hw AS (SELECT host, CAST(sum(w) AS BIGINT) AS weight FROM h GROUP BY host),
+    tot AS (SELECT CAST(sum(weight) AS BIGINT) AS wt, count(*) AS nh FROM hw),
+    quo AS (
+      SELECT host, weight,
+             (10000 * weight) // wt AS base,
+             (10000 * weight) % wt AS rem
+      FROM hw, tot
+    ),
+    lo AS (SELECT CAST(10000 - sum(base) AS BIGINT) AS leftover FROM quo),
+    rk AS (
+      SELECT host, weight, base, rem,
+             row_number() OVER (ORDER BY rem DESC, host) AS rk
+      FROM quo
+    )
+    SELECT host, weight,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS pages_allocated
+    FROM rk, lo
+    """,
+    "Proportional crawl-budget allocation by the largest-remainder "
+    "(Hamilton) method: a global budget of 10000 fetch slots splits "
+    "across hosts proportionally to an integer demand weight, floor "
+    "quotas first, then the leftover slots go to the largest "
+    "fractional remainders (host tie-break) — the standard "
+    "exact-integer apportionment, so allocations sum to the budget "
+    "EXACTLY (no float drift, no over/under-commit). One groupBy to "
+    "host weights, one 1-row total broadcast (the A7 COUNT-driven "
+    "shape), one rank window over HOSTS (corpus-cardinality-free: "
+    "the window runs over the host table, never the page table). "
+    "Bit-exact across engines — integer division and modulo "
+    "throughout.",
+)
+def q177_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    budget = 10000
+    d = _t(spark, sf_dir, "documents")
+    h = d.select(
+        F.concat(F.lit("host-"), (F.col("doc_id") % 20).cast("string"), F.lit(".example")).alias("host"),
+        (1 + F.col("doc_id") % 7).cast("long").alias("w"),
+    )
+    hw = h.groupBy("host").agg(F.sum("w").cast("long").alias("weight"))
+    tot = hw.agg(F.sum("weight").cast("long").alias("wt"))
+    quo = hw.crossJoin(F.broadcast(tot)).select(
+        "host",
+        "weight",
+        F.expr(f"({budget} * weight) div wt").alias("base"),
+        F.expr(f"({budget} * weight) % wt").alias("rem"),
+    )
+    lo = quo.agg((F.lit(budget) - F.sum("base")).cast("long").alias("leftover"))
+    win = Window.orderBy(F.col("rem").desc(), F.col("host"))
+    rk = quo.withColumn("rk", F.row_number().over(win))
+    return rk.crossJoin(F.broadcast(lo)).select(
+        "host",
+        "weight",
+        (F.col("base") + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0))
+        .cast("long")
+        .alias("pages_allocated"),
+    )
+
+
+@_q(
+    "q178_fetcher_assign",
+    f"""
+    WITH hosts AS (
+      SELECT DISTINCT 'host-' || CAST(doc_id % 50 AS VARCHAR) || '.example' AS host
+      FROM documents
+    ),
+    cand AS (
+      SELECT host, g.f AS fetcher,
+             substr(md5(host || '|' || CAST(g.f AS VARCHAR)), 1, 4) AS h
+      FROM hosts, unnest(generate_series(0, 15)) AS g(f)
+    ),
+    scored AS (
+      SELECT host, fetcher, CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 1 AS BIGINT) AS score,
+             row_number() OVER (
+               PARTITION BY host
+               ORDER BY ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 1) DESC, fetcher
+             ) AS rk
+      FROM cand
+    )
+    SELECT host, CAST(fetcher AS INT) AS fetcher, score
+    FROM scored WHERE rk = 1
+    """,
+    "Rendezvous (highest-random-weight) fetcher assignment — how a "
+    "distributed crawler shards hosts across N fetch workers so that "
+    "adding/removing a worker reassigns ONLY that worker's hosts "
+    "(consistent hashing without a ring): every (host, fetcher) pair "
+    "scores md5(host|fetcher), the max score wins, fetcher-id "
+    "tie-break. Deterministic and engine-portable by the q45 md5 "
+    "discipline (first 4 hex nibbles as an integer). Scale shape: "
+    "the 16-way candidate explode happens on the DISTINCT HOST table "
+    "(corpus-cardinality-free), one host-keyed window picks the "
+    "winner — no shuffle ever touches the page table.",
+)
+def q178_fetcher_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toyocr_spark.functions.urlfns import rendezvous_assign
+
+    d = _t(spark, sf_dir, "documents")
+    hosts = d.select(
+        F.concat(F.lit("host-"), (F.col("doc_id") % 50).cast("string"), F.lit(".example")).alias("host")
+    ).distinct()
+    return rendezvous_assign(hosts, 16)
+
+
+@_q(
+    "q179_revalidation_savings",
+    """
+    SELECT 'https://rv-' || CAST(doc_id AS VARCHAR) || '.example/page' AS url,
+           CAST(6 AS BIGINT) AS n_caps,
+           CAST(5 - (5 // (1 + doc_id % 6)) AS BIGINT) AS n_not_modified,
+           CAST((5 - (5 // (1 + doc_id % 6))) * (1000 + doc_id % 500) AS BIGINT)
+             AS bytes_saved,
+           5 - (5 // (1 + doc_id % 6)) >= 3 AS revalidate_friendly
+    FROM documents
+    """,
+    "Conditional-GET revalidation planning — the crawler-ops twin of "
+    "q169's recrawl scheduling: over each URL's capture history, a "
+    "re-fetch whose validator (ETag) matches the previous capture "
+    "could have been a 304 Not-Modified with NO body transfer, so "
+    "counting lag-stable captures prices exactly how much bandwidth "
+    "If-None-Match would have saved, and urls with >= 3 stable "
+    "re-fetches get flagged for the conditional-fetch pool. Fixture "
+    "plants 6 snapshots per url with ETag change period p = "
+    "1 + doc_id %% 6 (the q169 plant), so the oracle reads "
+    "n_not_modified = 5 - floor(5/p) in closed form while Spark "
+    "derives it from the real lag window over the capture rows. One "
+    "url-keyed window pass + one partial agg, O(1) carried state per "
+    "url — the same shape that holds at 10^12 capture rows.",
+)
+def q179_revalidation_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    p = 1 + F.pmod(F.col("doc_id"), F.lit(6))
+    caps = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(5))).alias("t"),
+        p.alias("p"),
+    ).select(
+        F.concat(F.lit("https://rv-"), F.col("doc_id").cast("string"), F.lit(".example/page")).alias("url"),
+        "t",
+        F.concat(F.lit("e"), F.expr("t div p").cast("string")).alias("etag"),
+        (F.lit(1000) + F.pmod(F.col("doc_id"), F.lit(500))).cast("long").alias("body_bytes"),
+    )
+    win = Window.partitionBy("url").orderBy("t")
+    flagged = caps.withColumn(
+        "not_modified",
+        F.when(
+            F.lag("etag").over(win).isNotNull()
+            & (F.lag("etag").over(win) == F.col("etag")),
+            1,
+        ).otherwise(0),
+    )
+    return flagged.groupBy("url").agg(
+        F.count("*").alias("n_caps"),
+        F.sum("not_modified").cast("long").alias("n_not_modified"),
+        F.sum(F.col("not_modified") * F.col("body_bytes")).cast("long").alias("bytes_saved"),
+        (F.sum("not_modified") >= 3).alias("revalidate_friendly"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
@@ -11050,6 +11216,9 @@ _DRIVER_PRIORITY: list[str] = [
     "q174_markdown_render",  # new: structure-preserving Markdown product
     "q175_textrank_keywords",  # new: per-doc TextRank (q44 integer discipline)
     "q176_lang_segments",  # new: paragraph-level code-switch segmentation
+    "q177_crawl_budget",  # new: largest-remainder budget apportionment
+    "q178_fetcher_assign",  # new: rendezvous-hash host sharding
+    "q179_revalidation_savings",  # new: conditional-GET bandwidth pricing
     "q116_sentence_align",  # oracle: rows-only -> planted closed form
     # flagship
     "q25_extract",
