@@ -239,6 +239,8 @@ def test_relational_queries_have_no_python_nodes(spark, sf_dir):
         "q168_ics_extract",      # iCalendar synth + extraction kernel
         "q170_zip_extract",      # generic-zip bundle synth + extraction kernel
         "q171_ps_extract",       # PostScript synth + extraction kernel
+        "q173_arc_extract",      # ARC-container synth+parse + extraction kernel
+        "q174_markdown_render",  # extraction kernel + JVM-side Markdown render
     }
     markers = ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas",
                "MapInPandas", "PythonMapInArrow", "MapInArrow")

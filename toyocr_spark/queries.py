@@ -11034,20 +11034,29 @@ def q177_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         (1 + F.col("doc_id") % 7).cast("long").alias("w"),
     )
     hw = h.groupBy("host").agg(F.sum("w").cast("long").alias("weight"))
-    tot = hw.agg(F.sum("weight").cast("long").alias("wt"))
-    quo = hw.crossJoin(F.broadcast(tot)).select(
+    # the only corpus-scale shuffle is the groupBy above; everything
+    # below runs on the HOST table, so the total, the leftover and the
+    # remainder rank all ride ONE unpartitioned window stage instead
+    # of two aggregate+broadcast round-trips
+    all_hosts = Window.partitionBy()
+    wt = F.sum("weight").over(all_hosts)
+    quo = hw.select(
         "host",
         "weight",
-        F.expr(f"({budget} * weight) div wt").alias("base"),
-        F.expr(f"({budget} * weight) % wt").alias("rem"),
+        F.expr(f"({budget} * weight)").alias("q"),
+        wt.alias("wt"),
+    ).select(
+        "host",
+        "weight",
+        F.expr("q div wt").alias("base"),
+        F.expr("q % wt").alias("rem"),
     )
-    lo = quo.agg((F.lit(budget) - F.sum("base")).cast("long").alias("leftover"))
-    win = Window.orderBy(F.col("rem").desc(), F.col("host"))
-    rk = quo.withColumn("rk", F.row_number().over(win))
-    return rk.crossJoin(F.broadcast(lo)).select(
+    leftover = F.lit(budget) - F.sum("base").over(all_hosts)
+    rk = F.row_number().over(Window.orderBy(F.col("rem").desc(), F.col("host")))
+    return quo.select(
         "host",
         "weight",
-        (F.col("base") + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0))
+        (F.col("base") + F.when(rk <= leftover, 1).otherwise(0))
         .cast("long")
         .alias("pages_allocated"),
     )
