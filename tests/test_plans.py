@@ -241,6 +241,7 @@ def test_relational_queries_have_no_python_nodes(spark, sf_dir):
         "q171_ps_extract",       # PostScript synth + extraction kernel
         "q173_arc_extract",      # ARC-container synth+parse + extraction kernel
         "q174_markdown_render",  # extraction kernel + JVM-side Markdown render
+        "q180_fb2_extract",      # FictionBook synth + extraction kernel
     }
     markers = ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas",
                "MapInPandas", "PythonMapInArrow", "MapInArrow")

@@ -218,6 +218,7 @@ def synth_office_pages(
             genps,
             genxls,
             genepub,
+        genfb2,
             genmht,
             genodt,
             genpptx,
@@ -241,8 +242,8 @@ def synth_office_pages(
                     "docx", "xlsx", "pptx", "epub", "rtf", "doc", "xls",
                     "ppt", "mht", "odt", "ods", "odp", "md", "tar", "csv",
                     "tex", "ipynb", "sub", "wiki", "eml", "mbox", "ics",
-                    "zip", "ps",
-                )[(did + rep) % 24]
+                    "zip", "ps", "fb2",
+                )[(did + rep) % 25]
                 title = f"Synthesized bench document {did} part {rep}"
                 paras = [text] * paragraphs
                 if fmt == "docx":
@@ -378,6 +379,16 @@ def synth_office_pages(
                             ),
                         ],
                         with_dir=True,
+                    )
+                elif fmt == "fb2":
+                    blob = genfb2.build_fb2(
+                        f"Meta {title}",
+                        title,
+                        paras,
+                        stanza_lines=[
+                            f"verse line one of stanza {did}",
+                            "verse line two keeps it going",
+                        ],
                     )
                 elif fmt == "ics":
                     blob = genical.build_ics(

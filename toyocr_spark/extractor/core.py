@@ -24,6 +24,7 @@ from toyocr_spark.extractor.docx import is_docx, tokenize_docx
 from toyocr_spark.extractor.epub import is_epub, tokenize_epub
 from toyocr_spark.extractor.layout import reading_order
 from toyocr_spark.extractor.csvleg import is_csv, tokenize_csv
+from toyocr_spark.extractor.fb2leg import is_fb2, tokenize_fb2
 from toyocr_spark.extractor.icsleg import is_ics, tokenize_ics
 from toyocr_spark.extractor.ipynb import is_ipynb, tokenize_ipynb
 from toyocr_spark.extractor.latexleg import is_latex, tokenize_latex
@@ -252,6 +253,12 @@ def dispatch_blocks(html: bytes | str) -> list:
         # near-magic: RFC 5545 mandates BEGIN:VCALENDAR as the first
         # line — prose cannot start with it (the WEBVTT rule)
         return tokenize_ics(html)
+    if is_fb2(html):
+        # '<FictionBook' in the 256-byte head is a de-facto magic for
+        # the '<'-led family: no other dispatched format names its
+        # root that, and HTML pages never reach it (e-book XML, the
+        # twenty-seventh leg)
+        return tokenize_fb2(html)
     if is_subtitle(html):
         # near-magic sniffs: WebVTT's mandated "WEBVTT" header is a
         # de-facto magic; SRT's counter+timing two-line opener is

@@ -11161,6 +11161,80 @@ def q179_revalidation_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q180_fb2_extract",
+    """
+    SELECT 'https://fb2-' || CAST(doc_id AS VARCHAR) || '.example/book.fb2' AS url,
+           'Novel ' || CAST(doc_id AS VARCHAR) || ' chapter heading'
+             || chr(10) || text
+             || chr(10) || 'verse line one of stanza ' || CAST(doc_id AS VARCHAR)
+             || ' verse line two keeps it going' AS extracted_text,
+           3 AS n_kept
+    FROM documents
+    """,
+    "DRIVER-CHECKABLE FictionBook 2 (.fb2) extraction — the "
+    "twenty-seventh dispatch leg, the e-book XML of book-corpus "
+    "crawls. Each row's text becomes a real namespaced FB2 file "
+    "(description metadata block, titled section, prose paragraph, a "
+    "poem stanza whose <v> verse lines must join with spaces, a "
+    "link-dominated catalog nav, and a body name='notes' footnote "
+    "popup). The oracle expects title + prose + stanza EXACTLY: "
+    "description/notes leak, a dropped title, welded verse lines or "
+    "a surviving nav all mismatch. '<FictionBook' in the 256-byte "
+    "head is the '<'-led family's de-facto magic (no other "
+    "dispatched format names its root that). extractor/fb2leg.py; "
+    "fixtures/genfb2.py (independent raw-XML writer). Map-only: one "
+    "pre-kernel repartition, then synth + extract in sanctioned "
+    "Arrow kernels, zero shuffle after.",
+)
+def q180_fb2_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    from toyocr_spark.pipeline import extract_pages
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("html", T.BinaryType(), False),
+        ]
+    )
+
+    def batches(it):
+        from toyocr_spark.fixtures.genfb2 import build_fb2
+
+        for b in it:
+            urls, blobs = [], []
+            for did, text in zip(b.column(0).to_pylist(), b.column(1).to_pylist()):
+                blob = build_fb2(
+                    f"Metadata Book Title {did}",
+                    f"Novel {did} chapter heading",
+                    [text],
+                    stanza_lines=[
+                        f"verse line one of stanza {did}",
+                        "verse line two keeps it going",
+                    ],
+                )
+                urls.append(f"https://fb2-{did}.example/book.fb2")
+                blobs.append(blob)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()), pa.array(blobs, pa.binary())],
+                names=["url", "html"],
+            )
+
+    pages = d.mapInArrow(batches, schema)
+    out = extract_pages(pages)
+    return out.select(
+        "url", "extracted_text", F.col("n_kept").cast("int").alias("n_kept")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
@@ -11228,6 +11302,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q177_crawl_budget",  # new: largest-remainder budget apportionment
     "q178_fetcher_assign",  # new: rendezvous-hash host sharding
     "q179_revalidation_savings",  # new: conditional-GET bandwidth pricing
+    "q180_fb2_extract",  # new: FictionBook e-book leg (27th dispatch leg)
     "q116_sentence_align",  # oracle: rows-only -> planted closed form
     # flagship
     "q25_extract",
