@@ -242,6 +242,7 @@ def test_relational_queries_have_no_python_nodes(spark, sf_dir):
         "q173_arc_extract",      # ARC-container synth+parse + extraction kernel
         "q174_markdown_render",  # extraction kernel + JVM-side Markdown render
         "q180_fb2_extract",      # FictionBook synth + extraction kernel
+        "q181_djvu_metadata",    # DjVu IFF synth + metadata-walk kernel
     }
     markers = ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas",
                "MapInPandas", "PythonMapInArrow", "MapInArrow")

@@ -2278,3 +2278,112 @@ def synth_timed_mp4(documents: DataFrame, n_docs: int = 150) -> DataFrame:
         .select("doc_id")
         .mapInArrow(batches, schema)
     )
+
+
+# --- DjVu (IFF85) metadata walk --------------------------------------------
+
+_DJVU_MAGIC = b"AT&TFORM"
+
+
+def build_djvu(pages: list[tuple[int, int, int]], bundled: bool | None = None) -> bytes:
+    """Fixture encoder: a real IFF85 DjVu byte layout — single-page
+    ``FORM:DJVU`` or bundled ``FORM:DJVM`` holding a stub DIRM (opaque
+    to the walker, as in real files where DIRM's tail is
+    BZZ-compressed) plus one ``FORM:DJVU`` per page. Each page carries
+    the 10-byte INFO chunk with the spec's endianness QUIRK: width and
+    height are big-endian but dpi is LITTLE-endian (DjVu v3 spec
+    §8.3.4.1, the single most copy-pasteable bug in DjVu tooling —
+    pinned by a hand-written KAT independent of this encoder)."""
+    if bundled is None:
+        bundled = len(pages) > 1
+
+    def chunk(cid: bytes, payload: bytes) -> bytes:
+        out = cid + len(payload).to_bytes(4, "big") + payload
+        if len(payload) % 2:
+            out += b"\x00"  # IFF even-alignment pad
+        return out
+
+    def page_form(w: int, h: int, dpi: int) -> bytes:
+        info = (
+            w.to_bytes(2, "big")
+            + h.to_bytes(2, "big")
+            + bytes((24, 3))  # minor, major version
+            + dpi.to_bytes(2, "little")
+            + bytes((0x16, 0x01))  # gamma 2.2, flags
+        )
+        inner = chunk(b"INFO", info)
+        return chunk(b"FORM", b"DJVU" + inner)
+
+    if not bundled:
+        w, h, dpi = pages[0]
+        body = b"DJVU" + chunk(
+            b"INFO",
+            w.to_bytes(2, "big") + h.to_bytes(2, "big") + bytes((24, 3))
+            + dpi.to_bytes(2, "little") + bytes((0x16, 0x01)),
+        )
+    else:
+        forms = b"".join(page_form(w, h, dpi) for w, h, dpi in pages)
+        # stub DIRM: bundled flag + page count (the real chunk's tail
+        # is BZZ-compressed and stays opaque to the walker)
+        dirm = bytes((0x80,)) + len(pages).to_bytes(2, "big") + b"\x00" * 5
+        body = b"DJVM" + chunk(b"DIRM", dirm) + forms
+    return _DJVU_MAGIC + len(body).to_bytes(4, "big") + body
+
+
+def djvu_info(data: bytes) -> dict | None:
+    """Walk-don't-decode DjVu metadata: magic + IFF chunk walk only —
+    no BZZ, no JB2, no IW44 (petabyte-scale metadata mining must not
+    pay the decode cost; the pngcodec text_chunks discipline). Returns
+    ``{kind, n_pages, width, height, dpi}`` for the document (first
+    page's INFO), or None for non-DjVu / truncated bytes."""
+    if len(data) < 16 or data[:8] != _DJVU_MAGIC:
+        return None
+    total = int.from_bytes(data[8:12], "big")
+    if 12 + total > len(data):
+        return None  # truncated capture: quiet skip
+    kind = data[12:16]
+    if kind not in (b"DJVU", b"DJVM"):
+        return None
+
+    def walk(buf: bytes):
+        """Yield (cid, payload) at one nesting level, even-aligned."""
+        pos = 0
+        n = len(buf)
+        while pos + 8 <= n:
+            cid = buf[pos : pos + 4]
+            ln = int.from_bytes(buf[pos + 4 : pos + 8], "big")
+            payload = buf[pos + 8 : pos + 8 + ln]
+            if len(payload) < ln:
+                return  # truncated chunk: stop, never emit partial
+            yield cid, payload
+            pos += 8 + ln + (ln % 2)
+
+    def info_of(page_payload: bytes) -> tuple[int, int, int] | None:
+        for cid, p in walk(page_payload):
+            if cid == b"INFO" and len(p) >= 8:
+                return (
+                    int.from_bytes(p[0:2], "big"),
+                    int.from_bytes(p[2:4], "big"),
+                    int.from_bytes(p[6:8], "little"),  # the dpi quirk
+                )
+        return None
+
+    body = data[16 : 12 + total]
+    if kind == b"DJVU":
+        info = info_of(body)
+        if info is None:
+            return None
+        w, h, dpi = info
+        return {"kind": "single", "n_pages": 1, "width": w, "height": h, "dpi": dpi}
+    first = None
+    n_pages = 0
+    for cid, payload in walk(body):
+        if cid == b"FORM" and payload[:4] == b"DJVU":
+            n_pages += 1
+            if first is None:
+                first = info_of(payload[4:])
+        # DIRM/NAVM and thumbnail forms stay opaque
+    if n_pages == 0 or first is None:
+        return None
+    w, h, dpi = first
+    return {"kind": "bundled", "n_pages": n_pages, "width": w, "height": h, "dpi": dpi}

@@ -11235,6 +11235,92 @@ def q180_fb2_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q181_djvu_metadata",
+    """
+    SELECT 'https://djvu-' || CAST(doc_id AS VARCHAR) || '.example/scan.djvu' AS url,
+           CASE WHEN doc_id % 2 = 0 THEN 'bundled' ELSE 'single' END AS kind,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 4 ELSE 1 END AS BIGINT)
+             AS n_pages,
+           CAST(200 + doc_id % 300 AS BIGINT) AS width,
+           CAST(300 + doc_id % 200 AS BIGINT) AS height,
+           CAST(300 + 100 * (doc_id % 3) AS BIGINT) AS dpi
+    FROM documents
+    """,
+    "DjVu (IFF85) metadata walk - the pre-PDF scanned-document "
+    "corpus (archive.org's first decade ships millions). "
+    "Walk-don't-decode (the q113 discipline): magic + chunk walk "
+    "only, INFO read per first page, bundled DJVM page count by "
+    "counting FORM:DJVU children - NO BZZ/JB2/IW44 decode ever runs "
+    "on the petabyte path. The INFO chunk's endianness QUIRK (width/"
+    "height big-endian, dpi LITTLE-endian - DjVu v3 spec) is pinned "
+    "by a hand-written raw-byte KAT independent of the fixture "
+    "encoder, so an encoder/decoder pair sharing the bug cannot fake "
+    "parity. Fixture: bundled docs (even doc_id, 1 + doc_id%4 pages "
+    "behind an opaque stub DIRM) and single-page docs (odd); "
+    "closed-form oracle. Map-only mapInArrow, zero shuffle.",
+)
+def q181_djvu_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("n_pages", T.LongType(), False),
+            T.StructField("width", T.LongType(), False),
+            T.StructField("height", T.LongType(), False),
+            T.StructField("dpi", T.LongType(), False),
+        ]
+    )
+
+    def batches(it):
+        from toyocr_spark.multimodal import build_djvu, djvu_info
+
+        for b in it:
+            rows = []
+            for did in b.column(0).to_pylist():
+                w = 200 + did % 300
+                h = 300 + did % 200
+                dpi = 300 + 100 * (did % 3)
+                if did % 2 == 0:
+                    pages = [(w, h, dpi)] * (1 + did % 4)
+                    blob = build_djvu(pages, bundled=True)
+                else:
+                    blob = build_djvu([(w, h, dpi)], bundled=False)
+                info = djvu_info(blob)
+                rows.append(
+                    (
+                        f"https://djvu-{did}.example/scan.djvu",
+                        info["kind"],
+                        info["n_pages"],
+                        info["width"],
+                        info["height"],
+                        info["dpi"],
+                    )
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([r[0] for r in rows], pa.string()),
+                    pa.array([r[1] for r in rows], pa.string()),
+                    pa.array([r[2] for r in rows], pa.int64()),
+                    pa.array([r[3] for r in rows], pa.int64()),
+                    pa.array([r[4] for r in rows], pa.int64()),
+                    pa.array([r[5] for r in rows], pa.int64()),
+                ],
+                names=["url", "kind", "n_pages", "width", "height", "dpi"],
+            )
+
+    return d.mapInArrow(batches, schema)
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
@@ -11303,6 +11389,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q178_fetcher_assign",  # new: rendezvous-hash host sharding
     "q179_revalidation_savings",  # new: conditional-GET bandwidth pricing
     "q180_fb2_extract",  # new: FictionBook e-book leg (27th dispatch leg)
+    "q181_djvu_metadata",  # new: DjVu IFF walk (walk-don't-decode family)
     "q116_sentence_align",  # oracle: rows-only -> planted closed form
     # flagship
     "q25_extract",
