@@ -1183,3 +1183,33 @@ def test_crawl_budget_sums_exactly(spark, sf_dir):
     by_w = sorted(rows, key=lambda r: (r.weight, r.host))
     for lo, hi in zip(by_w, by_w[1:]):
         assert hi.pages_allocated >= lo.pages_allocated - 1
+
+
+def test_host_disjoint_split_no_leakage(spark):
+    """The property that makes the split leakage-safe: every page of a
+    domain (all subdomains included) lands in exactly ONE split, and
+    the assignment is deterministic across sessions/calls. Checked on
+    the raw assignment grain, not the aggregated report."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, f"sub{i % 5}.site-{i % 23}.example") for i in range(500)],
+        "doc_id long, host string",
+    )
+    domain = F.substring_index(F.col("host"), ".", -2)
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("split1|"), domain)), 1, 4), 16, 10)
+        .cast("long") % 100
+    )
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    a = docs.select(domain.alias("domain"), split.alias("split"))
+    per_domain = a.groupBy("domain").agg(F.countDistinct("split").alias("k")).collect()
+    assert all(r.k == 1 for r in per_domain)
+    # deterministic across evaluations
+    one = {(r.domain, r.split) for r in a.distinct().collect()}
+    two = {(r.domain, r.split) for r in a.distinct().collect()}
+    assert one == two

@@ -11321,6 +11321,135 @@ def q181_djvu_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInArrow(batches, schema)
 
 
+@_q(
+    "q182_host_disjoint_split",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             'sub' || CAST(doc_id % 3 AS VARCHAR) || '.site-'
+               || CAST(doc_id % 40 AS VARCHAR) || '.example' AS host,
+             'site-' || CAST(doc_id % 40 AS VARCHAR) || '.example' AS domain
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, domain,
+             substr(md5('split1|' || domain), 1, 4) AS hh
+      FROM d
+    ),
+    b AS (
+      SELECT doc_id, domain, ((strpos('0123456789abcdef', substr(hh, 1, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(hh, 2, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(hh, 3, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(hh, 4, 1)) - 1) * 1) % 100 AS bucket
+      FROM keyed
+    ),
+    assigned AS (
+      SELECT doc_id, domain,
+             CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM b
+    )
+    SELECT split,
+           count(*) AS n_docs,
+           CAST(count(DISTINCT domain) AS BIGINT) AS n_domains
+    FROM assigned
+    GROUP BY split
+    """,
+    "Host-disjoint train/val/test split — the leakage guard every "
+    "training-data pipeline needs: assigning by page (or even by "
+    "full host) leaks near-duplicate pages of one SITE across "
+    "splits, so assignment keys on the registrable domain (q157's "
+    "eTLD+1 grain, here planted directly) through a salted md5 "
+    "bucket — every subdomain and page of a domain lands in the "
+    "SAME split, deterministically, with no RNG state (the q45 "
+    "hash-sample discipline). 80/10/10 by bucket; the report "
+    "aggregates per split. Disjointness is pytest-locked (no domain "
+    "appears in two splits). One groupBy — the corpus-scale shuffle "
+    "— and the md5 is a Column expression, never a UDF.",
+)
+def q182_host_disjoint_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("site-"), (F.col("doc_id") % 40).cast("string"), F.lit(".example")).alias("domain"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split1|"), F.col("domain"))), 1, 4),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select("doc_id", "domain", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("domain").cast("long").alias("n_domains"),
+        )
+    )
+
+
+@_q(
+    "q183_domain_quality_rollup",
+    f"""
+    WITH f AS (
+      SELECT 'site-' || CAST(doc_id % 25 AS VARCHAR) || '.example' AS domain,
+             length(text) AS q_chars,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE CAST({_occ_sql("trim(text)", " ")} + 1 AS BIGINT) END AS q_tokens,
+             CAST({_Q21_PUNCT} AS BIGINT) AS q_punct
+      FROM documents
+    ),
+    k AS (
+      SELECT domain, q_chars,
+             CASE WHEN q_chars >= 80 AND q_tokens >= 16
+                        AND (q_chars - (q_tokens - 1)) * 1.0 / q_tokens >= 2.0
+                        AND (q_chars - (q_tokens - 1)) * 1.0 / q_tokens <= 12.0
+                        AND q_punct >= 1
+                  THEN 1 ELSE 0 END AS keep
+      FROM f
+    )
+    SELECT domain,
+           count(*) AS n_docs,
+           CAST(sum(keep) AS BIGINT) AS n_keep,
+           round(sum(keep) * 1.0 / count(*), 4) AS keep_rate,
+           CAST(sum(q_chars) AS BIGINT) AS total_chars
+    FROM k
+    GROUP BY domain
+    """,
+    "Domain-level quality rollup — the curation table a FineWeb-style "
+    "pipeline publishes per registrable domain: document counts, "
+    "quality-filter survival (the q21 C4-style keep flag, derived "
+    "from the REAL quality_features Columns, not re-implemented), "
+    "keep rate and total character mass. At 100 TB this table is how "
+    "curators find boilerplate farms (low keep_rate, huge n_docs) "
+    "and quality islands worth upsampling. One corpus shuffle "
+    "(groupBy domain) over pure Column features; partial aggregation "
+    "does the map-side work.",
+)
+def q183_domain_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from toyocr_spark.functions.textfns import quality_features
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("site-"), (F.col("doc_id") % 25).cast("string"), F.lit(".example")).alias("domain"),
+        "text",
+    )
+    q = quality_features(d, "text")
+    return (
+        q.groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("q_keep").cast("long").alias("n_keep"),
+            F.round(F.sum("q_keep") / F.count("*"), 4).alias("keep_rate"),
+            F.sum("q_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
@@ -11390,6 +11519,8 @@ _DRIVER_PRIORITY: list[str] = [
     "q179_revalidation_savings",  # new: conditional-GET bandwidth pricing
     "q180_fb2_extract",  # new: FictionBook e-book leg (27th dispatch leg)
     "q181_djvu_metadata",  # new: DjVu IFF walk (walk-don't-decode family)
+    "q182_host_disjoint_split",  # new: domain-keyed leakage-safe split
+    "q183_domain_quality_rollup",  # new: per-domain curation table
     "q116_sentence_align",  # oracle: rows-only -> planted closed form
     # flagship
     "q25_extract",
