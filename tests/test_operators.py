@@ -1213,3 +1213,34 @@ def test_host_disjoint_split_no_leakage(spark):
     one = {(r.domain, r.split) for r in a.distinct().collect()}
     two = {(r.domain, r.split) for r in a.distinct().collect()}
     assert one == two
+
+
+def test_revalidation_from_state_equals_batch(spark):
+    """The one streaming state log answers both freshness questions:
+    revalidation_from_state over ANY time-ordered segmentation of the
+    observations equals revalidation_report over the full history
+    (n_not_modified is the complement of the folded change count)."""
+    from toyocr_spark.operators.recrawl import (
+        change_segment,
+        revalidation_from_state,
+        revalidation_report,
+    )
+
+    rows = []
+    for u in range(12):
+        p = 1 + u % 6
+        for t in range(6):
+            rows.append((f"u{u}", t, f"d{t // p}"))
+    obs = spark.createDataFrame(rows, "url string, snap_t long, digest string")
+    batch = {
+        (r.url, r.n_caps, r.n_not_modified)
+        for r in revalidation_report(obs).collect()
+    }
+    segs = change_segment(obs.filter("snap_t < 2"), 0).unionByName(
+        change_segment(obs.filter("snap_t >= 2 and snap_t < 5"), 1)
+    ).unionByName(change_segment(obs.filter("snap_t >= 5"), 2))
+    from_state = {
+        (r.url, r.n_caps, r.n_not_modified)
+        for r in revalidation_from_state(segs).collect()
+    }
+    assert from_state == batch

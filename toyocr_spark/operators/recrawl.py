@@ -74,6 +74,7 @@ def change_segment(obs: DataFrame, seq: int) -> DataFrame:
             F.min(F.struct("snap_t", "digest")).alias("_first"),
             F.max(F.struct("snap_t", "digest")).alias("_last"),
             F.sum("chg").cast("int").alias("within"),
+            F.count("*").cast("long").alias("n_obs"),
         )
         .select(
             "url",
@@ -83,6 +84,7 @@ def change_segment(obs: DataFrame, seq: int) -> DataFrame:
             F.col("_last.snap_t").alias("last_t"),
             F.col("_last.digest").alias("last_digest"),
             "within",
+            "n_obs",
         )
     )
 
@@ -103,4 +105,46 @@ def fold_change_segments(segments: DataFrame) -> DataFrame:
         )
         .groupBy("url")
         .agg((F.sum("within") + F.sum("boundary")).cast("int").alias("n_changes"))
+    )
+
+
+
+def revalidation_report(obs: DataFrame) -> DataFrame:
+    """(url, n_caps, n_not_modified) from observation rows: a re-fetch
+    whose digest matches the previous capture could have been a 304
+    Not-Modified (the q179 conditional-GET pricing, at the operator
+    grain). Same one-window shape as change_counts — and the two are
+    complements: n_not_modified == n_caps - 1 - n_changes, which is
+    what lets revalidation_from_state read the SAME streaming segment
+    log the recrawl scheduler keeps, with no second state store."""
+    w = Window.partitionBy("url").orderBy("snap_t")
+    return (
+        obs.withColumn("prev", F.lag("digest").over(w))
+        .withColumn(
+            "nm",
+            (
+                F.col("prev").isNotNull() & (F.col("digest") == F.col("prev"))
+            ).cast("int"),
+        )
+        .groupBy("url")
+        .agg(
+            F.count("*").cast("long").alias("n_caps"),
+            F.sum("nm").cast("long").alias("n_not_modified"),
+        )
+    )
+
+
+def revalidation_from_state(segments: DataFrame) -> DataFrame:
+    """revalidation_report derived from the recrawl MONOID segments
+    alone: capture counts add across segments and not-modified counts
+    are the complement of the folded change count — so the ONE state
+    log stream_recrawl already persists also answers the
+    conditional-GET planning question (asserted equal to the batch
+    report in tests/test_operators.py)."""
+    caps = segments.groupBy("url").agg(F.sum("n_obs").cast("long").alias("n_caps"))
+    folded = fold_change_segments(segments)
+    return caps.join(folded, "url").select(
+        "url",
+        "n_caps",
+        (F.col("n_caps") - 1 - F.col("n_changes")).cast("long").alias("n_not_modified"),
     )
