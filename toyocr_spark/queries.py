@@ -11455,37 +11455,30 @@ def q183_domain_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The driver verifies only the FIRST 50 registry entries per round
 # (round 2: list(queries())[:50] == CORRECTNESS_r02 keys exactly), so
-# the registry is served priority-first. Round-5 window (the VERDICT r4
-# 'oldest-green-first rotation' ask): the 16 specs new this round
-# (q129-q144), q116 (rows-only -> full planted-fixture oracle this
-# round), the flagship q25_extract, then the STALEST veterans (last
-# driver row round 2) oldest-first until the 50 cut; listed veterans
-# past position 50 slide in automatically if a new spec is ever
-# removed. Every overflow spec is driver-green from r2-r4 and
-# re-proven locally each round by tests/test_oracle_parity.py (the
+# the registry is served priority-first. Round-5 window: 55 specs are
+# new this round (q129-q183) and cannot all fit, so the 50 slots hold
+# q116 (rows-only -> full planted-fixture oracle this round), the
+# flagship q25_extract, and the 48 new specs WITHOUT an in-window
+# sibling; the seven overflow picks each have a sibling in-window
+# exercising the same machinery (rationale on each line below), and
+# every overflow spec — these seven plus the r2-r4-green veterans —
+# is re-proven each run by tests/test_oracle_parity.py (the
 # exact-value replica).
 _DRIVER_PRIORITY: list[str] = [
     # new / changed this round
     "q129_docx_extract",  # new: OOXML WordprocessingML extraction
     "q130_xlsx_extract",  # new: OOXML SpreadsheetML extraction
-    "q131_pptx_extract",  # new: OOXML PresentationML extraction
     "q132_ooxml_metadata",  # new: docProps/core.xml harvest (the trio)
     "q133_epub_extract",  # new: EPUB spine walk reusing the HTML tokenizer
     "q134_rtf_extract",  # new: legacy RTF control-word machine
     "q135_outlink_mining",  # new: unified five-format edge extractor
     "q136_gzip_extract",  # new: gzip transfer-encoding envelope strip
     "q137_doc_extract",  # new: legacy binary Word (CFB + piece table)
-    "q138_mhtml_extract",  # new: MIME web archive (RFC 2557) decode
     "q139_odt_extract",  # new: OpenDocument Text (ODF package walk)
     "q140_xls_extract",  # new: legacy binary Excel (BIFF8 over CFB)
-    "q141_ppt_extract",  # new: legacy binary PowerPoint (record tree)
     "q142_ods_extract",  # new: OpenDocument Spreadsheet (ODF RLE cells)
-    "q143_odp_extract",  # new: OpenDocument Presentation (inline notes)
     "q144_bz2_xz_extract",  # new: bz2/xz transfer-envelope strip
-    "q145_deflate_extract",  # new: zlib/deflate transfer-envelope strip
-    "q146_sitemap_index",  # new: two-level sitemap-index stale-child delta
     "q147_atom_feeds",  # new: Atom feed ingestion (attribute links, rel gate)
-    "q148_opengraph",  # new: OpenGraph social-metadata harvest
     "q149_robots_wildcards",  # new: RFC 9309 wildcard robots admission
     "q150_hreflang_pairs",  # new: reciprocal hreflang bitext-page pairing
     "q151_microdata",  # new: schema.org microdata harvest (JSON-LD twin)
@@ -11524,6 +11517,17 @@ _DRIVER_PRIORITY: list[str] = [
     "q116_sentence_align",  # oracle: rows-only -> planted closed form
     # flagship
     "q25_extract",
+    # first overflow (the driver window holds 50): each of these seven
+    # has an in-window sibling exercising the same machinery under an
+    # equally strict oracle, and every overflow spec is re-proven each
+    # run by the local exact-value replica (tests/test_oracle_parity.py)
+    "q131_pptx_extract",  # overflow: OOXML trio, q129/q130 in-window
+    "q138_mhtml_extract",  # overflow: MIME walk, q164_eml in-window
+    "q141_ppt_extract",  # overflow: legacy-binary trio, q137/q140 in-window
+    "q143_odp_extract",  # overflow: ODF trio, q139/q142 in-window
+    "q145_deflate_extract",  # overflow: envelope family, q136+q144 in-window
+    "q146_sitemap_index",  # overflow: sitemap family, q95 green + q147 in-window
+    "q148_opengraph",  # overflow: metadata harvests, q98 green + q151 in-window
     # last driver row in round 2 (all 42)
     "q02_topk_per_group",
     "q03_local_max",
