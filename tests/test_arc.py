@@ -133,3 +133,13 @@ def test_read_arc_pages_and_extraction_identity(spark, tmp_path):
     }
     assert via_arc == via_direct
     assert all(f"arc body paragraph {i}" in via_arc[f"https://cc-{i}.example/p{i}"] for i in range(6))
+
+
+def test_truncated_gzip_envelope_quiet_skip():
+    """A cut-short .arc.gz must parse to zero records, not raise — one
+    bad shard cannot be allowed to kill a whole ingest task."""
+    blob = gzip.compress(
+        build_arc([("http://t.example/1", "20080201000000", b"<p>x</p>")])
+    )
+    for cut in (4, 10, len(blob) // 2, len(blob) - 2):
+        assert parse_arc(blob[:cut]) == []

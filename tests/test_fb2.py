@@ -63,8 +63,47 @@ def test_nav_dies_by_link_density_through_extract():
 def test_quiet_skip_on_malformed():
     assert tokenize_fb2(b"<FictionBook><body><p>unclosed") == []
     assert tokenize_fb2(b"<NotABook/>") == []
-    # dispatch returns [] blocks -> empty result, never raises
-    assert extract(b"<FictionBook><body></FictionBook>").text == ""
+    # mangled XML behind the gate falls through to the HTML tokenizer
+    # (never raises, never silently zeroes a page with visible prose)
+    r = extract(b"<FictionBook><body><p>unclosed but visible prose")
+    assert "visible prose" in r.text
+
+
+def test_gate_false_positive_page_survives():
+    """An HTML article quoting '<FictionBook' as its LEADING markup
+    cannot lose its content: the root-anchored gate refuses pages
+    whose first element is not FictionBook, and even a gate hit with
+    unparseable XML falls through to the HTML tokenizer."""
+    page = (
+        b"<html><body><p>all about the &lt;FictionBook&gt; format, with "
+        b"plenty of prose to keep the scorer content here.</p>"
+        b"<pre><FictionBook xmlns='x'></pre></body></html>"
+    )
+    assert not is_fb2(page)
+    r = extract(page)
+    assert "plenty of prose" in r.text
+
+
+def test_leaf_text_never_dropped():
+    """Table cells, attribution lines, poem titles and unknown text
+    leaves all surface as blocks (the silent-loss regression)."""
+    xml = (
+        b"<FictionBook><body><section>"
+        b"<table><tr><td>cell one text</td><th>cell two text</th></tr></table>"
+        b"<poem><title><p>Poem Title Line</p></title>"
+        b"<stanza><v>verse alpha</v><v>verse beta</v></stanza>"
+        b"<text-author>A. Author</text-author></poem>"
+        b"<strange-leaf>stray prose leaf</strange-leaf>"
+        b"</section></body></FictionBook>"
+    )
+    blocks = tokenize_fb2(xml)
+    got = {b.text: b.kind for b in blocks}
+    assert got["cell one text"] == "table"
+    assert got["cell two text"] == "table"
+    assert got["Poem Title Line"] == "title"
+    assert got["verse alpha verse beta"] == "text"
+    assert got["A. Author"] == "text"
+    assert got["stray prose leaf"] == "text"
 
 
 def test_dispatch_routes_fb2_not_html():

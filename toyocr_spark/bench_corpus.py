@@ -218,7 +218,7 @@ def synth_office_pages(
             genps,
             genxls,
             genepub,
-        genfb2,
+            genfb2,
             genmht,
             genodt,
             genpptx,

@@ -254,11 +254,15 @@ def dispatch_blocks(html: bytes | str) -> list:
         # line — prose cannot start with it (the WEBVTT rule)
         return tokenize_ics(html)
     if is_fb2(html):
-        # '<FictionBook' in the 256-byte head is a de-facto magic for
-        # the '<'-led family: no other dispatched format names its
-        # root that, and HTML pages never reach it (e-book XML, the
-        # twenty-seventh leg)
-        return tokenize_fb2(html)
+        # a FictionBook ROOT element (after prologue/comments) is a
+        # de-facto magic for the '<'-led family: no other dispatched
+        # format names its root that (e-book XML, the twenty-seventh
+        # leg). If the gate matched but nothing tokenized (mangled
+        # XML, or markup merely leading with the quoted tag), fall
+        # through to the HTML tokenizer rather than zero the page.
+        fb2 = tokenize_fb2(html)
+        if fb2:
+            return fb2
     if is_subtitle(html):
         # near-magic sniffs: WebVTT's mandated "WEBVTT" header is a
         # de-facto magic; SRT's counter+timing two-line opener is

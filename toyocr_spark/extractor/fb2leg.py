@@ -28,10 +28,13 @@ from xml.etree import ElementTree
 
 from toyocr_spark.extractor.tokenizer import Block
 
-# root-tag evidence inside the first 256 bytes (after optional BOM /
-# XML prologue / comments); '<FictionBook' cannot occur there in any
-# other dispatched format ('<'-led pages fall through to HTML only)
-_HEAD_RE = re.compile(rb"<FictionBook[\s>]")
+# leading constructs an XML head may carry before the root element:
+# BOM / whitespace, the prologue, comments, a DOCTYPE — the gate skips
+# exactly these and then requires the ROOT element itself to be
+# FictionBook. (An earlier anywhere-in-head search would claim an HTML
+# article quoting '<FictionBook' in its first 256 bytes and zero the
+# page out — the root-anchored form cannot.)
+_SKIP_RE = re.compile(rb"\s+|<\?.*?\?>|<!--.*?-->|<![^>]*>", re.S)
 
 _INLINE = ("emphasis", "strong", "style", "strikethrough", "sub", "sup", "code")
 
@@ -42,10 +45,19 @@ def _local(tag: str) -> str:
 
 def is_fb2(data: bytes | str | None) -> bool:
     if isinstance(data, str):
-        data = data[:256].encode("utf-8", "ignore")
-    return isinstance(data, (bytes, bytearray)) and bool(
-        _HEAD_RE.search(bytes(data[:256]))
-    )
+        data = data[:512].encode("utf-8", "ignore")
+    if not isinstance(data, (bytes, bytearray)):
+        return False
+    head = bytes(data[:512])
+    if head[:3] == b"\xef\xbb\xbf":
+        head = head[3:]
+    pos = 0
+    while True:
+        m = _SKIP_RE.match(head, pos)
+        if not m or m.end() == pos:
+            break
+        pos = m.end()
+    return head.startswith(b"<FictionBook", pos)
 
 
 def _para_block(el, path: tuple[str, ...], kind: str) -> Block | None:
@@ -110,6 +122,29 @@ def tokenize_fb2(data: bytes | str) -> list[Block]:
         return []
     blocks: list[Block] = []
 
+    def emit_stanza(st, path: tuple[str, ...]) -> None:
+        # one block per stanza, verse lines joined with a space (the
+        # <v> elements carry no whitespace between them — fusing
+        # lines would weld words)
+        vb = [
+            _para_block(v, path + ("stanza",), "text")
+            for v in st
+            if _local(v.tag) == "v"
+        ]
+        vb = [b for b in vb if b is not None]
+        if vb:
+            joined = " ".join(b.text for b in vb)
+            blocks.append(
+                Block(
+                    text=joined,
+                    tag_path=path + ("stanza",),
+                    n_chars=len(joined),
+                    link_chars=sum(b.link_chars for b in vb),
+                    n_inline=sum(b.n_inline for b in vb),
+                    kind="text",
+                )
+            )
+
     def emit(container, path: tuple[str, ...]) -> None:
         for el in container:
             lc = _local(el.tag)
@@ -129,36 +164,42 @@ def tokenize_fb2(data: bytes | str) -> list[Block]:
                 if b is not None:
                     blocks.append(b)
             elif lc == "poem":
-                for st in el:
-                    if _local(st.tag) == "stanza":
-                        # one block per stanza, verse lines joined with
-                        # a space (the <v> elements carry no whitespace
-                        # between them — fusing lines would weld words)
-                        vb = [
-                            _para_block(v, path + ("stanza",), "text")
-                            for v in st
-                            if _local(v.tag) == "v"
-                        ]
-                        vb = [b for b in vb if b is not None]
-                        if vb:
-                            joined = " ".join(b.text for b in vb)
-                            blocks.append(
-                                Block(
-                                    text=joined,
-                                    tag_path=path + ("stanza",),
-                                    n_chars=len(joined),
-                                    link_chars=sum(b.link_chars for b in vb),
-                                    n_inline=sum(b.n_inline for b in vb),
-                                    kind="text",
-                                )
-                            )
+                # a poem's title/epigraph/text-author re-enter the
+                # generic walk in document order; stanzas group their
+                # verse lines into one block each
+                for child in el:
+                    if _local(child.tag) == "stanza":
+                        emit_stanza(child, path + ("poem",))
+                    else:
+                        emit([child], path + ("poem",))
+            elif lc == "table":
+                # cell text is content (the docx tbl rule): one block
+                # per td/th, table kind, row order
+                for tr in el:
+                    if _local(tr.tag) != "tr":
+                        continue
+                    for cell in tr:
+                        if _local(cell.tag) in ("td", "th"):
+                            b = _para_block(cell, path + ("table",), "table")
+                            if b is not None:
+                                blocks.append(b)
+            elif lc in ("text-author", "date"):
+                # attribution/dateline leaves carry text directly
+                b = _para_block(el, path + (lc,), "text")
+                if b is not None:
+                    blocks.append(b)
             elif lc in ("section", "cite", "epigraph", "annotation"):
                 emit(el, path + (lc,))
             elif lc in ("empty-line", "image"):
                 continue
-            # anything else (text-author, date, table rows) descends
             elif len(el):
+                # unknown wrapper with children: descend
                 emit(el, path + (lc,))
+            else:
+                # unknown LEAF with text: never silently drop prose
+                b = _para_block(el, path + (lc,), "text")
+                if b is not None:
+                    blocks.append(b)
 
     for body in root:
         if _local(body.tag) != "body":

@@ -532,9 +532,13 @@ def lang_segments(
     n_paras and seg_text (the paragraphs re-joined with ``sep``).
     All JVM: split/posexplode/window/partial-agg — per-doc state is
     one lag value, shuffles are equi-key on the doc id."""
+    import re as _re
+
+    # F.split takes a REGEX but the re-join below uses the literal
+    # separator — escape so both sides agree for any sep value
     paras = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pidx", "para"),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias("pidx", "para"),
     ).filter(F.length(F.trim(F.col("para"))) > 0)
     scored = lang_id_scores(paras, "para").select("id", "pidx", "para", "lang_pred")
     win = Window.partitionBy("id").orderBy("pidx")

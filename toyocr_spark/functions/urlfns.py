@@ -313,6 +313,8 @@ def rendezvous_assign(hosts, n_fetchers: int, host_col: str = "host"):
     window."""
     from pyspark.sql import Window
 
+    if n_fetchers < 1:
+        raise ValueError("rendezvous_assign needs at least one fetcher")
     cand = hosts.select(
         F.col(host_col).alias("host"),
         F.explode(F.sequence(F.lit(0), F.lit(n_fetchers - 1))).alias("fetcher"),

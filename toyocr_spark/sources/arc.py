@@ -46,7 +46,14 @@ def parse_arc(raw: bytes, mimes: tuple[str, ...] = _ADMIT_MIME) -> list[dict]:
     block inside the payload is stripped but never re-filtered — the
     ARC header's type is authoritative, as in the CDX convention)."""
     if raw[:2] == b"\x1f\x8b":
-        raw = gzip.decompress(raw)
+        try:
+            raw = gzip.decompress(raw)
+        except (OSError, EOFError):
+            # truncated/corrupt envelope: the gzip magic is unforgeable,
+            # so this was an archive and it is unreadable — quiet skip
+            # (the container contract; a raised error here would kill
+            # the whole ingest task over one bad shard)
+            return []
     out: list[dict] = []
     pos = 0
     n = len(raw)
