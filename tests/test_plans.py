@@ -243,6 +243,7 @@ def test_relational_queries_have_no_python_nodes(spark, sf_dir):
         "q174_markdown_render",  # extraction kernel + JVM-side Markdown render
         "q180_fb2_extract",      # FictionBook synth + extraction kernel
         "q181_djvu_metadata",    # DjVu IFF synth + metadata-walk kernel
+        "q184_mobi_extract",     # MOBI/PalmDOC synth + extraction kernel
     }
     markers = ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas",
                "MapInPandas", "PythonMapInArrow", "MapInArrow")

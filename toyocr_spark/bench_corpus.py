@@ -219,6 +219,7 @@ def synth_office_pages(
             genxls,
             genepub,
             genfb2,
+            genmobi,
             genmht,
             genodt,
             genpptx,
@@ -242,8 +243,8 @@ def synth_office_pages(
                     "docx", "xlsx", "pptx", "epub", "rtf", "doc", "xls",
                     "ppt", "mht", "odt", "ods", "odp", "md", "tar", "csv",
                     "tex", "ipynb", "sub", "wiki", "eml", "mbox", "ics",
-                    "zip", "ps", "fb2",
-                )[(did + rep) % 25]
+                    "zip", "ps", "fb2", "mobi",
+                )[(did + rep) % 26]
                 title = f"Synthesized bench document {did} part {rep}"
                 paras = [text] * paragraphs
                 if fmt == "docx":
@@ -379,6 +380,15 @@ def synth_office_pages(
                             ),
                         ],
                         with_dir=True,
+                    )
+                elif fmt == "mobi":
+                    page = (
+                        f"<html><body><h1>{title}</h1>"
+                        + "".join(f"<p>{p}</p>" for p in paras)
+                        + "</body></html>"
+                    ).encode()
+                    blob = genmobi.build_mobi(
+                        page, compression=2 if did % 2 == 0 else 1
                     )
                 elif fmt == "fb2":
                     blob = genfb2.build_fb2(

@@ -26,6 +26,7 @@ from toyocr_spark.extractor.layout import reading_order
 from toyocr_spark.extractor.csvleg import is_csv, tokenize_csv
 from toyocr_spark.extractor.fb2leg import is_fb2, tokenize_fb2
 from toyocr_spark.extractor.icsleg import is_ics, tokenize_ics
+from toyocr_spark.extractor.mobileg import is_mobi, tokenize_mobi
 from toyocr_spark.extractor.ipynb import is_ipynb, tokenize_ipynb
 from toyocr_spark.extractor.latexleg import is_latex, tokenize_latex
 from toyocr_spark.extractor.markdown import is_markdown, tokenize_markdown
@@ -249,6 +250,12 @@ def dispatch_blocks(html: bytes | str) -> list:
         return tokenize_eml(html)
     if is_tar(html):
         return tokenize_tar(html)
+    if is_mobi(html):
+        # PDB type/creator 'BOOKMOBI' at offset 60 is a true 8-byte
+        # magic (Kindle-era e-books, the twenty-eighth leg): container
+        # strip + PalmDOC decompress, then the HTML re-enters the
+        # shared tokenizer
+        return tokenize_mobi(html)
     if is_ics(html):
         # near-magic: RFC 5545 mandates BEGIN:VCALENDAR as the first
         # line — prose cannot start with it (the WEBVTT rule)

@@ -11450,6 +11450,81 @@ def q183_domain_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q184_mobi_extract",
+    """
+    SELECT 'https://mobi-' || CAST(doc_id AS VARCHAR) || '.example/book.mobi' AS url,
+           'Book ' || CAST(doc_id AS VARCHAR) || ' chapter heading'
+             || chr(10) || text AS extracted_text,
+           2 AS n_kept
+    FROM documents
+    """,
+    "DRIVER-CHECKABLE MOBI/PalmDOC extraction — the twenty-eighth "
+    "dispatch leg, the Kindle-era e-book container of book-corpus "
+    "crawls. Each row's text rides a real PDB file ('BOOKMOBI' "
+    "type/creator at offset 60, a true 8-byte magic): record 0 with "
+    "PalmDOC + MOBI headers and an EXTH author entry (metadata "
+    "chrome, never surfaced), then 4096-byte text records — PalmDOC "
+    "LZ77-compressed for even doc_id (all three token classes live: "
+    "literal runs, 11-bit back-references, space+char packs), stored "
+    "for odd. The decompressed HTML re-enters the SHARED tokenizer, "
+    "so the oracle is q25's closed form: a slip in the PDB walk, the "
+    "record-offset accounting, the decompressor or the EXTH "
+    "exclusion mismatches every affected row. extractor/mobileg.py; "
+    "fixtures/genmobi.py (independent compressor; the DECOMPRESSOR "
+    "is additionally pinned by hand-built compressed literals in "
+    "tests/test_mobi.py). Map-only sanctioned kernels, zero shuffle.",
+)
+def q184_mobi_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    from toyocr_spark.pipeline import extract_pages
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("html", T.BinaryType(), False),
+        ]
+    )
+    nav = (
+        '<nav><ul><li><a href="/a">one link</a></li>'
+        '<li><a href="/b">two link</a></li></ul></nav>'
+    )
+
+    def batches(it):
+        from toyocr_spark.fixtures.genmobi import build_mobi
+
+        for b in it:
+            urls, blobs = [], []
+            for did, text in zip(b.column(0).to_pylist(), b.column(1).to_pylist()):
+                page = (
+                    f"<html><body>{nav}"
+                    f"<h1>Book {did} chapter heading</h1>"
+                    f"<article><p>{text}</p></article></body></html>"
+                ).encode()
+                blobs.append(
+                    build_mobi(page, compression=2 if did % 2 == 0 else 1)
+                )
+                urls.append(f"https://mobi-{did}.example/book.mobi")
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()), pa.array(blobs, pa.binary())],
+                names=["url", "html"],
+            )
+
+    pages = d.mapInArrow(batches, schema)
+    out = extract_pages(pages)
+    return out.select(
+        "url", "extracted_text", F.col("n_kept").cast("int").alias("n_kept")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
@@ -11476,7 +11551,6 @@ _DRIVER_PRIORITY: list[str] = [
     "q137_doc_extract",  # new: legacy binary Word (CFB + piece table)
     "q139_odt_extract",  # new: OpenDocument Text (ODF package walk)
     "q140_xls_extract",  # new: legacy binary Excel (BIFF8 over CFB)
-    "q142_ods_extract",  # new: OpenDocument Spreadsheet (ODF RLE cells)
     "q144_bz2_xz_extract",  # new: bz2/xz transfer-envelope strip
     "q147_atom_feeds",  # new: Atom feed ingestion (attribute links, rel gate)
     "q149_robots_wildcards",  # new: RFC 9309 wildcard robots admission
@@ -11514,6 +11588,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q181_djvu_metadata",  # new: DjVu IFF walk (walk-don't-decode family)
     "q182_host_disjoint_split",  # new: domain-keyed leakage-safe split
     "q183_domain_quality_rollup",  # new: per-domain curation table
+    "q184_mobi_extract",  # new: MOBI/PalmDOC e-book leg (28th dispatch leg)
     "q116_sentence_align",  # oracle: rows-only -> planted closed form
     # flagship
     "q25_extract",
@@ -11528,6 +11603,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q145_deflate_extract",  # overflow: envelope family, q136+q144 in-window
     "q146_sitemap_index",  # overflow: sitemap family, q95 green + q147 in-window
     "q148_opengraph",  # overflow: metadata harvests, q98 green + q151 in-window
+    "q142_ods_extract",  # overflow: ODF trio, q139 in-window; RLE cells in the local replica
     # last driver row in round 2 (all 42)
     "q02_topk_per_group",
     "q03_local_max",
