@@ -39,7 +39,7 @@ def test_office_bench_corpus_extracts_all_twentyfour_formats(spark, sf_dir):
             "docx", "xlsx", "pptx", "epub", "rtf", "doc", "xls", "ppt",
             "mht", "odt", "ods", "odp", "md", "tar", "csv", "tex",
             "ipynb", "sub", "wiki", "eml", "mbox", "ics", "zip", "ps",
-            "fb2", "mobi",
+            "fb2", "mobi", "jsonl",
         }
         n_docs = pages.count()
         assert res.count() == n_docs

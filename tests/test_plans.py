@@ -244,6 +244,7 @@ def test_relational_queries_have_no_python_nodes(spark, sf_dir):
         "q180_fb2_extract",      # FictionBook synth + extraction kernel
         "q181_djvu_metadata",    # DjVu IFF synth + metadata-walk kernel
         "q184_mobi_extract",     # MOBI/PalmDOC synth + extraction kernel
+        "q185_ndjson_extract",   # JSON-Lines synth + extraction kernel
     }
     markers = ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas",
                "MapInPandas", "PythonMapInArrow", "MapInArrow")

@@ -243,8 +243,8 @@ def synth_office_pages(
                     "docx", "xlsx", "pptx", "epub", "rtf", "doc", "xls",
                     "ppt", "mht", "odt", "ods", "odp", "md", "tar", "csv",
                     "tex", "ipynb", "sub", "wiki", "eml", "mbox", "ics",
-                    "zip", "ps", "fb2", "mobi",
-                )[(did + rep) % 26]
+                    "zip", "ps", "fb2", "mobi", "jsonl",
+                )[(did + rep) % 27]
                 title = f"Synthesized bench document {did} part {rep}"
                 paras = [text] * paragraphs
                 if fmt == "docx":
@@ -380,6 +380,17 @@ def synth_office_pages(
                             ),
                         ],
                         with_dir=True,
+                    )
+                elif fmt == "jsonl":
+                    import json as _json
+
+                    recs = [
+                        {"title": title, "text": p, "url": "https://chrome.example"}
+                        for p in paras
+                    ]
+                    blob = (
+                        "\n".join(_json.dumps(r) for r in recs).encode()
+                        + b'\n{"text": "truncat'
                     )
                 elif fmt == "mobi":
                     page = (

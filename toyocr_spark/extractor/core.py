@@ -27,6 +27,7 @@ from toyocr_spark.extractor.csvleg import is_csv, tokenize_csv
 from toyocr_spark.extractor.fb2leg import is_fb2, tokenize_fb2
 from toyocr_spark.extractor.icsleg import is_ics, tokenize_ics
 from toyocr_spark.extractor.mobileg import is_mobi, tokenize_mobi
+from toyocr_spark.extractor.ndjsonleg import is_ndjson, tokenize_ndjson
 from toyocr_spark.extractor.ipynb import is_ipynb, tokenize_ipynb
 from toyocr_spark.extractor.latexleg import is_latex, tokenize_latex
 from toyocr_spark.extractor.markdown import is_markdown, tokenize_markdown
@@ -281,6 +282,12 @@ def dispatch_blocks(html: bytes | str) -> list:
         # Runs before markdown so a notebook whose markdown cells
         # hold ATX headings can never leak to the markdown leg.
         return tokenize_ipynb(html)
+    if is_ndjson(html):
+        # JSON-Lines dataset shards ('{'-led first line = complete
+        # object with a text-ish string field) — after ipynb so a
+        # notebook never leaks, before every non-'{' structural sniff
+        # (the twenty-ninth leg)
+        return tokenize_ndjson(html)
     if is_latex(html):
         # first of the no-magic structural sniffs: the gate demands a
         # \documentclass-shaped first significant line, which no

@@ -11525,6 +11525,89 @@ def q184_mobi_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q185_ndjson_extract",
+    """
+    SELECT 'https://jsonl-' || CAST(doc_id AS VARCHAR) || '.example/shard.jsonl' AS url,
+           'Shard ' || CAST(doc_id AS VARCHAR) || ' record one'
+             || chr(10) || text
+             || chr(10) || 'second record body for shard ' || CAST(doc_id AS VARCHAR)
+             || ' long enough to clear every keep threshold easily' AS extracted_text,
+           3 AS n_kept
+    FROM documents
+    """,
+    "DRIVER-CHECKABLE NDJSON/JSON-Lines extraction — the twenty-ninth "
+    "dispatch leg, the dataset-dump shard format LLM corpora ship "
+    "(one JSON object per line with a text field; OSCAR/C4/HF "
+    "convention). Gate is a structural sniff (no magic bytes): the "
+    "first line must itself be a complete JSON object with a "
+    "text-ish string field — after ipynb in dispatch so notebooks "
+    "never leak. Each row's shard carries a titled record (the "
+    "doc's text), a second text record, a metadata-only record the "
+    "walk must skip, and a TRUNCATED final line (the interrupted "
+    "download every crawl has) that must quiet-skip. JSON string "
+    "escapes decode through the real parser; metadata keys are "
+    "chrome. extractor/ndjsonleg.py. Map-only sanctioned kernels, "
+    "zero shuffle.",
+)
+def q185_ndjson_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    from toyocr_spark.pipeline import extract_pages
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("html", T.BinaryType(), False),
+        ]
+    )
+
+    def batches(it):
+        import json
+
+        for b in it:
+            urls, blobs = [], []
+            for did, text in zip(b.column(0).to_pylist(), b.column(1).to_pylist()):
+                recs = [
+                    {
+                        "title": f"Shard {did} record one",
+                        "text": text,
+                        "url": "https://meta-chrome.example",
+                    },
+                    {
+                        "text": (
+                            f"second record body for shard {did} long "
+                            "enough to clear every keep threshold easily"
+                        ),
+                        "id": did,
+                    },
+                    {"id": did, "meta": "record without any text field"},
+                ]
+                blob = (
+                    "\n".join(json.dumps(r) for r in recs).encode()
+                    + b'\n{"text": "truncat'
+                )
+                urls.append(f"https://jsonl-{did}.example/shard.jsonl")
+                blobs.append(blob)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()), pa.array(blobs, pa.binary())],
+                names=["url", "html"],
+            )
+
+    pages = d.mapInArrow(batches, schema)
+    out = extract_pages(pages)
+    return out.select(
+        "url", "extracted_text", F.col("n_kept").cast("int").alias("n_kept")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
@@ -11551,7 +11634,6 @@ _DRIVER_PRIORITY: list[str] = [
     "q137_doc_extract",  # new: legacy binary Word (CFB + piece table)
     "q139_odt_extract",  # new: OpenDocument Text (ODF package walk)
     "q140_xls_extract",  # new: legacy binary Excel (BIFF8 over CFB)
-    "q144_bz2_xz_extract",  # new: bz2/xz transfer-envelope strip
     "q147_atom_feeds",  # new: Atom feed ingestion (attribute links, rel gate)
     "q149_robots_wildcards",  # new: RFC 9309 wildcard robots admission
     "q150_hreflang_pairs",  # new: reciprocal hreflang bitext-page pairing
@@ -11589,6 +11671,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q182_host_disjoint_split",  # new: domain-keyed leakage-safe split
     "q183_domain_quality_rollup",  # new: per-domain curation table
     "q184_mobi_extract",  # new: MOBI/PalmDOC e-book leg (28th dispatch leg)
+    "q185_ndjson_extract",  # new: JSON-Lines dataset-shard leg (29th)
     "q116_sentence_align",  # oracle: rows-only -> planted closed form
     # flagship
     "q25_extract",
@@ -11604,6 +11687,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q146_sitemap_index",  # overflow: sitemap family, q95 green + q147 in-window
     "q148_opengraph",  # overflow: metadata harvests, q98 green + q151 in-window
     "q142_ods_extract",  # overflow: ODF trio, q139 in-window; RLE cells in the local replica
+    "q144_bz2_xz_extract",  # overflow: envelope family, q136 in-window (q145 also overflow)
     # last driver row in round 2 (all 42)
     "q02_topk_per_group",
     "q03_local_max",
