@@ -71,6 +71,12 @@ PROBES = [
     "q173_arc_extract",
     "q175_textrank_keywords",
     "q176_lang_segments",
+    # closing additions: the three new synth+extract legs (fb2 XML
+    # walk, MOBI PalmDOC decompress, JSON-Lines record walk — all
+    # map-only, ratios should track the per-row ideal)
+    "q180_fb2_extract",
+    "q184_mobi_extract",
+    "q185_ndjson_extract",
 ]
 
 # The registered q77 keeps k=8 clusters at every size, so cells grow
