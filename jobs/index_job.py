@@ -2,9 +2,11 @@
 """CDX index driver — build, merge, and probe the sorted capture
 index as a spark-submit job.
 
-Build from a pages table (parquet) or directly from WARC files (the
-WARC path carries (file, offset, length) capture provenance, so every
-index row is range-addressable back into its archive):
+Build from a pages table (parquet) or directly from WARC or ARC
+files (both archive paths carry (file, offset, length) capture
+provenance under the same column names, so every index row is
+range-addressable back into its archive and mixed ARC+WARC crawls
+share one index schema):
 
     spark-submit --py-files dist/toyocr_spark.zip jobs/index_job.py \\
         build --pages /data/pages --output /data/cdx --shards 64
@@ -40,6 +42,7 @@ def main(argv: list[str] | None = None) -> int:
     src = b.add_mutually_exclusive_group(required=True)
     src.add_argument("--pages", help="pages table path (url, warc_ts, html)")
     src.add_argument("--warc", help="WARC glob; rows carry (file, offset, length) provenance")
+    src.add_argument("--arc", help="ARC glob (pre-WARC crawls); same provenance columns")
     b.add_argument("--output", required=True)
     b.add_argument("--shards", type=int, default=8)
 
@@ -67,6 +70,11 @@ def main(argv: list[str] | None = None) -> int:
             from toyocr_spark.sources.warc import read_warc_members
 
             pages = read_warc_members(spark, args.warc)
+            keep = ("warc_file", "warc_offset", "warc_length")
+        elif args.arc:
+            from toyocr_spark.sources.arc import read_arc_members
+
+            pages = read_arc_members(spark, args.arc)
             keep = ("warc_file", "warc_offset", "warc_length")
         else:
             from toyocr_spark.sources.pages import read_pages

@@ -143,3 +143,41 @@ def test_truncated_gzip_envelope_quiet_skip():
     )
     for cut in (4, 10, len(blob) // 2, len(blob) - 2):
         assert parse_arc(blob[:cut]) == []
+
+
+def test_arc_cdx_roundtrip(spark, tmp_path):
+    """ARC -> CDX -> range-fetch: the pre-WARC container gets the same
+    index treatment as WARC (same provenance column names, one index
+    schema over mixed crawls), and a cdx row's (file, offset, length)
+    range-reads the exact capture back out — including from the
+    gzipped archive, whose offsets address the decompressed stream."""
+    from toyocr_spark.sources.arc import fetch_arc_record, read_arc_members
+    from toyocr_spark.sources.cdx import cdx_lookup, write_cdx
+
+    records = [
+        (
+            f"https://arcdx-{i}.example/p{i}",
+            f"200803010000{i:02d}",
+            f"<html><body><p>capture body {i} text</p></body></html>".encode(),
+        )
+        for i in range(8)
+    ]
+    write_arc(str(tmp_path / "x.arc"), records[:4], version=1)
+    write_arc(str(tmp_path / "y.arc.gz"), records[4:], version=2, compress=True)
+
+    pages = read_arc_members(spark, str(tmp_path / "*.arc*"))
+    assert pages.count() == 8
+    out = str(tmp_path / "cdx")
+    summary = write_cdx(
+        pages, out, shards=2,
+        keep_cols=("warc_file", "warc_offset", "warc_length"),
+    )
+    assert summary["rows"] == 8
+
+    hits = cdx_lookup(spark, out, "example,arcdx-6)").collect()
+    assert len(hits) == 1
+    h = hits[0]
+    rec = fetch_arc_record(h.warc_file, h.warc_offset, h.warc_length)
+    assert rec is not None
+    assert rec["url"] == "https://arcdx-6.example/p6"
+    assert b"capture body 6 text" in rec["html"]

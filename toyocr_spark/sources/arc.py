@@ -205,3 +205,82 @@ def write_arc(
         data = gzip.compress(data)
     with open(path, "wb") as f:
         f.write(data)
+
+
+def read_arc_members(spark: SparkSession, path_glob: str) -> DataFrame:
+    """read_arc plus capture provenance: (url, warc_ts, html,
+    warc_file, warc_offset, warc_length) — the SAME provenance column
+    names the WARC reader emits, so the CDX builder's keep_cols path
+    is container-agnostic (one index schema over mixed ARC+WARC
+    crawls). Offsets index the decompressed stream, the read_warc
+    contract; fetch_arc_record consumes them."""
+    import pyarrow as pa
+
+    files = spark.read.format("binaryFile").load(path_glob).select("path", "content")
+
+    def batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in it:
+            rows: list[tuple] = []
+            for path, content in zip(
+                b.column(0).to_pylist(), b.column(1).to_pylist()
+            ):
+                for rec in parse_arc(content):
+                    rows.append(
+                        (
+                            rec["url"],
+                            rec["arc_ts"],
+                            rec["html"],
+                            path,
+                            rec["offset"],
+                            rec["length"],
+                        )
+                    )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([r[0] for r in rows], pa.string()),
+                    pa.array([r[1] for r in rows], pa.string()),
+                    pa.array([r[2] for r in rows], pa.binary()),
+                    pa.array([r[3] for r in rows], pa.string()),
+                    pa.array([r[4] for r in rows], pa.int64()),
+                    pa.array([r[5] for r in rows], pa.int64()),
+                ],
+                names=[
+                    "url",
+                    "arc_ts_raw",
+                    "html",
+                    "warc_file",
+                    "warc_offset",
+                    "warc_length",
+                ],
+            )
+
+    schema = (
+        "url string, arc_ts_raw string, html binary, "
+        "warc_file string, warc_offset long, warc_length long"
+    )
+    rows = files.mapInArrow(batches, schema)
+    return rows.select(
+        "url",
+        F.to_timestamp(F.col("arc_ts_raw"), "yyyyMMddHHmmss").alias("warc_ts"),
+        "html",
+        "warc_file",
+        "warc_offset",
+        "warc_length",
+    )
+
+
+def fetch_arc_record(path: str, offset: int, length: int) -> dict | None:
+    """Range-read ONE capture back out of its ARC by the provenance a
+    CDX row carries (the fetch_warc_record twin). Offsets address the
+    decompressed stream, so a .arc.gz inflates first; the record slice
+    then re-parses through parse_arc with the filter relaxed (the
+    header line's type was already admitted at index time)."""
+    with open(path.removeprefix("file:"), "rb") as f:
+        raw = f.read()
+    if raw[:2] == b"\x1f\x8b":
+        try:
+            raw = gzip.decompress(raw)
+        except (OSError, EOFError):
+            return None
+    recs = parse_arc(raw[offset : offset + length], mimes=("",))
+    return recs[0] if recs else None
