@@ -245,6 +245,7 @@ def test_relational_queries_have_no_python_nodes(spark, sf_dir):
         "q181_djvu_metadata",    # DjVu IFF synth + metadata-walk kernel
         "q184_mobi_extract",     # MOBI/PalmDOC synth + extraction kernel
         "q185_ndjson_extract",   # JSON-Lines synth + extraction kernel
+        "q186_rst_extract",      # reStructuredText synth + extraction kernel
     }
     markers = ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas",
                "MapInPandas", "PythonMapInArrow", "MapInArrow")

@@ -172,10 +172,10 @@ def synth_office_pages(
     spark: SparkSession, sf_dir: str, replicas: int = 4, paragraphs: int = 4
 ) -> DataFrame:
     """Office twin of synth_pdf_pages: every page is a REAL container
-    document cycling the twenty-four non-HTML/PDF dispatch legs
+    document cycling the twenty-eight non-HTML/PDF dispatch legs
     (docx, xlsx, pptx, epub, rtf, legacy .doc, .xls, .ppt, .mht,
     .odt, .ods, .odp, md, tar, csv, tex, ipynb, sub, wiki, eml,
-    mbox, ics, zip, ps) with a heading,
+    mbox, ics, zip, ps, fb2, mobi, jsonl, rst) with a heading,
     ``paragraphs`` body paragraphs, and each format's native chrome.
     Container assembly cannot be a Column expression, so synthesis
     runs in one Arrow kernel — the materialized-corpus cache keeps it
@@ -223,6 +223,7 @@ def synth_office_pages(
             genmht,
             genodt,
             genpptx,
+            genrst,
             genrtf,
             gensub,
             genwiki,
@@ -243,8 +244,8 @@ def synth_office_pages(
                     "docx", "xlsx", "pptx", "epub", "rtf", "doc", "xls",
                     "ppt", "mht", "odt", "ods", "odp", "md", "tar", "csv",
                     "tex", "ipynb", "sub", "wiki", "eml", "mbox", "ics",
-                    "zip", "ps", "fb2", "mobi", "jsonl",
-                )[(did + rep) % 27]
+                    "zip", "ps", "fb2", "mobi", "jsonl", "rst",
+                )[(did + rep) % 28]
                 title = f"Synthesized bench document {did} part {rep}"
                 paras = [text] * paragraphs
                 if fmt == "docx":
@@ -380,6 +381,18 @@ def synth_office_pages(
                             ),
                         ],
                         with_dir=True,
+                    )
+                elif fmt == "rst":
+                    blob = genrst.build_rst(
+                        title,
+                        paras,
+                        author="bench author chrome",
+                        comment="bench comment chrome",
+                        items=(
+                            ["bench list item long enough to keep around"]
+                            if rep % 2
+                            else None
+                        ),
                     )
                 elif fmt == "jsonl":
                     import json as _json

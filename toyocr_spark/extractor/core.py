@@ -28,6 +28,7 @@ from toyocr_spark.extractor.fb2leg import is_fb2, tokenize_fb2
 from toyocr_spark.extractor.icsleg import is_ics, tokenize_ics
 from toyocr_spark.extractor.mobileg import is_mobi, tokenize_mobi
 from toyocr_spark.extractor.ndjsonleg import is_ndjson, tokenize_ndjson
+from toyocr_spark.extractor.rstleg import is_rst, tokenize_rst
 from toyocr_spark.extractor.ipynb import is_ipynb, tokenize_ipynb
 from toyocr_spark.extractor.latexleg import is_latex, tokenize_latex
 from toyocr_spark.extractor.markdown import is_markdown, tokenize_markdown
@@ -299,6 +300,13 @@ def dispatch_blocks(html: bytes | str) -> list:
         # wikilink/template evidence — constructs neither markdown
         # (ATX-gated) nor prose carries, so it outranks both
         return tokenize_wikitext(html)
+    if is_rst(html):
+        # third no-magic structural sniff: an underlined section title
+        # plus at least one rst-EXCLUSIVE marker (directive / field
+        # list / '::' literal intro / `x <u>`_ reference) — the
+        # exclusivity clause keeps setext-Markdown READMEs out, so
+        # this may safely outrank the ATX-gated markdown sniff
+        return tokenize_rst(html)
     if is_markdown(html):
         # LAST gates before the HTML fallback: markdown and CSV have
         # no magic, so every tagged/binary format wins first and the

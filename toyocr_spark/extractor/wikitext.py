@@ -49,8 +49,11 @@ from toyocr_spark.extractor.tokenizer import Block, utf8_textish
 _SNIFF_BYTES = 4096
 MAX_TEMPLATE_ROUNDS = 24  # innermost-out {{...}} elimination bound
 
-_HEADING_RE = re.compile(r"^(={2,6})\s*(.*?)\s*\1\s*$")
-_EV_HEADING = re.compile(r"(?m)^={2,6}\s*\S[^=\n]*={2,6}\s*$")
+# heading CONTENT must contain a non-'=' char: a bare run of '='
+# (an rst/setext title adornment bar) is not a MediaWiki heading,
+# and must not let the wikitext gate claim rst docs pages
+_HEADING_RE = re.compile(r"^(={2,6})\s*([^=\s].*?|[^=\s])\s*\1\s*$")
+_EV_HEADING = re.compile(r"(?m)^={2,6}\s*[^=\s][^=\n]*={2,6}\s*$")
 _EV_WIKILINK = re.compile(r"\[\[[^\]\n]+\]\]")
 _EV_TEMPLATE = re.compile(r"\{\{[^}\n]*\}\}")
 _EV_BULLET = re.compile(r"(?m)^[*#;:]+\s*\S")

@@ -11608,16 +11608,95 @@ def q185_ndjson_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q186_rst_extract",
+    """
+    SELECT 'https://rst-' || CAST(doc_id AS VARCHAR) || '.example/docs/index.rst' AS url,
+           'Docs page ' || CAST(doc_id AS VARCHAR) || ' heading'
+             || chr(10) || text AS extracted_text,
+           2 AS n_kept
+    FROM documents
+    """,
+    "DRIVER-CHECKABLE reStructuredText extraction — the thirtieth "
+    "dispatch leg, the docs format of the Python universe (PyPI "
+    "long_descriptions, Sphinx/readthedocs sources, PEPs). rst has "
+    "NO magic bytes, so this leg proves the underline-title + "
+    "EXCLUSIVE-evidence structural sniff end-to-end (the exclusivity "
+    "clause — directive / field list / '::' intro / `x <url>`_ ref "
+    "required — is what lets rst outrank the ATX-gated markdown "
+    "sniff without ever claiming a setext README). Each row's page "
+    "carries the full chrome battery the extractor must drop: an "
+    ":Author:/:Date: field list (bibliographic metadata, never "
+    "read), a '..' comment, an '.. image::' directive WITH indented "
+    "option lines, a link-dominated `label <url>`_ nav line (dies "
+    "by the shared density rule), a '.. [1]' footnote definition "
+    "and a '.. _name:' hyperlink target; the body paragraph carries "
+    "a '[1]_' footnote reference that must strip. The "
+    "overline+underline title renders at h1 by the "
+    "adornment-order-of-first-use rule. Closed-form oracle: gate, "
+    "chrome drops, footnote strip and title must be exact on every "
+    "row. extractor/rstleg.py; fixtures/genrst.py. Map-only: one "
+    "pre-kernel repartition, then synth + extract in sanctioned "
+    "Arrow kernels, zero shuffle after.",
+)
+def q186_rst_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    from toyocr_spark.pipeline import extract_pages
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("html", T.BinaryType(), False),
+        ]
+    )
+
+    def batches(it):
+        from toyocr_spark.fixtures.genrst import build_rst
+
+        for b in it:
+            urls, blobs = [], []
+            for did, text in zip(b.column(0).to_pylist(), b.column(1).to_pylist()):
+                blobs.append(
+                    build_rst(
+                        f"Docs page {did} heading",
+                        [text],
+                        host=f"nav-{did}.example",
+                        author=f"author chrome {did}",
+                        comment=f"comment chrome {did}",
+                        footnote=f"footnote chrome {did}",
+                    )
+                )
+                urls.append(f"https://rst-{did}.example/docs/index.rst")
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()), pa.array(blobs, pa.binary())],
+                names=["url", "html"],
+            )
+
+    pages = d.mapInArrow(batches, schema)
+    out = extract_pages(pages)
+    return out.select(
+        "url", "extracted_text", F.col("n_kept").cast("int").alias("n_kept")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
 # The driver verifies only the FIRST 50 registry entries per round
 # (round 2: list(queries())[:50] == CORRECTNESS_r02 keys exactly), so
-# the registry is served priority-first. Round-5 window: 55 specs are
-# new this round (q129-q183) and cannot all fit, so the 50 slots hold
+# the registry is served priority-first. Round-5 window: 58 specs are
+# new this round (q129-q186) and cannot all fit, so the 50 slots hold
 # q116 (rows-only -> full planted-fixture oracle this round), the
 # flagship q25_extract, and the 48 new specs WITHOUT an in-window
-# sibling; the seven overflow picks each have a sibling in-window
+# sibling; the overflow picks each have a sibling in-window
 # exercising the same machinery (rationale on each line below), and
 # every overflow spec — these seven plus the r2-r4-green veterans —
 # is re-proven each run by tests/test_oracle_parity.py (the
@@ -11638,7 +11717,6 @@ _DRIVER_PRIORITY: list[str] = [
     "q149_robots_wildcards",  # new: RFC 9309 wildcard robots admission
     "q150_hreflang_pairs",  # new: reciprocal hreflang bitext-page pairing
     "q151_microdata",  # new: schema.org microdata harvest (JSON-LD twin)
-    "q152_markdown_extract",  # new: Markdown format leg (structural sniff)
     "q153_tar_extract",  # new: TAR multi-document bundle walk
     "q154_crawl_traps",  # new: URL-template-collapse trap-host detection
     "q155_politeness_schedule",  # new: q92 waves x robots Crawl-delay
@@ -11672,6 +11750,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q183_domain_quality_rollup",  # new: per-domain curation table
     "q184_mobi_extract",  # new: MOBI/PalmDOC e-book leg (28th dispatch leg)
     "q185_ndjson_extract",  # new: JSON-Lines dataset-shard leg (29th)
+    "q186_rst_extract",  # new: reStructuredText leg (30th dispatch leg)
     "q116_sentence_align",  # oracle: rows-only -> planted closed form
     # flagship
     "q25_extract",
@@ -11688,6 +11767,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q148_opengraph",  # overflow: metadata harvests, q98 green + q151 in-window
     "q142_ods_extract",  # overflow: ODF trio, q139 in-window; RLE cells in the local replica
     "q144_bz2_xz_extract",  # overflow: envelope family, q136 in-window (q145 also overflow)
+    "q152_markdown_extract",  # overflow: no-magic structural-sniff text legs, q163+q186 in-window
     # last driver row in round 2 (all 42)
     "q02_topk_per_group",
     "q03_local_max",
