@@ -246,6 +246,8 @@ def test_relational_queries_have_no_python_nodes(spark, sf_dir):
         "q184_mobi_extract",     # MOBI/PalmDOC synth + extraction kernel
         "q185_ndjson_extract",   # JSON-Lines synth + extraction kernel
         "q186_rst_extract",      # reStructuredText synth + extraction kernel
+        "q187_man_extract",      # man(7) troff synth + extraction kernel
+        "q188_adoc_extract",     # AsciiDoc synth + extraction kernel
     }
     markers = ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas",
                "MapInPandas", "PythonMapInArrow", "MapInArrow")

@@ -172,10 +172,11 @@ def synth_office_pages(
     spark: SparkSession, sf_dir: str, replicas: int = 4, paragraphs: int = 4
 ) -> DataFrame:
     """Office twin of synth_pdf_pages: every page is a REAL container
-    document cycling the twenty-eight non-HTML/PDF dispatch legs
+    document cycling the thirty non-HTML/PDF dispatch legs
     (docx, xlsx, pptx, epub, rtf, legacy .doc, .xls, .ppt, .mht,
     .odt, .ods, .odp, md, tar, csv, tex, ipynb, sub, wiki, eml,
-    mbox, ics, zip, ps, fb2, mobi, jsonl, rst) with a heading,
+    mbox, ics, zip, ps, fb2, mobi, jsonl, rst, man, adoc) with a
+    heading,
     ``paragraphs`` body paragraphs, and each format's native chrome.
     Container assembly cannot be a Column expression, so synthesis
     runs in one Arrow kernel — the materialized-corpus cache keeps it
@@ -223,6 +224,8 @@ def synth_office_pages(
             genmht,
             genodt,
             genpptx,
+            genadoc,
+            genman,
             genrst,
             genrtf,
             gensub,
@@ -244,8 +247,9 @@ def synth_office_pages(
                     "docx", "xlsx", "pptx", "epub", "rtf", "doc", "xls",
                     "ppt", "mht", "odt", "ods", "odp", "md", "tar", "csv",
                     "tex", "ipynb", "sub", "wiki", "eml", "mbox", "ics",
-                    "zip", "ps", "fb2", "mobi", "jsonl", "rst",
-                )[(did + rep) % 28]
+                    "zip", "ps", "fb2", "mobi", "jsonl", "rst", "man",
+                    "adoc",
+                )[(did + rep) % 30]
                 title = f"Synthesized bench document {did} part {rep}"
                 paras = [text] * paragraphs
                 if fmt == "docx":
@@ -381,6 +385,30 @@ def synth_office_pages(
                             ),
                         ],
                         with_dir=True,
+                    )
+                elif fmt == "man":
+                    blob = genman.build_man(
+                        title,
+                        paras,
+                        comment="bench comment chrome",
+                        source="bench source chrome",
+                        options=(
+                            [("-x", "bench option description long enough to keep")]
+                            if rep % 2
+                            else None
+                        ),
+                    )
+                elif fmt == "adoc":
+                    blob = genadoc.build_adoc(
+                        title,
+                        paras,
+                        author="bench author chrome",
+                        admonition="bench admonition chrome",
+                        listing=(
+                            ["bench listing content line kept as one block"]
+                            if rep % 2
+                            else None
+                        ),
                     )
                 elif fmt == "rst":
                     blob = genrst.build_rst(

@@ -27,6 +27,8 @@ from toyocr_spark.extractor.csvleg import is_csv, tokenize_csv
 from toyocr_spark.extractor.fb2leg import is_fb2, tokenize_fb2
 from toyocr_spark.extractor.icsleg import is_ics, tokenize_ics
 from toyocr_spark.extractor.mobileg import is_mobi, tokenize_mobi
+from toyocr_spark.extractor.adocleg import is_adoc, tokenize_adoc
+from toyocr_spark.extractor.manleg import is_man, tokenize_man
 from toyocr_spark.extractor.ndjsonleg import is_ndjson, tokenize_ndjson
 from toyocr_spark.extractor.rstleg import is_rst, tokenize_rst
 from toyocr_spark.extractor.ipynb import is_ipynb, tokenize_ipynb
@@ -278,6 +280,11 @@ def dispatch_blocks(html: bytes | str) -> list:
         # structure prose cannot fake — both outrank the weaker
         # structural sniffs below
         return tokenize_subtitles(html)
+    if is_man(html):
+        # near-magic: man(7) mandates .TH as the first macro, and the
+        # line-anchored dot-macro surface is structure prose cannot
+        # fake — outranks every no-magic structural sniff below
+        return tokenize_man(html)
     if is_ipynb(html):
         # JSON-structured: '{'-led head carrying the nbformat keys.
         # Runs before markdown so a notebook whose markdown cells
@@ -295,13 +302,19 @@ def dispatch_blocks(html: bytes | str) -> list:
         # markdown/CSV/prose page has, so it outranks both. ArXiv
         # .tex-in-.tar bundles reach here via the tar member walk.
         return tokenize_latex(html)
+    if is_adoc(html):
+        # second no-magic structural sniff, anchored at the FIRST
+        # significant line ('= Title', the AsciiDoc doc-header
+        # convention no other dispatched format leads with) plus
+        # section/attribute/delimiter evidence
+        return tokenize_adoc(html)
     if is_wikitext(html):
-        # second no-magic structural sniff: == Heading == lines plus
+        # third no-magic structural sniff: == Heading == lines plus
         # wikilink/template evidence — constructs neither markdown
         # (ATX-gated) nor prose carries, so it outranks both
         return tokenize_wikitext(html)
     if is_rst(html):
-        # third no-magic structural sniff: an underlined section title
+        # fourth no-magic structural sniff: an underlined section title
         # plus at least one rst-EXCLUSIVE marker (directive / field
         # list / '::' literal intro / `x <u>`_ reference) — the
         # exclusivity clause keeps setext-Markdown READMEs out, so

@@ -11687,13 +11687,168 @@ def q186_rst_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q187_man_extract",
+    """
+    SELECT 'https://man-' || CAST(doc_id AS VARCHAR) || '.example/man1/cmd.1' AS url,
+           'Manual section ' || CAST(doc_id AS VARCHAR) || ' heading'
+             || chr(10) || text AS extracted_text,
+           2 AS n_kept
+    FROM documents
+    """,
+    "DRIVER-CHECKABLE man-page (troff man(7)) extraction — the "
+    "thirty-first dispatch leg, the Unix manual corpus (man7.org and "
+    "linux.die.net mirrors, distro doc trees, tarball man/ dirs): "
+    "dense curated technical reference prose. The gate is the .TH "
+    "near-magic (man(7) mandates it as the first macro) plus the "
+    "line-anchored dot-macro surface prose cannot fake — it outranks "
+    "every no-magic structural sniff. Each row's page carries the "
+    "chrome battery the extractor must drop: a .\\\" comment, the .TH "
+    "name/section/date/source/manual metadata line (header+footer "
+    "chrome, never read), an .ad renderer request and a "
+    "link-dominated .UR/.UE nav run (label chars are link chars — "
+    "dies by the shared density rule); the body's first word rides a "
+    ".B font macro that must join the paragraph with the font "
+    "stripped. Closed-form oracle: gate, macro walk, font-escape "
+    "strip and chrome drops must be exact on every row. "
+    "extractor/manleg.py; fixtures/genman.py. Map-only: one "
+    "pre-kernel repartition, then synth + extract in sanctioned "
+    "Arrow kernels, zero shuffle after.",
+)
+def q187_man_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    from toyocr_spark.pipeline import extract_pages
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("html", T.BinaryType(), False),
+        ]
+    )
+
+    def batches(it):
+        from toyocr_spark.fixtures.genman import build_man
+
+        for b in it:
+            urls, blobs = [], []
+            for did, text in zip(b.column(0).to_pylist(), b.column(1).to_pylist()):
+                blobs.append(
+                    build_man(
+                        f"Manual section {did} heading",
+                        [text],
+                        host=f"nav-{did}.example",
+                        comment=f"comment chrome {did}",
+                        source=f"source chrome {did}",
+                        manual=f"Manual Chrome {did}",
+                    )
+                )
+                urls.append(f"https://man-{did}.example/man1/cmd.1")
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()), pa.array(blobs, pa.binary())],
+                names=["url", "html"],
+            )
+
+    pages = d.mapInArrow(batches, schema)
+    out = extract_pages(pages)
+    return out.select(
+        "url", "extracted_text", F.col("n_kept").cast("int").alias("n_kept")
+    )
+
+
+@_q(
+    "q188_adoc_extract",
+    """
+    SELECT 'https://adoc-' || CAST(doc_id AS VARCHAR) || '.example/docs/index.adoc' AS url,
+           'Docs page ' || CAST(doc_id AS VARCHAR) || ' heading'
+             || chr(10) || text AS extracted_text,
+           2 AS n_kept
+    FROM documents
+    """,
+    "DRIVER-CHECKABLE AsciiDoc extraction — the thirty-second "
+    "dispatch leg, the heavier-duty Markdown sibling of "
+    "technical-book and project-docs crawls (Git/GitHub docs, Antora "
+    "sites). AsciiDoc has no magic bytes, so this leg proves the "
+    "FIRST-significant-line '= Title' doc-header anchor plus "
+    "section/attribute/delimiter evidence end-to-end (first-line "
+    "anchoring is why no other no-magic leg can claim or be claimed). "
+    "Each row's page carries the chrome battery the extractor must "
+    "drop: doc-header author/revision lines and :attribute: entries "
+    "(metadata never read), a // comment and a //// comment block, "
+    "an image:: block macro with its .Caption line, a NOTE: "
+    "admonition (the rst-directive rule: rendered asides drop "
+    "wholesale), and a link-dominated url[label] nav line (label "
+    "chars are link chars — dies by the shared density rule); the "
+    "body paragraph carries a footnote:[…] that must strip. "
+    "Closed-form oracle: gate, header walk, macro resolution and "
+    "chrome drops must be exact on every row. extractor/adocleg.py; "
+    "fixtures/genadoc.py. Map-only: one pre-kernel repartition, then "
+    "synth + extract in sanctioned Arrow kernels, zero shuffle "
+    "after.",
+)
+def q188_adoc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    from toyocr_spark.pipeline import extract_pages
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("html", T.BinaryType(), False),
+        ]
+    )
+
+    def batches(it):
+        from toyocr_spark.fixtures.genadoc import build_adoc
+
+        for b in it:
+            urls, blobs = [], []
+            for did, text in zip(b.column(0).to_pylist(), b.column(1).to_pylist()):
+                blobs.append(
+                    build_adoc(
+                        f"Docs page {did} heading",
+                        [text],
+                        host=f"nav-{did}.example",
+                        author=f"author chrome {did}",
+                        attribute=f"attribute chrome {did}",
+                        comment=f"comment chrome {did}",
+                        admonition=f"admonition chrome {did}",
+                    )
+                )
+                urls.append(f"https://adoc-{did}.example/docs/index.adoc")
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()), pa.array(blobs, pa.binary())],
+                names=["url", "html"],
+            )
+
+    pages = d.mapInArrow(batches, schema)
+    out = extract_pages(pages)
+    return out.select(
+        "url", "extracted_text", F.col("n_kept").cast("int").alias("n_kept")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
 # The driver verifies only the FIRST 50 registry entries per round
 # (round 2: list(queries())[:50] == CORRECTNESS_r02 keys exactly), so
-# the registry is served priority-first. Round-5 window: 58 specs are
-# new this round (q129-q186) and cannot all fit, so the 50 slots hold
+# the registry is served priority-first. Round-5 window: 60 specs are
+# new this round (q129-q188) and cannot all fit, so the 50 slots hold
 # q116 (rows-only -> full planted-fixture oracle this round), the
 # flagship q25_extract, and the 48 new specs WITHOUT an in-window
 # sibling; the overflow picks each have a sibling in-window
@@ -11722,10 +11877,8 @@ _DRIVER_PRIORITY: list[str] = [
     "q155_politeness_schedule",  # new: q92 waves x robots Crawl-delay
     "q156_hits",  # new: integer-exact hubs & authorities (PageRank's twin)
     "q157_registrable_domain",  # new: eTLD+1 longest-suffix grouping
-    "q158_csv_extract",  # new: CSV/TSV format leg (constant-count sniff)
     "q159_latex_extract",  # new: LaTeX format leg (arXiv .tex sources)
     "q160_ipynb_extract",  # new: Jupyter notebook leg (cells+nbformat sniff)
-    "q161_subtitle_extract",  # new: WebVTT/SRT caption leg (both gates)
     "q162_anchor_text",  # new: per-target anchor-text profile (nofollow rule)
     "q163_wikitext_extract",  # new: MediaWiki wikitext leg (heading+evidence sniff)
     "q164_eml_extract",  # new: email leg (MIME walk, alternative pick-one)
@@ -11751,6 +11904,8 @@ _DRIVER_PRIORITY: list[str] = [
     "q184_mobi_extract",  # new: MOBI/PalmDOC e-book leg (28th dispatch leg)
     "q185_ndjson_extract",  # new: JSON-Lines dataset-shard leg (29th)
     "q186_rst_extract",  # new: reStructuredText leg (30th dispatch leg)
+    "q187_man_extract",  # new: man(7) troff leg (31st dispatch leg)
+    "q188_adoc_extract",  # new: AsciiDoc leg (32nd dispatch leg)
     "q116_sentence_align",  # oracle: rows-only -> planted closed form
     # flagship
     "q25_extract",
@@ -11768,6 +11923,8 @@ _DRIVER_PRIORITY: list[str] = [
     "q142_ods_extract",  # overflow: ODF trio, q139 in-window; RLE cells in the local replica
     "q144_bz2_xz_extract",  # overflow: envelope family, q136 in-window (q145 also overflow)
     "q152_markdown_extract",  # overflow: no-magic structural-sniff text legs, q163+q186 in-window
+    "q158_csv_extract",  # overflow: structural-sniff + cell-walk family, q130+q163+q186+q188 in-window
+    "q161_subtitle_extract",  # overflow: mandated-first-line near-magic family, q168+q187 in-window
     # last driver row in round 2 (all 42)
     "q02_topk_per_group",
     "q03_local_max",
