@@ -172,11 +172,11 @@ def synth_office_pages(
     spark: SparkSession, sf_dir: str, replicas: int = 4, paragraphs: int = 4
 ) -> DataFrame:
     """Office twin of synth_pdf_pages: every page is a REAL container
-    document cycling the thirty non-HTML/PDF dispatch legs
+    document cycling the thirty-one non-HTML/PDF dispatch legs
     (docx, xlsx, pptx, epub, rtf, legacy .doc, .xls, .ppt, .mht,
     .odt, .ods, .odp, md, tar, csv, tex, ipynb, sub, wiki, eml,
-    mbox, ics, zip, ps, fb2, mobi, jsonl, rst, man, adoc) with a
-    heading,
+    mbox, ics, zip, ps, fb2, mobi, jsonl, rst, man, adoc, org)
+    with a heading,
     ``paragraphs`` body paragraphs, and each format's native chrome.
     Container assembly cannot be a Column expression, so synthesis
     runs in one Arrow kernel — the materialized-corpus cache keeps it
@@ -215,6 +215,7 @@ def synth_office_pages(
             gentar,
             genodp,
             genods,
+            genorg,
             genppt,
             genps,
             genxls,
@@ -248,8 +249,8 @@ def synth_office_pages(
                     "ppt", "mht", "odt", "ods", "odp", "md", "tar", "csv",
                     "tex", "ipynb", "sub", "wiki", "eml", "mbox", "ics",
                     "zip", "ps", "fb2", "mobi", "jsonl", "rst", "man",
-                    "adoc",
-                )[(did + rep) % 30]
+                    "adoc", "org",
+                )[(did + rep) % 31]
                 title = f"Synthesized bench document {did} part {rep}"
                 paras = [text] * paragraphs
                 if fmt == "docx":
@@ -385,6 +386,18 @@ def synth_office_pages(
                             ),
                         ],
                         with_dir=True,
+                    )
+                elif fmt == "org":
+                    blob = genorg.build_org(
+                        title,
+                        paras,
+                        author="bench author chrome",
+                        comment="bench comment chrome",
+                        src=(
+                            ["bench src content line kept as one block"]
+                            if rep % 2
+                            else None
+                        ),
                     )
                 elif fmt == "man":
                     blob = genman.build_man(

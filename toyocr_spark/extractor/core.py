@@ -30,6 +30,7 @@ from toyocr_spark.extractor.mobileg import is_mobi, tokenize_mobi
 from toyocr_spark.extractor.adocleg import is_adoc, tokenize_adoc
 from toyocr_spark.extractor.manleg import is_man, tokenize_man
 from toyocr_spark.extractor.ndjsonleg import is_ndjson, tokenize_ndjson
+from toyocr_spark.extractor.orgleg import is_org, tokenize_org
 from toyocr_spark.extractor.rstleg import is_rst, tokenize_rst
 from toyocr_spark.extractor.ipynb import is_ipynb, tokenize_ipynb
 from toyocr_spark.extractor.latexleg import is_latex, tokenize_latex
@@ -308,6 +309,12 @@ def dispatch_blocks(html: bytes | str) -> list:
         # convention no other dispatched format leads with) plus
         # section/attribute/delimiter evidence
         return tokenize_adoc(html)
+    if is_org(html):
+        # anchored no-magic sniff: line-anchored '#+KEYWORD:' lines
+        # ('#'-led but never ATX — '#'+non-space fails markdown's
+        # heading gate) are org-exclusive, so cross-claims are
+        # impossible in either direction
+        return tokenize_org(html)
     if is_wikitext(html):
         # third no-magic structural sniff: == Heading == lines plus
         # wikilink/template evidence — constructs neither markdown

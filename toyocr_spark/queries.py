@@ -11842,13 +11842,89 @@ def q188_adoc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q189_org_extract",
+    """
+    SELECT 'https://org-' || CAST(doc_id AS VARCHAR) || '.example/notes/index.org' AS url,
+           'Docs page ' || CAST(doc_id AS VARCHAR) || ' heading'
+             || chr(10) || text AS extracted_text,
+           2 AS n_kept
+    FROM documents
+    """,
+    "DRIVER-CHECKABLE Org-mode extraction — the thirty-third dispatch "
+    "leg, the Emacs outliner markup of org-publish sites, org-roam "
+    "gardens and literate dotfile repos. Org has no magic bytes, so "
+    "this leg proves the '#+KEYWORD:' anchor sniff end-to-end "
+    "('#'-led but never ATX — '#'+non-space fails markdown's heading "
+    "gate, so cross-claims are impossible in either direction). "
+    "'#+TITLE:' renders as the document title (the eml-Subject rule: "
+    "the one keyword that IS content) while every other export "
+    "keyword (AUTHOR/DATE/OPTIONS) is metadata chrome; each row also "
+    "plants a '# ' comment line, a BEGIN_COMMENT block, a "
+    ":PROPERTIES: drawer and a link-dominated [[url][label]] nav "
+    "line (desc chars are link chars — dies by the shared density "
+    "rule); the body's first word rides a *bold* span that must "
+    "resolve. Closed-form oracle: gate, keyword walk, drawer/comment "
+    "drops and emphasis resolution must be exact on every row. "
+    "extractor/orgleg.py; fixtures/genorg.py. Map-only: one "
+    "pre-kernel repartition, then synth + extract in sanctioned "
+    "Arrow kernels, zero shuffle after.",
+)
+def q189_org_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    from toyocr_spark.pipeline import extract_pages
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("html", T.BinaryType(), False),
+        ]
+    )
+
+    def batches(it):
+        from toyocr_spark.fixtures.genorg import build_org
+
+        for b in it:
+            urls, blobs = [], []
+            for did, text in zip(b.column(0).to_pylist(), b.column(1).to_pylist()):
+                blobs.append(
+                    build_org(
+                        f"Docs page {did} heading",
+                        [text],
+                        host=f"nav-{did}.example",
+                        author=f"author chrome {did}",
+                        comment=f"comment chrome {did}",
+                        drawer_value=f"drawer chrome {did}",
+                    )
+                )
+                urls.append(f"https://org-{did}.example/notes/index.org")
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()), pa.array(blobs, pa.binary())],
+                names=["url", "html"],
+            )
+
+    pages = d.mapInArrow(batches, schema)
+    out = extract_pages(pages)
+    return out.select(
+        "url", "extracted_text", F.col("n_kept").cast("int").alias("n_kept")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
 # The driver verifies only the FIRST 50 registry entries per round
 # (round 2: list(queries())[:50] == CORRECTNESS_r02 keys exactly), so
-# the registry is served priority-first. Round-5 window: 60 specs are
-# new this round (q129-q188) and cannot all fit, so the 50 slots hold
+# the registry is served priority-first. Round-5 window: 61 specs are
+# new this round (q129-q189) and cannot all fit, so the 50 slots hold
 # q116 (rows-only -> full planted-fixture oracle this round), the
 # flagship q25_extract, and the 48 new specs WITHOUT an in-window
 # sibling; the overflow picks each have a sibling in-window
@@ -11878,7 +11954,6 @@ _DRIVER_PRIORITY: list[str] = [
     "q156_hits",  # new: integer-exact hubs & authorities (PageRank's twin)
     "q157_registrable_domain",  # new: eTLD+1 longest-suffix grouping
     "q159_latex_extract",  # new: LaTeX format leg (arXiv .tex sources)
-    "q160_ipynb_extract",  # new: Jupyter notebook leg (cells+nbformat sniff)
     "q162_anchor_text",  # new: per-target anchor-text profile (nofollow rule)
     "q163_wikitext_extract",  # new: MediaWiki wikitext leg (heading+evidence sniff)
     "q164_eml_extract",  # new: email leg (MIME walk, alternative pick-one)
@@ -11906,6 +11981,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q186_rst_extract",  # new: reStructuredText leg (30th dispatch leg)
     "q187_man_extract",  # new: man(7) troff leg (31st dispatch leg)
     "q188_adoc_extract",  # new: AsciiDoc leg (32nd dispatch leg)
+    "q189_org_extract",  # new: Org-mode leg (33rd dispatch leg)
     "q116_sentence_align",  # oracle: rows-only -> planted closed form
     # flagship
     "q25_extract",
@@ -11925,6 +12001,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q152_markdown_extract",  # overflow: no-magic structural-sniff text legs, q163+q186 in-window
     "q158_csv_extract",  # overflow: structural-sniff + cell-walk family, q130+q163+q186+q188 in-window
     "q161_subtitle_extract",  # overflow: mandated-first-line near-magic family, q168+q187 in-window
+    "q160_ipynb_extract",  # overflow: JSON-parser-walk sniff family, q185 in-window
     # last driver row in round 2 (all 42)
     "q02_topk_per_group",
     "q03_local_max",
