@@ -172,11 +172,11 @@ def synth_office_pages(
     spark: SparkSession, sf_dir: str, replicas: int = 4, paragraphs: int = 4
 ) -> DataFrame:
     """Office twin of synth_pdf_pages: every page is a REAL container
-    document cycling the thirty-one non-HTML/PDF dispatch legs
+    document cycling the thirty-two non-HTML/PDF dispatch legs
     (docx, xlsx, pptx, epub, rtf, legacy .doc, .xls, .ppt, .mht,
     .odt, .ods, .odp, md, tar, csv, tex, ipynb, sub, wiki, eml,
-    mbox, ics, zip, ps, fb2, mobi, jsonl, rst, man, adoc, org)
-    with a heading,
+    mbox, ics, zip, ps, fb2, mobi, jsonl, rst, man, adoc, org,
+    texi) with a heading,
     ``paragraphs`` body paragraphs, and each format's native chrome.
     Container assembly cannot be a Column expression, so synthesis
     runs in one Arrow kernel — the materialized-corpus cache keeps it
@@ -218,6 +218,7 @@ def synth_office_pages(
             genorg,
             genppt,
             genps,
+            gentexinfo,
             genxls,
             genepub,
             genfb2,
@@ -249,8 +250,8 @@ def synth_office_pages(
                     "ppt", "mht", "odt", "ods", "odp", "md", "tar", "csv",
                     "tex", "ipynb", "sub", "wiki", "eml", "mbox", "ics",
                     "zip", "ps", "fb2", "mobi", "jsonl", "rst", "man",
-                    "adoc", "org",
-                )[(did + rep) % 31]
+                    "adoc", "org", "texi",
+                )[(did + rep) % 32]
                 title = f"Synthesized bench document {did} part {rep}"
                 paras = [text] * paragraphs
                 if fmt == "docx":
@@ -386,6 +387,18 @@ def synth_office_pages(
                             ),
                         ],
                         with_dir=True,
+                    )
+                elif fmt == "texi":
+                    blob = gentexinfo.build_texinfo(
+                        title,
+                        paras,
+                        copying="bench copying chrome",
+                        comment="bench comment chrome",
+                        example=(
+                            ["bench example content line kept as one block"]
+                            if rep % 2
+                            else None
+                        ),
                     )
                 elif fmt == "org":
                     blob = genorg.build_org(

@@ -41,6 +41,7 @@ from toyocr_spark.extractor.eml import is_eml, tokenize_eml
 from toyocr_spark.extractor.mbox import is_mbox, tokenize_mbox
 from toyocr_spark.extractor.mhtml import is_mhtml, tokenize_mhtml
 from toyocr_spark.extractor.tarleg import is_tar, tokenize_tar
+from toyocr_spark.extractor.texinfoleg import is_texinfo, tokenize_texinfo
 from toyocr_spark.extractor.odp import is_odp, tokenize_odp
 from toyocr_spark.extractor.ods import is_ods, tokenize_ods
 from toyocr_spark.extractor.odt import is_odt, tokenize_odt
@@ -315,6 +316,11 @@ def dispatch_blocks(html: bytes | str) -> list:
         # heading gate) are org-exclusive, so cross-claims are
         # impossible in either direction
         return tokenize_org(html)
+    if is_texinfo(html):
+        # de-facto magic: every conforming Texinfo file begins with
+        # the '\input texinfo' bootstrap line (disjoint from latex's
+        # \documentclass-led gate)
+        return tokenize_texinfo(html)
     if is_wikitext(html):
         # third no-magic structural sniff: == Heading == lines plus
         # wikilink/template evidence — constructs neither markdown

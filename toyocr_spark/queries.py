@@ -11918,13 +11918,89 @@ def q189_org_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q190_texinfo_extract",
+    """
+    SELECT 'https://texi-' || CAST(doc_id AS VARCHAR) || '.example/manual.texi' AS url,
+           'Manual title ' || CAST(doc_id AS VARCHAR) || ' heading'
+             || chr(10) || text AS extracted_text,
+           2 AS n_kept
+    FROM documents
+    """,
+    "DRIVER-CHECKABLE Texinfo extraction — the thirty-fourth dispatch "
+    "leg, GNU manual sources (.texi: the documentation format of the "
+    "whole GNU toolchain, mirrored across software-archive crawls). "
+    "The gate is the '\\\\input texinfo' bootstrap de-facto magic "
+    "(every conforming file leads with it; disjoint from LaTeX's "
+    "\\\\documentclass gate) plus line-anchored @-command evidence. "
+    "Each row's manual carries the chrome battery the extractor must "
+    "drop: @setfilename/@documentencoding header machinery, a "
+    "@copying block and a @titlepage block (license/cover chrome), "
+    "the @menu navigation (the ONE format whose nav is declared "
+    "structurally — no density rule needed), a @node pointer line, "
+    "a @c comment and @bye; @settitle renders as the title (the "
+    "org-#+TITLE rule) and the body's first word rides a @code{} "
+    "brace command that must resolve innermost-out. Closed-form "
+    "oracle: gate, command walk, brace resolution and chrome drops "
+    "must be exact on every row. extractor/texinfoleg.py; "
+    "fixtures/gentexinfo.py. Map-only: one pre-kernel repartition, "
+    "then synth + extract in sanctioned Arrow kernels, zero shuffle "
+    "after.",
+)
+def q190_texinfo_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    from toyocr_spark.pipeline import extract_pages
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("html", T.BinaryType(), False),
+        ]
+    )
+
+    def batches(it):
+        from toyocr_spark.fixtures.gentexinfo import build_texinfo
+
+        for b in it:
+            urls, blobs = [], []
+            for did, text in zip(b.column(0).to_pylist(), b.column(1).to_pylist()):
+                blobs.append(
+                    build_texinfo(
+                        f"Manual title {did} heading",
+                        [text],
+                        filename=f"chrome-{did}.info",
+                        copying=f"copying chrome {did}",
+                        comment=f"comment chrome {did}",
+                    )
+                )
+                urls.append(f"https://texi-{did}.example/manual.texi")
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()), pa.array(blobs, pa.binary())],
+                names=["url", "html"],
+            )
+
+    pages = d.mapInArrow(batches, schema)
+    out = extract_pages(pages)
+    return out.select(
+        "url", "extracted_text", F.col("n_kept").cast("int").alias("n_kept")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
 # The driver verifies only the FIRST 50 registry entries per round
 # (round 2: list(queries())[:50] == CORRECTNESS_r02 keys exactly), so
-# the registry is served priority-first. Round-5 window: 61 specs are
-# new this round (q129-q189) and cannot all fit, so the 50 slots hold
+# the registry is served priority-first. Round-5 window: 62 specs are
+# new this round (q129-q190) and cannot all fit, so the 50 slots hold
 # q116 (rows-only -> full planted-fixture oracle this round), the
 # flagship q25_extract, and the 48 new specs WITHOUT an in-window
 # sibling; the overflow picks each have a sibling in-window
@@ -11953,7 +12029,6 @@ _DRIVER_PRIORITY: list[str] = [
     "q155_politeness_schedule",  # new: q92 waves x robots Crawl-delay
     "q156_hits",  # new: integer-exact hubs & authorities (PageRank's twin)
     "q157_registrable_domain",  # new: eTLD+1 longest-suffix grouping
-    "q159_latex_extract",  # new: LaTeX format leg (arXiv .tex sources)
     "q162_anchor_text",  # new: per-target anchor-text profile (nofollow rule)
     "q163_wikitext_extract",  # new: MediaWiki wikitext leg (heading+evidence sniff)
     "q164_eml_extract",  # new: email leg (MIME walk, alternative pick-one)
@@ -11982,6 +12057,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q187_man_extract",  # new: man(7) troff leg (31st dispatch leg)
     "q188_adoc_extract",  # new: AsciiDoc leg (32nd dispatch leg)
     "q189_org_extract",  # new: Org-mode leg (33rd dispatch leg)
+    "q190_texinfo_extract",  # new: Texinfo leg (34th dispatch leg)
     "q116_sentence_align",  # oracle: rows-only -> planted closed form
     # flagship
     "q25_extract",
@@ -12002,6 +12078,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q158_csv_extract",  # overflow: structural-sniff + cell-walk family, q130+q163+q186+q188 in-window
     "q161_subtitle_extract",  # overflow: mandated-first-line near-magic family, q168+q187 in-window
     "q160_ipynb_extract",  # overflow: JSON-parser-walk sniff family, q185 in-window
+    "q159_latex_extract",  # overflow: backslash-command docs family, q190 in-window (+ tar path q153)
     # last driver row in round 2 (all 42)
     "q02_topk_per_group",
     "q03_local_max",
