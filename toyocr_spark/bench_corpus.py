@@ -172,11 +172,11 @@ def synth_office_pages(
     spark: SparkSession, sf_dir: str, replicas: int = 4, paragraphs: int = 4
 ) -> DataFrame:
     """Office twin of synth_pdf_pages: every page is a REAL container
-    document cycling the thirty-two non-HTML/PDF dispatch legs
+    document cycling the thirty-three non-HTML/PDF dispatch legs
     (docx, xlsx, pptx, epub, rtf, legacy .doc, .xls, .ppt, .mht,
     .odt, .ods, .odp, md, tar, csv, tex, ipynb, sub, wiki, eml,
     mbox, ics, zip, ps, fb2, mobi, jsonl, rst, man, adoc, org,
-    texi) with a heading,
+    texi, db) with a heading,
     ``paragraphs`` body paragraphs, and each format's native chrome.
     Container assembly cannot be a Column expression, so synthesis
     runs in one Arrow kernel — the materialized-corpus cache keeps it
@@ -206,6 +206,7 @@ def synth_office_pages(
         from toyocr_spark.fixtures import (
             gencsv,
             gendoc,
+            gendocbook,
             gendocx,
             genical,
             genipynb,
@@ -250,8 +251,8 @@ def synth_office_pages(
                     "ppt", "mht", "odt", "ods", "odp", "md", "tar", "csv",
                     "tex", "ipynb", "sub", "wiki", "eml", "mbox", "ics",
                     "zip", "ps", "fb2", "mobi", "jsonl", "rst", "man",
-                    "adoc", "org", "texi",
-                )[(did + rep) % 32]
+                    "adoc", "org", "texi", "db",
+                )[(did + rep) % 33]
                 title = f"Synthesized bench document {did} part {rep}"
                 paras = [text] * paragraphs
                 if fmt == "docx":
@@ -387,6 +388,19 @@ def synth_office_pages(
                             ),
                         ],
                         with_dir=True,
+                    )
+                elif fmt == "db":
+                    blob = gendocbook.build_docbook(
+                        title,
+                        paras,
+                        version=4 if rep % 2 == 0 else 5,
+                        author="bench author chrome",
+                        note="bench note chrome",
+                        listing=(
+                            ["bench listing content kept as one block"]
+                            if rep % 2
+                            else None
+                        ),
                     )
                 elif fmt == "texi":
                     blob = gentexinfo.build_texinfo(

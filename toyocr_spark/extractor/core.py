@@ -24,6 +24,7 @@ from toyocr_spark.extractor.docx import is_docx, tokenize_docx
 from toyocr_spark.extractor.epub import is_epub, tokenize_epub
 from toyocr_spark.extractor.layout import reading_order
 from toyocr_spark.extractor.csvleg import is_csv, tokenize_csv
+from toyocr_spark.extractor.docbookleg import is_docbook, tokenize_docbook
 from toyocr_spark.extractor.fb2leg import is_fb2, tokenize_fb2
 from toyocr_spark.extractor.icsleg import is_ics, tokenize_ics
 from toyocr_spark.extractor.mobileg import is_mobi, tokenize_mobi
@@ -276,6 +277,14 @@ def dispatch_blocks(html: bytes | str) -> list:
         fb2 = tokenize_fb2(html)
         if fb2:
             return fb2
+    if is_docbook(html):
+        # root-anchored '<'-led gate (the FictionBook rule): the root
+        # element must BE a DocBook division with DocBook evidence in
+        # the head; malformed XML tokenizes empty and falls through
+        # to the HTML tokenizer rather than zeroing the page
+        db = tokenize_docbook(html)
+        if db:
+            return db
     if is_subtitle(html):
         # near-magic sniffs: WebVTT's mandated "WEBVTT" header is a
         # de-facto magic; SRT's counter+timing two-line opener is

@@ -11994,13 +11994,95 @@ def q190_texinfo_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q191_docbook_extract",
+    """
+    SELECT 'https://db-' || CAST(doc_id AS VARCHAR) || '.example/book/index.xml' AS url,
+           'Docs page ' || CAST(doc_id AS VARCHAR) || ' heading'
+             || chr(10) || text AS extracted_text,
+           2 AS n_kept
+    FROM documents
+    """,
+    "DRIVER-CHECKABLE DocBook extraction — the thirty-fifth dispatch "
+    "leg, the technical-book XML of software-documentation crawls "
+    "(TLDP/Linux-HOWTO, GNOME/KDE/PHP manuals, O'Reilly-era book "
+    "sources). The gate is root-anchored (the FictionBook rule: the "
+    "ROOT element must BE a DocBook division — '<article>' is also "
+    "an HTML5 tag but never an HTML page's root) plus DocBook "
+    "evidence (namespace / OASIS DOCTYPE / <para>/<sect> tags); "
+    "malformed XML tokenizes empty and falls through to the HTML "
+    "tokenizer rather than zeroing the page. The fixture ROTATES "
+    "DB4 and DB5 by doc_id parity so BOTH title placements prove "
+    "out (DB4: <title> direct child + <articleinfo>; DB5: <title> "
+    "inside <info> — the one element read out of the metadata "
+    "block). Chrome battery per row: author/pubdate/abstract/"
+    "legalnotice metadata, a <note> admonition, a <footnote>, an "
+    "<indexterm>, an XML comment and a ulink-dominated nav para "
+    "(link text is link chars — dies by the shared density rule); "
+    "the body's first word rides an <emphasis> span. Closed-form "
+    "oracle: gate, both-version title walk, metadata drops and "
+    "footnote strip must be exact on every row. "
+    "extractor/docbookleg.py; fixtures/gendocbook.py. Map-only: one "
+    "pre-kernel repartition, then synth + extract in sanctioned "
+    "Arrow kernels, zero shuffle after.",
+)
+def q191_docbook_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    from toyocr_spark.pipeline import extract_pages
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("html", T.BinaryType(), False),
+        ]
+    )
+
+    def batches(it):
+        from toyocr_spark.fixtures.gendocbook import build_docbook
+
+        for b in it:
+            urls, blobs = [], []
+            for did, text in zip(b.column(0).to_pylist(), b.column(1).to_pylist()):
+                blobs.append(
+                    build_docbook(
+                        f"Docs page {did} heading",
+                        [text],
+                        version=4 if did % 2 == 0 else 5,
+                        host=f"nav-{did}.example",
+                        author=f"author chrome {did}",
+                        abstract=f"abstract chrome {did}",
+                        note=f"note chrome {did}",
+                        footnote=f"footnote chrome {did}",
+                    )
+                )
+                urls.append(f"https://db-{did}.example/book/index.xml")
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()), pa.array(blobs, pa.binary())],
+                names=["url", "html"],
+            )
+
+    pages = d.mapInArrow(batches, schema)
+    out = extract_pages(pages)
+    return out.select(
+        "url", "extracted_text", F.col("n_kept").cast("int").alias("n_kept")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
 # The driver verifies only the FIRST 50 registry entries per round
 # (round 2: list(queries())[:50] == CORRECTNESS_r02 keys exactly), so
-# the registry is served priority-first. Round-5 window: 62 specs are
-# new this round (q129-q190) and cannot all fit, so the 50 slots hold
+# the registry is served priority-first. Round-5 window: 63 specs are
+# new this round (q129-q191) and cannot all fit, so the 50 slots hold
 # q116 (rows-only -> full planted-fixture oracle this round), the
 # flagship q25_extract, and the 48 new specs WITHOUT an in-window
 # sibling; the overflow picks each have a sibling in-window
@@ -12031,7 +12113,6 @@ _DRIVER_PRIORITY: list[str] = [
     "q157_registrable_domain",  # new: eTLD+1 longest-suffix grouping
     "q162_anchor_text",  # new: per-target anchor-text profile (nofollow rule)
     "q163_wikitext_extract",  # new: MediaWiki wikitext leg (heading+evidence sniff)
-    "q164_eml_extract",  # new: email leg (MIME walk, alternative pick-one)
     "q165_thread_reconstruct",  # new: pointer-doubling thread roots+depths
     "q166_mbox_extract",  # new: mbox mailbox container (postmark walk)
     "q167_redirect_resolve",  # new: per-URL redirect canonicalization + loops
@@ -12058,6 +12139,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q188_adoc_extract",  # new: AsciiDoc leg (32nd dispatch leg)
     "q189_org_extract",  # new: Org-mode leg (33rd dispatch leg)
     "q190_texinfo_extract",  # new: Texinfo leg (34th dispatch leg)
+    "q191_docbook_extract",  # new: DocBook leg (35th dispatch leg)
     "q116_sentence_align",  # oracle: rows-only -> planted closed form
     # flagship
     "q25_extract",
@@ -12079,6 +12161,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q161_subtitle_extract",  # overflow: mandated-first-line near-magic family, q168+q187 in-window
     "q160_ipynb_extract",  # overflow: JSON-parser-walk sniff family, q185 in-window
     "q159_latex_extract",  # overflow: backslash-command docs family, q190 in-window (+ tar path q153)
+    "q164_eml_extract",  # overflow: MIME-walk family, q166_mbox in-window re-enters tokenize_eml per message
     # last driver row in round 2 (all 42)
     "q02_topk_per_group",
     "q03_local_max",
