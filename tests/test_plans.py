@@ -251,6 +251,7 @@ def test_relational_queries_have_no_python_nodes(spark, sf_dir):
         "q189_org_extract",      # Org-mode synth + extraction kernel
         "q190_texinfo_extract",  # Texinfo synth + extraction kernel
         "q191_docbook_extract",  # DocBook synth + extraction kernel
+        "q192_mdoc_extract",     # mdoc(7) synth + extraction kernel
     }
     markers = ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas",
                "MapInPandas", "PythonMapInArrow", "MapInArrow")

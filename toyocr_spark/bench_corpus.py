@@ -172,11 +172,11 @@ def synth_office_pages(
     spark: SparkSession, sf_dir: str, replicas: int = 4, paragraphs: int = 4
 ) -> DataFrame:
     """Office twin of synth_pdf_pages: every page is a REAL container
-    document cycling the thirty-three non-HTML/PDF dispatch legs
+    document cycling the thirty-four non-HTML/PDF dispatch legs
     (docx, xlsx, pptx, epub, rtf, legacy .doc, .xls, .ppt, .mht,
     .odt, .ods, .odp, md, tar, csv, tex, ipynb, sub, wiki, eml,
     mbox, ics, zip, ps, fb2, mobi, jsonl, rst, man, adoc, org,
-    texi, db) with a heading,
+    texi, db, mdoc) with a heading,
     ``paragraphs`` body paragraphs, and each format's native chrome.
     Container assembly cannot be a Column expression, so synthesis
     runs in one Arrow kernel — the materialized-corpus cache keeps it
@@ -213,6 +213,7 @@ def synth_office_pages(
             genmail,
             genlatex,
             genmd,
+            genmdoc,
             gentar,
             genodp,
             genods,
@@ -251,8 +252,8 @@ def synth_office_pages(
                     "ppt", "mht", "odt", "ods", "odp", "md", "tar", "csv",
                     "tex", "ipynb", "sub", "wiki", "eml", "mbox", "ics",
                     "zip", "ps", "fb2", "mobi", "jsonl", "rst", "man",
-                    "adoc", "org", "texi", "db",
-                )[(did + rep) % 33]
+                    "adoc", "org", "texi", "db", "mdoc",
+                )[(did + rep) % 34]
                 title = f"Synthesized bench document {did} part {rep}"
                 paras = [text] * paragraphs
                 if fmt == "docx":
@@ -388,6 +389,18 @@ def synth_office_pages(
                             ),
                         ],
                         with_dir=True,
+                    )
+                elif fmt == "mdoc":
+                    blob = genmdoc.build_mdoc(
+                        title,
+                        paras,
+                        comment="bench comment chrome",
+                        os_name="bench os chrome",
+                        items=(
+                            [("x", "bench option description long enough to keep")]
+                            if rep % 2
+                            else None
+                        ),
                     )
                 elif fmt == "db":
                     blob = gendocbook.build_docbook(

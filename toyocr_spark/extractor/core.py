@@ -30,6 +30,7 @@ from toyocr_spark.extractor.icsleg import is_ics, tokenize_ics
 from toyocr_spark.extractor.mobileg import is_mobi, tokenize_mobi
 from toyocr_spark.extractor.adocleg import is_adoc, tokenize_adoc
 from toyocr_spark.extractor.manleg import is_man, tokenize_man
+from toyocr_spark.extractor.mdocleg import is_mdoc, tokenize_mdoc
 from toyocr_spark.extractor.ndjsonleg import is_ndjson, tokenize_ndjson
 from toyocr_spark.extractor.orgleg import is_org, tokenize_org
 from toyocr_spark.extractor.rstleg import is_rst, tokenize_rst
@@ -296,6 +297,11 @@ def dispatch_blocks(html: bytes | str) -> list:
         # line-anchored dot-macro surface is structure prose cannot
         # fake — outranks every no-magic structural sniff below
         return tokenize_man(html)
+    if is_mdoc(html):
+        # the BSD half of the manual-page family: mdoc mandates the
+        # .Dd prologue macro man(7) pages never carry, so the two
+        # near-magic gates are disjoint by construction
+        return tokenize_mdoc(html)
     if is_ipynb(html):
         # JSON-structured: '{'-led head carrying the nbformat keys.
         # Runs before markdown so a notebook whose markdown cells

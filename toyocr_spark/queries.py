@@ -12076,13 +12076,88 @@ def q191_docbook_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q192_mdoc_extract",
+    """
+    SELECT 'https://mdoc-' || CAST(doc_id AS VARCHAR) || '.example/man1/cmd.1' AS url,
+           'Manual section ' || CAST(doc_id AS VARCHAR) || ' heading'
+             || chr(10) || text AS extracted_text,
+           2 AS n_kept
+    FROM documents
+    """,
+    "DRIVER-CHECKABLE mdoc(7) BSD man-page extraction — the "
+    "thirty-sixth dispatch leg, completing the manual-page family: "
+    "man(7) covers the GNU/Linux corpus (q187), mdoc the BSD one "
+    "(FreeBSD/OpenBSD/NetBSD/macOS man trees). The gate is the "
+    "mandated .Dd prologue macro plus mdoc macro evidence — man(7) "
+    "pages carry .TH and never .Dd, so the two near-magic gates are "
+    "disjoint by construction (trap-pinned both ways). Each row's "
+    "page carries the chrome battery the extractor must drop: a "
+    ".\\\" comment, the .Dd/.Dt/.Os prologue (header+footer chrome, "
+    "never read) and a link-dominated .Lk nav paragraph (label "
+    "chars are link chars — dies by the shared density rule); the "
+    "body's first word rides an .Em semantic macro that must render "
+    "to plain text through the bounded macro vocabulary. "
+    "Closed-form oracle: gate, prologue drops, macro rendering and "
+    "nav scoring must be exact on every row. extractor/mdocleg.py; "
+    "fixtures/genmdoc.py. Map-only: one pre-kernel repartition, "
+    "then synth + extract in sanctioned Arrow kernels, zero shuffle "
+    "after.",
+)
+def q192_mdoc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    from toyocr_spark.pipeline import extract_pages
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("html", T.BinaryType(), False),
+        ]
+    )
+
+    def batches(it):
+        from toyocr_spark.fixtures.genmdoc import build_mdoc
+
+        for b in it:
+            urls, blobs = [], []
+            for did, text in zip(b.column(0).to_pylist(), b.column(1).to_pylist()):
+                blobs.append(
+                    build_mdoc(
+                        f"Manual section {did} heading",
+                        [text],
+                        host=f"nav-{did}.example",
+                        comment=f"comment chrome {did}",
+                        os_name=f"os chrome {did}",
+                    )
+                )
+                urls.append(f"https://mdoc-{did}.example/man1/cmd.1")
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()), pa.array(blobs, pa.binary())],
+                names=["url", "html"],
+            )
+
+    pages = d.mapInArrow(batches, schema)
+    out = extract_pages(pages)
+    return out.select(
+        "url", "extracted_text", F.col("n_kept").cast("int").alias("n_kept")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
 # The driver verifies only the FIRST 50 registry entries per round
 # (round 2: list(queries())[:50] == CORRECTNESS_r02 keys exactly), so
-# the registry is served priority-first. Round-5 window: 63 specs are
-# new this round (q129-q191) and cannot all fit, so the 50 slots hold
+# the registry is served priority-first. Round-5 window: 64 specs are
+# new this round (q129-q192) and cannot all fit, so the 50 slots hold
 # q116 (rows-only -> full planted-fixture oracle this round), the
 # flagship q25_extract, and the 48 new specs WITHOUT an in-window
 # sibling; the overflow picks each have a sibling in-window
@@ -12106,7 +12181,6 @@ _DRIVER_PRIORITY: list[str] = [
     "q149_robots_wildcards",  # new: RFC 9309 wildcard robots admission
     "q150_hreflang_pairs",  # new: reciprocal hreflang bitext-page pairing
     "q151_microdata",  # new: schema.org microdata harvest (JSON-LD twin)
-    "q153_tar_extract",  # new: TAR multi-document bundle walk
     "q154_crawl_traps",  # new: URL-template-collapse trap-host detection
     "q155_politeness_schedule",  # new: q92 waves x robots Crawl-delay
     "q156_hits",  # new: integer-exact hubs & authorities (PageRank's twin)
@@ -12140,6 +12214,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q189_org_extract",  # new: Org-mode leg (33rd dispatch leg)
     "q190_texinfo_extract",  # new: Texinfo leg (34th dispatch leg)
     "q191_docbook_extract",  # new: DocBook leg (35th dispatch leg)
+    "q192_mdoc_extract",  # new: mdoc(7) BSD man leg (36th dispatch leg)
     "q116_sentence_align",  # oracle: rows-only -> planted closed form
     # flagship
     "q25_extract",
@@ -12162,6 +12237,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q160_ipynb_extract",  # overflow: JSON-parser-walk sniff family, q185 in-window
     "q159_latex_extract",  # overflow: backslash-command docs family, q190 in-window (+ tar path q153)
     "q164_eml_extract",  # overflow: MIME-walk family, q166_mbox in-window re-enters tokenize_eml per message
+    "q153_tar_extract",  # overflow: bundle-walk family, q170_zip in-window shares tarleg._member_blocks
     # last driver row in round 2 (all 42)
     "q02_topk_per_group",
     "q03_local_max",
