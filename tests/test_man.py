@@ -41,6 +41,10 @@ def test_gate_rejects_prose_and_lookalikes():
     assert not is_man(b".Dd Jan 1 2024\n.Sh NAME\n.Nm thing\n.Nd does things\n")
     # a sentence ending across lines ('...end.\nTH risk') stays prose
     assert not is_man(b"prose line one ends here.\nTH is not a macro start\n")
+    # a markup page QUOTING man source in <pre> stays markup
+    assert not is_man(
+        b"<html><body><pre>\n.TH GREP 1\n.SH NAME\n.PP\nx</pre></body></html>"
+    )
     assert not is_man(None)
 
 

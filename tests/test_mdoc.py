@@ -38,6 +38,10 @@ def test_gate_rejects_prose_and_man7():
     man = b".TH GREP 1\n.SH NAME\ngrep\n.PP\nbody text here\n"
     assert not is_mdoc(man) and is_man(man)
     assert not is_man(_doc())
+    # a markup page QUOTING mdoc source in <pre> stays markup
+    assert not is_mdoc(
+        b"<html><body><pre>\n.Dd Jan 1\n.Sh NAME\n.Nm x\n</pre></body></html>"
+    )
     assert not is_mdoc(None)
 
 

@@ -286,6 +286,18 @@ def dispatch_blocks(html: bytes | str) -> list:
         db = tokenize_docbook(html)
         if db:
             return db
+    lead = bytes(html[:256]).lstrip()
+    if lead[:1] == b"<":
+        # HTML fast path (a pure short-circuit, not a behavior
+        # change): every remaining gate rejects a '<' first
+        # significant byte — subtitles demand WEBVTT/a digit line,
+        # ipynb/ndjson demand '{', latex/texinfo a backslash line,
+        # man/mdoc/org/wikitext/rst/adoc/markdown/csv all test and
+        # reject '<' explicitly — so a markup-led page (the dominant
+        # crawl case) skips ~14 gates' 4 KB head decodes and goes
+        # straight to the HTML tokenizer. BOM-led pages keep the
+        # full chain (the gates see the BOM differently).
+        return tokenize(html)
     if is_subtitle(html):
         # near-magic sniffs: WebVTT's mandated "WEBVTT" header is a
         # de-facto magic; SRT's counter+timing two-line opener is

@@ -75,6 +75,10 @@ def is_man(data: bytes | str | None) -> bool:
     if not isinstance(data, (bytes, bytearray)) or not utf8_textish(data):
         return False
     head = bytes(data[:_SNIFF_BYTES]).decode("utf-8", errors="replace")
+    if head.lstrip()[:1] == "<":
+        # a markup page QUOTING man source (a <pre> man mirror) stays
+        # markup — the wikitext/rst first-byte rule
+        return False
     if not _TH_RE.search(head):
         return False
     return len(_MACRO_RE.findall(head)) >= 2
