@@ -172,11 +172,11 @@ def synth_office_pages(
     spark: SparkSession, sf_dir: str, replicas: int = 4, paragraphs: int = 4
 ) -> DataFrame:
     """Office twin of synth_pdf_pages: every page is a REAL container
-    document cycling the thirty-four non-HTML/PDF dispatch legs
+    document cycling the thirty-five non-HTML/PDF dispatch legs
     (docx, xlsx, pptx, epub, rtf, legacy .doc, .xls, .ppt, .mht,
     .odt, .ods, .odp, md, tar, csv, tex, ipynb, sub, wiki, eml,
     mbox, ics, zip, ps, fb2, mobi, jsonl, rst, man, adoc, org,
-    texi, db, mdoc) with a heading,
+    texi, db, mdoc, gmi) with a heading,
     ``paragraphs`` body paragraphs, and each format's native chrome.
     Container assembly cannot be a Column expression, so synthesis
     runs in one Arrow kernel — the materialized-corpus cache keeps it
@@ -224,6 +224,7 @@ def synth_office_pages(
             genxls,
             genepub,
             genfb2,
+            gengemtext,
             genmobi,
             genmht,
             genodt,
@@ -252,8 +253,8 @@ def synth_office_pages(
                     "ppt", "mht", "odt", "ods", "odp", "md", "tar", "csv",
                     "tex", "ipynb", "sub", "wiki", "eml", "mbox", "ics",
                     "zip", "ps", "fb2", "mobi", "jsonl", "rst", "man",
-                    "adoc", "org", "texi", "db", "mdoc",
-                )[(did + rep) % 34]
+                    "adoc", "org", "texi", "db", "mdoc", "gmi",
+                )[(did + rep) % 35]
                 title = f"Synthesized bench document {did} part {rep}"
                 paras = [text] * paragraphs
                 if fmt == "docx":
@@ -389,6 +390,16 @@ def synth_office_pages(
                             ),
                         ],
                         with_dir=True,
+                    )
+                elif fmt == "gmi":
+                    blob = gengemtext.build_gemtext(
+                        title,
+                        paras,
+                        items=(
+                            ["bench list item long enough to keep around"]
+                            if rep % 2
+                            else None
+                        ),
                     )
                 elif fmt == "mdoc":
                     blob = genmdoc.build_mdoc(

@@ -26,6 +26,7 @@ from toyocr_spark.extractor.layout import reading_order
 from toyocr_spark.extractor.csvleg import is_csv, tokenize_csv
 from toyocr_spark.extractor.docbookleg import is_docbook, tokenize_docbook
 from toyocr_spark.extractor.fb2leg import is_fb2, tokenize_fb2
+from toyocr_spark.extractor.gemtextleg import is_gemtext, tokenize_gemtext
 from toyocr_spark.extractor.icsleg import is_ics, tokenize_ics
 from toyocr_spark.extractor.mobileg import is_mobi, tokenize_mobi
 from toyocr_spark.extractor.adocleg import is_adoc, tokenize_adoc
@@ -348,6 +349,10 @@ def dispatch_blocks(html: bytes | str) -> list:
         # the '\input texinfo' bootstrap line (disjoint from latex's
         # \documentclass-led gate)
         return tokenize_texinfo(html)
+    if is_gemtext(html):
+        # '=>' link lines are gemtext-exclusive (fence-aware count),
+        # so the capsule gate outranks the weaker heading sniffs
+        return tokenize_gemtext(html)
     if is_wikitext(html):
         # third no-magic structural sniff: == Heading == lines plus
         # wikilink/template evidence — constructs neither markdown

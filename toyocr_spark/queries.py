@@ -12151,13 +12151,85 @@ def q192_mdoc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q193_gemtext_extract",
+    """
+    SELECT 'https://gmi-' || CAST(doc_id AS VARCHAR) || '.example/index.gmi' AS url,
+           'Capsule page ' || CAST(doc_id AS VARCHAR) || ' heading'
+             || chr(10) || text AS extracted_text,
+           2 AS n_kept
+    FROM documents
+    """,
+    "DRIVER-CHECKABLE gemtext extraction — the thirty-seventh "
+    "dispatch leg, Gemini-protocol capsules (text/gemini), widely "
+    "mirrored over HTTP by proxy portals and present in web-scale "
+    "crawls. Gemtext has no magic bytes and its heading/bullet "
+    "surface is markdown-forgeable, but its '=> url label' link "
+    "lines are gemtext-EXCLUSIVE — the gate demands >= 2 of them "
+    "with a FENCE-AWARE count (a markdown README whose code fences "
+    "hold '=>'-led Scala/Haskell arrows never counts them; "
+    "trap-pinned). Each row's capsule carries header AND footer nav "
+    "runs of short link lines — in gemtext every link is its own "
+    "line, 100% anchor text, so each dies by the shared density "
+    "rule exactly as an HTML nav anchor does — while the title "
+    "heading and the bare-line body paragraphs survive. Closed-form "
+    "oracle: gate, line walk and nav scoring must be exact on every "
+    "row. extractor/gemtextleg.py; fixtures/gengemtext.py. "
+    "Map-only: one pre-kernel repartition, then synth + extract in "
+    "sanctioned Arrow kernels, zero shuffle after.",
+)
+def q193_gemtext_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    from toyocr_spark.pipeline import extract_pages
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("html", T.BinaryType(), False),
+        ]
+    )
+
+    def batches(it):
+        from toyocr_spark.fixtures.gengemtext import build_gemtext
+
+        for b in it:
+            urls, blobs = [], []
+            for did, text in zip(b.column(0).to_pylist(), b.column(1).to_pylist()):
+                blobs.append(
+                    build_gemtext(
+                        f"Capsule page {did} heading",
+                        [text],
+                        host=f"nav-{did}.example",
+                    )
+                )
+                urls.append(f"https://gmi-{did}.example/index.gmi")
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()), pa.array(blobs, pa.binary())],
+                names=["url", "html"],
+            )
+
+    pages = d.mapInArrow(batches, schema)
+    out = extract_pages(pages)
+    return out.select(
+        "url", "extracted_text", F.col("n_kept").cast("int").alias("n_kept")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
 # The driver verifies only the FIRST 50 registry entries per round
 # (round 2: list(queries())[:50] == CORRECTNESS_r02 keys exactly), so
-# the registry is served priority-first. Round-5 window: 64 specs are
-# new this round (q129-q192) and cannot all fit, so the 50 slots hold
+# the registry is served priority-first. Round-5 window: 65 specs are
+# new this round (q129-q193) and cannot all fit, so the 50 slots hold
 # q116 (rows-only -> full planted-fixture oracle this round), the
 # flagship q25_extract, and the 48 new specs WITHOUT an in-window
 # sibling; the overflow picks each have a sibling in-window
@@ -12184,7 +12256,6 @@ _DRIVER_PRIORITY: list[str] = [
     "q154_crawl_traps",  # new: URL-template-collapse trap-host detection
     "q155_politeness_schedule",  # new: q92 waves x robots Crawl-delay
     "q156_hits",  # new: integer-exact hubs & authorities (PageRank's twin)
-    "q157_registrable_domain",  # new: eTLD+1 longest-suffix grouping
     "q162_anchor_text",  # new: per-target anchor-text profile (nofollow rule)
     "q163_wikitext_extract",  # new: MediaWiki wikitext leg (heading+evidence sniff)
     "q165_thread_reconstruct",  # new: pointer-doubling thread roots+depths
@@ -12215,6 +12286,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q190_texinfo_extract",  # new: Texinfo leg (34th dispatch leg)
     "q191_docbook_extract",  # new: DocBook leg (35th dispatch leg)
     "q192_mdoc_extract",  # new: mdoc(7) BSD man leg (36th dispatch leg)
+    "q193_gemtext_extract",  # new: gemtext capsule leg (37th dispatch leg)
     "q116_sentence_align",  # oracle: rows-only -> planted closed form
     # flagship
     "q25_extract",
@@ -12238,6 +12310,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q159_latex_extract",  # overflow: backslash-command docs family, q190 in-window (+ tar path q153)
     "q164_eml_extract",  # overflow: MIME-walk family, q166_mbox in-window re-enters tokenize_eml per message
     "q153_tar_extract",  # overflow: bundle-walk family, q170_zip in-window shares tarleg._member_blocks
+    "q157_registrable_domain",  # overflow: eTLD+1 grain, q182_host_disjoint_split in-window keys on it
     # last driver row in round 2 (all 42)
     "q02_topk_per_group",
     "q03_local_max",
