@@ -181,7 +181,12 @@ def bench_office_extraction(spark, sf_dir: str, cpus: int) -> dict:
 
     # cache key carries the format-cycle width: a corpus from an
     # older, narrower format cycle must never serve this leg's timing
-    path = f"{CORPUS_CACHE}_office20_{sf_of(sf_dir)}_r{OFFICE_REPLICAS}"
+    from toyocr_spark.bench_corpus import OFFICE_FORMATS
+
+    path = (
+        f"{CORPUS_CACHE}_office{len(OFFICE_FORMATS)}_"
+        f"{sf_of(sf_dir)}_r{OFFICE_REPLICAS}"
+    )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         tmp = path + ".build"
         materialize_office_corpus(spark, sf_dir, tmp, replicas=OFFICE_REPLICAS)

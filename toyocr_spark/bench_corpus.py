@@ -40,6 +40,18 @@ _FOOTER = (
     "<a href='/tos'>terms</a> <a href='/privacy'>privacy</a></p></footer>"
 )
 
+# the office-corpus format cycle, hoisted so bench.py can key its
+# corpus cache on len(OFFICE_FORMATS): a corpus materialized under an
+# older, NARROWER cycle must never serve the office timing leg (the
+# frozen-'office20'-key staleness trap)
+OFFICE_FORMATS = (
+    "docx", "xlsx", "pptx", "epub", "rtf", "doc", "xls",
+    "ppt", "mht", "odt", "ods", "odp", "md", "tar", "csv",
+    "tex", "ipynb", "sub", "wiki", "eml", "mbox", "ics",
+    "zip", "ps", "fb2", "mobi", "jsonl", "rst", "man",
+    "adoc", "org", "texi", "db", "mdoc", "gmi",
+)
+
 
 def synth_pages(
     spark: SparkSession, sf_dir: str, replicas: int = 4, sections: int = 12
@@ -248,13 +260,7 @@ def synth_office_pages(
                 b.column(2).to_pylist(),
                 b.column(3).to_pylist(),
             ):
-                fmt = (
-                    "docx", "xlsx", "pptx", "epub", "rtf", "doc", "xls",
-                    "ppt", "mht", "odt", "ods", "odp", "md", "tar", "csv",
-                    "tex", "ipynb", "sub", "wiki", "eml", "mbox", "ics",
-                    "zip", "ps", "fb2", "mobi", "jsonl", "rst", "man",
-                    "adoc", "org", "texi", "db", "mdoc", "gmi",
-                )[(did + rep) % 35]
+                fmt = OFFICE_FORMATS[(did + rep) % len(OFFICE_FORMATS)]
                 title = f"Synthesized bench document {did} part {rep}"
                 paras = [text] * paragraphs
                 if fmt == "docx":
