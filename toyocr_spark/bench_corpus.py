@@ -49,7 +49,7 @@ OFFICE_FORMATS = (
     "ppt", "mht", "odt", "ods", "odp", "md", "tar", "csv",
     "tex", "ipynb", "sub", "wiki", "eml", "mbox", "ics",
     "zip", "ps", "fb2", "mobi", "jsonl", "rst", "man",
-    "adoc", "org", "texi", "db", "mdoc", "gmi",
+    "adoc", "org", "texi", "db", "mdoc", "gmi", "po",
 )
 
 
@@ -184,11 +184,11 @@ def synth_office_pages(
     spark: SparkSession, sf_dir: str, replicas: int = 4, paragraphs: int = 4
 ) -> DataFrame:
     """Office twin of synth_pdf_pages: every page is a REAL container
-    document cycling the thirty-five non-HTML/PDF dispatch legs
+    document cycling the thirty-six non-HTML/PDF dispatch legs
     (docx, xlsx, pptx, epub, rtf, legacy .doc, .xls, .ppt, .mht,
     .odt, .ods, .odp, md, tar, csv, tex, ipynb, sub, wiki, eml,
     mbox, ics, zip, ps, fb2, mobi, jsonl, rst, man, adoc, org,
-    texi, db, mdoc, gmi) with a heading,
+    texi, db, mdoc, gmi, po) with a heading,
     ``paragraphs`` body paragraphs, and each format's native chrome.
     Container assembly cannot be a Column expression, so synthesis
     runs in one Arrow kernel — the materialized-corpus cache keeps it
@@ -230,6 +230,7 @@ def synth_office_pages(
             genodp,
             genods,
             genorg,
+            genpo,
             genppt,
             genps,
             gentexinfo,
@@ -396,6 +397,16 @@ def synth_office_pages(
                             ),
                         ],
                         with_dir=True,
+                    )
+                elif fmt == "po":
+                    blob = genpo.build_po(
+                        [
+                            (f"bench source {j} chrome", x)
+                            for j, x in enumerate([title, *paras])
+                        ],
+                        project="bench project chrome",
+                        comment="bench comment chrome",
+                        multiline_index=1 if rep % 2 else None,
                     )
                 elif fmt == "gmi":
                     blob = gengemtext.build_gemtext(

@@ -49,6 +49,7 @@ from toyocr_spark.extractor.odp import is_odp, tokenize_odp
 from toyocr_spark.extractor.ods import is_ods, tokenize_ods
 from toyocr_spark.extractor.odt import is_odt, tokenize_odt
 from toyocr_spark.extractor.pdf import is_pdf, tokenize_pdf
+from toyocr_spark.extractor.poleg import is_po, tokenize_po
 from toyocr_spark.extractor.ppt import is_ppt, tokenize_ppt
 from toyocr_spark.extractor.psleg import is_ps, tokenize_ps
 from toyocr_spark.extractor.pptx import is_pptx, tokenize_pptx
@@ -349,6 +350,10 @@ def dispatch_blocks(html: bytes | str) -> list:
         # the '\input texinfo' bootstrap line (disjoint from latex's
         # \documentclass-led gate)
         return tokenize_texinfo(html)
+    if is_po(html):
+        # paired line-anchored msgid/msgstr keywords are PO-exclusive;
+        # translated, non-fuzzy msgstr prose is the content
+        return tokenize_po(html)
     if is_gemtext(html):
         # '=>' link lines are gemtext-exclusive (fence-aware count),
         # so the capsule gate outranks the weaker heading sniffs

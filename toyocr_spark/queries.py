@@ -12223,13 +12223,92 @@ def q193_gemtext_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q194_po_extract",
+    """
+    SELECT 'https://po-' || CAST(doc_id AS VARCHAR) || '.example/locale/app.po' AS url,
+           'Catalog title ' || CAST(doc_id AS VARCHAR) || ' target'
+             || chr(10) || text AS extracted_text,
+           2 AS n_kept
+    FROM documents
+    """,
+    "DRIVER-CHECKABLE gettext PO catalog extraction — the "
+    "thirty-eighth dispatch leg, the localization format of the "
+    "GNU/Linux + web-app ecosystem (source tarballs, "
+    "translation-platform exports): a first-class parallel-text "
+    "source for multilingual corpora. The gate is the PO-exclusive "
+    "paired line-anchored msgid/msgstr surface (>= 2 pairs). Each "
+    "row's catalog carries the full machinery the extractor must "
+    "drop: the header entry (Project-Id-Version/charset metadata — "
+    "the docProps discipline), all four comment flavors, a msgctxt "
+    "disambiguator, the msgid SOURCE strings (the translation is "
+    "the content; pairs surface through po_pairs for bitext "
+    "mining), a '#, fuzzy' machine-merged entry, an untranslated "
+    "entry and a '#~' obsolete entry — none may leak; the title "
+    "msgstr rides a string CONTINUATION split that must concatenate "
+    "through the real unescape. Closed-form oracle: gate, entry "
+    "walk, continuation join and every exclusion must be exact on "
+    "every row. extractor/poleg.py; fixtures/genpo.py. Map-only: "
+    "one pre-kernel repartition, then synth + extract in sanctioned "
+    "Arrow kernels, zero shuffle after.",
+)
+def q194_po_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    from toyocr_spark.pipeline import extract_pages
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("html", T.BinaryType(), False),
+        ]
+    )
+
+    def batches(it):
+        from toyocr_spark.fixtures.genpo import build_po
+
+        for b in it:
+            urls, blobs = [], []
+            for did, text in zip(b.column(0).to_pylist(), b.column(1).to_pylist()):
+                blobs.append(
+                    build_po(
+                        [
+                            (f"source title {did} chrome", f"Catalog title {did} target"),
+                            (f"source body {did} chrome", text),
+                        ],
+                        project=f"project chrome {did}",
+                        comment=f"comment chrome {did}",
+                        msgctxt=f"context chrome {did}",
+                        multiline_index=0,
+                    )
+                )
+                urls.append(f"https://po-{did}.example/locale/app.po")
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()), pa.array(blobs, pa.binary())],
+                names=["url", "html"],
+            )
+
+    pages = d.mapInArrow(batches, schema)
+    out = extract_pages(pages)
+    return out.select(
+        "url", "extracted_text", F.col("n_kept").cast("int").alias("n_kept")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
 # The driver verifies only the FIRST 50 registry entries per round
 # (round 2: list(queries())[:50] == CORRECTNESS_r02 keys exactly), so
-# the registry is served priority-first. Round-5 window: 65 specs are
-# new this round (q129-q193) and cannot all fit, so the 50 slots hold
+# the registry is served priority-first. Round-5 window: 66 specs are
+# new this round (q129-q194) and cannot all fit, so the 50 slots hold
 # q116 (rows-only -> full planted-fixture oracle this round), the
 # flagship q25_extract, and the 48 new specs WITHOUT an in-window
 # sibling; the overflow picks each have a sibling in-window
@@ -12250,7 +12329,6 @@ _DRIVER_PRIORITY: list[str] = [
     "q139_odt_extract",  # new: OpenDocument Text (ODF package walk)
     "q140_xls_extract",  # new: legacy binary Excel (BIFF8 over CFB)
     "q147_atom_feeds",  # new: Atom feed ingestion (attribute links, rel gate)
-    "q149_robots_wildcards",  # new: RFC 9309 wildcard robots admission
     "q150_hreflang_pairs",  # new: reciprocal hreflang bitext-page pairing
     "q151_microdata",  # new: schema.org microdata harvest (JSON-LD twin)
     "q154_crawl_traps",  # new: URL-template-collapse trap-host detection
@@ -12287,6 +12365,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q191_docbook_extract",  # new: DocBook leg (35th dispatch leg)
     "q192_mdoc_extract",  # new: mdoc(7) BSD man leg (36th dispatch leg)
     "q193_gemtext_extract",  # new: gemtext capsule leg (37th dispatch leg)
+    "q194_po_extract",  # new: gettext PO catalog leg (38th dispatch leg)
     "q116_sentence_align",  # oracle: rows-only -> planted closed form
     # flagship
     "q25_extract",
@@ -12311,6 +12390,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q164_eml_extract",  # overflow: MIME-walk family, q166_mbox in-window re-enters tokenize_eml per message
     "q153_tar_extract",  # overflow: bundle-walk family, q170_zip in-window shares tarleg._member_blocks
     "q157_registrable_domain",  # overflow: eTLD+1 grain, q182_host_disjoint_split in-window keys on it
+    "q149_robots_wildcards",  # overflow: robots admission family, q155_politeness in-window composes Crawl-delay
     # last driver row in round 2 (all 42)
     "q02_topk_per_group",
     "q03_local_max",
