@@ -254,6 +254,7 @@ def test_relational_queries_have_no_python_nodes(spark, sf_dir):
         "q192_mdoc_extract",     # mdoc(7) synth + extraction kernel
         "q193_gemtext_extract",  # gemtext synth + extraction kernel
         "q194_po_extract",       # PO-catalog synth + extraction kernel
+        "q195_ttml_extract",     # TTML-caption synth + extraction kernel
     }
     markers = ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas",
                "MapInPandas", "PythonMapInArrow", "MapInArrow")

@@ -49,7 +49,7 @@ OFFICE_FORMATS = (
     "ppt", "mht", "odt", "ods", "odp", "md", "tar", "csv",
     "tex", "ipynb", "sub", "wiki", "eml", "mbox", "ics",
     "zip", "ps", "fb2", "mobi", "jsonl", "rst", "man",
-    "adoc", "org", "texi", "db", "mdoc", "gmi", "po",
+    "adoc", "org", "texi", "db", "mdoc", "gmi", "po", "ttml",
 )
 
 
@@ -184,11 +184,11 @@ def synth_office_pages(
     spark: SparkSession, sf_dir: str, replicas: int = 4, paragraphs: int = 4
 ) -> DataFrame:
     """Office twin of synth_pdf_pages: every page is a REAL container
-    document cycling the thirty-six non-HTML/PDF dispatch legs
+    document cycling the thirty-seven non-HTML/PDF dispatch legs
     (docx, xlsx, pptx, epub, rtf, legacy .doc, .xls, .ppt, .mht,
     .odt, .ods, .odp, md, tar, csv, tex, ipynb, sub, wiki, eml,
     mbox, ics, zip, ps, fb2, mobi, jsonl, rst, man, adoc, org,
-    texi, db, mdoc, gmi, po) with a heading,
+    texi, db, mdoc, gmi, po, ttml) with a heading,
     ``paragraphs`` body paragraphs, and each format's native chrome.
     Container assembly cannot be a Column expression, so synthesis
     runs in one Arrow kernel — the materialized-corpus cache keeps it
@@ -227,6 +227,7 @@ def synth_office_pages(
             genmd,
             genmdoc,
             gentar,
+            genttml,
             genodp,
             genods,
             genorg,
@@ -397,6 +398,13 @@ def synth_office_pages(
                             ),
                         ],
                         with_dir=True,
+                    )
+                elif fmt == "ttml":
+                    blob = genttml.build_ttml(
+                        [title, *paras],
+                        legacy_ns=bool(rep % 2),
+                        title="bench head title chrome",
+                        with_br=bool(rep % 2),
                     )
                 elif fmt == "po":
                     blob = genpo.build_po(

@@ -45,6 +45,7 @@ from toyocr_spark.extractor.mbox import is_mbox, tokenize_mbox
 from toyocr_spark.extractor.mhtml import is_mhtml, tokenize_mhtml
 from toyocr_spark.extractor.tarleg import is_tar, tokenize_tar
 from toyocr_spark.extractor.texinfoleg import is_texinfo, tokenize_texinfo
+from toyocr_spark.extractor.ttmlleg import is_ttml, tokenize_ttml
 from toyocr_spark.extractor.odp import is_odp, tokenize_odp
 from toyocr_spark.extractor.ods import is_ods, tokenize_ods
 from toyocr_spark.extractor.odt import is_odt, tokenize_odt
@@ -288,6 +289,13 @@ def dispatch_blocks(html: bytes | str) -> list:
         db = tokenize_docbook(html)
         if db:
             return db
+    if is_ttml(html):
+        # namespace-anchored <tt> root (the fb2/docbook rule):
+        # broadcast caption XML; malformed XML tokenizes empty and
+        # falls through to the HTML tokenizer
+        tt = tokenize_ttml(html)
+        if tt:
+            return tt
     lead = bytes(html[:256]).lstrip()
     if lead[:1] == b"<":
         # HTML fast path (a pure short-circuit, not a behavior

@@ -12302,13 +12302,90 @@ def q194_po_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q195_ttml_extract",
+    """
+    SELECT 'https://ttml-' || CAST(doc_id AS VARCHAR) || '.example/captions.ttml' AS url,
+           'Caption track ' || CAST(doc_id AS VARCHAR) || ' opener'
+             || chr(10) || text AS extracted_text,
+           2 AS n_kept
+    FROM documents
+    """,
+    "DRIVER-CHECKABLE TTML caption extraction — the thirty-ninth "
+    "dispatch leg, the broadcast/streaming XML caption interchange "
+    "format (.ttml/.dfxp: IMSC, SMPTE-TT, Netflix/iTunes delivery) — "
+    "the XML sibling of the WebVTT/SRT leg and the same "
+    "spoken-register training source. The gate is namespace-anchored "
+    "(the fb2/docbook root rule): the root must be <tt> DECLARING a "
+    "TTML namespace — a bare <tt> of another dialect or an HTML "
+    "teletype element never matches; malformed XML tokenizes empty "
+    "and falls through to the HTML tokenizer. The fixture ROTATES "
+    "the current and legacy (2006 ttaf1) namespaces by doc_id "
+    "parity, splits cues across <br/> (joins as a space) and wraps "
+    "opening words in styled <span>s (inner text keeps, markup "
+    "weight counted); the whole <head> subtree (title/copyright "
+    "metadata, styling, layout regions) and cue timing attributes "
+    "are format-declared chrome. Closed-form oracle: gate, cue walk, "
+    "br/span resolution and head exclusion must be exact on every "
+    "row. extractor/ttmlleg.py; fixtures/genttml.py. Map-only: one "
+    "pre-kernel repartition, then synth + extract in sanctioned "
+    "Arrow kernels, zero shuffle after.",
+)
+def q195_ttml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    from toyocr_spark.pipeline import extract_pages
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("html", T.BinaryType(), False),
+        ]
+    )
+
+    def batches(it):
+        from toyocr_spark.fixtures.genttml import build_ttml
+
+        for b in it:
+            urls, blobs = [], []
+            for did, text in zip(b.column(0).to_pylist(), b.column(1).to_pylist()):
+                blobs.append(
+                    build_ttml(
+                        [f"Caption track {did} opener", text],
+                        legacy_ns=bool(did % 2),
+                        title=f"head title chrome {did}",
+                        copyright_text=f"copyright chrome {did}",
+                        with_spans=True,
+                        with_br=True,
+                    )
+                )
+                urls.append(f"https://ttml-{did}.example/captions.ttml")
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()), pa.array(blobs, pa.binary())],
+                names=["url", "html"],
+            )
+
+    pages = d.mapInArrow(batches, schema)
+    out = extract_pages(pages)
+    return out.select(
+        "url", "extracted_text", F.col("n_kept").cast("int").alias("n_kept")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
 # The driver verifies only the FIRST 50 registry entries per round
 # (round 2: list(queries())[:50] == CORRECTNESS_r02 keys exactly), so
-# the registry is served priority-first. Round-5 window: 66 specs are
-# new this round (q129-q194) and cannot all fit, so the 50 slots hold
+# the registry is served priority-first. Round-5 window: 67 specs are
+# new this round (q129-q195) and cannot all fit, so the 50 slots hold
 # q116 (rows-only -> full planted-fixture oracle this round), the
 # flagship q25_extract, and the 48 new specs WITHOUT an in-window
 # sibling; the overflow picks each have a sibling in-window
@@ -12334,7 +12411,6 @@ _DRIVER_PRIORITY: list[str] = [
     "q154_crawl_traps",  # new: URL-template-collapse trap-host detection
     "q155_politeness_schedule",  # new: q92 waves x robots Crawl-delay
     "q156_hits",  # new: integer-exact hubs & authorities (PageRank's twin)
-    "q162_anchor_text",  # new: per-target anchor-text profile (nofollow rule)
     "q163_wikitext_extract",  # new: MediaWiki wikitext leg (heading+evidence sniff)
     "q165_thread_reconstruct",  # new: pointer-doubling thread roots+depths
     "q166_mbox_extract",  # new: mbox mailbox container (postmark walk)
@@ -12366,6 +12442,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q192_mdoc_extract",  # new: mdoc(7) BSD man leg (36th dispatch leg)
     "q193_gemtext_extract",  # new: gemtext capsule leg (37th dispatch leg)
     "q194_po_extract",  # new: gettext PO catalog leg (38th dispatch leg)
+    "q195_ttml_extract",  # new: TTML caption leg (39th dispatch leg)
     "q116_sentence_align",  # oracle: rows-only -> planted closed form
     # flagship
     "q25_extract",
@@ -12391,6 +12468,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q153_tar_extract",  # overflow: bundle-walk family, q170_zip in-window shares tarleg._member_blocks
     "q157_registrable_domain",  # overflow: eTLD+1 grain, q182_host_disjoint_split in-window keys on it
     "q149_robots_wildcards",  # overflow: robots admission family, q155_politeness in-window composes Crawl-delay
+    "q162_anchor_text",  # overflow: pure-Column regexp-harvest + two-level agg, q135+q183 in-window
     # last driver row in round 2 (all 42)
     "q02_topk_per_group",
     "q03_local_max",
