@@ -49,7 +49,7 @@ OFFICE_FORMATS = (
     "ppt", "mht", "odt", "ods", "odp", "md", "tar", "csv",
     "tex", "ipynb", "sub", "wiki", "eml", "mbox", "ics",
     "zip", "ps", "fb2", "mobi", "jsonl", "rst", "man",
-    "adoc", "org", "texi", "db", "mdoc", "gmi", "po", "ttml",
+    "adoc", "org", "texi", "db", "mdoc", "gmi", "po", "ttml", "bib",
 )
 
 
@@ -184,11 +184,11 @@ def synth_office_pages(
     spark: SparkSession, sf_dir: str, replicas: int = 4, paragraphs: int = 4
 ) -> DataFrame:
     """Office twin of synth_pdf_pages: every page is a REAL container
-    document cycling the thirty-seven non-HTML/PDF dispatch legs
+    document cycling the thirty-eight non-HTML/PDF dispatch legs
     (docx, xlsx, pptx, epub, rtf, legacy .doc, .xls, .ppt, .mht,
     .odt, .ods, .odp, md, tar, csv, tex, ipynb, sub, wiki, eml,
     mbox, ics, zip, ps, fb2, mobi, jsonl, rst, man, adoc, org,
-    texi, db, mdoc, gmi, po, ttml) with a heading,
+    texi, db, mdoc, gmi, po, ttml, bib) with a heading,
     ``paragraphs`` body paragraphs, and each format's native chrome.
     Container assembly cannot be a Column expression, so synthesis
     runs in one Arrow kernel — the materialized-corpus cache keeps it
@@ -216,6 +216,7 @@ def synth_office_pages(
         from datetime import datetime, timezone
 
         from toyocr_spark.fixtures import (
+            genbib,
             gencsv,
             gendoc,
             gendocbook,
@@ -398,6 +399,13 @@ def synth_office_pages(
                             ),
                         ],
                         with_dir=True,
+                    )
+                elif fmt == "bib":
+                    blob = genbib.build_bib(
+                        [(title, "\n\n".join(paras))],
+                        author="Chrome, Bench Author",
+                        comment="bench comment chrome",
+                        concat_index=0 if rep % 2 else None,
                     )
                 elif fmt == "ttml":
                     blob = genttml.build_ttml(

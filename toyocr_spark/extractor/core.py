@@ -30,6 +30,7 @@ from toyocr_spark.extractor.gemtextleg import is_gemtext, tokenize_gemtext
 from toyocr_spark.extractor.icsleg import is_ics, tokenize_ics
 from toyocr_spark.extractor.mobileg import is_mobi, tokenize_mobi
 from toyocr_spark.extractor.adocleg import is_adoc, tokenize_adoc
+from toyocr_spark.extractor.bibleg import is_bibtex, tokenize_bibtex
 from toyocr_spark.extractor.manleg import is_man, tokenize_man
 from toyocr_spark.extractor.mdocleg import is_mdoc, tokenize_mdoc
 from toyocr_spark.extractor.ndjsonleg import is_ndjson, tokenize_ndjson
@@ -358,6 +359,10 @@ def dispatch_blocks(html: bytes | str) -> list:
         # the '\input texinfo' bootstrap line (disjoint from latex's
         # \documentclass-led gate)
         return tokenize_texinfo(html)
+    if is_bibtex(html):
+        # line-anchored @type{key, entry heads are bib-exclusive;
+        # titles + abstracts are the prose a corpus wants
+        return tokenize_bibtex(html)
     if is_po(html):
         # paired line-anchored msgid/msgstr keywords are PO-exclusive;
         # translated, non-fuzzy msgstr prose is the content
