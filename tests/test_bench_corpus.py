@@ -11,7 +11,7 @@ from toyocr_spark.bench_corpus import synth_office_pages
 from toyocr_spark.pipeline import run_extraction
 
 
-def test_office_bench_corpus_extracts_all_thirtyeight_formats(spark, sf_dir):
+def test_office_bench_corpus_extracts_all_thirtynine_formats(spark, sf_dir):
     pages = synth_office_pages(spark, sf_dir, replicas=2).cache()
     try:
         res = run_extraction(pages, num_partitions=4).cache()
@@ -40,7 +40,7 @@ def test_office_bench_corpus_extracts_all_thirtyeight_formats(spark, sf_dir):
             "mht", "odt", "ods", "odp", "md", "tar", "csv", "tex",
             "ipynb", "sub", "wiki", "eml", "mbox", "ics", "zip", "ps",
             "fb2", "mobi", "jsonl", "rst", "man", "adoc", "org", "texi",
-            "db", "mdoc", "gmi", "po", "ttml", "bib",
+            "db", "mdoc", "gmi", "po", "ttml", "bib", "ms",
         }
         n_docs = pages.count()
         assert res.count() == n_docs

@@ -256,6 +256,7 @@ def test_relational_queries_have_no_python_nodes(spark, sf_dir):
         "q194_po_extract",       # PO-catalog synth + extraction kernel
         "q195_ttml_extract",     # TTML-caption synth + extraction kernel
         "q196_bibtex_extract",   # BibTeX synth + extraction kernel
+        "q197_ms_extract",       # troff-ms synth + extraction kernel
     }
     markers = ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas",
                "MapInPandas", "PythonMapInArrow", "MapInArrow")

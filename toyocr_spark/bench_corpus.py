@@ -50,6 +50,7 @@ OFFICE_FORMATS = (
     "tex", "ipynb", "sub", "wiki", "eml", "mbox", "ics",
     "zip", "ps", "fb2", "mobi", "jsonl", "rst", "man",
     "adoc", "org", "texi", "db", "mdoc", "gmi", "po", "ttml", "bib",
+    "ms",
 )
 
 
@@ -184,11 +185,11 @@ def synth_office_pages(
     spark: SparkSession, sf_dir: str, replicas: int = 4, paragraphs: int = 4
 ) -> DataFrame:
     """Office twin of synth_pdf_pages: every page is a REAL container
-    document cycling the thirty-eight non-HTML/PDF dispatch legs
+    document cycling the thirty-nine non-HTML/PDF dispatch legs
     (docx, xlsx, pptx, epub, rtf, legacy .doc, .xls, .ppt, .mht,
     .odt, .ods, .odp, md, tar, csv, tex, ipynb, sub, wiki, eml,
     mbox, ics, zip, ps, fb2, mobi, jsonl, rst, man, adoc, org,
-    texi, db, mdoc, gmi, po, ttml, bib) with a heading,
+    texi, db, mdoc, gmi, po, ttml, bib, ms) with a heading,
     ``paragraphs`` body paragraphs, and each format's native chrome.
     Container assembly cannot be a Column expression, so synthesis
     runs in one Arrow kernel — the materialized-corpus cache keeps it
@@ -241,6 +242,7 @@ def synth_office_pages(
             genfb2,
             gengemtext,
             genmobi,
+            genms,
             genmht,
             genodt,
             genpptx,
@@ -399,6 +401,19 @@ def synth_office_pages(
                             ),
                         ],
                         with_dir=True,
+                    )
+                elif fmt == "ms":
+                    blob = genms.build_ms(
+                        title,
+                        paras,
+                        author="bench author chrome",
+                        comment="bench comment chrome",
+                        footnote="bench footnote chrome",
+                        display=(
+                            ["bench display content kept as one block"]
+                            if rep % 2
+                            else None
+                        ),
                     )
                 elif fmt == "bib":
                     blob = genbib.build_bib(

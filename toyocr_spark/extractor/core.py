@@ -33,6 +33,7 @@ from toyocr_spark.extractor.adocleg import is_adoc, tokenize_adoc
 from toyocr_spark.extractor.bibleg import is_bibtex, tokenize_bibtex
 from toyocr_spark.extractor.manleg import is_man, tokenize_man
 from toyocr_spark.extractor.mdocleg import is_mdoc, tokenize_mdoc
+from toyocr_spark.extractor.msleg import is_ms, tokenize_ms
 from toyocr_spark.extractor.ndjsonleg import is_ndjson, tokenize_ndjson
 from toyocr_spark.extractor.orgleg import is_org, tokenize_org
 from toyocr_spark.extractor.rstleg import is_rst, tokenize_rst
@@ -325,6 +326,10 @@ def dispatch_blocks(html: bytes | str) -> list:
         # .Dd prologue macro man(7) pages never carry, so the two
         # near-magic gates are disjoint by construction
         return tokenize_mdoc(html)
+    if is_ms(html):
+        # the troff trio's third mandated macro: papers lead with
+        # .TL, which .TH-gated man and .Dd-gated mdoc never carry
+        return tokenize_ms(html)
     if is_ipynb(html):
         # JSON-structured: '{'-led head carrying the nbformat keys.
         # Runs before markdown so a notebook whose markdown cells

@@ -12457,13 +12457,90 @@ def q196_bibtex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q197_ms_extract",
+    """
+    SELECT 'https://ms-' || CAST(doc_id AS VARCHAR) || '.example/papers/tr.ms' AS url,
+           'Planted report ' || CAST(doc_id AS VARCHAR) || ' title'
+             || chr(10) || text AS extracted_text,
+           2 AS n_kept
+    FROM documents
+    """,
+    "DRIVER-CHECKABLE troff ms paper extraction — the forty-first "
+    "dispatch leg, completing the troff trio: man(7) manuals (q187), "
+    "mdoc(7) BSD manuals (q192), and ms PAPERS — the Bell Labs "
+    "technical-report/USENIX format of software archives and "
+    "historical computing corpora. The three gates are pairwise "
+    "disjoint by their mandated macros (.TH / .Dd / .TL — "
+    "trap-pinned in all directions). Each row's paper carries the "
+    "chrome battery the extractor must drop: a comment, .AU/.AI "
+    "byline metadata (the docProps discipline), an .FS...FE "
+    "footnote and an .EQ...EN eqn-source plant; the .TL title "
+    "collects its following text lines and the body's first word "
+    "rides a \\fB...\\fR font span resolved through the SHARED "
+    "troff helpers (extractor/manleg._unescape — one escape grammar "
+    "across the trio). Closed-form oracle: gate, title collection, "
+    "font strip and chrome drops must be exact on every row. "
+    "extractor/msleg.py; fixtures/genms.py. Map-only: one "
+    "pre-kernel repartition, then synth + extract in sanctioned "
+    "Arrow kernels, zero shuffle after.",
+)
+def q197_ms_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    from toyocr_spark.pipeline import extract_pages
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("html", T.BinaryType(), False),
+        ]
+    )
+
+    def batches(it):
+        from toyocr_spark.fixtures.genms import build_ms
+
+        for b in it:
+            urls, blobs = [], []
+            for did, text in zip(b.column(0).to_pylist(), b.column(1).to_pylist()):
+                blobs.append(
+                    build_ms(
+                        f"Planted report {did} title",
+                        [text],
+                        author=f"author chrome {did}",
+                        institution=f"institute chrome {did}",
+                        comment=f"comment chrome {did}",
+                        footnote=f"footnote chrome {did}",
+                        equation=f"equation chrome {did}",
+                    )
+                )
+                urls.append(f"https://ms-{did}.example/papers/tr.ms")
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(urls, pa.string()), pa.array(blobs, pa.binary())],
+                names=["url", "html"],
+            )
+
+    pages = d.mapInArrow(batches, schema)
+    out = extract_pages(pages)
+    return out.select(
+        "url", "extracted_text", F.col("n_kept").cast("int").alias("n_kept")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public accessors (the __spark_entry__ contract)
 
 # The driver verifies only the FIRST 50 registry entries per round
 # (round 2: list(queries())[:50] == CORRECTNESS_r02 keys exactly), so
-# the registry is served priority-first. Round-5 window: 68 specs are
-# new this round (q129-q196) and cannot all fit, so the 50 slots hold
+# the registry is served priority-first. Round-5 window: 69 specs are
+# new this round (q129-q197) and cannot all fit, so the 50 slots hold
 # q116 (rows-only -> full planted-fixture oracle this round), the
 # flagship q25_extract, and the 48 new specs WITHOUT an in-window
 # sibling; the overflow picks each have a sibling in-window
@@ -12489,7 +12566,6 @@ _DRIVER_PRIORITY: list[str] = [
     "q155_politeness_schedule",  # new: q92 waves x robots Crawl-delay
     "q156_hits",  # new: integer-exact hubs & authorities (PageRank's twin)
     "q163_wikitext_extract",  # new: MediaWiki wikitext leg (heading+evidence sniff)
-    "q165_thread_reconstruct",  # new: pointer-doubling thread roots+depths
     "q166_mbox_extract",  # new: mbox mailbox container (postmark walk)
     "q167_redirect_resolve",  # new: per-URL redirect canonicalization + loops
     "q168_ics_extract",  # new: iCalendar leg (RFC 5545 fold/escape grammar)
@@ -12521,6 +12597,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q194_po_extract",  # new: gettext PO catalog leg (38th dispatch leg)
     "q195_ttml_extract",  # new: TTML caption leg (39th dispatch leg)
     "q196_bibtex_extract",  # new: BibTeX leg (40th dispatch leg)
+    "q197_ms_extract",  # new: troff ms paper leg (41st dispatch leg)
     "q116_sentence_align",  # oracle: rows-only -> planted closed form
     # flagship
     "q25_extract",
@@ -12548,6 +12625,7 @@ _DRIVER_PRIORITY: list[str] = [
     "q149_robots_wildcards",  # overflow: robots admission family, q155_politeness in-window composes Crawl-delay
     "q162_anchor_text",  # overflow: pure-Column regexp-harvest + two-level agg, q135+q183 in-window
     "q147_atom_feeds",  # overflow: rel-gated attribute-link XML walk, q150_hreflang in-window (q118 hash-green r4)
+    "q165_thread_reconstruct",  # overflow: pointer-doubling fixpoint shape, q167_redirect_resolve in-window
     # last driver row in round 2 (all 42)
     "q02_topk_per_group",
     "q03_local_max",
