@@ -60,9 +60,31 @@ def test_extraction_reads_only_url_and_html(spark, pages_dir):
 
 
 def test_extraction_shuffles_exactly_once(spark, pages_dir):
+    # under-parallel input (the tiny fixture scan yields fewer physical
+    # partitions than half the requested width): the salted repartition
+    # runs, and it is the ONLY Exchange in the plan
     pages = read_pages(spark, pages_dir)
-    plan = _plan(run_extraction(pages, num_partitions=8))
+    n_in = pages.rdd.getNumPartitions()
+    width = n_in * 2 + 2  # force the under-parallel branch
+    plan = _plan(run_extraction(pages, num_partitions=width))
     assert plan.count("Exchange") == 1, plan  # only the explicit repartition
+
+
+def test_extraction_elides_shuffle_on_balanced_scan(spark, pages_dir):
+    # byte-balanced scan already at (>= half) the requested width: the
+    # extraction map's cost is proportional to bytes, so the payload
+    # shuffle buys nothing and must be elided (guide §2.4) — the
+    # 100 TB shape moves the corpus zero times before the kernel
+    pages = read_pages(spark, pages_dir)
+    n_in = pages.rdd.getNumPartitions()
+    plan = _plan(run_extraction(pages, num_partitions=max(1, n_in)))
+    assert plan.count("Exchange") == 0, plan
+    # rows are identical either way (same kernel, same input)
+    shuffled = run_extraction(pages, num_partitions=n_in * 4)
+    direct = run_extraction(pages, num_partitions=max(1, n_in))
+    assert sorted(r["url"] for r in direct.select("url").collect()) == sorted(
+        r["url"] for r in shuffled.select("url").collect()
+    )
 
 
 def test_small_dim_joins_broadcast(spark, sf_dir):

@@ -244,11 +244,29 @@ def run_extraction(
     strategy: str = "density",
 ) -> DataFrame:
     """repartition (salted) + extract; the core transformation shared by
-    the one-shot and resumable drivers."""
+    the one-shot and resumable drivers.
+
+    Shuffle elision (guide §2.4): the extraction map's cost is
+    proportional to BYTES, not keys, so any byte-balanced input
+    partitioning is already work-balanced for it — a parquet scan
+    split by maxPartitionBytes/minPartitionNum qualifies no matter how
+    host-skewed the rows are. In that case the salted repartition is a
+    full shuffle of the html payload bought for nothing, and it is the
+    single largest non-kernel cost of the job (~2 GB moved at sf0.1;
+    at 100 TB it is 100 TB moved). We therefore repartition ONLY when
+    the incoming plan is genuinely under-parallel (fewer physical
+    partitions than ~half the requested width — driver-built tiny
+    inputs, single unsplittable files), where the shuffle buys real
+    width. Salting remains the correct tool for HOST-KEYED downstream
+    shapes (per-host aggs/sinks — see partitioning.py); the map itself
+    never needed it."""
     if num_partitions is None:
         num_partitions = pages.sparkSession.sparkContext.defaultParallelism * 2
-    parted = salted_repartition(pages, num_partitions, hot=hot)
-    return extract_pages(parted, strategy=strategy)
+    # physical partition count of the incoming plan: plan-only, no job
+    n_in = pages.rdd.getNumPartitions()
+    if n_in * 2 < num_partitions:
+        pages = salted_repartition(pages, num_partitions, hot=hot)
+    return extract_pages(pages, strategy=strategy)
 
 
 # ---------------------------------------------------------------- lineage

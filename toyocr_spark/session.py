@@ -43,6 +43,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "268435456")  # 256 MiB splits
+        # Floor on scan parallelism, derived from the session's core
+        # count (never a hard-coded cluster constant): a scan that
+        # produces at least 2 splits per core lets scan->map pipelines
+        # (extraction) run at full width WITHOUT a repartition shuffle
+        # of the payload bytes — guide §2.4 "remove shuffles outright".
+        # On a big cluster the input is far larger than cores*2 splits
+        # of 256 MiB, so this floor is inert there.
+        .config("spark.sql.files.minPartitionNum", str(shuffle_partitions * 2))
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)
