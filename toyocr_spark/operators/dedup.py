@@ -396,25 +396,29 @@ def duplicate_span_removal(
     arbitrary-length matches; the rolling fixed-k window is the
     standard distributed approximation (k = minimum match length).
 
-    Scale shape:
+    Scale shape (r6 optimization — fewer shuffles, fewer bytes,
+    touch-only-affected-docs; results row-identical to the oracle):
       * window hashing is a linear explode (one row per word position);
-      * first-occurrence per digest is groupBy(digest).min over an
-        orderable struct(id, pos) — partial aggregation, O(1) state
-        per digest even for a boilerplate window present in every
-        document (no per-digest window funnel); the struct key (vs a
-        packed id*scale+pos integer) stays exact for full-range int64
-        doc ids, where the multiply would silently wrap;
+        digests shuffle as 16-byte BINARY (unhex(md5)) not 32-char hex
+        — half the key bytes through every exchange (guide §2.3);
+      * first-occurrence per digest is a min-over-window partitioned
+        by digest: ONE exchange+sort of the window table, replacing
+        the old groupBy(digest) + self-join-on-digest pair (two
+        exchanges plus a duplicated window-hash subtree — guide §2.4);
       * coverage expansion is a bounded k-fold fanout of DUPLICATE
-        windows only, then distinct + anti-join — all equi-key
-        shuffles on (id, wpos);
-      * reconstruction re-joins surviving tokens per doc; per-doc
-        state is bounded by document length.
+        windows only, then distinct — equi-key shuffles on (id, wpos);
+      * reconstruction (posexplode + anti-join + re-agg, the expensive
+        per-token path) runs ONLY for documents that actually lost a
+        window: everywhere else split+rejoin is the identity, so
+        text_kept falls back to the original text column untouched.
+        At crawl scale the duplicated minority pays the token path,
+        the clean majority pays nothing.
     All JVM-side (split / slice / md5 / posexplode) — no Python.
     """
     words = F.split(F.col(text_col), " ")
     base = (
         df.filter(F.length(text_col) > 0)
-        .select(F.col(id_col).alias("id"), words.alias("w"))
+        .select(F.col(id_col).alias("id"), F.col(text_col).alias("_text"), words.alias("w"))
         .withColumn("nw", F.size("w"))
     )
     pos = F.explode(F.sequence(F.lit(0), F.col("nw") - k_words))
@@ -424,14 +428,18 @@ def duplicate_span_removal(
         .select(
             "id",
             "pos",
-            F.md5(F.array_join(F.slice("w", F.col("pos") + 1, k_words), " ")).alias(
-                "digest"
-            ),
+            F.unhex(
+                F.md5(F.array_join(F.slice("w", F.col("pos") + 1, k_words), " "))
+            ).alias("digest"),
         )
         .withColumn("inst_key", F.struct("id", "pos"))
     )
-    keep = wins.groupBy("digest").agg(F.min("inst_key").alias("keep_key"))
-    dup = wins.join(keep, "digest").filter(F.col("inst_key") != F.col("keep_key"))
+    keep_w = Window.partitionBy("digest")
+    dup = (
+        wins.withColumn("keep_key", F.min("inst_key").over(keep_w))
+        .filter(F.col("inst_key") != F.col("keep_key"))
+        .select("id", "pos")
+    )
     dup_counts = dup.groupBy("id").agg(F.count("*").alias("n_dup_wins"))
     removed = (
         dup.select(
@@ -443,7 +451,11 @@ def duplicate_span_removal(
         .distinct()
     )
     rm_counts = removed.groupBy("id").agg(F.count("*").alias("n_removed"))
-    tokens = base.select("id", F.posexplode("w").alias("wpos", "word"))
+    # reconstruction only where something was removed: for every other
+    # document split-then-rejoin on the same delimiter is the identity,
+    # so the original text column IS text_kept
+    affected = base.join(removed.select("id").distinct(), "id", "left_semi")
+    tokens = affected.select("id", F.posexplode("w").alias("wpos", "word"))
     kept = tokens.join(removed, ["id", "wpos"], "left_anti")
     kept_agg = kept.groupBy("id").agg(
         F.array_join(
@@ -455,7 +467,7 @@ def duplicate_span_removal(
         ).alias("text_kept")
     )
     return (
-        base.select("id", F.col("nw").cast("long").alias("n_words"))
+        base.select("id", "_text", F.col("nw").cast("long").alias("n_words"))
         .join(dup_counts, "id", "left")
         .join(rm_counts, "id", "left")
         .join(kept_agg, "id", "left")
@@ -464,7 +476,10 @@ def duplicate_span_removal(
             "n_words",
             F.coalesce("n_dup_wins", F.lit(0).cast("long")).alias("n_dup_wins"),
             F.coalesce("n_removed", F.lit(0).cast("long")).alias("n_removed"),
-            F.coalesce("text_kept", F.lit("")).alias("text_kept"),
+            F.when(F.col("n_removed").isNotNull() & (F.col("n_removed") > 0),
+                   F.coalesce("text_kept", F.lit("")))
+            .otherwise(F.col("_text"))
+            .alias("text_kept"),
         )
     )
 
@@ -645,23 +660,34 @@ def semantic_dedup(
     discipline, with hierarchical/ANN centroid probing making it
     ~N·log k); this operator then stays linear in rows — evidenced by
     tools/scale_probe.py's bounded-cells row."""
-    from toyocr_spark.operators.kmeans import kmeans_fit
-    from toyocr_spark.operators.similarity import _as_double, cosine
+    from toyocr_spark.operators.kmeans import kmeans_index
+    from toyocr_spark.operators.similarity import _as_double, cosine_pre, l2norm
 
     if assigned is None:
-        assigned = kmeans_fit(emb, id_col, vec_col, k=n_clusters, iters=iters)
-    v = emb.select(F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v"))
-    m = (
-        assigned.select(F.col("id").alias("vec_id"), "cid")
-        .join(v, "vec_id")
-        .localCheckpoint()
+        # the map-only assignment carries the double vector (iv), so
+        # the cell table needs no join back to the corpus at all
+        _, afull, _ = kmeans_index(emb, id_col, vec_col, k=n_clusters, iters=iters)
+        m = afull.select(
+            F.col("id").alias("vec_id"), "cid", F.col("iv").alias("v")
+        )
+    else:
+        v = emb.select(
+            F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+        )
+        m = assigned.select(F.col("id").alias("vec_id"), "cid").join(v, "vec_id")
+    # norm hoisted to one interpreted array fold per VECTOR; the
+    # quadratic within-cell path pays only the dot product per pair
+    m = m.withColumn("nrm", l2norm(F.col("v"))).localCheckpoint()
+    a = m.select(
+        "cid", F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
     )
-    a = m.select("cid", F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    b = m.select("cid", F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    b = m.select(
+        "cid", F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
     dropped = (
         a.join(b, "cid")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine(F.col("va"), F.col("vb")) >= threshold)
+        .filter(cosine_pre(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")) >= threshold)
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
         .withColumn("_d", F.lit(1))

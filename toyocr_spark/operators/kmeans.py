@@ -12,15 +12,20 @@ overflow), and centroid updates floor the per-dim mean back to
 BIGINT. Every engine that runs the same rounds produces bit-identical
 centroids and assignments.
 
-Scale shape per round:
-  * assignment: crossJoin(broadcast(k centroid rows)) + an
-    aggregate() HOF over zip_with — pure JVM projection, no explode,
-    no shuffle of the vectors; argmin folds with min(struct(dist,
-    cid)) — one partial-agg shuffle keyed on vec_id. (The classic MR
-    k-means shape: broadcast centroids, map-side combine.)
-  * update: posexplode to (cid, dim, val) + partial-agg mean per
-    (cid, dim) — k*d result rows — then array re-assembly. Linear in
-    n*d, never in n^2 or n*k*d.
+Scale shape per round (r6 optimization — the assignment is a PURE MAP):
+  * assignment: the k centroids collapse to ONE broadcast row holding
+    array<struct(cid, cv)>; each vector computes its per-centroid
+    distances with a transform() over that array and folds the argmin
+    with array_min(struct(dist, cid)) — identical lexicographic
+    tie-break to the old min(struct) aggregate, but with NO groupBy
+    and NO shuffle of the vectors at all (the old shape shuffled n
+    rows per round). The vector rides along in the same row, so
+    nothing ever needs to join back to the corpus by id.
+  * update: posexplode the carried vectors to (cid, dim, val) +
+    partial-agg mean per (cid, dim) — k*d result rows — then array
+    re-assembly. Linear in n*d, never in n^2 or n*k*d; the only
+    shuffle of a round, and it carries (cid, dim, partial-sum) state,
+    not vectors.
 Rounds are a driver loop (k*d ints per round); centroids are tiny so
 no checkpointing is needed at any n.
 """
@@ -42,35 +47,75 @@ def _scaled(vec_col: str):
     )
 
 
+def _cents_row(centroids: DataFrame):
+    """Collapse the centroid table to ONE broadcast row holding
+    array<struct(cid, cv)> — the shape that lets assignment be a pure
+    map (no per-vector shuffle). collect_list order is arbitrary, but
+    every consumer folds with an order-free array_min/array_sort."""
+    return F.broadcast(
+        centroids.agg(F.collect_list(F.struct("cid", "cv")).alias("_cents"))
+    )
+
+
+def _best_center(vec_col: str):
+    """array_min over struct(dist, cid): exact integer squared-L2
+    argmin with ties to the smaller cid — bit-identical semantics to
+    the old min(struct(dist, cid)) aggregate (same lexicographic
+    struct ordering), with no aggregation in the plan."""
+    per = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(F.col(vec_col), c["cv"], lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    return F.array_min(per)
+
+
+def _assign_full(vecs: DataFrame, centroids: DataFrame, vec_col: str = "v") -> DataFrame:
+    """All of ``vecs``'s columns + (cid, dist) — map-only: the vector
+    (and anything else riding the row) flows through, so downstream
+    consumers (update, IVF lists, SemDeDup cells) never join back to
+    the corpus by id."""
+    scored = vecs.crossJoin(_cents_row(centroids)).withColumn(
+        "_b", _best_center(vec_col)
+    )
+    return scored.select(
+        *vecs.columns, F.col("_b.cid").alias("cid"), F.col("_b.dist").alias("dist")
+    )
+
+
 def kmeans_assign(
     vecs: DataFrame, centroids: DataFrame, id_col: str = "id", vec_col: str = "v"
 ) -> DataFrame:
     """(id, cid, dist): each vector's nearest centroid by exact integer
     squared-L2, ties to the smaller cid. vecs: (id, v: array<long>);
     centroids: (cid, cv: array<long>)."""
-    dist = F.aggregate(
-        F.zip_with(F.col(vec_col), F.col("cv"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    scored = vecs.crossJoin(F.broadcast(centroids)).select(
-        F.col(id_col), F.col("cid"), dist.alias("dist")
-    )
-    best = scored.groupBy(id_col).agg(F.min(F.struct("dist", "cid")).alias("_b"))
-    return best.select(id_col, F.col("_b.cid").alias("cid"), F.col("_b.dist").alias("dist"))
+    return _assign_full(vecs, centroids, vec_col).select(id_col, "cid", "dist")
 
 
 def kmeans_update(
-    assigned: DataFrame, vecs: DataFrame, id_col: str = "id", vec_col: str = "v"
+    assigned: DataFrame,
+    vecs: DataFrame | None = None,
+    id_col: str = "id",
+    vec_col: str = "v",
 ) -> DataFrame:
     """New centroids: floor per-dim mean of each cluster's members.
     (cid, cv: array<long>); a centroid that lost every member drops out
-    (its bucket is empty — the IVF list is simply absent)."""
-    member_dims = (
-        assigned.select(id_col, "cid")
-        .join(vecs, id_col)
-        .select("cid", F.posexplode(vec_col).alias("dim", "val"))
+    (its bucket is empty — the IVF list is simply absent).
+
+    ``vecs=None`` means the assignment already carries the vector
+    column (_assign_full) — the no-join fast path."""
+    src = (
+        assigned
+        if vecs is None
+        else assigned.select(id_col, "cid").join(vecs, id_col)
     )
+    member_dims = src.select("cid", F.posexplode(vec_col).alias("dim", "val"))
     per_dim = member_dims.groupBy("cid", "dim").agg(
         F.floor(F.sum("val") / F.count("*")).cast("long").alias("cval")
     )
@@ -94,16 +139,31 @@ def kmeans_index(
     the final assignment was computed against, the assignment (id, cid,
     dist) — together, the IVF index: centroids are the probe targets,
     the assignment is the inverted lists — and the fixed-point vectors
-    for further probing."""
-    vecs = df.select(F.col(id_col).alias("id"), _scaled(vec_col).alias("v"))
+    for further probing.
+
+    The returned assignment additionally carries ``iv`` (the vector as
+    array<double>): assignment is map-only, so the carry is free, and
+    it lets IVF list assembly / SemDeDup cells skip the join back to
+    the corpus by id entirely."""
+    from toyocr_spark.operators.similarity import _as_double
+
+    vecs = df.select(
+        F.col(id_col).alias("id"),
+        _scaled(vec_col).alias("v"),
+        _as_double(F.col(vec_col)).alias("iv"),
+    )
     centroids = (
         vecs.orderBy("id").limit(k).select(F.col("id").alias("cid"), F.col("v").alias("cv"))
     )
     assigned = None
     for it in range(iters):
-        assigned = kmeans_assign(vecs, centroids)
+        assigned = _assign_full(vecs, centroids)
         if it < iters - 1:  # the last round's update would be unused
-            centroids = kmeans_update(assigned, vecs)
+            # k tiny rows, checkpointed: without this, round r's plan
+            # nests every earlier round's assignment subtree and the
+            # broadcast-build jobs recompute them O(iters^2) times
+            # (the pq_train codebook discipline)
+            centroids = kmeans_update(assigned).localCheckpoint()
     return centroids, assigned, vecs
 
 
@@ -115,7 +175,7 @@ def kmeans_fit(
     iters: int = 3,
 ) -> DataFrame:
     """Final Lloyd assignment (id, cid, dist) — see kmeans_index."""
-    return kmeans_index(df, id_col, vec_col, k, iters)[1]
+    return kmeans_index(df, id_col, vec_col, k, iters)[1].select("id", "cid", "dist")
 
 
 def ivf_probes(
@@ -126,23 +186,31 @@ def ivf_probes(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(query_id, cid): each query's ``nprobe`` nearest centroids by the
-    same exact integer metric the quantizer trained with. Centroids are
-    broadcast; the probe set is queries x nprobe rows — tiny."""
-    from toyocr_spark.operators.selection import topk_per_group
+    same exact integer metric the quantizer trained with.
 
+    Map-only (r6): the centroid table collapses to one broadcast array
+    row; each query sorts its per-centroid struct(dist, cid) array and
+    explodes the first ``nprobe`` — identical (dist asc, cid asc)
+    ordering to the old window rank, with no per-query shuffle at all
+    (the old shape shuffled queries x k rows through a window)."""
     qs = queries.select(F.col(id_col).alias("query_id"), _scaled(vec_col).alias("qs"))
-    qdist = F.aggregate(
-        F.zip_with(F.col("qs"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    per = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("qs"), c["cv"], lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("qd"),
+            c["cid"].alias("cid"),
+        ),
     )
-    return topk_per_group(
-        qs.crossJoin(F.broadcast(centroids)).select("query_id", "cid", qdist.alias("qd")),
-        ["query_id"],
-        [F.col("qd").asc(), F.col("cid").asc()],
-        nprobe,
-        rank_name="prb",
-    ).select("query_id", "cid")
+    nearest = F.slice(F.array_sort(per), 1, nprobe)
+    return (
+        qs.crossJoin(_cents_row(centroids))
+        .select("query_id", F.explode(nearest).alias("_p"))
+        .select("query_id", F.col("_p.cid").alias("cid"))
+    )
 
 
 def ivf_rerank(
@@ -160,16 +228,18 @@ def ivf_rerank(
     query vectors broadcast against the candidates. (query_id, item_id,
     cos, rk)."""
     from toyocr_spark.operators.selection import topk_per_group
-    from toyocr_spark.operators.similarity import _as_double, cosine
+    from toyocr_spark.operators.similarity import _as_double, cosine_pre, l2norm
 
     qv = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    )
-    cand = F.broadcast(probes).join(lists, "cid").filter(
-        F.col("item_id") != F.col("query_id")
-    )
+    ).withColumn("nq", l2norm(F.col("qv")))
+    cand = F.broadcast(probes).join(
+        lists.withColumn("ni", l2norm(F.col("iv"))), "cid"
+    ).filter(F.col("item_id") != F.col("query_id"))
     scored = cand.join(F.broadcast(qv), "query_id").select(
-        "query_id", "item_id", cosine(F.col("qv"), F.col("iv")).alias("cos")
+        "query_id",
+        "item_id",
+        cosine_pre(F.col("qv"), F.col("iv"), F.col("nq"), F.col("ni")).alias("cos"),
     )
     out = topk_per_group(
         scored, ["query_id"], [F.col("cos").desc(), F.col("item_id").asc()], k, rank_name="rk"
@@ -185,7 +255,13 @@ def ivf_lists(
 ) -> DataFrame:
     """The IVF inverted lists (item_id, cid, iv): each corpus vector
     tagged with its coarse-quantizer cell, double components inline so
-    search never joins back to the corpus."""
+    search never joins back to the corpus.
+
+    When the assignment carries ``iv`` (kmeans_index does), the lists
+    are a pure projection of it — no corpus join at all; the legacy
+    join path remains for externally supplied (id, cid) assignments."""
+    if "iv" in assigned.columns:
+        return assigned.select(F.col("id").alias("item_id"), "cid", "iv")
     from toyocr_spark.operators.similarity import _as_double
 
     c = corpus.select(

@@ -67,29 +67,41 @@ def _subvectors(
 
 
 def _sub_assign(svecs: DataFrame, codebook: DataFrame) -> DataFrame:
-    """(id, sub, scid, dist): nearest sub-centroid per (vector,
+    """(id, sub, sv, scid, dist): nearest sub-centroid per (vector,
     subspace) by exact integer squared-L2, ties to the smaller scid.
-    codebook: (sub, scid, scv)."""
-    dist = F.aggregate(
-        F.zip_with(F.col("sv"), F.col("scv"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    codebook: (sub, scid, scv).
+
+    Map-only (r6, the kmeans_assign discipline): the per-subspace
+    codebook collapses to ksub-element array rows joined broadcast on
+    ``sub`` (m_sub rows), and the argmin folds with
+    array_min(struct(dist, scid)) — identical tie-break to the old
+    min(struct) aggregate, with no groupBy shuffle of the n*m_sub
+    rows. ``sv`` rides along so the update needs no join either."""
+    cb = codebook.groupBy("sub").agg(
+        F.collect_list(F.struct("scid", "scv")).alias("_cbs")
     )
-    scored = svecs.join(F.broadcast(codebook), "sub").select(
-        "id", "sub", F.col("scid"), dist.alias("dist")
+    per = F.transform(
+        F.col("_cbs"),
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("sv"), c["scv"], lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+            c["scid"].alias("scid"),
+        ),
     )
-    best = scored.groupBy("id", "sub").agg(F.min(F.struct("dist", "scid")).alias("_b"))
-    return best.select(
-        "id", "sub", F.col("_b.scid").alias("scid"), F.col("_b.dist").alias("dist")
+    scored = svecs.join(F.broadcast(cb), "sub").withColumn("_b", F.array_min(per))
+    return scored.select(
+        "id", "sub", "sv", F.col("_b.scid").alias("scid"), F.col("_b.dist").alias("dist")
     )
 
 
-def _sub_update(assigned: DataFrame, svecs: DataFrame) -> DataFrame:
-    """New sub-centroids: floor per-dim mean per (sub, scid)."""
-    member_dims = (
-        assigned.select("id", "sub", "scid")
-        .join(svecs, ["id", "sub"])
-        .select("sub", "scid", F.posexplode("sv").alias("dim", "val"))
+def _sub_update(assigned: DataFrame) -> DataFrame:
+    """New sub-centroids: floor per-dim mean per (sub, scid) — over the
+    assignment's carried ``sv``, no join back to the subvector table."""
+    member_dims = assigned.select(
+        "sub", "scid", F.posexplode("sv").alias("dim", "val")
     )
     per_dim = member_dims.groupBy("sub", "scid", "dim").agg(
         F.floor(F.sum("val") / F.count("*")).cast("long").alias("cval")
@@ -131,7 +143,7 @@ def pq_train(
     for it in range(iters):
         codes = _sub_assign(svecs, codebook)
         if it < iters - 1:
-            codebook = _sub_update(codes, svecs).localCheckpoint()
+            codebook = _sub_update(codes).localCheckpoint()
     return codebook, codes.select("id", "sub", "scid")
 
 

@@ -3299,13 +3299,23 @@ def q74_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_probe,
         rank_name="prb",
     ).select("query_id", "cid", "prb")
+    from toyocr_spark.operators.similarity import cosine_pre, l2norm
+
     scored = (
         F.broadcast(probes)
-        .join(lists, "cid")
+        .join(lists.withColumn("ni", l2norm(F.col("iv"))), "cid")
         .filter(F.col("item_id") != F.col("query_id"))
-        .join(F.broadcast(qv.select("query_id", "qv")), "query_id")
+        .join(
+            F.broadcast(
+                qv.select("query_id", "qv").withColumn("nq", l2norm(F.col("qv")))
+            ),
+            "query_id",
+        )
         .select(
-            "query_id", "item_id", "prb", cosine(F.col("qv"), F.col("iv")).alias("cos")
+            "query_id",
+            "item_id",
+            "prb",
+            cosine_pre(F.col("qv"), F.col("iv"), F.col("nq"), F.col("ni")).alias("cos"),
         )
         .localCheckpoint()
     )
