@@ -45,17 +45,29 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def char_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 8) -> DataFrame:
+def char_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8, by_id: bool = False
+) -> DataFrame:
     """Distinct char k-shingles per doc, all JVM-side: positions from
-    sequence(), substring() per position. (id, shingle) rows."""
+    sequence(), substring() per position. (id, shingle) rows.
+
+    ``by_id=True`` hash-partitions the exploded rows by id BEFORE the
+    per-doc dedup: hashpartitioning(id) satisfies the (id, shingle)
+    clustering of the dedup AND every downstream per-id aggregation
+    (signature/size groupBys), so the whole shingle->aggregate chain
+    plans exactly ONE exchange instead of two (guide §2.4: operations
+    keyed the same way share one exchange). Same rows either way; use
+    it when every consumer aggregates per id."""
     n = F.length(F.col(text_col))
     pos = F.explode(F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))))
-    return (
+    raw = (
         df.filter(n >= k)
         .select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"), pos.alias("p"))
         .select("id", F.substring(F.col("_t"), F.col("p"), k).alias("shingle"))
-        .distinct()
     )
+    if by_id:
+        return raw.repartition("id").dropDuplicates(["id", "shingle"])
+    return raw.distinct()
 
 
 def jaccard_pairs(
@@ -69,10 +81,24 @@ def jaccard_pairs(
 
     max_doc_freq drops ubiquitous shingles before the join (the skew
     guard: a shingle shared by every doc would emit O(n^2) pairs).
+
+    Shape (r6): the doc-frequency cap is a count-over-window partitioned
+    by shingle — ONE exchange of the shingle table, replacing the old
+    groupBy(shingle) + semi-join pair (two exchanges and a duplicated
+    shingle subtree). The capped table is localCheckpointed because
+    three consumers read it (sizes, both join sides); the checkpoint
+    also preserves its hashpartitioning(shingle), so the self-join on
+    shingle plans NO further exchange for either side (guide §2.4:
+    two operations keyed the same way share one exchange).
     """
     if max_doc_freq is not None:
-        freq = shingles.groupBy("shingle").count().filter(F.col("count") <= max_doc_freq)
-        shingles = shingles.join(freq.select("shingle"), "shingle", "left_semi")
+        wsh = Window.partitionBy("shingle")
+        shingles = (
+            shingles.withColumn("_df", F.count("*").over(wsh))
+            .filter(F.col("_df") <= max_doc_freq)
+            .drop("_df")
+        )
+    shingles = shingles.localCheckpoint()
     sizes = shingles.groupBy("id").agg(F.count("*").alias("size"))
     a = shingles.select(F.col("id").alias("id_a"), "shingle")
     b = shingles.select(F.col("id").alias("id_b"), "shingle")
@@ -167,7 +193,7 @@ def minhash_lsh_dedup(
     candidates -> exact-Jaccard verification restricted to candidates
     (the canonical candidate-then-verify shape; sub-quadratic end to
     end)."""
-    sh = char_shingles(df, id_col, text_col, k)
+    sh = char_shingles(df, id_col, text_col, k, by_id=True)
     cands = minhash_lsh_candidates(minhash_band_signatures(sh, bands))
     return jaccard_for_pairs(sh, cands, min_jaccard=min_jaccard)
 
@@ -181,7 +207,7 @@ def simhash16(df: DataFrame, id_col: str, text_col: str, k: int = 8) -> DataFram
     and portable; the production variant is the same expression shape
     at 64 bits.
     """
-    sh = char_shingles(df, id_col, text_col, k).withColumn(
+    sh = char_shingles(df, id_col, text_col, k, by_id=True).withColumn(
         "h", F.conv(F.substring(F.md5(F.col("shingle")), 1, 4), 16, 10).cast("long")
     )
     bit_sums = [
@@ -217,7 +243,7 @@ def simhash64(df: DataFrame, id_col: str, text_col: str, k: int = 8) -> DataFram
     whole-stage-codegen arithmetic.
     """
     hhex = F.substring(F.md5(F.col("shingle")), 1, 16)
-    sh = char_shingles(df, id_col, text_col, k).withColumn("hhex", hhex)
+    sh = char_shingles(df, id_col, text_col, k, by_id=True).withColumn("hhex", hhex)
     chunk_vals = [
         F.conv(F.substring("hhex", 1 + 4 * j, 4), 16, 10).cast("long").alias(f"v{j}")
         for j in range(4)
@@ -277,7 +303,12 @@ def simhash64_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Banded near-dup pairing over simhash64 output: equi-join on any
     shared 16-bit chunk (band) proposes candidates — pigeonhole-complete
     for hamming <= 3 of 64 — then exact hamming verifies. Sub-quadratic:
-    the shuffle keys on (band, 16-bit bucket), never on pairs."""
+    the shuffle keys on (band, 16-bit bucket), never on pairs.
+
+    The signature table feeds both join sides; checkpointing it runs
+    the shingle/signature aggregation once instead of twice (r6 — the
+    jaccard_for_pairs discipline; one doc-count-sized materialization)."""
+    sim = sim.localCheckpoint()
     a = _band_side(sim, "a")
     b = _band_side(sim, "b")
     cand = (
@@ -600,23 +631,43 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint()
     )
-    for _ in range(max_iters):
+    from pyspark.sql import Observation
+
+    for it in range(max_iters):
+        # pointer jump first (path compression): label <- min(label,
+        # label[label]). Both sides of the self-join read the SAME
+        # checkpointed label table, and the jump halves the remaining
+        # path length each round, so convergence takes O(log diameter)
+        # rounds instead of diameter rounds — chain-shaped dup clusters
+        # (doc1~doc2~...~docN) no longer cost N shuffle rounds. The
+        # fixed point is unchanged: labels only ever hold ids of nodes
+        # inside the component, so min over {label, label[label],
+        # neighbors' labels} still converges to the component minimum.
+        l2 = labels.select(F.col("id").alias("_lid"), F.col("label").alias("_llabel"))
+        jumped = labels.join(l2, labels.label == l2._lid, "left").select(
+            "id",
+            F.col("label").alias("_old"),
+            F.least(F.col("label"), F.coalesce("_llabel", "label")).alias("label"),
+        )
         neigh = (
-            edges.join(labels, edges.a == labels.id)
+            edges.join(jumped, edges.a == jumped.id)
             .groupBy(F.col("b").alias("id"))
             .agg(F.min("label").alias("nlabel"))
         )
-        new = (
-            labels.join(neigh, "id", "left")
-            .select(
-                "id",
-                F.col("label").alias("_old"),
-                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
-            )
+        new = jumped.join(neigh, "id", "left").select(
+            "id",
+            "_old",
+            F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+        )
+        # convergence rides the checkpoint materialization itself
+        # (observe): one action per round instead of checkpoint + a
+        # separate filter-count job
+        obs = Observation(f"cc-round-{it}")
+        new = new.observe(
+            obs, F.sum((F.col("label") != F.col("_old")).cast("long")).alias("chg")
         ).localCheckpoint()
-        changed = new.filter(F.col("label") != F.col("_old")).count()
         labels = new.select("id", "label")
-        if changed == 0:
+        if (obs.get["chg"] or 0) == 0:
             break
     return (
         nodes.select(F.col(nodes.columns[0]).alias("id"))

@@ -1073,11 +1073,16 @@ def q32_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         jaccard_pairs,
     )
 
-    sh = char_shingles(_de_docs(spark, sf_dir), "doc_id", "t", 8)
+    d = _de_docs(spark, sf_dir)
+    sh = char_shingles(d, "doc_id", "t", 8)
     pairs = jaccard_pairs(
         sh, min_jaccard=0.1, max_doc_freq=HOT_SHINGLE_DF_CAP
     ).select("id_a", "id_b")
-    cc = connected_components(pairs, sh.select("id"))
+    # node universe = docs that produce >= 1 shingle, i.e. exactly the
+    # char_shingles length gate — computed from the doc table directly
+    # so the CC tail join never re-runs the shingle explode (r6)
+    nodes = d.filter(F.length("t") >= 8).select(F.col("doc_id").alias("id"))
+    cc = connected_components(pairs, nodes)
     return cc.select(
         F.col("id").alias("doc_id"),
         F.col("cluster_id").cast("long").alias("cluster_id"),
@@ -1339,7 +1344,9 @@ def q36_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", F.substring("text", 1, 128).alias("t")
     )
-    sim = simhash16(d, "doc_id", "t", 8)
+    # the signature table feeds both join sides: checkpoint it so the
+    # shingle+signature aggregation runs once, not per side (r6)
+    sim = simhash16(d, "doc_id", "t", 8).localCheckpoint()
     band = F.explode(F.sequence(F.lit(0), F.lit(3)))
     banded = sim.select("id", "simhash", band.alias("band")).withColumn(
         "bucket",
