@@ -304,6 +304,12 @@ def cbc_decrypt(key: bytes, data: bytes) -> bytes:
     malformed length or padding — hostile bytes must reject cleanly."""
     if len(data) < 32 or len(data) % 16 != 0:
         raise ValueError("AES-CBC data length")
+    if len(key) == 16:  # AESV2 body path: unrolled word loop
+        out = bytearray(cbc_decrypt128_raw(key, data[:16], data[16:]))
+        pad = out[-1]
+        if pad < 1 or pad > 16 or out[-pad:] != bytes([pad]) * pad:
+            raise ValueError("AES-CBC padding")
+        return bytes(out[:-pad])
     rounds = _dec_schedule(key)  # schedule once, not per block
     prev = data[:16]
     out = bytearray()
@@ -324,6 +330,8 @@ def cbc_encrypt(key: bytes, iv: bytes, plain: bytes) -> bytes:
         raise ValueError("AES-CBC IV length")
     pad = 16 - len(plain) % 16
     plain = plain + bytes([pad]) * pad
+    if len(key) == 16:  # AESV2 body path: unrolled word loop
+        return iv + cbc_encrypt128_raw(key, iv, plain)
     rounds = _enc_schedule(key)
     out = bytearray(iv)
     prev = iv
@@ -342,6 +350,8 @@ def cbc_encrypt_raw(key: bytes, iv: bytes, plain: bytes) -> bytes:
     key CBC-encrypted with a zero IV and no padding (spec 7.6.4.4.8)."""
     if len(iv) != 16 or len(plain) % 16 != 0:
         raise ValueError("raw AES-CBC geometry")
+    if len(key) == 16:  # the KDF hot path: unrolled word loop
+        return cbc_encrypt128_raw(key, iv, plain)
     rounds = _enc_schedule(key)
     out = bytearray()
     prev = iv
@@ -356,6 +366,8 @@ def cbc_decrypt_raw(key: bytes, iv: bytes, data: bytes) -> bytes:
     """Inverse of cbc_encrypt_raw (explicit IV, no padding strip)."""
     if len(iv) != 16 or len(data) % 16 != 0 or not data:
         raise ValueError("raw AES-CBC geometry")
+    if len(key) == 16:  # unrolled word loop
+        return cbc_decrypt128_raw(key, iv, data)
     rounds = _dec_schedule(key)
     prev = iv
     out = bytearray()
@@ -364,3 +376,153 @@ def cbc_decrypt_raw(key: bytes, iv: bytes, data: bytes) -> bytes:
         out += bytes(a ^ b for a, b in zip(_decrypt_block_fast(rounds, blk), prev))
         prev = blk
     return bytes(out)
+
+
+# ------------------------------ unrolled AES-128 CBC (the KDF hot path)
+# The PDF 2.0 R6 password KDF (Algorithm 2.B) performs thousands of
+# serial AES-128-CBC block encryptions per hash — per-block function
+# calls, round-key slicing and bytes round-trips dominate the pure-
+# Python cost. This fully-unrolled word loop keeps the whole message
+# in 32-bit words, binds the 44 schedule words to locals once per
+# MESSAGE, and runs ~2.5x faster per block. Bytes-identical to
+# cbc_encrypt_raw for 16-byte keys (randomized cross-check in tests).
+def cbc_encrypt128_raw(key: bytes, iv: bytes, plain: bytes) -> bytes:
+    """AES-128-CBC-NOPAD encrypt, fully unrolled T-table word loop —
+    the R6 KDF / AESV2 body hot path (len(plain) % 16 == 0). Same
+    bytes as cbc_encrypt_raw(key, iv, plain) for 16-byte keys; the
+    per-step reference cross-check in the tests pins agreement."""
+    import struct
+
+    w = _expand_key(key)
+    (
+        k0, k1, k2, k3, k4, k5, k6, k7, k8, k9, k10, k11, k12, k13, k14, k15, k16, k17, k18, k19, k20, k21, k22, k23, k24, k25, k26, k27, k28, k29, k30, k31, k32, k33, k34, k35, k36, k37, k38, k39, k40, k41, k42, k43,
+    ) = [(a << 24) | (b << 16) | (c << 8) | d for a, b, c, d in w]
+    n = len(plain) >> 2
+    ws = struct.unpack(f">{n}I", plain)
+    c0, c1, c2, c3 = struct.unpack(">4I", iv)
+    te0, te1, te2, te3, sb = _TE0, _TE1, _TE2, _TE3, _SBOX
+    out = []
+    ap = out.append
+    for i in range(0, n, 4):
+        s0 = ws[i] ^ c0 ^ k0
+        s1 = ws[i + 1] ^ c1 ^ k1
+        s2 = ws[i + 2] ^ c2 ^ k2
+        s3 = ws[i + 3] ^ c3 ^ k3
+        t1_0 = te0[s0 >> 24] ^ te1[(s1 >> 16) & 255] ^ te2[(s2 >> 8) & 255] ^ te3[s3 & 255] ^ k4
+        t1_1 = te0[s1 >> 24] ^ te1[(s2 >> 16) & 255] ^ te2[(s3 >> 8) & 255] ^ te3[s0 & 255] ^ k5
+        t1_2 = te0[s2 >> 24] ^ te1[(s3 >> 16) & 255] ^ te2[(s0 >> 8) & 255] ^ te3[s1 & 255] ^ k6
+        t1_3 = te0[s3 >> 24] ^ te1[(s0 >> 16) & 255] ^ te2[(s1 >> 8) & 255] ^ te3[s2 & 255] ^ k7
+        t2_0 = te0[t1_0 >> 24] ^ te1[(t1_1 >> 16) & 255] ^ te2[(t1_2 >> 8) & 255] ^ te3[t1_3 & 255] ^ k8
+        t2_1 = te0[t1_1 >> 24] ^ te1[(t1_2 >> 16) & 255] ^ te2[(t1_3 >> 8) & 255] ^ te3[t1_0 & 255] ^ k9
+        t2_2 = te0[t1_2 >> 24] ^ te1[(t1_3 >> 16) & 255] ^ te2[(t1_0 >> 8) & 255] ^ te3[t1_1 & 255] ^ k10
+        t2_3 = te0[t1_3 >> 24] ^ te1[(t1_0 >> 16) & 255] ^ te2[(t1_1 >> 8) & 255] ^ te3[t1_2 & 255] ^ k11
+        t3_0 = te0[t2_0 >> 24] ^ te1[(t2_1 >> 16) & 255] ^ te2[(t2_2 >> 8) & 255] ^ te3[t2_3 & 255] ^ k12
+        t3_1 = te0[t2_1 >> 24] ^ te1[(t2_2 >> 16) & 255] ^ te2[(t2_3 >> 8) & 255] ^ te3[t2_0 & 255] ^ k13
+        t3_2 = te0[t2_2 >> 24] ^ te1[(t2_3 >> 16) & 255] ^ te2[(t2_0 >> 8) & 255] ^ te3[t2_1 & 255] ^ k14
+        t3_3 = te0[t2_3 >> 24] ^ te1[(t2_0 >> 16) & 255] ^ te2[(t2_1 >> 8) & 255] ^ te3[t2_2 & 255] ^ k15
+        t4_0 = te0[t3_0 >> 24] ^ te1[(t3_1 >> 16) & 255] ^ te2[(t3_2 >> 8) & 255] ^ te3[t3_3 & 255] ^ k16
+        t4_1 = te0[t3_1 >> 24] ^ te1[(t3_2 >> 16) & 255] ^ te2[(t3_3 >> 8) & 255] ^ te3[t3_0 & 255] ^ k17
+        t4_2 = te0[t3_2 >> 24] ^ te1[(t3_3 >> 16) & 255] ^ te2[(t3_0 >> 8) & 255] ^ te3[t3_1 & 255] ^ k18
+        t4_3 = te0[t3_3 >> 24] ^ te1[(t3_0 >> 16) & 255] ^ te2[(t3_1 >> 8) & 255] ^ te3[t3_2 & 255] ^ k19
+        t5_0 = te0[t4_0 >> 24] ^ te1[(t4_1 >> 16) & 255] ^ te2[(t4_2 >> 8) & 255] ^ te3[t4_3 & 255] ^ k20
+        t5_1 = te0[t4_1 >> 24] ^ te1[(t4_2 >> 16) & 255] ^ te2[(t4_3 >> 8) & 255] ^ te3[t4_0 & 255] ^ k21
+        t5_2 = te0[t4_2 >> 24] ^ te1[(t4_3 >> 16) & 255] ^ te2[(t4_0 >> 8) & 255] ^ te3[t4_1 & 255] ^ k22
+        t5_3 = te0[t4_3 >> 24] ^ te1[(t4_0 >> 16) & 255] ^ te2[(t4_1 >> 8) & 255] ^ te3[t4_2 & 255] ^ k23
+        t6_0 = te0[t5_0 >> 24] ^ te1[(t5_1 >> 16) & 255] ^ te2[(t5_2 >> 8) & 255] ^ te3[t5_3 & 255] ^ k24
+        t6_1 = te0[t5_1 >> 24] ^ te1[(t5_2 >> 16) & 255] ^ te2[(t5_3 >> 8) & 255] ^ te3[t5_0 & 255] ^ k25
+        t6_2 = te0[t5_2 >> 24] ^ te1[(t5_3 >> 16) & 255] ^ te2[(t5_0 >> 8) & 255] ^ te3[t5_1 & 255] ^ k26
+        t6_3 = te0[t5_3 >> 24] ^ te1[(t5_0 >> 16) & 255] ^ te2[(t5_1 >> 8) & 255] ^ te3[t5_2 & 255] ^ k27
+        t7_0 = te0[t6_0 >> 24] ^ te1[(t6_1 >> 16) & 255] ^ te2[(t6_2 >> 8) & 255] ^ te3[t6_3 & 255] ^ k28
+        t7_1 = te0[t6_1 >> 24] ^ te1[(t6_2 >> 16) & 255] ^ te2[(t6_3 >> 8) & 255] ^ te3[t6_0 & 255] ^ k29
+        t7_2 = te0[t6_2 >> 24] ^ te1[(t6_3 >> 16) & 255] ^ te2[(t6_0 >> 8) & 255] ^ te3[t6_1 & 255] ^ k30
+        t7_3 = te0[t6_3 >> 24] ^ te1[(t6_0 >> 16) & 255] ^ te2[(t6_1 >> 8) & 255] ^ te3[t6_2 & 255] ^ k31
+        t8_0 = te0[t7_0 >> 24] ^ te1[(t7_1 >> 16) & 255] ^ te2[(t7_2 >> 8) & 255] ^ te3[t7_3 & 255] ^ k32
+        t8_1 = te0[t7_1 >> 24] ^ te1[(t7_2 >> 16) & 255] ^ te2[(t7_3 >> 8) & 255] ^ te3[t7_0 & 255] ^ k33
+        t8_2 = te0[t7_2 >> 24] ^ te1[(t7_3 >> 16) & 255] ^ te2[(t7_0 >> 8) & 255] ^ te3[t7_1 & 255] ^ k34
+        t8_3 = te0[t7_3 >> 24] ^ te1[(t7_0 >> 16) & 255] ^ te2[(t7_1 >> 8) & 255] ^ te3[t7_2 & 255] ^ k35
+        t9_0 = te0[t8_0 >> 24] ^ te1[(t8_1 >> 16) & 255] ^ te2[(t8_2 >> 8) & 255] ^ te3[t8_3 & 255] ^ k36
+        t9_1 = te0[t8_1 >> 24] ^ te1[(t8_2 >> 16) & 255] ^ te2[(t8_3 >> 8) & 255] ^ te3[t8_0 & 255] ^ k37
+        t9_2 = te0[t8_2 >> 24] ^ te1[(t8_3 >> 16) & 255] ^ te2[(t8_0 >> 8) & 255] ^ te3[t8_1 & 255] ^ k38
+        t9_3 = te0[t8_3 >> 24] ^ te1[(t8_0 >> 16) & 255] ^ te2[(t8_1 >> 8) & 255] ^ te3[t8_2 & 255] ^ k39
+        c0 = ((sb[t9_0 >> 24] << 24) | (sb[(t9_1 >> 16) & 255] << 16) | (sb[(t9_2 >> 8) & 255] << 8) | sb[t9_3 & 255]) ^ k40
+        c1 = ((sb[t9_1 >> 24] << 24) | (sb[(t9_2 >> 16) & 255] << 16) | (sb[(t9_3 >> 8) & 255] << 8) | sb[t9_0 & 255]) ^ k41
+        c2 = ((sb[t9_2 >> 24] << 24) | (sb[(t9_3 >> 16) & 255] << 16) | (sb[(t9_0 >> 8) & 255] << 8) | sb[t9_1 & 255]) ^ k42
+        c3 = ((sb[t9_3 >> 24] << 24) | (sb[(t9_0 >> 16) & 255] << 16) | (sb[(t9_1 >> 8) & 255] << 8) | sb[t9_2 & 255]) ^ k43
+        ap(c0)
+        ap(c1)
+        ap(c2)
+        ap(c3)
+    return struct.pack(f">{n}I", *out)
+
+
+# The decrypt twin of cbc_encrypt128_raw (see above).
+def cbc_decrypt128_raw(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """AES-128-CBC-NOPAD decrypt, fully unrolled — the AESV2 body
+    extraction hot path. Bytes-identical to cbc_decrypt_raw for
+    16-byte keys (randomized cross-check in tests)."""
+    import struct
+
+    (
+        k0, k1, k2, k3, k4, k5, k6, k7, k8, k9, k10, k11, k12, k13, k14, k15, k16, k17, k18, k19, k20, k21, k22, k23, k24, k25, k26, k27, k28, k29, k30, k31, k32, k33, k34, k35, k36, k37, k38, k39, k40, k41, k42, k43,
+    ) = [w for r in _dec_schedule(key) for w in r]
+    n = len(data) >> 2
+    ws = struct.unpack(f">{n}I", data)
+    p0, p1, p2, p3 = struct.unpack(">4I", iv)
+    td0, td1, td2, td3, ib = _TD0, _TD1, _TD2, _TD3, _INV_SBOX
+    out = []
+    ap = out.append
+    for i in range(0, n, 4):
+        w0 = ws[i]
+        w1 = ws[i + 1]
+        w2 = ws[i + 2]
+        w3 = ws[i + 3]
+        s0 = w0 ^ k0
+        s1 = w1 ^ k1
+        s2 = w2 ^ k2
+        s3 = w3 ^ k3
+        t1_0 = td0[s0 >> 24] ^ td1[(s3 >> 16) & 255] ^ td2[(s2 >> 8) & 255] ^ td3[s1 & 255] ^ k4
+        t1_1 = td0[s1 >> 24] ^ td1[(s0 >> 16) & 255] ^ td2[(s3 >> 8) & 255] ^ td3[s2 & 255] ^ k5
+        t1_2 = td0[s2 >> 24] ^ td1[(s1 >> 16) & 255] ^ td2[(s0 >> 8) & 255] ^ td3[s3 & 255] ^ k6
+        t1_3 = td0[s3 >> 24] ^ td1[(s2 >> 16) & 255] ^ td2[(s1 >> 8) & 255] ^ td3[s0 & 255] ^ k7
+        t2_0 = td0[t1_0 >> 24] ^ td1[(t1_3 >> 16) & 255] ^ td2[(t1_2 >> 8) & 255] ^ td3[t1_1 & 255] ^ k8
+        t2_1 = td0[t1_1 >> 24] ^ td1[(t1_0 >> 16) & 255] ^ td2[(t1_3 >> 8) & 255] ^ td3[t1_2 & 255] ^ k9
+        t2_2 = td0[t1_2 >> 24] ^ td1[(t1_1 >> 16) & 255] ^ td2[(t1_0 >> 8) & 255] ^ td3[t1_3 & 255] ^ k10
+        t2_3 = td0[t1_3 >> 24] ^ td1[(t1_2 >> 16) & 255] ^ td2[(t1_1 >> 8) & 255] ^ td3[t1_0 & 255] ^ k11
+        t3_0 = td0[t2_0 >> 24] ^ td1[(t2_3 >> 16) & 255] ^ td2[(t2_2 >> 8) & 255] ^ td3[t2_1 & 255] ^ k12
+        t3_1 = td0[t2_1 >> 24] ^ td1[(t2_0 >> 16) & 255] ^ td2[(t2_3 >> 8) & 255] ^ td3[t2_2 & 255] ^ k13
+        t3_2 = td0[t2_2 >> 24] ^ td1[(t2_1 >> 16) & 255] ^ td2[(t2_0 >> 8) & 255] ^ td3[t2_3 & 255] ^ k14
+        t3_3 = td0[t2_3 >> 24] ^ td1[(t2_2 >> 16) & 255] ^ td2[(t2_1 >> 8) & 255] ^ td3[t2_0 & 255] ^ k15
+        t4_0 = td0[t3_0 >> 24] ^ td1[(t3_3 >> 16) & 255] ^ td2[(t3_2 >> 8) & 255] ^ td3[t3_1 & 255] ^ k16
+        t4_1 = td0[t3_1 >> 24] ^ td1[(t3_0 >> 16) & 255] ^ td2[(t3_3 >> 8) & 255] ^ td3[t3_2 & 255] ^ k17
+        t4_2 = td0[t3_2 >> 24] ^ td1[(t3_1 >> 16) & 255] ^ td2[(t3_0 >> 8) & 255] ^ td3[t3_3 & 255] ^ k18
+        t4_3 = td0[t3_3 >> 24] ^ td1[(t3_2 >> 16) & 255] ^ td2[(t3_1 >> 8) & 255] ^ td3[t3_0 & 255] ^ k19
+        t5_0 = td0[t4_0 >> 24] ^ td1[(t4_3 >> 16) & 255] ^ td2[(t4_2 >> 8) & 255] ^ td3[t4_1 & 255] ^ k20
+        t5_1 = td0[t4_1 >> 24] ^ td1[(t4_0 >> 16) & 255] ^ td2[(t4_3 >> 8) & 255] ^ td3[t4_2 & 255] ^ k21
+        t5_2 = td0[t4_2 >> 24] ^ td1[(t4_1 >> 16) & 255] ^ td2[(t4_0 >> 8) & 255] ^ td3[t4_3 & 255] ^ k22
+        t5_3 = td0[t4_3 >> 24] ^ td1[(t4_2 >> 16) & 255] ^ td2[(t4_1 >> 8) & 255] ^ td3[t4_0 & 255] ^ k23
+        t6_0 = td0[t5_0 >> 24] ^ td1[(t5_3 >> 16) & 255] ^ td2[(t5_2 >> 8) & 255] ^ td3[t5_1 & 255] ^ k24
+        t6_1 = td0[t5_1 >> 24] ^ td1[(t5_0 >> 16) & 255] ^ td2[(t5_3 >> 8) & 255] ^ td3[t5_2 & 255] ^ k25
+        t6_2 = td0[t5_2 >> 24] ^ td1[(t5_1 >> 16) & 255] ^ td2[(t5_0 >> 8) & 255] ^ td3[t5_3 & 255] ^ k26
+        t6_3 = td0[t5_3 >> 24] ^ td1[(t5_2 >> 16) & 255] ^ td2[(t5_1 >> 8) & 255] ^ td3[t5_0 & 255] ^ k27
+        t7_0 = td0[t6_0 >> 24] ^ td1[(t6_3 >> 16) & 255] ^ td2[(t6_2 >> 8) & 255] ^ td3[t6_1 & 255] ^ k28
+        t7_1 = td0[t6_1 >> 24] ^ td1[(t6_0 >> 16) & 255] ^ td2[(t6_3 >> 8) & 255] ^ td3[t6_2 & 255] ^ k29
+        t7_2 = td0[t6_2 >> 24] ^ td1[(t6_1 >> 16) & 255] ^ td2[(t6_0 >> 8) & 255] ^ td3[t6_3 & 255] ^ k30
+        t7_3 = td0[t6_3 >> 24] ^ td1[(t6_2 >> 16) & 255] ^ td2[(t6_1 >> 8) & 255] ^ td3[t6_0 & 255] ^ k31
+        t8_0 = td0[t7_0 >> 24] ^ td1[(t7_3 >> 16) & 255] ^ td2[(t7_2 >> 8) & 255] ^ td3[t7_1 & 255] ^ k32
+        t8_1 = td0[t7_1 >> 24] ^ td1[(t7_0 >> 16) & 255] ^ td2[(t7_3 >> 8) & 255] ^ td3[t7_2 & 255] ^ k33
+        t8_2 = td0[t7_2 >> 24] ^ td1[(t7_1 >> 16) & 255] ^ td2[(t7_0 >> 8) & 255] ^ td3[t7_3 & 255] ^ k34
+        t8_3 = td0[t7_3 >> 24] ^ td1[(t7_2 >> 16) & 255] ^ td2[(t7_1 >> 8) & 255] ^ td3[t7_0 & 255] ^ k35
+        t9_0 = td0[t8_0 >> 24] ^ td1[(t8_3 >> 16) & 255] ^ td2[(t8_2 >> 8) & 255] ^ td3[t8_1 & 255] ^ k36
+        t9_1 = td0[t8_1 >> 24] ^ td1[(t8_0 >> 16) & 255] ^ td2[(t8_3 >> 8) & 255] ^ td3[t8_2 & 255] ^ k37
+        t9_2 = td0[t8_2 >> 24] ^ td1[(t8_1 >> 16) & 255] ^ td2[(t8_0 >> 8) & 255] ^ td3[t8_3 & 255] ^ k38
+        t9_3 = td0[t8_3 >> 24] ^ td1[(t8_2 >> 16) & 255] ^ td2[(t8_1 >> 8) & 255] ^ td3[t8_0 & 255] ^ k39
+        o0 = (((ib[t9_0 >> 24] << 24) | (ib[(t9_3 >> 16) & 255] << 16) | (ib[(t9_2 >> 8) & 255] << 8) | ib[t9_1 & 255]) ^ k40) ^ p0
+        o1 = (((ib[t9_1 >> 24] << 24) | (ib[(t9_0 >> 16) & 255] << 16) | (ib[(t9_3 >> 8) & 255] << 8) | ib[t9_2 & 255]) ^ k41) ^ p1
+        o2 = (((ib[t9_2 >> 24] << 24) | (ib[(t9_1 >> 16) & 255] << 16) | (ib[(t9_0 >> 8) & 255] << 8) | ib[t9_3 & 255]) ^ k42) ^ p2
+        o3 = (((ib[t9_3 >> 24] << 24) | (ib[(t9_2 >> 16) & 255] << 16) | (ib[(t9_1 >> 8) & 255] << 8) | ib[t9_0 & 255]) ^ k43) ^ p3
+        ap(o0)
+        ap(o1)
+        ap(o2)
+        ap(o3)
+        p0, p1, p2, p3 = w0, w1, w2, w3
+    return struct.pack(f">{n}I", *out)

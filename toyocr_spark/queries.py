@@ -69,6 +69,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _sp(spark: SparkSession) -> int:
+    """The session's shuffle width — used where a repartition must pin
+    an EXPLICIT partition count so AQE cannot coalesce an iterative
+    pipeline's carefully-established partitioning down to one task.
+    Scale-adaptive by construction (tracks the session conf, never a
+    hard-coded cluster constant)."""
+    return int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+
 # ---------------------------------------------------------------------------
 # scan + filter + aggregate (S1, F5, A1/A2 — pushdown-able TPC-H Q1 shape)
 
@@ -6749,19 +6758,23 @@ def q125_pdf_aes_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from toyocr_spark.pipeline import extract_pages
 
-    d = (
+    base = (
         _t(spark, sf_dir, "documents")
         .where(F.col("doc_id") % 4 == 0)
         .select("doc_id", "text")
-        # the parquet file is small (1-2 input splits) but the kernel
-        # below is CPU-bound crypto — without an explicit repartition
-        # the whole R6 KDF cost lands on one task (measured 76s at
-        # sf0.1). 4x overpartitioning bounds the binomial lumpiness of
-        # the rare expensive R6 docs (max-per-task drops from 4 to ~1,
-        # each ~2s). Same discipline as the extraction pipeline's
-        # pre-kernel salted repartition.
-        .repartition(4 * spark.sparkContext.defaultParallelism)
     )
+    # The kernel below is CPU-bound crypto with a two-class cost
+    # distribution: rare R6 (AES-256 + Algorithm 2.B KDF) docs cost
+    # ~1000x a plain AESV2 doc, so hash placement leaves 2-3 of them
+    # on one task and THAT task is the job (guide §2.5: a straggler is
+    # skew in work, not rows). Exact fix: split the heavy class out
+    # and round-robin it — round-robin balance is exact, so the R6
+    # critical path is ceil(n_r6 / parallelism) docs; the cheap
+    # majority keeps the plain 2x-cores spread.
+    par = spark.sparkContext.defaultParallelism
+    r6 = base.where(F.col("doc_id") % 200 == 0).repartition(par)
+    rest = base.where(F.col("doc_id") % 200 != 0).repartition(2 * par)
+    d = r6.unionByName(rest)
     schema = T.StructType(
         [
             T.StructField("url", T.StringType(), False),
