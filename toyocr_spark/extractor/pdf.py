@@ -1289,14 +1289,32 @@ def _decode_with_cmap(bs: bytes, cmap: tuple[int, dict[int, str]]) -> str:
     return "".join(out)
 
 
+_LIT_SPECIAL_RE = re.compile(rb"[\\()]")
+
+
 def _lit_string(b: bytes, i: int) -> tuple[bytes, int]:
     """Parse a literal string starting at the '(' byte; returns
-    (raw bytes, index past the closing paren)."""
+    (raw bytes, index past the closing paren).
+
+    Scans by jumping between the three special bytes (backslash and
+    the parens) with one compiled regex search and bulk-slicing the
+    plain runs in between — byte-identical output to the original
+    per-byte walk at a fraction of the interpreter cost (plain text
+    dominates real content streams)."""
     out = bytearray()
     depth = 1
     i += 1
     n = len(b)
     while i < n:
+        m = _LIT_SPECIAL_RE.search(b, i)
+        if m is None:
+            out += b[i:]
+            i = n
+            break
+        j = m.start()
+        if j > i:
+            out += b[i:j]
+        i = j
         c = b[i]
         if c == 0x5C:  # backslash
             i += 1
@@ -1324,13 +1342,10 @@ def _lit_string(b: bytes, i: int) -> tuple[bytes, int]:
             depth += 1
             out.append(c)
             i += 1
-        elif c == 0x29:
+        else:  # c == 0x29
             depth -= 1
             if depth == 0:
                 return bytes(out), i + 1
-            out.append(c)
-            i += 1
-        else:
             out.append(c)
             i += 1
     return bytes(out), i

@@ -152,34 +152,56 @@ def _extend(v: int, s: int) -> int:
 
 def _idct_block(coef: list[int], out: bytearray, ow: int, ox: int, oy: int) -> None:
     """8x8 inverse DCT of dequantized coefficients (natural order) into
-    ``out`` (a component plane of row stride ``ow``) at (ox, oy), with
-    level shift and clamping."""
+    ``out`` (a component plane of row stride ``ox``, ``oy``), with
+    level shift and clamping.
+
+    Loop order inverted vs the textbook form: nonzero coefficients
+    drive unrolled accumulation, so zero coefficients (the common case
+    after quantization) cost one truth test instead of eight
+    multiplies. Per tmp/output element the float additions still
+    happen in ascending u/v order — the summation chain, and therefore
+    every rounded pixel, is bit-identical to the previous per-x inner
+    loop."""
     cos = _COS
-    # rows of the coefficient matrix transform over u; then columns
     tmp = [0.0] * 64
     for y in range(8):
         base = y * 8
-        for x in range(8):
-            s = 0.0
-            for u in range(8):
-                c = coef[base + u]
-                if c:
-                    s += c * cos[u][x]
-            tmp[base + x] = s
+        for u in range(8):
+            c = coef[base + u]
+            if c:
+                cu = cos[u]
+                tmp[base] += c * cu[0]
+                tmp[base + 1] += c * cu[1]
+                tmp[base + 2] += c * cu[2]
+                tmp[base + 3] += c * cu[3]
+                tmp[base + 4] += c * cu[4]
+                tmp[base + 5] += c * cu[5]
+                tmp[base + 6] += c * cu[6]
+                tmp[base + 7] += c * cu[7]
+    orow = (oy * ow) + ox
     for x in range(8):
-        col = [tmp[v * 8 + x] for v in range(8)]
-        for y in range(8):
-            s = 0.0
-            for v in range(8):
-                cv = col[v]
-                if cv:
-                    s += cv * cos[v][y]
+        s0 = s1 = s2 = s3 = s4 = s5 = s6 = s7 = 0.0
+        for v in range(8):
+            cv = tmp[v * 8 + x]
+            if cv:
+                cw = cos[v]
+                s0 += cv * cw[0]
+                s1 += cv * cw[1]
+                s2 += cv * cw[2]
+                s3 += cv * cw[3]
+                s4 += cv * cw[4]
+                s5 += cv * cw[5]
+                s6 += cv * cw[6]
+                s7 += cv * cw[7]
+        o = orow + x
+        for s in (s0, s1, s2, s3, s4, s5, s6, s7):
             val = int(s + 128.5) if s >= -128.5 else 0  # round + level shift
             if val < 0:
                 val = 0
             elif val > 255:
                 val = 255
-            out[(oy + y) * ow + ox + x] = val
+            out[o] = val
+            o += ow
 
 
 def decode_baseline(payload: bytes) -> tuple[int, int, int, bytes]:

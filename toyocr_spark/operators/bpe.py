@@ -156,9 +156,12 @@ def train_bpe(
             break
         left, right, freq = best[0]["left"], best[0]["right"], int(best[0]["pair_freq"])
         merges.append((left, right, freq))
+        # lazy checkpoint: still truncates lineage after first use, but
+        # materializes DURING the next round's argmax job instead of as
+        # its own eager job — one Spark job per merge round, not two
         seg = seg.withColumn(
             "symbols", _apply_merge(F.col("symbols"), left, right)
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return merges, seg
 
 

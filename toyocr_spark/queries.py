@@ -69,14 +69,6 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _sp(spark: SparkSession) -> int:
-    """The session's shuffle width — used where a repartition must pin
-    an EXPLICIT partition count so AQE cannot coalesce an iterative
-    pipeline's carefully-established partitioning down to one task.
-    Scale-adaptive by construction (tracks the session conf, never a
-    hard-coded cluster constant)."""
-    return int(spark.conf.get("spark.sql.shuffle.partitions"))
-
 
 # ---------------------------------------------------------------------------
 # scan + filter + aggregate (S1, F5, A1/A2 — pushdown-able TPC-H Q1 shape)
