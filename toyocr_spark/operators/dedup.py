@@ -82,22 +82,21 @@ def jaccard_pairs(
     max_doc_freq drops ubiquitous shingles before the join (the skew
     guard: a shingle shared by every doc would emit O(n^2) pairs).
 
-    Shape (r6): the doc-frequency cap is a count-over-window partitioned
-    by shingle — ONE exchange of the shingle table, replacing the old
-    groupBy(shingle) + semi-join pair (two exchanges and a duplicated
-    shingle subtree). The capped table is localCheckpointed because
-    three consumers read it (sizes, both join sides); the checkpoint
-    also preserves its hashpartitioning(shingle), so the self-join on
-    shingle plans NO further exchange for either side (guide §2.4:
-    two operations keyed the same way share one exchange).
+    Shape (r6): the shingle table is localCheckpointed before the cap
+    (the doc-frequency aggregate and the semi-join probe both read it —
+    previously the explode+dedup subtree recomputed per consumer) and
+    again after it (three more consumers: sizes and both pair-join
+    sides). The cap itself stays groupBy(shingle) + semi-join: the
+    aggregate partial-aggregates map-side (O(1) state for a hot
+    boilerplate shingle) and the semi-join's hot probe partitions are
+    AQE-skew-splittable — a count-over-window form was tried and
+    rejected because a window partitioned by shingle funnels every
+    instance of a hot shingle through one task with no AQE escape.
     """
     if max_doc_freq is not None:
-        wsh = Window.partitionBy("shingle")
-        shingles = (
-            shingles.withColumn("_df", F.count("*").over(wsh))
-            .filter(F.col("_df") <= max_doc_freq)
-            .drop("_df")
-        )
+        shingles = shingles.localCheckpoint()
+        freq = shingles.groupBy("shingle").count().filter(F.col("count") <= max_doc_freq)
+        shingles = shingles.join(freq.select("shingle"), "shingle", "left_semi")
     shingles = shingles.localCheckpoint()
     sizes = shingles.groupBy("id").agg(F.count("*").alias("size"))
     a = shingles.select(F.col("id").alias("id_a"), "shingle")
@@ -429,13 +428,20 @@ def duplicate_span_removal(
 
     Scale shape (r6 optimization — fewer shuffles, fewer bytes,
     touch-only-affected-docs; results row-identical to the oracle):
-      * window hashing is a linear explode (one row per word position);
-        digests shuffle as 16-byte BINARY (unhex(md5)) not 32-char hex
+      * window hashing is a linear explode (one row per word position),
+        materialized ONCE (localCheckpoint) for its two consumers —
+        the old plan recomputed the whole explode+md5 subtree for the
+        first-occurrence aggregate AND the join probe;
+      * digests shuffle as 16-byte BINARY (unhex(md5)) not 32-char hex
         — half the key bytes through every exchange (guide §2.3);
-      * first-occurrence per digest is a min-over-window partitioned
-        by digest: ONE exchange+sort of the window table, replacing
-        the old groupBy(digest) + self-join-on-digest pair (two
-        exchanges plus a duplicated window-hash subtree — guide §2.4);
+      * first occurrence stays groupBy(digest).min — a PARTIAL
+        aggregation, O(1) state per digest even for a boilerplate
+        window present in every document, and the join back is
+        AQE-skew-splittable. (A min-over-window was tried and
+        rejected: one exchange fewer, but a window partitioned by
+        digest funnels every instance of a hot digest through one
+        task with no AQE escape — the exact hazard paragraph_dedup
+        documents.)
       * coverage expansion is a bounded k-fold fanout of DUPLICATE
         windows only, then distinct — equi-key shuffles on (id, wpos);
       * reconstruction (posexplode + anti-join + re-agg, the expensive
@@ -465,9 +471,10 @@ def duplicate_span_removal(
         )
         .withColumn("inst_key", F.struct("id", "pos"))
     )
-    keep_w = Window.partitionBy("digest")
+    wins = wins.localCheckpoint()
+    keep = wins.groupBy("digest").agg(F.min("inst_key").alias("keep_key"))
     dup = (
-        wins.withColumn("keep_key", F.min("inst_key").over(keep_w))
+        wins.join(keep, "digest")
         .filter(F.col("inst_key") != F.col("keep_key"))
         .select("id", "pos")
     )

@@ -557,7 +557,11 @@ def q14_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q15_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from toyocr_spark.operators.dedup import jaccard_for_pairs
 
-    sh = char_shingles(_de_docs(spark, sf_dir), "doc_id", "t", 8)
+    # by_id: the signature aggregation chain then plans ONE exchange
+    # (see char_shingles); the pair-verify re-keys by shingle anyway.
+    # Checkpoint: the shingle table feeds both the signature path and
+    # the verify path — materialize the explode+dedup once (r6).
+    sh = char_shingles(_de_docs(spark, sf_dir), "doc_id", "t", 8, by_id=True).localCheckpoint()
     cands = minhash_lsh_candidates(minhash_band_signatures(sh, 8))
     # verify ONLY candidates (sub-quadratic; the full self-join verify
     # would defeat LSH at corpus scale)
@@ -5349,7 +5353,9 @@ def q104_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the semi-join) — checkpoint each once so the shingle explode and
     # the pair joins aren't recomputed per consumer (q15's discipline;
     # collapses the plan from ~61 Exchanges to a handful)
-    sh = char_shingles(_de_docs(spark, sf_dir), "doc_id", "t", 8).localCheckpoint()
+    sh = char_shingles(
+        _de_docs(spark, sf_dir), "doc_id", "t", 8, by_id=True
+    ).localCheckpoint()
     exact = (
         jaccard_pairs(sh, min_jaccard=0.1, max_doc_freq=HOT_SHINGLE_DF_CAP)
         .select("id_a", "id_b")
