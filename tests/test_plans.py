@@ -286,7 +286,13 @@ def test_relational_queries_have_no_python_nodes(spark, sf_dir):
         plan = _plan(fn(spark, sf_dir))
         has_python = any(m in plan for m in markers)
         if name in allowed_python:
-            assert has_python, f"{name} expected a Python kernel node"
+            # a localCheckpoint between the Python kernel and the final
+            # plan materializes the kernel's output as an RDD scan (r6:
+            # simhash64_pairs checkpoints its signature input), so the
+            # sanctioned node may legitimately be hidden behind one
+            assert has_python or "ExistingRDD" in plan, (
+                f"{name} expected a Python kernel node"
+            )
         else:
             assert not has_python, f"{name} crosses into Python:\n{plan[:1500]}"
 
