@@ -143,7 +143,7 @@ def train_bpe(
     keep the iterative lineage flat. Stops early when no pair reaches
     `min_pair_freq` (merging hapax pairs is noise).
     """
-    seg = _initial_symbols(vocab).localCheckpoint()
+    seg = _initial_symbols(vocab).localCheckpoint(eager=False)
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
         best = (

@@ -94,10 +94,10 @@ def jaccard_pairs(
     instance of a hot shingle through one task with no AQE escape.
     """
     if max_doc_freq is not None:
-        shingles = shingles.localCheckpoint()
+        shingles = shingles.localCheckpoint(eager=False)
         freq = shingles.groupBy("shingle").count().filter(F.col("count") <= max_doc_freq)
         shingles = shingles.join(freq.select("shingle"), "shingle", "left_semi")
-    shingles = shingles.localCheckpoint()
+    shingles = shingles.localCheckpoint(eager=False)
     sizes = shingles.groupBy("id").agg(F.count("*").alias("size"))
     a = shingles.select(F.col("id").alias("id_a"), "shingle")
     b = shingles.select(F.col("id").alias("id_b"), "shingle")
@@ -158,7 +158,7 @@ def jaccard_for_pairs(
     # sides of the intersection join); checkpointing it collapses the
     # repeated upstream shingle/semi-join exchanges (~70 -> ~40 stages
     # for the q15 plan) while keeping results bit-identical
-    sh = shingles.join(ids, "id", "left_semi").localCheckpoint()
+    sh = shingles.join(ids, "id", "left_semi").localCheckpoint(eager=False)
     sizes = sh.groupBy("id").agg(F.count("*").alias("size"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
@@ -307,7 +307,7 @@ def simhash64_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
     The signature table feeds both join sides; checkpointing it runs
     the shingle/signature aggregation once instead of twice (r6 — the
     jaccard_for_pairs discipline; one doc-count-sized materialization)."""
-    sim = sim.localCheckpoint()
+    sim = sim.localCheckpoint(eager=False)
     a = _band_side(sim, "a")
     b = _band_side(sim, "b")
     cand = (
@@ -471,7 +471,7 @@ def duplicate_span_removal(
         )
         .withColumn("inst_key", F.struct("id", "pos"))
     )
-    wins = wins.localCheckpoint()
+    wins = wins.localCheckpoint(eager=False)
     keep = wins.groupBy("digest").agg(F.min("inst_key").alias("keep_key"))
     dup = (
         wins.join(keep, "digest")
@@ -631,12 +631,12 @@ def connected_components(
         pairs.selectExpr("id_a AS a", "id_b AS b")
         .union(pairs.selectExpr("id_b AS a", "id_a AS b"))
         .distinct()
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     labels = (
         edges.select(F.col("a").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     from pyspark.sql import Observation
 
@@ -735,7 +735,7 @@ def semantic_dedup(
         m = assigned.select(F.col("id").alias("vec_id"), "cid").join(v, "vec_id")
     # norm hoisted to one interpreted array fold per VECTOR; the
     # quadratic within-cell path pays only the dot product per pair
-    m = m.withColumn("nrm", l2norm(F.col("v"))).localCheckpoint()
+    m = m.withColumn("nrm", l2norm(F.col("v"))).localCheckpoint(eager=False)
     a = m.select(
         "cid", F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
     )
@@ -801,7 +801,7 @@ def template_strip(
     # word-window explode recomputes ~3x (measured 27.9s -> <8s at
     # sf0.1). Checkpoint once, the same discipline as semantic_dedup.
     keyed = (
-        paras.join(hosts, "id").withColumn("digest", F.md5("para")).localCheckpoint()
+        paras.join(hosts, "id").withColumn("digest", F.md5("para")).localCheckpoint(eager=False)
     )
     host_docs = base.groupBy("host").agg(F.count("*").alias("host_docs"))
     # NO broadcast hints here: host_docs scales with host cardinality

@@ -78,7 +78,7 @@ def dsir_scores(
     model = (
         raw.join(tgt, "word", "left")
         .select("word", "rc", F.coalesce("tc", F.lit(0).cast("long")).alias("tc"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     totals = model.agg(
         F.sum("rc").alias("raw_tot"),

@@ -131,7 +131,7 @@ def pq_train(
     Seeds: each subspace's slices of the ksub lowest-id vectors
     (deterministic init, scid = seed vector's id)."""
     sub_dim = dim // m_sub
-    svecs = _subvectors(df, id_col, vec_col, m_sub, sub_dim).localCheckpoint()
+    svecs = _subvectors(df, id_col, vec_col, m_sub, sub_dim).localCheckpoint(eager=False)
     seeds = (
         df.select(F.col(id_col).alias("id")).orderBy("id").limit(ksub)
     )

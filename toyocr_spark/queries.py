@@ -561,7 +561,7 @@ def q15_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (see char_shingles); the pair-verify re-keys by shingle anyway.
     # Checkpoint: the shingle table feeds both the signature path and
     # the verify path — materialize the explode+dedup once (r6).
-    sh = char_shingles(_de_docs(spark, sf_dir), "doc_id", "t", 8, by_id=True).localCheckpoint()
+    sh = char_shingles(_de_docs(spark, sf_dir), "doc_id", "t", 8, by_id=True).localCheckpoint(eager=False)
     cands = minhash_lsh_candidates(minhash_band_signatures(sh, 8))
     # verify ONLY candidates (sub-quadratic; the full self-join verify
     # would defeat LSH at corpus scale)
@@ -1203,6 +1203,8 @@ def q35_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = agg_d.join(
         agg_q, "l_returnflag"
     ).localCheckpoint()  # flag-cardinality rows feed 3 consumers below
+    # (EAGER: one consumer is a broadcast build — the small side must be
+    # computed before the broadcast job, not inside it, guide §7.4)
     p_labels = F.array(*[F.lit(p) for p in ps])
     targets = (
         agg.select(
@@ -1351,7 +1353,7 @@ def q36_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the signature table feeds both join sides: checkpoint it so the
     # shingle+signature aggregation runs once, not per side (r6)
-    sim = simhash16(d, "doc_id", "t", 8).localCheckpoint()
+    sim = simhash16(d, "doc_id", "t", 8).localCheckpoint(eager=False)
     band = F.explode(F.sequence(F.lit(0), F.lit(3)))
     banded = sim.select("id", "simhash", band.alias("band")).withColumn(
         "bucket",
@@ -1858,7 +1860,7 @@ def q44_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = F.col("doc_id") % 100
     dst = (F.col("doc_id") * 7 + 3) % 100
     edges = d.select(src.alias("src"), dst.alias("dst")).filter(F.col("src") != F.col("dst")).distinct()
-    edges = edges.localCheckpoint()  # reused every round: cut lineage once
+    edges = edges.localCheckpoint(eager=False)  # reused every round: cut lineage once
     nodes = edges.select(F.col("src").alias("id")).union(edges.select("dst")).distinct()
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     n_nodes = nodes.count()  # COUNT-driven planning (the A7 pattern)
@@ -3329,7 +3331,7 @@ def q74_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prb",
             cosine_pre(F.col("qv"), F.col("iv"), F.col("nq"), F.col("ni")).alias("cos"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     out = None
     for nprobe in (1, 2, 4, max_probe):
@@ -3403,7 +3405,7 @@ def _ivf_tables(spark: SparkSession, sf_dir: str):
         return spark.table(f"{prefix}_centroids"), spark.table(f"{prefix}_lists")
     emb = _t(spark, sf_dir, "embeddings")
     centroids, assigned, _ = kmeans_index(emb, "vec_id", "embedding", 8, 3)
-    return centroids.localCheckpoint(), ivf_lists(emb, assigned).localCheckpoint()
+    return centroids.localCheckpoint(), ivf_lists(emb, assigned).localCheckpoint(eager=False)
 
 
 @_q(
@@ -3687,7 +3689,7 @@ def q78_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     assigned = kmeans_fit(emb, "vec_id", "embedding", k=8, iters=3).select(
         F.col("id").alias("vec_id"), "cid"
-    ).localCheckpoint()  # sizes + ranked both read it; train once
+    ).localCheckpoint(eager=False)  # sizes + ranked both read it; train once
     sizes = assigned.groupBy("cid").agg(F.count("*").cast("long").alias("n_cell"))
     keyed = assigned.withColumn(
         "_h", F.md5(F.concat(F.lit("bal|"), F.col("vec_id").cast("string")))
@@ -5355,13 +5357,13 @@ def q104_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collapses the plan from ~61 Exchanges to a handful)
     sh = char_shingles(
         _de_docs(spark, sf_dir), "doc_id", "t", 8, by_id=True
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     exact = (
         jaccard_pairs(sh, min_jaccard=0.1, max_doc_freq=HOT_SHINGLE_DF_CAP)
         .select("id_a", "id_b")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    cand = minhash_lsh_candidates(minhash_band_signatures(sh, 8)).localCheckpoint()
+    cand = minhash_lsh_candidates(minhash_band_signatures(sh, 8)).localCheckpoint(eager=False)
     matched = exact.join(cand, ["id_a", "id_b"], "left_semi")
     return (
         exact.agg(F.count("*").alias("n_exact"))
@@ -7091,7 +7093,7 @@ def q127_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes = spark.table(f"{pq_prefix}_codes")
     else:
         codebook, codes = pq_train(emb, m_sub=8, ksub=16, iters=2, dim=64)
-        codebook, codes = codebook.localCheckpoint(), codes.localCheckpoint()
+        codebook, codes = codebook.localCheckpoint(), codes.localCheckpoint(eager=False)
     q = emb.filter(F.col("vec_id") < 8)
     return ivf_pq_topk(
         q, centroids, assigned, codebook, codes, k=5, nprobe=2, m_sub=8, dim=64
@@ -7153,7 +7155,7 @@ def q128_pq_persisted_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = ensure_pq_index(spark, sf_dir)
     if prefix is None:  # warehouse not writable: in-session twin
         codebook, codes = pq_train(emb)
-        return pq_adc_topk(q, codebook.localCheckpoint(), codes.localCheckpoint(), 5)
+        return pq_adc_topk(q, codebook.localCheckpoint(), codes.localCheckpoint(eager=False), 5)
     return pq_persisted_search(spark, q, prefix, k=5)
 
 
@@ -9342,7 +9344,7 @@ def q156_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(src.alias("src"), dst.alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint()  # reused four times: cut lineage once
+        .localCheckpoint(eager=False)  # reused four times: cut lineage once
     )
     nodes = edges.select(F.col("src").alias("id")).union(edges.select("dst")).distinct()
     h = nodes.withColumn("h", F.lit(1000000).cast("long"))
@@ -10899,7 +10901,7 @@ def q175_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a round is join + partial-agg + base left-join (no nn/deg re-join
     # per round — the q44 lineage-cut discipline, taken further)
     deg = edges.groupBy("id", "src").agg(F.count("*").alias("outdeg"))
-    edgesd = edges.join(deg, ["id", "src"]).localCheckpoint()
+    edgesd = edges.join(deg, ["id", "src"]).localCheckpoint(eager=False)
     nodes = edgesd.select("id", F.col("src").alias("wd")).distinct()
     nn = nodes.groupBy("id").agg(F.count("*").alias("n"))
     base = (
@@ -10910,7 +10912,7 @@ def q175_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"({scale} * 15) div (100 * n)").alias("tele"),
             F.expr(f"{scale} div n").alias("r0"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     ranks = base.select("id", "wd", F.col("r0").alias("rank"))
     for _ in range(_TR_ROUNDS):
