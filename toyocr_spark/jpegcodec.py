@@ -62,25 +62,40 @@ _SOF_LOSSLESS = {0xC3}  # sequential lossless (predictive, Huffman)
 _SOF_UNSUPPORTED = {0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
 
 
+_HUFF_FAST_BITS = 8  # LUT width: covers virtually every symbol of real tables
+
+
 class _Huff:
     """Canonical Huffman table as a (length, code) -> symbol dict plus
-    min/max code per length for the spec's sequential decode walk."""
+    an 8-bit prefix LUT: ``fast[next8bits] = (symbol, codelen)`` for
+    codes of <= 8 bits (None marks a longer-or-invalid prefix, resolved
+    by the spec's sequential per-bit walk). Prefix-freeness makes the
+    LUT exact: every 8-bit extension of a short code maps to it."""
 
-    __slots__ = ("lookup", "maxlen")
+    __slots__ = ("lookup", "maxlen", "fast")
 
     def __init__(self, counts: list[int], symbols: bytes):
         self.lookup: dict[tuple[int, int], int] = {}
         code = 0
         k = 0
         maxlen = 0
+        fb = _HUFF_FAST_BITS
+        fast: list[tuple[int, int] | None] = [None] * (1 << fb)
         for length in range(1, 17):
             for _ in range(counts[length - 1]):
-                self.lookup[(length, code)] = symbols[k]
+                sym = symbols[k]
+                self.lookup[(length, code)] = sym
+                if length <= fb:
+                    lo = code << (fb - length)
+                    entry = (sym, length)
+                    for idx in range(lo, lo + (1 << (fb - length))):
+                        fast[idx] = entry
                 code += 1
                 k += 1
                 maxlen = length
             code <<= 1
         self.maxlen = maxlen
+        self.fast = fast
 
 
 class _BitReader:
@@ -107,7 +122,10 @@ class _BitReader:
             self.i = i + 2
         else:
             self.i = i + 1
-        self.acc = (self.acc << 8) | b
+        # mask consumed high bits so acc stays a machine int over long
+        # scans (an unmasked acc grows by 8 bits per fill and turns
+        # every shift into an O(scan-length) bignum copy)
+        self.acc = ((self.acc & ((1 << self.nbits) - 1)) << 8) | b
         self.nbits += 8
         return True
 
@@ -118,13 +136,19 @@ class _BitReader:
         return (self.acc >> self.nbits) & 1
 
     def bits(self, n: int) -> int | None:
-        v = 0
-        for _ in range(n):
-            b = self.bit()
-            if b is None:
+        # bulk form of n sequential bit() calls: identical fill
+        # schedule (one fill per 8 missing bits), identical value
+        # (MSB-first), identical reader state on truncation (all
+        # buffered bits consumed, position at the marker)
+        nbits = self.nbits
+        while nbits < n:
+            if not self._fill():
+                self.nbits = 0
                 return None
-            v = (v << 1) | b
-        return v
+            nbits = self.nbits
+        nbits -= n
+        self.nbits = nbits
+        return (self.acc >> nbits) & ((1 << n) - 1)
 
     def align_to_marker(self) -> None:
         """Drop partial bits; self.i then points at the next marker."""
@@ -132,6 +156,30 @@ class _BitReader:
         self.nbits = 0
 
     def decode(self, table: _Huff) -> int | None:
+        # fast path: resolve codes of <= 8 bits with one LUT probe.
+        # Never fills a byte the per-bit walk would not have filled:
+        # with 0 < nbits < 8 buffered the probe pads with zeros and
+        # only accepts an entry whose code fits the buffered bits
+        # (prefix-freeness makes that unambiguous); otherwise it falls
+        # through to the exact spec walk, which fills on demand.
+        nbits = self.nbits
+        if nbits >= 8:
+            e = table.fast[(self.acc >> (nbits - 8)) & 0xFF]
+            if e is not None:
+                self.nbits = nbits - e[1]
+                return e[0]
+        elif nbits:
+            e = table.fast[(self.acc & ((1 << nbits) - 1)) << (8 - nbits)]
+            if e is not None and e[1] <= nbits:
+                self.nbits = nbits - e[1]
+                return e[0]
+        else:
+            if not self._fill():
+                return None  # first bit unavailable, as in the walk
+            e = table.fast[(self.acc >> (self.nbits - 8)) & 0xFF]
+            if e is not None:
+                self.nbits -= e[1]
+                return e[0]
         code = 0
         lookup = table.lookup
         for length in range(1, table.maxlen + 1):
