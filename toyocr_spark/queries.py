@@ -66,7 +66,22 @@ def _q(name: str, sql: str | None, note: str = ""):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # Per-session plan reuse: spark.read.parquet re-lists the directory
+    # and re-reads the footer schema on EVERY call (~120 ms of
+    # synchronous driver-side work), which a catalog table registration
+    # would pay once. The DataFrame is an immutable logical plan — reuse
+    # it across queries in the same session; every action still scans
+    # the parquet files themselves (no data or results are cached).
+    cache = getattr(spark, "_toyocr_table_plans", None)
+    if cache is None:
+        cache = {}
+        spark._toyocr_table_plans = cache  # type: ignore[attr-defined]
+    key = (sf_dir, name)
+    df = cache.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        cache[key] = df
+    return df
 
 
 
