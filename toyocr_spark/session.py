@@ -51,6 +51,13 @@ def get_spark(
         # On a big cluster the input is far larger than cores*2 splits
         # of 256 MiB, so this floor is inert there.
         .config("spark.sql.files.minPartitionNum", str(shuffle_partitions * 2))
+        # PySpark 4 captures a Python stack trace + sets a JVM-side
+        # origin on EVERY DataFrame API call for richer error messages;
+        # that is one extra py4j roundtrip per expression and dominates
+        # the build time of expression-heavy plans. Errors still raise
+        # with full JVM context — only the Python call-site annotation
+        # is dropped (the documented performance switch for this).
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)
