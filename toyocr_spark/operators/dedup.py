@@ -206,21 +206,21 @@ def simhash16(df: DataFrame, id_col: str, text_col: str, k: int = 8) -> DataFram
     and portable; the production variant is the same expression shape
     at 64 bits.
     """
+    # expression loops as JVM-parsed SQL strings — see simhash64
     sh = char_shingles(df, id_col, text_col, k, by_id=True).withColumn(
         "h", F.conv(F.substring(F.md5(F.col("shingle")), 1, 4), 16, 10).cast("long")
     )
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
+        F.expr(f"sum(CASE WHEN (shiftright(h, {i}) & 1) = 1 THEN 1 ELSE -1 END) AS b{i}")
         for i in range(16)
     ]
     agg = sh.groupBy("id").agg(*bit_sums)
-    sim = None
-    for i in range(16):
-        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        sim = term if sim is None else sim + term
-    return agg.select("id", sim.cast("long").alias("simhash"))
+    sim = F.expr(
+        "CAST(("
+        + " + ".join(f"CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(16))
+        + ") AS BIGINT) AS simhash"
+    )
+    return agg.select("id", sim)
 
 
 def simhash64(df: DataFrame, id_col: str, text_col: str, k: int = 8) -> DataFrame:
@@ -241,33 +241,39 @@ def simhash64(df: DataFrame, id_col: str, text_col: str, k: int = 8) -> DataFram
     One groupBy with 64 conditional sums — a single shuffle, all
     whole-stage-codegen arithmetic.
     """
+    # The 64-term conditional-sum / recombine loops are built as SQL
+    # strings parsed JVM-side in one roundtrip each: the Column-DSL form
+    # cost ~8 py4j roundtrips per term (~0.5 s of driver time per build)
+    # for the identical analyzed expressions.
     hhex = F.substring(F.md5(F.col("shingle")), 1, 16)
     sh = char_shingles(df, id_col, text_col, k, by_id=True).withColumn("hhex", hhex)
     chunk_vals = [
-        F.conv(F.substring("hhex", 1 + 4 * j, 4), 16, 10).cast("long").alias(f"v{j}")
+        F.expr(f"CAST(conv(substring(hhex, {1 + 4 * j}, 4), 16, 10) AS BIGINT) AS v{j}")
         for j in range(4)
     ]
     hx = sh.select("id", *chunk_vals)
     bit_sums = [
-        F.sum(
-            F.when(
-                F.shiftright(F.col(f"v{j}"), i).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
-        ).alias(f"b{j}_{i}")
+        F.expr(
+            f"sum(CASE WHEN (shiftright(v{j}, {i}) & 1) = 1"
+            f" THEN 1 ELSE -1 END) AS b{j}_{i}"
+        )
         for j in range(4)
         for i in range(16)
     ]
     agg = hx.groupBy("id").agg(*bit_sums)
-    chunks = []
-    for j in range(4):
-        c = None
-        for i in range(16):
-            term = F.when(F.col(f"b{j}_{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-            c = term if c is None else c + term
-        chunks.append(c.cast("long").alias(f"c{j}"))
+    chunks = [
+        F.expr(
+            "CAST(("
+            + " + ".join(
+                f"CASE WHEN b{j}_{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(16)
+            )
+            + f") AS BIGINT) AS c{j}"
+        )
+        for j in range(4)
+    ]
     out = agg.select("id", *chunks)
-    hex_str = F.concat(
-        *[F.lower(F.lpad(F.hex(F.col(f"c{j}")), 4, "0")) for j in range(4)]
+    hex_str = F.expr(
+        "concat(" + ", ".join(f"lower(lpad(hex(c{j}), 4, '0'))" for j in range(4)) + ")"
     )
     return out.withColumn("simhash", hex_str)
 
