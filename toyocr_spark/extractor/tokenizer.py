@@ -259,51 +259,18 @@ def tokenize(html: bytes | str) -> list[Block]:
     path: tuple[str, ...] = ()  # always == tuple(stack); cached to avoid
     #                             re-tupling on every flush (hot loop)
     link_depth = 0
-    cur = Block(tag_path=())
+    # open-block state lives in LOCALS (not attributes of a reusable
+    # Block): local loads/stores are several times cheaper than slots
+    # attribute access in this loop, and a Block object is allocated
+    # only when a block is actually emitted — the flush/reset semantics
+    # (incl. the path recorded at the last block-tag event and the
+    # box/counter resets) are identical to the previous closure form,
+    # gauntleted field-by-field over the corpus + fixtures + soup fuzz.
+    parts: list[str] = []
+    block_path: tuple[str, ...] = ()
+    link_chars = 0
+    n_inline = 0
     cur_box: tuple[int, int, int, int] | None = None
-
-    def flush() -> None:
-        nonlocal cur, cur_box
-        parts = cur._parts
-        if parts:
-            # " ".join(s.split()) == _WS_RE.sub(" ", s).strip() for every
-            # codepoint (verified exhaustively); the split form is ~3x
-            # faster (pure C, no regex engine). Most blocks hold exactly
-            # one text run — skip the concat join for those.
-            text = " ".join((parts[0] if len(parts) == 1 else "".join(parts)).split())
-            if text:
-                cur.text = text
-                cur.n_chars = len(text)
-                cur.kind = _classify(cur.tag_path)
-                cur.box = cur_box
-                blocks.append(cur)
-                cur = Block(tag_path=path)
-                cur_box = None
-                return
-            cur._parts.clear()
-        # nothing emitted: reuse cur, resetting exactly what a fresh
-        # Block(tag_path=path) would reset (allocation fast path)
-        if cur.link_chars:
-            cur.link_chars = 0
-        if cur.n_inline:
-            cur.n_inline = 0
-        cur.tag_path = path
-        cur_box = None
-
-    def add_text(text: str) -> None:
-        # a '<' inside a text element means it has no '>' anywhere after
-        # (possible only in the final element): the original char-walk
-        # skipped each such '<' and appended the fragments between them
-        # as SEPARATE pieces — replicate by splitting on '<'
-        frags = text.split("<") if "<" in text else (text,)
-        for frag in frags:
-            if frag:
-                piece = unescape(frag) if "&" in frag else frag
-                cur._parts.append(piece)
-                if link_depth > 0:
-                    # count anchor-text chars after whitespace collapse
-                    # parity: collapse here too so link_chars <= n_chars
-                    cur.link_chars += len(" ".join(piece.split()))
 
     # scanner over _TAG_SPLIT_RE (r"(<[^>]*>)").split: ONE C pass yields
     # [text, tag, text, ..., tag, text] directly — no match objects, no
@@ -312,16 +279,29 @@ def tokenize(html: bytes | str) -> list[Block]:
     # [^>]* cannot cross one). Every text element except the final one
     # is '<'-free by construction (a '<' either starts a tag match or
     # has no '>' anywhere after it, which forces it into the LAST
-    # element — handled by add_text). Byte-equivalence with the
-    # original char-walk is gauntleted over every fixture class + an
+    # element — handled by the '<'-split branch). Byte-equivalence with
+    # the original char-walk is gauntleted over every fixture class + an
     # HTML-soup fuzz corpus.
     tag_cache_get = _TAG_CACHE.get  # hoisted: one lookup per tag token
+    parts_append = parts.append  # parts is cleared in place, never rebound
+    blocks_append = blocks.append
     unescape = _htmlmod.unescape
     segs = _TAG_SPLIT_RE.split(src)
     seg_iter = iter(segs)
     head = next(seg_iter)
     if head:
-        add_text(head)
+        # a '<' inside a text element means it has no '>' anywhere after
+        # (possible only in the final element): the original char-walk
+        # skipped each such '<' and appended the fragments between them
+        # as SEPARATE pieces — replicate by splitting on '<'
+        for frag in head.split("<") if "<" in head else (head,):
+            if frag:
+                piece = unescape(frag) if "&" in frag else frag
+                parts_append(piece)
+                if link_depth > 0:
+                    # count anchor-text chars after whitespace collapse
+                    # parity: collapse here too so link_chars <= n_chars
+                    link_chars += len(" ".join(piece.split()))
     for tok, text in zip(seg_iter, seg_iter):
         # tag tokens repeat enormously in a crawl (</p>, <div>, ...);
         # memoize the parse (incl. the category chain): None = malformed
@@ -332,50 +312,87 @@ def tokenize(html: bytes | str) -> list[Block]:
                 _TAG_CACHE[tok] = hit
         if hit is not None:
             name, closing, box, cat = hit
-            if cat == 1:  # block tag: close the current text run
-                if cur._parts or cur.link_chars or cur.n_inline:
-                    flush()
-                else:
-                    cur_box = None  # what an empty flush observably does
-                if closing:
-                    # pop to the matching open tag if present (tolerant
-                    # of broken nesting — pathological fixture pages)
-                    if name in stack:
-                        while stack:
-                            top = stack.pop()
-                            if top == name:
-                                break
+            if cat == 1 or cat == 4:  # block / void-block: close the run
+                if parts:
+                    # " ".join(s.split()) == _WS_RE.sub(" ", s).strip()
+                    # for every codepoint (verified exhaustively); the
+                    # split form is ~3x faster (pure C). Most blocks
+                    # hold exactly one run — skip the concat for those.
+                    t = " ".join(
+                        (parts[0] if len(parts) == 1 else "".join(parts)).split()
+                    )
+                    if t:
+                        blocks_append(
+                            Block(
+                                text=t,
+                                tag_path=block_path,
+                                n_chars=len(t),
+                                link_chars=link_chars,
+                                n_inline=n_inline,
+                                kind=_classify(block_path),
+                                box=cur_box,
+                            )
+                        )
+                    parts.clear()
+                    link_chars = 0
+                    n_inline = 0
+                elif link_chars or n_inline:
+                    link_chars = 0
+                    n_inline = 0
+                cur_box = None
+                if cat == 1:
+                    if closing:
+                        # pop to the matching open tag if present
+                        # (tolerant of broken nesting — pathological
+                        # fixture pages)
+                        if name in stack:
+                            while stack:
+                                if stack.pop() == name:
+                                    break
+                            path = tuple(stack)
+                    else:
+                        stack.append(name)
                         path = tuple(stack)
-                else:
-                    stack.append(name)
-                    path = tuple(stack)
-                    if box is not None:
-                        cur_box = box
-                cur.tag_path = path
-            elif cat == 4:  # void block (br/hr): flush, never on stack
-                if cur._parts or cur.link_chars or cur.n_inline:
-                    flush()
-                else:
-                    cur_box = None
+                        if box is not None:
+                            cur_box = box
+                    block_path = path
             elif cat == 2:  # anchor
                 if closing:
                     link_depth = max(0, link_depth - 1)
                 else:
                     link_depth += 1
-                    cur.n_inline += 1
+                    n_inline += 1
             elif cat == 3:  # other inline
                 if not closing:
-                    cur.n_inline += 1
+                    n_inline += 1
             # cat == 0: ignored entirely
         if text:
             if "<" in text:  # only possible in the final element
-                add_text(text)
-            else:  # hot path, inlined (no closure call per text run)
+                for frag in text.split("<"):
+                    if frag:
+                        piece = unescape(frag) if "&" in frag else frag
+                        parts_append(piece)
+                        if link_depth > 0:
+                            link_chars += len(" ".join(piece.split()))
+            else:  # hot path
                 piece = unescape(text) if "&" in text else text
-                cur._parts.append(piece)
+                parts_append(piece)
                 if link_depth > 0:
-                    cur.link_chars += len(" ".join(piece.split()))
-    flush()
+                    link_chars += len(" ".join(piece.split()))
+    if parts:  # final flush
+        t = " ".join((parts[0] if len(parts) == 1 else "".join(parts)).split())
+        if t:
+            blocks_append(
+                Block(
+                    text=t,
+                    tag_path=block_path,
+                    n_chars=len(t),
+                    link_chars=link_chars,
+                    n_inline=n_inline,
+                    kind=_classify(block_path),
+                    box=cur_box,
+                )
+            )
 
     for i, b in enumerate(blocks):
         b.ordinal = i
