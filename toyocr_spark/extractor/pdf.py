@@ -1442,10 +1442,18 @@ def _runs(
             j = content.find(b"\n", i)
             i = n if j == -1 else j + 1
         else:
-            m = _NUM_RE.match(content, i)
-            if m is not None and not _OP_RE.match(content, i):
-                (arr if arr is not None else st).append(float(m.group(0)))
-                i = m.end()
+            # first-byte dispatch: a number starts with 0-9 + - . and an
+            # operator with a letter/'/" — the classes are disjoint, so
+            # each token needs exactly ONE regex probe (the old
+            # "matches _NUM_RE and not _OP_RE" guard was vacuously true
+            # and cost a second match per numeric token)
+            if 0x30 <= c <= 0x39 or c == 0x2B or c == 0x2D or c == 0x2E:
+                m = _NUM_RE.match(content, i)
+                if m is not None:
+                    (arr if arr is not None else st).append(float(m.group(0)))
+                    i = m.end()
+                else:
+                    i += 1
                 continue
             m = _OP_RE.match(content, i)
             if m is None:
