@@ -5133,7 +5133,6 @@ def q100_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     did = F.col("doc_id")
-    canon = canonicalize_url(_url_synth_col())
     hrs = did % 97
     ts14 = F.concat(
         F.lit("202602"),
@@ -5141,12 +5140,22 @@ def q100_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lpad((hrs % 24).cast("string"), 2, "0"),
         F.lit("0000"),
     )
-    return d.select(
-        surt_key(canon).alias("surt_key"),
+    # canonicalize once into a NAMED column and derive the SURT key from
+    # the column reference: surt_key's internal subtree reuse otherwise
+    # clones the whole canonicalize tree ~6x in the unresolved plan and
+    # Catalyst analysis of that product took ~0.9 s per build
+    base = d.select(
+        canonicalize_url(_url_synth_col()).alias("url"),
         ts14.alias("ts14"),
-        canon.alias("url"),
         F.md5(F.col("text").cast("binary")).alias("digest"),
         F.octet_length("text").cast("long").alias("n_bytes"),
+    )
+    return base.select(
+        surt_key(F.col("url")).alias("surt_key"),
+        "ts14",
+        "url",
+        "digest",
+        "n_bytes",
     )
 
 

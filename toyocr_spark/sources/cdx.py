@@ -47,16 +47,26 @@ def cdx_rows(
     passes capture provenance through (e.g. read_warc_members'
     warc_file/warc_offset/warc_length, which make every index row
     range-addressable back into its archive file)."""
-    canon = canonicalize_url(F.col(url_col))
-    return pages.select(
-        surt_key(canon).alias("surt_key"),
+    # canonicalize once into a NAMED column and derive the SURT key
+    # from the column reference — surt_key's internal reuse otherwise
+    # clones the canonicalize subtree ~6x in the unresolved plan and
+    # Catalyst analysis of the product dominates plan-build time
+    base = pages.select(
+        canonicalize_url(F.col(url_col)).alias("url"),
         F.date_format(F.col(ts_col), "yyyyMMddHHmmss").alias("ts14"),
-        canon.alias("url"),
         F.md5(F.col(content_col).cast("binary")).alias("digest"),
         F.octet_length(F.col(content_col).cast("binary"))
         .cast("long")
         .alias("n_bytes"),
         *[F.col(c) for c in keep_cols],
+    )
+    return base.select(
+        surt_key(F.col("url")).alias("surt_key"),
+        "ts14",
+        "url",
+        "digest",
+        "n_bytes",
+        *keep_cols,
     )
 
 
