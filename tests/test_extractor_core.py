@@ -404,3 +404,38 @@ def test_zlib_deflate_envelope_strips_before_dispatch():
 
     # empty payload is the empty result
     assert extract(z(b"")).text == ""
+
+
+def test_tokenizer_block_state_semantics():
+    """Pin the flush/reset semantics the locals-based tokenizer must
+    preserve: recorded tag path = path at the last block-tag event,
+    counter and box resets on empty-collapse flushes, '<' fragments in
+    the final element, and link-char accounting inside anchors."""
+    from toyocr_spark.extractor.tokenizer import tokenize
+
+    # path recorded at block START, not at flush: the <li> content gets
+    # path (html, body, ul, li) even though </li></ul> close before EOF
+    blocks = tokenize(b"<html><body><ul><li>item one</li></ul></body></html>")
+    assert [(b.text, b.tag_path[-1], b.kind) for b in blocks] == [
+        ("item one", "li", "list")
+    ]
+
+    # whitespace-only run flushes empty -> counters must reset, the next
+    # block must not inherit the anchor's n_inline/link_chars
+    blocks = tokenize(
+        b"<div><a href='/x'>nav</a></div><div>   \t</div><div>plain text</div>"
+    )
+    assert [(b.text, b.link_chars, b.n_inline) for b in blocks] == [
+        ("nav", 3, 1),
+        ("plain text", 0, 0),
+    ]
+
+    # '<' with no '>' after it lands in the FINAL element: fragments
+    # between '<'s are separate pieces concatenated with NO inserted
+    # separator (the original char-walk skipped just the '<' bytes)
+    blocks = tokenize(b"<p>tail a<b 1<c 2")
+    assert [b.text for b in blocks] == ["tail ab 1c 2"]
+
+    # ordinals number only emitted blocks, in document order
+    blocks = tokenize(b"<p>one</p><p> </p><p>two</p>")
+    assert [(b.ordinal, b.text) for b in blocks] == [(0, "one"), (1, "two")]

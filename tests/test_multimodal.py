@@ -1308,3 +1308,83 @@ def test_djvu_bundled_walk_and_quiet_skip():
     raw = b"AT&TFORM" + len(body).to_bytes(4, "big") + body
     info = djvu_info(raw)
     assert info is not None and info["n_pages"] == 1 and info["width"] == 50
+
+
+def test_jpeg_bitreader_lut_matches_spec_walk():
+    """The 8-bit Huffman LUT fast path must agree with the spec's
+    sequential per-bit walk for every code length (incl. codes longer
+    than the LUT width) and leave identical reader state — including at
+    truncation and across 0xFF00 byte stuffing."""
+    from toyocr_spark.jpegcodec import _BitReader, _Huff
+
+    # canonical table with lengths 1..16: symbol per length, so codes
+    # 9..16 bits exercise the LUT-miss fallback
+    counts = [1] * 16
+    symbols = bytes(range(16))
+    table = _Huff(counts, symbols)
+
+    def spec_decode(reader):  # the pre-LUT reference walk
+        code = 0
+        for length in range(1, table.maxlen + 1):
+            b = reader.bit()
+            if b is None:
+                return None
+            code = (code << 1) | b
+            sym = table.lookup.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid")
+
+    import random
+
+    rng = random.Random(99)
+    for trial in range(300):
+        n = rng.randrange(0, 24)
+        data = bytes(rng.randrange(256) for _ in range(n))
+        # stuff 0xFF bytes so the stream stays marker-free
+        stuffed = bytearray()
+        for c in data:
+            stuffed.append(c)
+            if c == 0xFF:
+                stuffed.append(0x00)
+        payload = bytes(stuffed)
+        ra, rb = _BitReader(payload, 0), _BitReader(payload, 0)
+        while True:
+            sa = rb_state = None
+            try:
+                sa = ra.decode(table)
+            except ValueError:
+                sa = "invalid"
+            try:
+                sb = spec_decode(rb)
+            except ValueError:
+                sb = "invalid"
+            assert sa == sb
+            assert (ra.i, ra.nbits) == (rb.i, rb.nbits)
+            if sa is None or sa == "invalid":
+                break
+
+
+def test_jpeg_bitreader_bulk_bits_matches_sequential():
+    """bits(n) must return the same value and leave the same reader
+    state as n sequential bit() calls, incl. the consumed-tail state on
+    truncation."""
+    from toyocr_spark.jpegcodec import _BitReader
+
+    import random
+
+    rng = random.Random(7)
+    for _ in range(300):
+        payload = bytes(rng.randrange(255) for _ in range(rng.randrange(0, 6)))
+        for n in (1, 3, 8, 11, 16):
+            ra, rb = _BitReader(payload, 0), _BitReader(payload, 0)
+            va = ra.bits(n)
+            vb = 0
+            for _k in range(n):
+                b = rb.bit()
+                if b is None:
+                    vb = None
+                    break
+                vb = (vb << 1) | b
+            assert va == vb
+            assert (ra.i, ra.nbits) == (rb.i, rb.nbits)

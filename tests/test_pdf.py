@@ -1131,3 +1131,23 @@ def test_aes256_r5_draft_revision_identity():
     bad[um.start(1)] = ord("0") if enc[um.start(1) : um.start(1) + 1] != b"0" else ord("1")
     bad = bytes(bad)
     assert decrypt_pdf(bad) == bad and tokenize_pdf(bad) == []
+
+
+def test_content_stream_token_dispatch_edges():
+    """First-byte token dispatch in _runs: bare signs, leading-dot and
+    trailing-dot numbers, operators containing digits/stars, and a sign
+    not followed by digits must all tokenize exactly as before."""
+    from toyocr_spark.extractor.pdf import _runs
+
+    # ".5 3. Td" moves; "-" alone is skipped; "T*" newline; number then Tj
+    content = (
+        b"BT /F1 12 Tf 14 TL .5 3. Td - (A) Tj T* +2 -0.5 Td (B) Tj ET"
+    )
+    objs = _runs(content)
+    assert len(objs) == 1
+    lines = objs[0]
+    texts = ["".join(ln.parts) for ln in lines]
+    assert texts == ["A", "B"]
+    # line 1 at (.5, 3.); T* drops by leading 14, then Td(+2, -0.5)
+    assert (lines[0].x, lines[0].y) == (0.5, 3.0)
+    assert (lines[1].x, lines[1].y) == (0.5 + 2, 3.0 - 14 - 0.5)
